@@ -1,0 +1,16 @@
+"""Aggregator: importing this module populates the full query REGISTRY
+(core relational + text/dedup/similarity/tensor extensions)."""
+
+import scip_spark.queries  # noqa: F401  core relational operators
+
+# Extended registries (each module registers into queries.REGISTRY on import)
+for _mod in (
+    "scip_spark.functions.text_queries",
+    "scip_spark.functions.dedup_queries",
+    "scip_spark.functions.similarity_queries",
+    "scip_spark.functions.tensor_queries",
+):
+    try:
+        __import__(_mod)
+    except ImportError:
+        pass

@@ -1,0 +1,122 @@
+"""Event schema & tensor codec.
+
+The reference streams Python dicts whose keys appear/disappear per
+record (reference src/scip/utils/util.py:195-208, masking/__init__.py:91-93).
+Here every event is a row of one fixed, nullable ``StructType``:
+a key being "absent" is the column being NULL, and the reference's
+``@check`` guard (skip op when ``pixels`` missing) becomes plain null
+propagation.
+
+Tensors (image ``pixels``, boolean ``mask``) are stored **flattened**
+as ``array<float>`` / ``array<boolean>`` next to an ``array<int>``
+``shape`` column — exactly the layout the reference itself chose for
+its zarr input format (reference docs/source/input.rst:19-28,
+src/scip/loading/zarr.py:56-59), because ragged N-D tensors only
+round-trip portably as 1-D + shape. Arrow moves these columns
+zero-copy into pandas UDFs where :func:`decode_tensor` restores the
+ndarray view.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# canonical event schema
+# ---------------------------------------------------------------------------
+
+#: Columns every loader produces; stage operators add/null the rest.
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), True),
+        T.StructField("group", T.StringType(), True),
+        T.StructField("scene", T.StringType(), True),
+        T.StructField("tile", T.IntegerType(), True),
+        T.StructField("zarr_idx", T.IntegerType(), True),
+        T.StructField("object_number", T.IntegerType(), True),
+        T.StructField("id", T.IntegerType(), True),
+        # flattened C×H×W float32 (C×Z×H×W before projection)
+        T.StructField("pixels", T.ArrayType(T.FloatType()), True),
+        T.StructField("pixels_shape", T.ArrayType(T.IntegerType()), True),
+        # flattened C×H×W bool (int32 labels after segmentation)
+        T.StructField("mask", T.ArrayType(T.BooleanType()), True),
+        T.StructField("mask_shape", T.ArrayType(T.IntegerType()), True),
+        T.StructField("combined_mask", T.ArrayType(T.BooleanType()), True),
+        T.StructField("mask_filter", T.ArrayType(T.BooleanType()), True),
+        T.StructField("background", T.ArrayType(T.DoubleType()), True),
+        T.StructField("combined_background", T.ArrayType(T.DoubleType()), True),
+        T.StructField("bbox", T.ArrayType(T.IntegerType()), True),
+        T.StructField("regions", T.ArrayType(T.IntegerType()), True),
+        T.StructField("filter_sum", T.DoubleType(), True),
+    ]
+)
+
+EVENT_COLUMNS = [f.name for f in EVENT_SCHEMA.fields]
+
+
+# ---------------------------------------------------------------------------
+# tensor codec (numpy <-> flattened list + shape)
+# ---------------------------------------------------------------------------
+
+def encode_tensor(arr: np.ndarray) -> tuple[list, list[int]]:
+    """ndarray -> (flat list, shape). Inverse of :func:`decode_tensor`."""
+    a = np.asarray(arr)
+    return a.ravel().tolist(), list(a.shape)
+
+
+def decode_tensor(flat, shape, dtype=np.float32) -> np.ndarray | None:
+    """(flat sequence, shape) -> ndarray view. None-safe (null column)."""
+    if flat is None or shape is None:
+        return None
+    return np.asarray(flat, dtype=dtype).reshape(tuple(int(s) for s in shape))
+
+
+def decode_series(flat_s: pd.Series, shape_s: pd.Series, dtype=np.float32):
+    """Decode a pandas Series pair (as delivered by Arrow) into a list of
+    ndarrays (None where the row is null)."""
+    out = []
+    for flat, shape in zip(flat_s, shape_s):
+        if flat is None or shape is None or (isinstance(flat, float) and pd.isna(flat)):
+            out.append(None)
+        else:
+            out.append(np.asarray(flat, dtype=dtype).reshape(tuple(int(s) for s in shape)))
+    return out
+
+
+def encode_series(arrays: Iterable[np.ndarray | None]) -> tuple[pd.Series, pd.Series]:
+    """List of ndarrays -> (flat Series, shape Series), None-safe."""
+    flats, shapes = [], []
+    for a in arrays:
+        if a is None:
+            flats.append(None)
+            shapes.append(None)
+        else:
+            a = np.asarray(a)
+            flats.append(a.ravel().tolist())
+            shapes.append(list(a.shape))
+    return pd.Series(flats, dtype=object), pd.Series(shapes, dtype=object)
+
+
+def events_to_pandas(records: list[dict]) -> pd.DataFrame:
+    """Build a pandas frame matching EVENT_SCHEMA from event dicts whose
+    ``pixels``/``mask`` values are ndarrays (test fixture helper)."""
+    rows = []
+    for rec in records:
+        row = {c: None for c in EVENT_COLUMNS}
+        for k, v in rec.items():
+            if k in ("pixels", "mask"):
+                if v is not None:
+                    flat, shape = encode_tensor(np.asarray(v))
+                    row[k] = flat
+                    row[f"{k}_shape"] = shape
+            elif k == "combined_mask":
+                if v is not None:
+                    row[k] = np.asarray(v).ravel().tolist()
+            elif k in row or k in EVENT_COLUMNS:
+                row[k] = v
+        rows.append(row)
+    return pd.DataFrame(rows, columns=EVENT_COLUMNS)

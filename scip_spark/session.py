@@ -1,0 +1,80 @@
+"""SparkSession bootstrap.
+
+Single place where session-level tuning lives so tests, bench and the
+driver entrypoint share one configuration. Mirrors the reference's
+``ClientClusterContext`` role (reference src/scip/utils/util.py:31-157)
+but for Spark local/cluster modes.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime coalescing + skew-join splitting replace any
+  hand-tuned partition counts at real scale.
+- Arrow batch size bounded so ragged tensor rows (flattened images)
+  cannot blow up a single Arrow batch (SURVEY §7.5).
+- UTC session timezone so results compare bit-identically against
+  external engines (the DuckDB oracle, or any warehouse).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tensor rows can be ~MBs each (C*H*W floats); keep Arrow batches small
+# enough that 32 concurrent tasks * batch fits comfortably in memory.
+_ARROW_MAX_RECORDS = "512"
+
+
+def get_spark(
+    app_name: str = "scip_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback
+    ``local[*]``). On a real cluster the caller passes its own master or
+    simply runs under spark-submit, in which case ``master`` is None and
+    whatever the launcher configured wins.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        try:
+            n = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+        except ValueError:
+            n = os.cpu_count() or 8
+        shuffle_partitions = n
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": _ARROW_MAX_RECORDS,
+        # re-use python workers so per-worker model/kernel caches persist
+        # (reference caches its CellPose model per dask worker,
+        # reference src/scip/segmentation/cellpose.py:70-87)
+        "spark.python.worker.reuse": "true",
+        "spark.ui.enabled": "false",
+        # the events table stores TIMESTAMP(NANOS) which the vectorized
+        # parquet reader rejects; read as long and convert (see
+        # queries.load_events)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
