@@ -21,11 +21,20 @@ import scip_spark.entry_queries  # noqa: E402,F401  populates the registry
 from scip_spark.queries import REGISTRY  # noqa: E402
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the queries depend on, set on the driver's own
+    session: nanos-timestamp parquet reads (events table) and a fixed
+    UTC session timezone so timestamp formatting matches the oracle's
+    naive timestamps regardless of host TZ."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     # nanos-timestamp parquet needs this (harmless otherwise); the
     # driver supplies its own session so set it here, not in session.py
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_session_confs(spark)
     return REGISTRY["q5_local_supplier_volume"].fn(spark, "/root/testdata/sf0.001")
 
 
@@ -34,7 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _pin_session_confs(spark)
             return fn(spark, sf_dir)
 
         return run
