@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines at 100 TB.
+
+Four families, all shuffle-efficient:
+
+- **Exact**: hash-groupBy on a normalized md5 fingerprint. One shuffle
+  on a 32-byte key — never on the document text.
+- **MinHash + LSH**: shingle → per-seed min-md5 signature → band
+  digests → candidate pairs via an equi-join on (band_idx, digest).
+  The join key is a 32-byte digest, so the shuffle moves O(docs ×
+  n_bands) tiny rows; the full text never shuffles. This is the
+  banding construction from Broder's MinHash / the MMDS LSH chapter.
+- **SimHash**: 16-bit signed-bit aggregation of token hashes; near-dup
+  candidates share the exact simhash (or a rotated band of it).
+- **n-gram Jaccard**: exact verification on candidate pairs via
+  distinct-token joins (inter/union counts).
+
+Everything is built-in expression algebra (md5 / transform /
+aggregate / array ops) — JVM codegen, no Python in the hot path, and
+every construction is reproducible in ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scip_spark.functions.text import fingerprint, tokens
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = N_MINHASH // N_BANDS = 2
+SIMHASH_BITS = 16
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when too short."""
+    toks = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(sh: Column, n_hashes: int = N_MINHASH) -> list[Column]:
+    """Per-seed MinHash: min over shingles of md5(seed|shingle).
+
+    md5 hex strings are compared lexicographically — equivalent to a
+    128-bit hash family, and identical across engines.
+
+    NB: the per-seed lambda must take exactly one parameter — PySpark
+    passes (element, index) to two-parameter lambdas, so a ``j=j``
+    default would silently be overwritten by the array index.
+    """
+
+    def seeded(j: int):
+        prefix = f"{j}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [F.array_min(F.transform(sh, seeded(j))) for j in range(n_hashes)]
+
+
+def band_digests(sig: list[Column], n_bands: int = N_BANDS) -> list[Column]:
+    rows_per_band = len(sig) // n_bands
+    return [
+        F.md5(F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band]))
+        for b in range(n_bands)
+    ]
+
+
+def minhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id + mh_0..mh_{n-1} + band_0..band_{b-1} (null-free rows only)."""
+    sig = minhash_signature(shingles(text_col))
+    bands = band_digests(sig)
+    return docs.select(
+        id_col,
+        *[s.alias(f"mh_{j}") for j, s in enumerate(sig)],
+        *[b.alias(f"band_{i}") for i, b in enumerate(bands)],
+    ).filter(F.col("mh_0").isNotNull())
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band.
+
+    Scale path: the exploded (band_idx, digest) relation shuffles
+    ~32 B/row; a skewed digest (boilerplate cluster) is handled by
+    AQE skew-join splitting.
+    """
+    mh = minhash_table(docs, text_col, id_col)
+    buckets = mh.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{i}") for i in range(N_BANDS)])).alias(
+            "band_idx", "digest"
+        ),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """fingerprint → (canonical id, dup count); only the digest shuffles."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over whitespace tokens: per-bit signed vote of token
+    hashes (md5 prefix → int), bit set when the vote is positive."""
+    toks = tokens(text)
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"))
+
+    def bit_vote(b: int):
+        # two-parameter merge lambda only — see minhash_signature note
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(h, F.lit(0).cast("long"), bit_vote(b))
+        out = out + F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs via distinct-token
+    equi-joins (inter / union counts) — verification stage after LSH."""
+    tok = docs.select(
+        F.col(id_col).alias("jid"), F.explode(tokens(text_col)).alias("token")
+    ).distinct()
+    sizes = tok.groupBy("jid").agg(F.count("*").alias("n_tok"))
+    ta = tok.select(F.col("jid").alias("id_a"), "token")
+    tb = tok.select(F.col("jid").alias("id_b"), "token")
+    inter = (
+        pairs.join(ta, "id_a").join(tb, ["id_b", "token"]).groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("jid").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("jid").alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,176 @@
+"""Oracle-paired queries for the dedup operators.
+
+The MinHash/SimHash constructions are md5-based so the DuckDB SQL —
+generated from the same constants — reproduces them bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scip_spark.functions import dedup
+from scip_spark.functions.dedup import (
+    N_BANDS,
+    N_MINHASH,
+    SIMHASH_BITS,
+    lsh_candidate_pairs,
+    minhash_table,
+    simhash,
+)
+from scip_spark.queries import register, tbl
+
+_ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="exact dedup via normalized-content hash-groupBy",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(tbl(spark, sf_dir, "documents"))
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n           ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min') AS mh_{j}"
+        for j in range(N_MINHASH)
+    )
+    band_cols = ",\n           ".join(
+        "md5("
+        + " || '|' || ".join(f"mh_{j}" for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+        + f") AS band_{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH tokenized AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS sh
+      FROM tokenized
+    ),
+    sigs AS (
+      SELECT doc_id,
+           {mh_cols}
+      FROM shingled
+    )
+    SELECT doc_id,
+           {band_cols}
+    FROM sigs
+    WHERE mh_0 IS NOT NULL
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    _minhash_sql(),
+    doc="MinHash signature + LSH band digests per document",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    mh = minhash_table(tbl(spark, sf_dir, "documents"))
+    return mh.select("doc_id", *[f"band_{i}" for i in range(N_BANDS)])
+
+
+def _lsh_pairs_sql() -> str:
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band_idx, band_{i} AS digest FROM sigs"
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH sigs AS ({_minhash_sql()}),
+    buckets AS ({bands_union})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_lsh_pairs",
+    _lsh_pairs_sql(),
+    doc="MinHash-LSH candidate pairs via band-digest equi-join",
+)
+def dedup_lsh_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform(hs, v -> CASE WHEN (v >> {b}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"CASE WHEN {vote} > 0 THEN {2**b} ELSE 0 END")
+    total = " + ".join(bit_terms)
+    return f"""
+    WITH tokenized AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT)) AS hs
+      FROM tokenized
+    )
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash
+    FROM hashed
+    """
+
+
+@register("dedup_simhash", _simhash_sql(), doc="16-bit SimHash per document")
+def dedup_simhash(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS jid, t.token
+      FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 40) d,
+           UNNEST(d.toks) AS t(token)
+    ),
+    sizes AS (SELECT jid, COUNT(*) AS n_tok FROM tok GROUP BY jid),
+    pairs AS (
+      SELECT a.jid AS id_a, b.jid AS id_b
+      FROM sizes a JOIN sizes b ON a.jid < b.jid
+    ),
+    inter AS (
+      SELECT ta.jid AS id_a, tb.jid AS id_b, COUNT(*) AS n_inter
+      FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.jid < tb.jid
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (sa.n_tok + sb.n_tok - COALESCE(i.n_inter, 0)) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+    JOIN sizes sa ON p.id_a = sa.jid
+    JOIN sizes sb ON p.id_b = sb.jid
+    """,
+    doc="exact token-set Jaccard over a bounded pair set",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ids = docs.select(F.col("doc_id").alias("jid"))
+    pairs = (
+        ids.alias("x")
+        .join(ids.alias("y"), F.col("x.jid") < F.col("y.jid"))
+        .select(F.col("x.jid").alias("id_a"), F.col("y.jid").alias("id_b"))
+    )
+    return dedup.jaccard_pairs(docs, pairs)

@@ -1,0 +1,107 @@
+"""Oracle-paired queries for similarity search & tensor statistics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scip_spark.functions.similarity import (
+    N_PLANES,
+    brute_force_topk,
+    cosine,
+    l2_norm,
+    lsh_bucket,
+    lsh_topk,
+    plane_weights,
+)
+from scip_spark.queries import register, tbl
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (x, y) -> x + y)"
+)
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             {_DOT.format(a='q.emb', b='c.emb')}
+               / ({_NORM.format(a='q.emb')} * {_NORM.format(a='c.emb')}) AS sim
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, rank, sim FROM ranked WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-k (exact ANN baseline)",
+)
+def cosine_topk(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def _bucket_sql(emb_expr: str, dim: int = 64) -> str:
+    terms = []
+    for j, w in enumerate(plane_weights(N_PLANES, dim)):
+        warr = "[" + ", ".join(str(x) for x in w) + "]::DOUBLE[]"
+        proj = _DOT.format(a=emb_expr, b=warr)
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    SELECT vec_id, label,
+           CAST({_bucket_sql('embedding::DOUBLE[]')} AS BIGINT) AS bucket
+    FROM embeddings
+    """,
+    doc="sign-random-projection LSH bucket assignment",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        lsh_bucket(F.col("embedding").cast("array<double>")).alias("bucket"),
+    )
+
+
+@register("ann_lsh_topk", None, doc="LSH-bucketed approximate top-k (recall tested in pytest)")
+def ann_lsh_topk(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "embedding_stats",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT vec_id,
+           CAST(len(emb) AS INT) AS dim,
+           {_NORM.format(a='emb')} AS l2_norm,
+           list_reduce(emb, (x, y) -> x + y) / len(emb) AS mean_val,
+           list_min(emb) AS min_val,
+           list_max(emb) AS max_val
+    FROM v
+    """,
+    doc="A5/F20 per-record tensor reductions (fold-sum, engine-exact)",
+)
+def embedding_stats(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    fold = F.aggregate(e, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        l2_norm(e).alias("l2_norm"),
+        (fold / F.size(e)).alias("mean_val"),
+        F.array_min(e).alias("min_val"),
+        F.array_max(e).alias("max_val"),
+    )

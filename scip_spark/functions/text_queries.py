@@ -1,0 +1,107 @@
+"""Oracle-paired queries for the text-analysis operators.
+
+The DuckDB SQL for language-ID and stopword counts is *generated from
+the same marker tables* as the Spark expressions, so the two engines
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scip_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_scores,
+    quality_columns,
+)
+from scip_spark.queries import register, tbl
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"list_filter(string_split_regex({col}, '\\s+'), t -> t <> '')"
+
+
+def _sql_stop_count(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"CAST(len(list_filter(toks, t -> list_contains({arr}, lower(t)))) AS BIGINT)"
+
+
+_QUALITY_SQL = f"""
+    WITH tokenized AS (
+      SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           {_sql_stop_count(STOPWORDS)} AS n_stopwords,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST({_sql_stop_count(STOPWORDS)} AS DOUBLE) / len(toks) AS stopword_ratio
+    FROM tokenized
+"""
+
+
+@register("text_quality", _QUALITY_SQL, doc="quality scoring: length/punct/stopword ratios")
+def text_quality(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    cols = quality_columns("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def _langid_sql() -> str:
+    score_cols = ",\n           ".join(
+        f"{_sql_stop_count(words)} AS s_{lang}" for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    greatest = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # first language (in marker order) reaching the max wins — the same
+    # tie-break as the Spark fold in text.lang_id
+    whens = "\n                ".join(
+        f"WHEN s_{l} = m THEN '{l}'" for l in langs
+    )
+    return f"""
+    WITH tokenized AS (
+      SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+           {score_cols}
+      FROM tokenized
+    ),
+    best AS (
+      SELECT *, {greatest} AS m FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE WHEN m <= 0 THEN 'unknown'
+                {whens}
+           END AS pred_lang
+    FROM best
+    """
+
+
+@register("lang_id_heuristic", _langid_sql(), doc="n-gram/stopword heuristic language ID")
+def lang_id_heuristic(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    langs = list(LANG_MARKERS)
+    m = F.greatest(*[scores[l] for l in langs])
+    pred = F.when(m <= 0, F.lit("unknown"))
+    for l in langs:
+        pred = pred.when(scores[l] == m, F.lit(l))
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="rolling/content fingerprint via md5 of normalized text",
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
