@@ -1,0 +1,229 @@
+"""F17-F22: wide feature extraction → flat feature DataFrame.
+
+Reference: src/scip/features/{intensity,shape,texture,bbox,raw_intensity}.py
+and the assembly in features/__init__.py:58-161. Column names are
+generated programmatically — ``meta_*`` identifiers + ``feat_<family>_
+<prop>_<view>_c<channel>`` — and the full schema is computed BEFORE any
+data is read (the reference computes its dask ``meta`` dict up front;
+here it becomes the mapInPandas output StructType).
+
+Soft-deleted records (null ``pixels``) produce metadata-only rows with
+null features (reference features/__init__.py:77-99).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from scip_spark.kernels import imageops as K
+from scip_spark.operators import map_events
+from scip_spark.schema import decode_series
+
+META_COLS = ["path", "group", "id", "object_number"]
+
+INTENSITY_PROPS = [
+    "mean", "median", "min", "max", "std", "mad", "q25", "q75", "sum", "skew", "kurt",
+]
+INTENSITY_VIEWS = ["mask", "bgcorr", "edge", "combined"]
+SHAPE_PROPS = [
+    "area", "centroid_r", "centroid_c", "bbox_minr", "bbox_minc", "bbox_maxr",
+    "bbox_maxc", "extent", "major_axis_length", "minor_axis_length",
+    "eccentricity", "perimeter", "n_components",
+]
+TEXTURE_PROPS = [
+    "glcm_contrast_d3", "glcm_dissimilarity_d3", "glcm_homogeneity_d3",
+    "glcm_energy_d3", "glcm_correlation_d3", "glcm_asm_d3",
+    "glcm_contrast_d5", "glcm_dissimilarity_d5", "glcm_homogeneity_d5",
+    "glcm_energy_d5", "glcm_correlation_d5", "glcm_asm_d5",
+    "sobel_mean", "sobel_std", "sobel_max", "sobel_min",
+]
+BBOX_PROPS = ["bbox_minr", "bbox_minc", "bbox_maxr", "bbox_maxc"]
+
+
+def feature_columns(nchannels: int, families: list[str]) -> list[str]:
+    cols: list[str] = []
+    if "bbox" in families:
+        cols += [f"feat_bbox_{p}" for p in BBOX_PROPS]
+    if "intensity" in families:
+        cols += [
+            f"feat_intensity_{p}_{v}_c{c}"
+            for c in range(nchannels)
+            for v in INTENSITY_VIEWS
+            for p in INTENSITY_PROPS
+        ]
+    if "raw" in families:
+        cols += [f"feat_raw_{p}_c{c}" for c in range(nchannels) for p in INTENSITY_PROPS]
+    if "shape" in families:
+        cols += [f"feat_shape_{p}_c{c}" for c in range(nchannels) for p in SHAPE_PROPS]
+    if "texture" in families:
+        cols += [f"feat_texture_{p}_c{c}" for c in range(nchannels) for p in TEXTURE_PROPS]
+    return cols
+
+
+def feature_schema(nchannels: int, families: list[str]) -> T.StructType:
+    fields = [
+        T.StructField("path", T.StringType()),
+        T.StructField("group", T.StringType()),
+        T.StructField("id", T.IntegerType()),
+        T.StructField("object_number", T.IntegerType()),
+        T.StructField("regions", T.ArrayType(T.IntegerType())),
+    ]
+    fields += [T.StructField(c, T.DoubleType()) for c in feature_columns(nchannels, families)]
+    return T.StructType(fields)
+
+
+def _stats11(x: np.ndarray) -> list[float]:
+    if x.size == 0:
+        return [0.0] * len(INTENSITY_PROPS)
+    x = x.astype(np.float64)
+    mu = float(x.mean())
+    sd = float(x.std())
+    med = float(np.median(x))
+    mad = float(np.median(np.abs(x - med)))
+    q25, q75 = (float(q) for q in np.quantile(x, [0.25, 0.75]))
+    if sd > 0:
+        z = (x - mu) / sd
+        skew = float((z**3).mean())
+        kurt = float((z**4).mean()) - 3.0
+    else:
+        skew, kurt = 0.0, 0.0
+    return [mu, med, float(x.min()), float(x.max()), sd, mad, q25, q75, float(x.sum()), skew, kurt]
+
+
+def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int = 15) -> list[float]:
+    """GLCM over 4 directions (0/45/90/135°), symmetric+normed, masked
+    pixels only — contrast/dissimilarity/homogeneity/energy/correlation/ASM
+    (reference texture.py:25-132 semantics, numpy re-implementation)."""
+    vals = ch[mask]
+    if vals.size < 2:
+        return [0.0] * 6
+    lo, hi = float(vals.min()), float(vals.max())
+    span = (hi - lo) or 1.0
+    q = np.zeros_like(ch, dtype=np.int32)
+    q[mask] = np.minimum(((ch[mask] - lo) / span * levels).astype(np.int32), levels - 1) + 1
+    glcm = np.zeros((levels + 1, levels + 1), dtype=np.float64)
+    d = distance
+    offsets = [(0, d), (d, d), (d, 0), (d, -d)]
+    h, w = q.shape
+    for dy, dx in offsets:
+        y0, y1 = max(0, -dy), min(h, h - dy)
+        x0, x1 = max(0, -dx), min(w, w - dx)
+        a = q[y0:y1, x0:x1]
+        b = q[y0 + dy : y1 + dy, x0 + dx : x1 + dx]
+        valid = (a > 0) & (b > 0)
+        np.add.at(glcm, (a[valid], b[valid]), 1.0)
+    glcm = glcm[1:, 1:]
+    glcm = glcm + glcm.T  # symmetric
+    total = glcm.sum()
+    if total == 0:
+        return [0.0] * 6
+    p = glcm / total
+    i, j = np.meshgrid(np.arange(levels), np.arange(levels), indexing="ij")
+    diff = i - j
+    contrast = float((p * diff**2).sum())
+    dissim = float((p * np.abs(diff)).sum())
+    homog = float((p / (1.0 + diff**2)).sum())
+    asm = float((p**2).sum())
+    energy = float(np.sqrt(asm))
+    mu_i = float((p * i).sum())
+    mu_j = float((p * j).sum())
+    sd_i = float(np.sqrt((p * (i - mu_i) ** 2).sum()))
+    sd_j = float(np.sqrt((p * (j - mu_j) ** 2).sum()))
+    if sd_i > 0 and sd_j > 0:
+        corr = float(((p * (i - mu_i) * (j - mu_j)).sum()) / (sd_i * sd_j))
+    else:
+        corr = 1.0
+    return [contrast, dissim, homog, energy, corr, asm]
+
+
+def _record_features(a, m, cm, bg, bbox, families: list[str], nchannels: int) -> list[float]:
+    out: list[float] = []
+    if "bbox" in families:
+        out += [float(v) for v in (bbox if bbox is not None else [0, 0, 0, 0])]
+    if "intensity" in families:
+        for c in range(nchannels):
+            chan = a[c]
+            mask_c = m[c] if m is not None else np.ones_like(chan, bool)
+            edge_c = mask_c & ~K._erode(mask_c, 1)
+            bg_c = bg[c] if bg is not None else 0.0
+            views = {
+                "mask": chan[mask_c],
+                "bgcorr": chan[mask_c] - bg_c,
+                "edge": chan[edge_c],
+                "combined": chan[cm] if cm is not None else chan[mask_c],
+            }
+            for v in INTENSITY_VIEWS:
+                out += _stats11(views[v])
+    if "raw" in families:
+        for c in range(nchannels):
+            out += _stats11(a[c])
+    if "shape" in families:
+        for c in range(nchannels):
+            mask_c = m[c] if m is not None else np.ones(a.shape[1:], bool)
+            lab, n = K.label(mask_c, 2)
+            props = K.regionprops_basic(lab)
+            if props:
+                for p in SHAPE_PROPS[:-1]:
+                    out.append(float(np.mean([pr[p] for pr in props])))
+                out.append(float(n))
+            else:
+                # fixed default row for empty masks (reference
+                # shape.py:149-211)
+                out += [0.0] * len(SHAPE_PROPS)
+    if "texture" in families:
+        for c in range(nchannels):
+            chan = a[c]
+            mask_c = m[c] if m is not None else np.ones_like(chan, bool)
+            out += _glcm_features(chan, mask_c, 3)
+            out += _glcm_features(chan, mask_c, 5)
+            sob = K.sobel(chan)[mask_c]
+            if sob.size:
+                out += [float(sob.mean()), float(sob.std()), float(sob.max()), float(sob.min())]
+            else:
+                out += [0.0] * 4
+    return out
+
+
+DEFAULT_FAMILIES = ["bbox", "intensity", "raw", "shape", "texture"]
+
+
+def extract_features(df: DataFrame, nchannels: int, families: list[str] | None = None) -> DataFrame:
+    """Event records → flat wide feature frame (one row per record,
+    null features for soft-deleted records)."""
+    families = families or DEFAULT_FAMILIES
+    schema = feature_schema(nchannels, families)
+    feat_cols = feature_columns(nchannels, families)
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
+        masks = decode_series(pdf["mask"], pdf["mask_shape"], dtype=bool)
+        rows = []
+        for i in range(len(pdf)):
+            base = pdf.iloc[i]
+            meta = {
+                "path": base.get("path"),
+                "group": base.get("group"),
+                "id": base.get("id"),
+                "object_number": base.get("object_number"),
+                "regions": base.get("regions"),
+            }
+            a, m = pixels[i], masks[i]
+            if a is None:
+                rows.append({**meta, **{c: None for c in feat_cols}})
+                continue
+            cm_flat = base.get("combined_mask")
+            cm = (
+                np.asarray(cm_flat, dtype=bool).reshape(a.shape[1:])
+                if cm_flat is not None
+                else None
+            )
+            vals = _record_features(
+                a, m, cm, base.get("background"), base.get("bbox"), families, nchannels
+            )
+            rows.append({**meta, **dict(zip(feat_cols, vals))})
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return map_events(df, batch, schema)

@@ -1,0 +1,295 @@
+"""P3-P6 + F2-F11: QC filters, mask construction, post-processing,
+mask application.
+
+Reference behaviour being re-expressed (not ported):
+- ``compute_filters`` (src/scip/masking/__init__.py:75-95): per-channel
+  QC predicates produce ``mask_filter``; a failing *main* channel nulls
+  ``pixels`` (soft delete — the row survives).
+- mask methods li/otsu/sobel/spot/circle/watershed
+  (src/scip/masking/{li,otsu,sobel,spot,circle,watershed}.py): each
+  yields a per-channel boolean mask + per-channel region counts.
+- ``mask_post_process`` (masking/__init__.py:245-251),
+  ``remove_regions_touching_border`` (masking/__init__.py:132-180),
+  ``get_bounding_box`` (masking/__init__.py:224-242), and ``apply``
+  (masking/__init__.py:183-221: combined mask union, per-channel mean
+  background of unmasked pixels).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from scip_spark.kernels import imageops as K
+from scip_spark.operators import map_events
+from scip_spark.schema import decode_series, encode_series
+
+# ---------------------------------------------------------------------------
+# QC filters (P3-P6)
+# ---------------------------------------------------------------------------
+
+FILTERS: dict[str, Callable[[np.ndarray, float], bool]] = {
+    "std": lambda x, threshold=0.0: bool(np.std(x) > threshold),
+    "value_range": lambda x, threshold=0.0: bool((x.max() - x.min()) > threshold),
+}
+
+
+def compute_filters(
+    df: DataFrame, method: str = "std", threshold: float = 0.0, main_channel: int = 0
+) -> DataFrame:
+    """Per-channel QC predicate → ``mask_filter``; failing main channel
+    nulls ``pixels`` (row survives — soft delete)."""
+    pred = FILTERS[method]
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = decode_series(pdf["pixels"], pdf["pixels_shape"])
+        flags_col, keep = [], []
+        for a in arrs:
+            if a is None:
+                flags_col.append(None)
+                keep.append(False)
+            else:
+                flags = [pred(a[c], threshold) for c in range(a.shape[0])]
+                flags_col.append(flags)
+                keep.append(bool(flags[main_channel]))
+        pdf = pdf.copy()
+        pdf["mask_filter"] = pd.Series(flags_col, dtype=object).values
+        dropped = [None if not k else p for k, p in zip(keep, pdf["pixels"])]
+        dropped_sh = [None if not k else s for k, s in zip(keep, pdf["pixels_shape"])]
+        pdf["pixels"] = pd.Series(dropped, dtype=object).values
+        pdf["pixels_shape"] = pd.Series(dropped_sh, dtype=object).values
+        return pdf
+
+    return map_events(df, batch)
+
+
+# ---------------------------------------------------------------------------
+# mask methods (F2-F7)
+# ---------------------------------------------------------------------------
+
+
+def _mask_li(channel: np.ndarray, smooth: float = 1.0, **_) -> np.ndarray:
+    blur = K.gaussian(channel, smooth)
+    edges = K.sobel(blur)
+    edges = K.gaussian(edges, 2.0 * smooth)
+    t = K.threshold_li(edges)
+    m = edges > t
+    m = K.fill_holes(m)
+    return K.remove_small_objects(m, 8)
+
+
+def _mask_otsu(channel: np.ndarray, **_) -> np.ndarray:
+    t = K.threshold_otsu(channel)
+    m = channel > t
+    m = K.binary_closing(m, 1)
+    return K.fill_holes(m)
+
+
+def _mask_sobel(channel: np.ndarray, **_) -> np.ndarray:
+    edges = K.sobel(channel)
+    m = edges > np.quantile(edges, 0.9)
+    m = K.binary_closing(m, 2)
+    return _post_process(m)[0]
+
+
+def _mask_spot(channel: np.ndarray, spotsize: int = 3, **_) -> np.ndarray:
+    # white tophat ≈ img − opening(img); opening via erode+dilate on grayscale
+    # approximated with min/max filters of radius spotsize
+    r = spotsize
+    p = np.pad(channel, r, mode="reflect")
+    h, w = channel.shape
+    stack = [
+        p[dy : dy + h, dx : dx + w] for dy in range(2 * r + 1) for dx in range(2 * r + 1)
+    ]
+    eroded = np.min(np.stack(stack), axis=0)
+    p2 = np.pad(eroded, r, mode="reflect")
+    stack2 = [
+        p2[dy : dy + h, dx : dx + w] for dy in range(2 * r + 1) for dx in range(2 * r + 1)
+    ]
+    opened = np.max(np.stack(stack2), axis=0)
+    tophat = channel - opened
+    return tophat > np.quantile(tophat, 0.99)
+
+
+def _mask_circle(channel: np.ndarray, **_) -> np.ndarray:
+    h, w = channel.shape
+    r = min(h, w) // 3
+    y, x = np.ogrid[:h, :w]
+    return ((y - h / 2 + 0.5) ** 2 + (x - w / 2 + 0.5) ** 2) <= r * r
+
+
+def _mask_watershed(channel: np.ndarray, **_) -> np.ndarray:
+    # watershed-lite: otsu foreground split by eroded markers grown back
+    t = K.threshold_otsu(channel)
+    fg = K.fill_holes(channel > t)
+    markers = K._erode(fg, 2)
+    lab, n = K.label(markers, 2)
+    grown = K.expand_labels(lab, 3)
+    return (grown > 0) & fg if n else fg
+
+
+def _post_process(m: np.ndarray) -> tuple[np.ndarray, int]:
+    """mask_post_process (reference masking/__init__.py:245-251):
+    remove small holes → expand → remove small objects → count."""
+    m = K.remove_small_holes(m, 64)
+    lab, _ = K.label(m, 2)
+    lab = K.expand_labels(lab, 1)
+    m = lab > 0
+    m = K.remove_small_objects(m, 4)
+    _, n = K.label(m, 2)
+    return m, n
+
+MASK_METHODS: dict[str, Callable[..., np.ndarray]] = {
+    "li": _mask_li,
+    "otsu": _mask_otsu,
+    "sobel": _mask_sobel,
+    "spot": _mask_spot,
+    "circle": _mask_circle,
+    "watershed": _mask_watershed,
+}
+
+
+def get_mask(df: DataFrame, method: str = "otsu", **kwargs) -> DataFrame:
+    """Attach per-channel boolean ``mask`` + ``regions`` counts."""
+    fn = MASK_METHODS[method]
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = decode_series(pdf["pixels"], pdf["pixels_shape"])
+        masks, regions = [], []
+        for a in arrs:
+            if a is None:
+                masks.append(None)
+                regions.append(None)
+                continue
+            ms = np.stack([fn(a[c], **kwargs) for c in range(a.shape[0])])
+            masks.append(ms)
+            regions.append([int(K.label(ms[c], 2)[1]) for c in range(ms.shape[0])])
+        flat, shape = encode_series(masks)
+        pdf = pdf.copy()
+        pdf["mask"] = flat.values
+        pdf["mask_shape"] = shape.values
+        pdf["regions"] = pd.Series(regions, dtype=object).values
+        return pdf
+
+    return map_events(df, batch)
+
+
+# ---------------------------------------------------------------------------
+# F9: remove regions touching the border
+# ---------------------------------------------------------------------------
+
+
+def remove_border_regions(df: DataFrame, main_channel: int = 0, max_fraction: float = 0.25) -> DataFrame:
+    """Drop connected components covering more than ``max_fraction`` of
+    min(h,w) along any border; if the main channel empties, null
+    ``mask`` and ``pixels`` (reference masking/__init__.py:132-180)."""
+
+    def clean(m: np.ndarray) -> np.ndarray:
+        lab, n = K.label(m, 2)
+        if n == 0:
+            return m
+        h, w = m.shape
+        limit = max_fraction * min(h, w)
+        out = m.copy()
+        for l0 in range(1, n + 1):
+            comp = lab == l0
+            for border in (comp[0, :], comp[-1, :], comp[:, 0], comp[:, -1]):
+                if border.sum() > limit:
+                    out[comp] = False
+                    break
+        return out
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        masks = decode_series(pdf["mask"], pdf["mask_shape"], dtype=bool)
+        new_masks, keep = [], []
+        for m in masks:
+            if m is None:
+                new_masks.append(None)
+                keep.append(True)
+                continue
+            cleaned = np.stack([clean(m[c]) for c in range(m.shape[0])])
+            if not cleaned[main_channel].any():
+                new_masks.append(None)
+                keep.append(False)
+            else:
+                new_masks.append(cleaned)
+                keep.append(True)
+        flat, shape = encode_series(new_masks)
+        pdf = pdf.copy()
+        pdf["mask"] = flat.values
+        pdf["mask_shape"] = shape.values
+        pdf["pixels"] = pd.Series(
+            [p if k else None for p, k in zip(pdf["pixels"], keep)], dtype=object
+        ).values
+        pdf["pixels_shape"] = pd.Series(
+            [s if k else None for s, k in zip(pdf["pixels_shape"], keep)], dtype=object
+        ).values
+        return pdf
+
+    return map_events(df, batch)
+
+
+# ---------------------------------------------------------------------------
+# F10/F11: bounding box + mask application
+# ---------------------------------------------------------------------------
+
+
+def apply_mask(df: DataFrame, combined_indices: list[int] | None = None) -> DataFrame:
+    """Derive ``combined_mask`` (union over selected channels),
+    per-channel ``background`` (mean of unmasked pixels),
+    ``combined_background`` and ``bbox`` (union of channel bboxes)."""
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
+        masks = decode_series(pdf["mask"], pdf["mask_shape"], dtype=bool)
+        combined, backgrounds, comb_bg, bboxes = [], [], [], []
+        for a, m in zip(pixels, masks):
+            if m is None:
+                combined.append(None)
+                backgrounds.append(None)
+                comb_bg.append(None)
+                bboxes.append(None)
+                continue
+            idx = combined_indices if combined_indices is not None else range(m.shape[0])
+            cm = np.zeros(m.shape[1:], dtype=bool)
+            for c in idx:
+                cm |= m[c]
+            combined.append(cm.ravel().tolist())
+            if a is not None:
+                bg = []
+                for c in range(m.shape[0]):
+                    outside = a[c][~m[c]]
+                    bg.append(float(outside.mean()) if outside.size else 0.0)
+                backgrounds.append(bg)
+                cb = []
+                for c in range(m.shape[0]):
+                    outside = a[c][~cm]
+                    cb.append(float(outside.mean()) if outside.size else 0.0)
+                comb_bg.append(cb)
+            else:
+                backgrounds.append(None)
+                comb_bg.append(None)
+            boxes = [K.bounding_box(m[c]) for c in range(m.shape[0])]
+            boxes = [b for b in boxes if b is not None]
+            if boxes:
+                bboxes.append(
+                    [
+                        min(b[0] for b in boxes),
+                        min(b[1] for b in boxes),
+                        max(b[2] for b in boxes),
+                        max(b[3] for b in boxes),
+                    ]
+                )
+            else:
+                bboxes.append(None)
+        pdf = pdf.copy()
+        pdf["combined_mask"] = pd.Series(combined, dtype=object).values
+        pdf["background"] = pd.Series(backgrounds, dtype=object).values
+        pdf["combined_background"] = pd.Series(comb_bg, dtype=object).values
+        pdf["bbox"] = pd.Series(bboxes, dtype=object).values
+        return pdf
+
+    return map_events(df, batch)

@@ -1,0 +1,89 @@
+"""A2 + F16 + J3: per-group masked min/max extents → broadcast →
+min-max rescale.
+
+Reference: src/scip/normalization/quantile_normalization.py:25-107 —
+a foldby computing per-group per-channel (masked) min/max, fed back
+into a map that rescales pixels to [0, 1]. Spark-first form: a pandas
+UDF computes per-record per-channel extents (cheap, columnar); a
+relational groupBy min/max aggregates them (partial+final, tiny
+shuffle); the resulting extent table is broadcast-joined back.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scip_spark.operators import map_events
+from scip_spark.schema import decode_series, encode_series
+
+
+def record_extents(df: DataFrame, key: str = "group") -> DataFrame:
+    """Per-record per-channel masked min/max (falls back to unmasked
+    pixels when the channel mask is empty — reference
+    quantile_normalization.py:36-44)."""
+    ext_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("channel", T.IntegerType()),
+            T.StructField("cmin", T.DoubleType()),
+            T.StructField("cmax", T.DoubleType()),
+        ]
+    )
+
+    def batch(pdf: pd.DataFrame):
+        pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
+        masks = decode_series(pdf["mask"], pdf["mask_shape"], dtype=bool)
+        rows = []
+        for g, a, m in zip(pdf[key], pixels, masks):
+            if a is None:
+                continue
+            for c in range(a.shape[0]):
+                vals = a[c]
+                if m is not None and m[c].any():
+                    vals = a[c][m[c]]
+                rows.append((g, c, float(vals.min()), float(vals.max())))
+        return pd.DataFrame(rows, columns=[key, "channel", "cmin", "cmax"])
+
+    return map_events(df, batch, ext_schema)
+
+
+def group_extents(df: DataFrame, key: str = "group") -> DataFrame:
+    """Two-level aggregation: record extents → group extents."""
+    return (
+        record_extents(df, key)
+        .groupBy(key, "channel")
+        .agg(F.min("cmin").alias("gmin"), F.max("cmax").alias("gmax"))
+    )
+
+
+def quantile_normalization(df: DataFrame, key: str = "group") -> DataFrame:
+    """Rescale pixels to [0,1] using broadcast per-group extents."""
+    extents = group_extents(df, key).collect()
+    lut: dict[tuple, tuple[float, float]] = {
+        (r[key], r["channel"]): (r["gmin"], r["gmax"]) for r in extents
+    }
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
+        out = []
+        for g, a in zip(pdf[key], pixels):
+            if a is None:
+                out.append(None)
+                continue
+            scaled = np.empty_like(a, dtype=np.float32)
+            for c in range(a.shape[0]):
+                gmin, gmax = lut.get((g, c), (0.0, 1.0))
+                span = (gmax - gmin) or 1.0
+                scaled[c] = np.clip((a[c] - gmin) / span, 0.0, 1.0)
+            out.append(scaled)
+        flat, shape = encode_series(out)
+        pdf = pdf.copy()
+        pdf["pixels"] = flat.values
+        pdf["pixels_shape"] = shape.values
+        return pdf
+
+    return map_events(df, batch)

@@ -1,0 +1,59 @@
+import numpy as np
+
+from scip_spark.operators.masking import (
+    MASK_METHODS,
+    apply_mask,
+    compute_filters,
+    get_mask,
+    remove_border_regions,
+)
+from scip_spark.schema import decode_tensor
+
+
+def test_compute_filters_pass(full_events_df):
+    out = compute_filters(full_events_df, "std", threshold=0.0).toPandas()
+    assert len(out) == 10
+    assert all(len(f) == 3 and all(f) for f in out.mask_filter)
+    assert out.pixels.notna().all()
+
+
+def test_compute_filters_soft_delete(full_events_df):
+    # impossible threshold: every record fails, pixels nulled, rows SURVIVE
+    out = compute_filters(full_events_df, "std", threshold=1e9).toPandas()
+    assert len(out) == 10
+    assert out.pixels.isna().all()
+    assert out.path.notna().all()
+
+
+def test_get_mask_invariants(full_events_df):
+    for method in ["otsu", "circle", "sobel"]:
+        out = get_mask(full_events_df, method).toPandas()
+        assert len(out) == 10, method
+        for _, r in out.iterrows():
+            m = decode_tensor(r["mask"], r.mask_shape, dtype=bool)
+            assert m.shape == (3, 10, 10), method
+            assert r.regions is not None and len(r.regions) == 3, method
+
+
+def test_circle_mask_geometry(full_events_df):
+    out = get_mask(full_events_df, "circle").toPandas()
+    m = decode_tensor(out.iloc[0]["mask"], out.iloc[0].mask_shape, dtype=bool)
+    assert m[0, 5, 5]  # center in
+    assert not m[0, 0, 0]  # corner out
+
+
+def test_apply_mask(full_events_df):
+    masked = get_mask(full_events_df, "circle")
+    out = apply_mask(masked).toPandas()
+    for _, r in out.iterrows():
+        cm = np.asarray(r.combined_mask, dtype=bool).reshape(10, 10)
+        assert cm.any()
+        assert len(r.background) == 3
+        assert r.bbox is not None and len(r.bbox) == 4
+
+
+def test_remove_border_regions(spark, full_events_df):
+    # circle mask touches no border → survives
+    masked = get_mask(full_events_df, "circle")
+    out = remove_border_regions(masked).toPandas()
+    assert out["mask"].notna().all()

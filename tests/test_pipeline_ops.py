@@ -1,0 +1,88 @@
+"""Projection, illumination correction, population filter, segmentation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from scip_spark.operators.illumination import correct, mean_images
+from scip_spark.operators.projection import project
+from scip_spark.operators.segmentation import segment_labels, to_events
+from scip_spark.operators.threshold_filter import population_filter
+from scip_spark.schema import EVENT_SCHEMA, decode_tensor, events_to_pandas
+
+
+def test_projection(spark):
+    zstack = np.arange(2 * 4 * 5 * 5, dtype=np.float32).reshape(2, 4, 5, 5)
+    pdf = events_to_pandas([{"path": "z", "group": "g", "pixels": zstack}])
+    df = spark.createDataFrame(pdf, schema=EVENT_SCHEMA)
+    out = project(df, "max").toPandas()
+    a = decode_tensor(out.iloc[0].pixels, out.iloc[0].pixels_shape)
+    np.testing.assert_array_equal(a, zstack.max(axis=1))
+    out2 = project(df, "mean").toPandas()
+    b = decode_tensor(out2.iloc[0].pixels, out2.iloc[0].pixels_shape)
+    np.testing.assert_allclose(b, zstack.mean(axis=1), rtol=1e-6)
+
+
+def test_projection_bad_op(full_events_df):
+    with pytest.raises(ValueError):
+        project(full_events_df, "nope")
+
+
+def test_illumination_correction(full_events_df):
+    mu = mean_images(full_events_df, "group")
+    assert set(mu) == {"one", "two"}
+    assert mu["one"].shape == (3, 10, 10)
+    assert (mu["one"] != 0).all()  # zero-guard applied
+    out = correct(full_events_df, "group").toPandas()
+    assert len(out) == 10
+    for _, r in out.iterrows():
+        a = decode_tensor(r.pixels, r.pixels_shape)
+        assert not np.isnan(a).any()
+        # identical images / mean ≈ 1 in the interior
+        assert abs(np.median(a) - 1.0) < 0.2
+
+
+def test_population_filter_soft_delete(spark):
+    # 9 bright records + 1 dark outlier → outlier soft-deleted
+    recs = []
+    for i in range(10):
+        level = 0.01 if i == 0 else 100.0
+        recs.append(
+            {
+                "path": f"p{i}",
+                "group": "g",
+                "object_number": i,
+                "pixels": np.full((1, 4, 4), level, dtype=np.float32),
+            }
+        )
+    df = spark.createDataFrame(events_to_pandas(recs), schema=EVENT_SCHEMA)
+    out = population_filter(df).toPandas().sort_values("object_number")
+    assert len(out) == 10  # rows survive
+    assert out.iloc[0].pixels is None or pd.isna(out.iloc[0].pixels)
+    assert out.iloc[1].pixels is not None
+
+
+def test_segmentation_to_events(spark):
+    # two bright blobs on dark background → 2 cell records
+    img = np.zeros((1, 20, 20), dtype=np.float32)
+    img[0, 2:8, 2:8] = 100.0
+    img[0, 12:18, 12:18] = 100.0
+    df = spark.createDataFrame(
+        events_to_pandas([{"path": "img", "group": "g", "pixels": img}]),
+        schema=EVENT_SCHEMA,
+    )
+    seg = segment_labels(df, "watershed")
+    cells = to_events(seg).toPandas().sort_values("id")
+    assert len(cells) == 2
+    for _, r in cells.iterrows():
+        a = decode_tensor(r.pixels, r.pixels_shape)
+        m = decode_tensor(r["mask"], r.mask_shape, dtype=bool)
+        assert a.shape == m.shape
+        assert m.any()
+        assert (a[m] == 100.0).all()
+    assert set(cells.id) == {1, 2}
+
+
+def test_cellpose_stub_raises(full_events_df):
+    with pytest.raises(NotImplementedError):
+        segment_labels(full_events_df, "cellpose")
