@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is executed with a `noop` sink so the full plan runs
+(scan → shuffle → agg) without driver-side collection overhead
+dominating the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "pivot_channels",
+    "soft_delete_filter",
+    "group_minmax_normalize",
+    "topk_per_group",
+    "sessionize_events",
+    "tumbling_window_events",
+    "explode_tokens",
+    "text_quality",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "cosine_topk",
+    "ann_lsh_buckets",
+    "mean_tensor_by_group",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.0
+
+    from scip_spark.session import get_spark
+
+    spark = get_spark("scip-spark-bench",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

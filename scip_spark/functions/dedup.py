@@ -68,14 +68,33 @@ def band_digests(sig: list[Column], n_bands: int = N_BANDS) -> list[Column]:
 
 
 def minhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """doc_id + mh_0..mh_{n-1} + band_0..band_{b-1} (null-free rows only)."""
-    sig = minhash_signature(shingles(text_col))
-    bands = band_digests(sig)
-    return docs.select(
+    """doc_id + mh_0..mh_{n-1} + band_0..band_{b-1}.
+
+    Physical form: explode shingles → per-shingle seeded md5s →
+    ``groupBy(doc).agg(min×N)``. Tokenization/shingling runs ONCE per
+    document (the closed-form per-column variant re-evaluates the
+    shingle lambda for every seed — Catalyst doesn't CSE across
+    higher-order functions), and the min-aggregation is partial+final,
+    so the shuffle carries only N×32-byte partial minima per doc —
+    this is the formulation that survives 100 TB.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    hashed = sh.select(
         id_col,
-        *[s.alias(f"mh_{j}") for j, s in enumerate(sig)],
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h_{j}")
+            for j in range(N_MINHASH)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h_{j}").alias(f"mh_{j}") for j in range(N_MINHASH)]
+    )
+    bands = band_digests([F.col(f"mh_{j}") for j in range(N_MINHASH)])
+    return sig.select(
+        id_col,
+        *[F.col(f"mh_{j}") for j in range(N_MINHASH)],
         *[b.alias(f"band_{i}") for i, b in enumerate(bands)],
-    ).filter(F.col("mh_0").isNotNull())
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,96 @@
+"""Source layer: metadata scans (pivot/regex/union) + pixel attach with
+injected fake readers (real decoders aren't in this container)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scip_spark.sources.filescan import (
+    attach_pixels,
+    czi_meta,
+    load_meta_union,
+    multiframe_tiff_meta,
+    tiff_meta,
+    tiff_reader_stub,
+    zarr_attach_pixels,
+    zarr_meta,
+)
+
+REGEX = r"^.*/test(?P<id>.+)_(?P<channel>[0-9])\.tiff$"
+
+
+@pytest.fixture(scope="module")
+def tiff_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiffs")
+    # 2 complete ids × 2 channels + 1 id missing channel 2 (dropped)
+    for name in ["testA_1.tiff", "testA_2.tiff", "testB_1.tiff", "testB_2.tiff", "testC_1.tiff"]:
+        (d / name).write_bytes(b"\x00")
+    return str(d)
+
+
+def test_tiff_meta_pivot_drops_incomplete(spark, tiff_dir):
+    meta = tiff_meta(spark, tiff_dir, REGEX, channels=["1", "2"]).toPandas()
+    assert sorted(meta.id) == ["A", "B"]  # C dropped: missing channel 2
+    assert set(meta.columns) == {"id", "1", "2"}
+    assert meta.loc[meta.id == "A", "1"].iloc[0].endswith("testA_1.tiff")
+
+
+def test_attach_pixels_fake_reader(spark, tiff_dir):
+    meta = tiff_meta(spark, tiff_dir, REGEX, channels=["1", "2"])
+
+    def fake_reader(path):
+        seed = 1 if "_1" in os.path.basename(path) else 2
+        return np.full((4, 6), float(seed), dtype=np.float32)
+
+    out = attach_pixels(meta, ["1", "2"], fake_reader).toPandas()
+    assert len(out) == 2
+    r = out.iloc[0]
+    assert list(r.pixels_shape) == [2, 4, 6]
+    arr = np.asarray(r.pixels, dtype=np.float32).reshape(2, 4, 6)
+    assert (arr[0] == 1.0).all() and (arr[1] == 2.0).all()
+
+
+def test_reader_stub_raises():
+    with pytest.raises(NotImplementedError):
+        tiff_reader_stub("/x.tiff")
+
+
+def test_multiframe_meta_group(spark, tmp_path):
+    sub = tmp_path / "plate1"
+    sub.mkdir()
+    for i in range(3):
+        (sub / f"img{i}.tiff").write_bytes(b"")
+    meta = multiframe_tiff_meta(spark, str(tmp_path)).toPandas()
+    assert len(meta) == 3
+    assert set(meta.group) == {"plate1"}
+
+
+def test_zarr_meta_and_attach(spark):
+    shapes = [[2, 4, 4], [2, 5, 5], [2, 3, 3]]  # ragged
+    meta = zarr_meta(spark, shapes, "/store.zarr", regex=r"^/(?P<name>\w+)\.zarr$")
+    pdf = meta.toPandas()
+    assert list(pdf.zarr_idx) == [0, 1, 2]
+    assert pdf.name.iloc[0] == "store"
+
+    def fake_fetch(path, idx):
+        shape = shapes[idx]
+        return np.arange(np.prod(shape), dtype=np.float32)
+
+    out = zarr_attach_pixels(meta, fake_fetch, channels=[0]).toPandas()
+    assert list(out.iloc[1].pixels_shape) == [1, 5, 5]  # channel-selected
+
+
+def test_czi_meta_explodes_tiles(spark):
+    meta = czi_meta(
+        spark, "/scan.czi", ["s1", "s2", "skip"], {"s1": 2, "s2": 3, "skip": 1}, regex="^s[0-9]$"
+    ).toPandas()
+    assert len(meta) == 5  # 2 + 3 tiles; 'skip' filtered by regex
+    assert sorted(meta[meta.scene == "s2"].tile) == [0, 1, 2]
+
+
+def test_load_meta_union(spark, tiff_dir):
+    a = tiff_meta(spark, tiff_dir, REGEX, channels=["1", "2"])
+    b = tiff_meta(spark, tiff_dir, REGEX, channels=["1", "2"])
+    u = load_meta_union([a, b])
+    assert u.count() == 4
