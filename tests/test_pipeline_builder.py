@@ -1,0 +1,130 @@
+"""Config-driven pipeline builder + sinks + multimodal plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scip_spark.operators.features import feature_columns
+from scip_spark.plans.pipeline import build
+from scip_spark.sources.export import (
+    export_channel_boundaries,
+    export_labeled_masks,
+    export_parquet,
+    load_correction_images,
+    save_correction_images,
+)
+
+
+def test_single_branch_pipeline(full_events_df):
+    out = build(
+        full_events_df,
+        {
+            "mask": {"methods": ["circle"]},
+            "normalization": {"key": "group"},
+            "feature_extraction": {"nchannels": 3, "families": ["bbox", "intensity"]},
+        },
+    ).toPandas()
+    assert len(out) == 10
+    cols = feature_columns(3, ["bbox", "intensity"])
+    assert not out[cols].isna().any().any()
+
+
+def test_multi_branch_keyed_join(full_events_df):
+    """Multi-mask fan-out joins branch features on the record key —
+    the J1 positional concat replacement. Branch columns get the
+    method-name prefix (P9)."""
+    out = build(
+        full_events_df,
+        {
+            "mask": {"methods": ["circle", "otsu"]},
+            "feature_extraction": {"nchannels": 3, "families": ["intensity"]},
+        },
+    ).toPandas()
+    assert len(out) == 10
+    assert any(c.startswith("feat_circle_") for c in out.columns)
+    assert any(c.startswith("feat_otsu_") for c in out.columns)
+
+
+def test_duplicate_branch_determinism_via_builder(full_events_df):
+    """Two identical mask branches must agree column-for-column (the
+    reference's duplicate-branch oracle, test_main.py:52, without
+    positional-concat fragility)."""
+    from scip_spark.operators.masking import apply_mask, get_mask
+    from scip_spark.operators.features import extract_features
+
+    cached = full_events_df.cache()
+    a = extract_features(apply_mask(get_mask(cached, "circle")), 3, ["intensity"]).toPandas()
+    b = extract_features(apply_mask(get_mask(cached, "circle")), 3, ["intensity"]).toPandas()
+    a = a.sort_values("object_number").reset_index(drop=True)
+    b = b.sort_values("object_number").reset_index(drop=True)
+    cols = feature_columns(3, ["intensity"])
+    np.testing.assert_array_equal(a[cols].to_numpy(float), b[cols].to_numpy(float))
+
+
+def test_sinks(spark, full_events_df, tmp_path):
+    from scip_spark.operators.masking import get_mask
+    from scip_spark.operators.normalization import group_extents
+
+    # parquet sink roundtrip
+    out = str(tmp_path / "pq")
+    export_parquet(full_events_df.select("path", "group", "object_number"), out)
+    assert spark.read.parquet(out).count() == 10
+
+    # labeled masks
+    masked = get_mask(full_events_df, "circle")
+    n = export_labeled_masks(masked, str(tmp_path / "masks"), ["group", "object_number"])
+    assert n == 10
+    arr = np.load(str(tmp_path / "masks" / "one_0.npy"))
+    assert arr.shape == (3, 10, 10)
+
+    # channel boundaries csv
+    csv = export_channel_boundaries(group_extents(full_events_df), str(tmp_path / "bounds"))
+    assert os.path.exists(csv)
+
+    # correction image pickle roundtrip
+    mu = {"one": np.ones((3, 4, 4), np.float32)}
+    p = save_correction_images(mu, str(tmp_path / "corr"))
+    back = load_correction_images(p)
+    np.testing.assert_array_equal(back["one"], mu["one"])
+
+
+def test_multimodal_plumbing(spark):
+    import pandas as pd
+
+    from scip_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        decoder_stub,
+        fake_image_decoder,
+        frame_sample,
+    )
+
+    rows = [
+        {
+            "media_id": i,
+            "kind": "image" if i % 2 else "video",
+            "payload": bytes([i]) * 16,
+            "mime": "image/png",
+            "meta_width": 8,
+            "meta_height": 8,
+            "meta_duration_s": float(i),
+        }
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    out = decode_features(df, decode=fake_image_decoder, resize=(4, 4)).toPandas()
+    assert len(out) == 6
+    assert all(list(s) == [4, 4, 3] for s in out.px_shape)
+    # deterministic: same payload -> same stats
+    out2 = decode_features(df, decode=fake_image_decoder, resize=(4, 4)).toPandas()
+    assert list(out.px_mean) == list(out2.px_mean)
+
+    # stub decoder refuses politely
+    with pytest.raises(Exception):
+        decode_features(df).toPandas()
+
+    frames = frame_sample(df, every_s=1.0).toPandas()
+    # media_id=5 (video, 5s) contributes 5 frames; id=0 → 1 frame
+    assert len(frames[frames.media_id == 5]) == 5
+    assert len(frames[frames.media_id == 0]) == 1
