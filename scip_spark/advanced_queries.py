@@ -1,0 +1,368 @@
+"""Advanced relational operators beyond the reference's surface
+(SURVEY §2.5 notes the engine exposes Spark's full relational layer;
+these are the patterns a 100 TB warehouse actually runs).
+
+Determinism rules as in scip_spark.queries: decimal sums, string
+dates, total tie-breaks, engine-neutral formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from scip_spark.queries import DEC, dsum, register, tbl
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the user's most recent prior click.
+# Spark lacks a native as-of join — the scalable form is a window
+# carry-forward (single shuffle on user_id), not a per-row subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_events",
+    """
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(prev_click_ts, '%Y-%m-%d %H:%M:%S') AS prev_click_ts,
+           CAST((epoch_us(ts) - epoch_us(prev_click_ts)) // 1000000 AS BIGINT) AS gap_seconds
+    FROM ordered
+    WHERE event_type = 'purchase'
+    """,
+    doc="as-of join via window carry-forward (no native asof in Spark)",
+)
+def asof_join_events(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prev_click_ts", prev_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.date_format("prev_click_ts", "yyyy-MM-dd HH:mm:ss").alias("prev_click_ts"),
+            F.expr(
+                "(unix_micros(ts) - unix_micros(prev_click_ts)) DIV 1000000"
+            ).alias("gap_seconds"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join via bucketization: quantity bands × lineitems.
+# The generic trick for interval joins at scale: discretize the range
+# key, equi-join on the bucket, post-filter — keeps the join hash-based.
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_quantity_bands",
+    """
+    WITH bands AS (
+      SELECT band_id, band_id * 10.0 AS lo, (band_id + 1) * 10.0 AS hi
+      FROM (SELECT UNNEST(generate_series(0, 9)) AS band_id)
+    )
+    SELECT b.band_id, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN bands b
+      ON CAST(floor(l.l_quantity / 10.0) AS BIGINT) = b.band_id
+    WHERE l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_id
+    """,
+    doc="range join via bucketize + equi-join + residual filter",
+)
+def range_join_quantity_bands(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    bands = (
+        tbl(spark, sf_dir, "region")  # any session; use spark.range instead
+        .sparkSession.range(0, 10)
+        .select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 10.0).alias("lo"),
+            ((F.col("id") + 1) * 10.0).alias("hi"),
+        )
+    )
+    joined = li.join(
+        F.broadcast(bands),
+        F.floor(F.col("l_quantity") / 10.0).cast("long") == F.col("band_id"),
+    ).filter((F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")))
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_extendedprice").cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE / ROLLUP (grouping sets)
+# ---------------------------------------------------------------------------
+@register(
+    "cube_returnflag_linestatus",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="cube aggregation (grouping sets)",
+)
+def cube_returnflag_linestatus(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").cast("double").alias("sum_qty")
+    )
+
+
+@register(
+    "rollup_order_date",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (y, q)
+    """,
+    doc="rollup over a calendar hierarchy",
+)
+def rollup_order_date(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+            "o_totalprice",
+        )
+        .rollup("y", "q")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").cast("double").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_customers",
+    """
+    SELECT 'both' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'only_rich' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="intersect / except set operations",
+)
+def set_ops_customers(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey"))
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = rich.intersect(open_orders).select(F.lit("both").alias("tag"), "c_custkey")
+    only = rich.exceptAll(open_orders).distinct().select(
+        F.lit("only_rich").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "semi_anti_join",
+    """
+    SELECT 'active' AS tag, COUNT(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'inactive' AS tag, COUNT(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left-semi / left-anti joins",
+)
+def semi_anti_join(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders").select("o_custkey")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    inactive = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    a = active.agg(F.count("*").alias("n")).select(F.lit("active").alias("tag"), "n")
+    b = inactive.agg(F.count("*").alias("n")).select(F.lit("inactive").alias("tag"), "n")
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete quantiles via rank (engine-neutral: no interpolation
+# formula dependence).
+# ---------------------------------------------------------------------------
+@register(
+    "median_price_by_flag",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           l_extendedprice AS median_disc,
+           n AS group_size
+    FROM ranked
+    WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    """,
+    doc="exact discrete median via rank (engine-neutral quantile)",
+)
+def median_price_by_flag(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("median_disc"),
+        F.col("n").alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics: lag gaps + ntile
+# ---------------------------------------------------------------------------
+@register(
+    "order_gaps_ntile",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+             AS price_quartile
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    doc="lag-based gap analysis + ntile quartiles",
+)
+def order_gaps_ntile(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w_t = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_p = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w_t))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.ntile(4).over(w_p).cast("int").alias("price_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String / conditional-aggregation function surface
+# ---------------------------------------------------------------------------
+@register(
+    "string_functions_part",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(length(p_name) AS INT) AS name_len,
+           substr(p_name, 1, 5) AS name5,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    """,
+    doc="string scalar-function surface",
+)
+def string_functions_part(spark, sf_dir):
+    part = tbl(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+        F.concat_ws("#", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+    )
+
+
+@register(
+    "conditional_aggregation",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS finished_total,
+           CAST(MAX(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS DOUBLE) AS max_open
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="conditional aggregation (count_if / filtered sums)",
+)
+def conditional_aggregation(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice").cast(DEC))
+        )
+        .cast("double")
+        .alias("finished_total"),
+        F.max(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")))
+        .cast("double")
+        .alias("max_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata surface over binary payloads
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           lang AS modality_tag
+    FROM documents
+    """,
+    doc="opaque-payload metadata columns (byte length + content digest)",
+)
+def multimodal_meta(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5("text").alias("payload_md5"),
+        F.col("lang").alias("modality_tag"),
+    )

@@ -2,6 +2,7 @@
 (core relational + text/dedup/similarity/tensor extensions)."""
 
 import scip_spark.queries  # noqa: F401  core relational operators
+import scip_spark.advanced_queries  # noqa: F401  asof/range/cube/setops/windows
 
 # Extended registries (each module registers into queries.REGISTRY on import)
 for _mod in (
