@@ -15,8 +15,12 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 N_PLANES = 8  # LSH bucket bits
 
@@ -85,6 +89,94 @@ def brute_force_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_id") != F.col("q_id"))
         .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "sim")
+    )
+
+
+def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """IVF list assignment: nearest centroid by cosine, computed as one
+    numpy matmul per Arrow batch (vectorized pandas UDF — no per-row
+    Python). ``centroids`` is a (K, dim) ndarray broadcast to workers."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast(cn)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_list", assign(F.col(emb_col)))
+
+
+def ivf_centroids(df: DataFrame, k: int = 16, emb_col: str = "embedding", iters: int = 3):
+    """Deterministic k-means-lite: seeds = first k vectors by id, a few
+    Lloyd iterations driver-side on a collected sample. At 100 TB the
+    sample is a `.sample(fraction)` — centroids stay tiny either way."""
+    sample = np.asarray(
+        [r[0] for r in df.select(emb_col).orderBy("vec_id").limit(2048).collect()],
+        dtype=np.float64,
+    )
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(sn @ cn.T, axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k probing the query's ``nprobe`` nearest IVF
+    lists. The candidate side shuffles on ivf_list only; queries
+    (exploded per probe) broadcast."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    bc = queries.sparkSession.sparkContext.broadcast(cn)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(emb: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ bc.value.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(emb_col).cast("array<double>").alias("q_emb"),
+            probes(F.col(emb_col)).alias("probe_lists"),
+        )
+        .select("q_id", "q_emb", F.explode("probe_lists").alias("ivf_list"))
+    )
+    cands = ivf_assign(candidates, centroids, id_col, emb_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).cast("array<double>").alias("c_emb"),
+        "ivf_list",
+    )
+    scored = (
+        cands.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
+        .groupBy("q_id", "c_id")
+        .agg(F.max("sim").alias("sim"))  # dedupe multi-probe hits
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
     return (

@@ -79,6 +79,15 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+@register("ann_ivf_topk", None, doc="IVF (k-means lists, nprobe) approximate top-k; recall vs brute force tested in pytest")
+def ann_ivf_topk(spark, sf_dir):
+    from scip_spark.functions.similarity import ivf_centroids, ivf_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, k=8)
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, cents, k=5, nprobe=3)
+
+
 @register(
     "embedding_stats",
     f"""
