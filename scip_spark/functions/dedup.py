@@ -136,7 +136,12 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over whitespace tokens: per-bit signed vote of token
-    hashes (md5 prefix → int), bit set when the vote is positive."""
+    hashes (md5 prefix → int), bit set when the vote is positive.
+
+    Column form (used per-row); for table-scale computation prefer
+    :func:`simhash_table`, whose exploded partial-aggregation plan
+    hashes each token once instead of once per bit.
+    """
     toks = tokens(text)
     h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"))
 
@@ -151,6 +156,31 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
         vote = F.aggregate(h, F.lit(0).cast("long"), bit_vote(b))
         out = out + F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("long")
     return out
+
+
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) at scale: explode tokens → one md5 per token →
+    16 conditional partial sums → recombine bits. The shuffle carries
+    one row of 16 ints per document (map-side combined)."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    h = tok.select(
+        id_col, F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("int").alias("v")
+    )
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"vote_{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"vote_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -132,8 +132,9 @@ def _simhash_sql() -> str:
 
 @register("dedup_simhash", _simhash_sql(), doc="16-bit SimHash per document")
 def dedup_simhash(spark, sf_dir):
-    docs = tbl(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text").alias("simhash"))
+    from scip_spark.functions.dedup import simhash_table
+
+    return simhash_table(tbl(spark, sf_dir, "documents"))
 
 
 @register(

@@ -57,6 +57,10 @@ def build(df: DataFrame, config: dict[str, Any]) -> DataFrame | dict[str, DataFr
     """
     cfg = {k: v for k, v in config.items() if v is not None}
 
+    from scip_spark.schema import ensure_event_columns
+
+    df = ensure_event_columns(df)
+
     if "project" in cfg:
         df = project(df, **cfg["project"])
     if "illumination_correction" in cfg:

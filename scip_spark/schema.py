@@ -101,6 +101,21 @@ def encode_series(arrays: Iterable[np.ndarray | None]) -> tuple[pd.Series, pd.Se
     return pd.Series(flats, dtype=object), pd.Series(shapes, dtype=object)
 
 
+def ensure_event_columns(df):
+    """Add any missing EVENT_SCHEMA columns as typed nulls so loader
+    outputs (which carry only their own metadata + pixels) can flow
+    into the stage operators. Existing columns are left untouched;
+    extra loader columns (pivoted channel paths, regex groups) ride
+    along."""
+    from pyspark.sql import functions as F
+
+    existing = set(df.columns)
+    for field in EVENT_SCHEMA.fields:
+        if field.name not in existing:
+            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return df
+
+
 def events_to_pandas(records: list[dict]) -> pd.DataFrame:
     """Build a pandas frame matching EVENT_SCHEMA from event dicts whose
     ``pixels``/``mask`` values are ndarrays (test fixture helper)."""

@@ -114,6 +114,17 @@ def tiff_reader_stub(path: str) -> np.ndarray:
     )
 
 
+def synthetic_reader(path: str) -> np.ndarray:
+    """Deterministic stand-in decoder: a 16×16 gradient tile seeded by
+    the file name — lets the full pipeline (and CLI) run end-to-end in
+    environments without image codecs."""
+    import hashlib
+
+    seed = int(hashlib.md5(os.path.basename(path).encode()).hexdigest()[:6], 16)
+    base = np.arange(256, dtype=np.float32).reshape(16, 16)
+    return base + float(seed % 97)
+
+
 # ---------------------------------------------------------------------------
 # S5: multiframe tiff — frames are channels; group = parent directory
 # ---------------------------------------------------------------------------

@@ -1,0 +1,70 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+A running per-user profile (event count, value sum, last-seen ts) that
+survives across micro-batches — the kind of arbitrary keyed state the
+reference could not express at all (its pipeline is batch-only,
+SURVEY §2.7). State is explicit, bounded per key, and updated
+incrementally: at 100 TB of events the state store holds one small row
+per user, not the stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen", T.TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen_us", T.LongType()),
+    ]
+)
+
+
+def _update_user_profile(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last_us = state.get
+    else:
+        n, total, last_us = 0, 0.0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "last_seen": [pd.Timestamp(last_us * 1000)],
+        }
+    )
+
+
+def user_profiles(events: DataFrame) -> DataFrame:
+    """events stream → continuously-updated per-user profile rows."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -64,3 +64,32 @@ def test_sliding_and_session_streams_run(spark, events_dir):
     run_to_memory(session_counts(stream2), "session_out")
     n_sessions = spark.sql("select count(*) from session_out").collect()[0][0]
     assert n_sessions > 0
+
+
+def test_stateful_user_profiles(spark, events_dir):
+    """applyInPandasWithState: final per-user profile must equal the
+    batch aggregate regardless of micro-batch slicing (4 files)."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.streaming.stateful import user_profiles
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory(user_profiles(stream), "profiles_out", mode="update")
+    # update mode emits one row per user per batch; the LAST row per
+    # user is the final state
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM profiles_out) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final}
+    batch = (
+        load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch}
+    assert got == want
