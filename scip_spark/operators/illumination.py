@@ -26,7 +26,15 @@ from scip_spark.schema import decode_series, encode_series
 
 def mean_images(df: DataFrame, key: str = "group", median_size: int = 3) -> dict[str, np.ndarray]:
     """Compute the per-group correction image (mean over records, then
-    per-channel median filter, zero-guarded)."""
+    per-channel median filter, zero-guarded).
+
+    Scale shape (partial+final, the reference's foldby binop/combine,
+    jones_2006.py:109-115): stage 1 is a ``mapInPandas`` partial
+    tensor-sum per (group, Arrow batch) — no task ever materializes a
+    whole group, so a plate with millions of images cannot OOM a task.
+    Stage 2 combines the few partials per group (one small row per
+    batch) in ``applyInPandas``. The final dict is driver-side tiny.
+    """
     sum_schema = T.StructType(
         [
             T.StructField(key, T.StringType()),
@@ -36,25 +44,48 @@ def mean_images(df: DataFrame, key: str = "group", median_size: int = 3) -> dict
         ]
     )
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs = [a for a in decode_series(pdf["pixels"], pdf["pixels_shape"]) if a is not None]
-        if not arrs:
-            return pd.DataFrame(columns=[key, "sum_flat", "shape", "n"])
-        total = np.zeros_like(arrs[0], dtype=np.float64)
-        for a in arrs:
-            total += a
+    def partial_sums(batches):
+        for pdf in batches:
+            rows = {}
+            arrs = decode_series(pdf["pixels"], pdf["pixels_shape"])
+            for g, a in zip(pdf[key], arrs):
+                if a is None:
+                    continue
+                if g in rows:
+                    rows[g][0] += a
+                    rows[g][1] += 1
+                else:
+                    rows[g] = [a.astype(np.float64), 1]
+            if rows:
+                yield pd.DataFrame(
+                    {
+                        key: list(rows),
+                        "sum_flat": [v[0].ravel().tolist() for v in rows.values()],
+                        "shape": [list(v[0].shape) for v in rows.values()],
+                        "n": [v[1] for v in rows.values()],
+                    }
+                )
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = None
+        n = 0
+        for flat, shape, cnt in zip(pdf["sum_flat"], pdf["shape"], pdf["n"]):
+            a = np.asarray(flat, dtype=np.float64).reshape(list(shape))
+            total = a if total is None else total + a
+            n += int(cnt)
         return pd.DataFrame(
             {
                 key: [pdf[key].iloc[0]],
                 "sum_flat": [total.ravel().tolist()],
                 "shape": [list(total.shape)],
-                "n": [len(arrs)],
+                "n": [n],
             }
         )
 
-    sums = df.select(key, "pixels", "pixels_shape").groupBy(key).applyInPandas(
-        per_group, schema=sum_schema
+    partials = df.select(key, "pixels", "pixels_shape").mapInPandas(
+        partial_sums, schema=sum_schema
     )
+    sums = partials.groupBy(key).applyInPandas(combine, schema=sum_schema)
     out: dict[str, np.ndarray] = {}
     for row in sums.collect():
         mean = (
