@@ -57,6 +57,27 @@ def segment_labels(df: DataFrame, backend: str = "watershed", parent_channel: in
     return map_events(df, batch)
 
 
+def mask_subtract(df: DataFrame, target: int, left: int, right: int) -> DataFrame:
+    """F14 channel arithmetic: ``mask[target] = mask[left] & ~mask[right]``
+    (reference _substract_mask, src/scip/segmentation/__init__.py:11-13)."""
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        masks = decode_series(pdf["mask"], pdf["mask_shape"], dtype=bool)
+        out = []
+        for m in masks:
+            if m is None:
+                out.append(None)
+                continue
+            m = m.copy()
+            m[target] = m[left] & ~m[right]
+            out.append(m.ravel().tolist())
+        pdf = pdf.copy()
+        pdf["mask"] = pd.Series(out, dtype=object).values
+        return pdf
+
+    return map_events(df, batch)
+
+
 def to_events(df: DataFrame, parent_channel: int = 0, group_keys: list[str] | None = None) -> DataFrame:
     """1→N flatMap: one record per labeled component of the parent
     channel, pixels+mask cropped to the component bbox, ``id`` = label,

@@ -57,3 +57,15 @@ def test_remove_border_regions(spark, full_events_df):
     masked = get_mask(full_events_df, "circle")
     out = remove_border_regions(masked).toPandas()
     assert out["mask"].notna().all()
+
+
+def test_mask_subtract(full_events_df):
+    from scip_spark.operators.segmentation import mask_subtract
+    from scip_spark.schema import decode_tensor
+    from scip_spark.operators.masking import get_mask
+    import numpy as np
+
+    masked = get_mask(full_events_df, "circle")
+    out = mask_subtract(masked, target=2, left=0, right=1).toPandas()
+    m = decode_tensor(out.iloc[0]["mask"], out.iloc[0].mask_shape, dtype=bool)
+    np.testing.assert_array_equal(m[2], m[0] & ~m[1])
