@@ -54,9 +54,10 @@ def main() -> None:
     import scip_spark.entry_queries  # noqa: F401
     from scip_spark.queries import REGISTRY
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not session startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm the JVM, parquet footers and codegen paths once so per-query
+    # numbers measure the plan, not session startup
+    for t in ["lineitem", "orders", "customer", "documents", "embeddings", "events"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").selectExpr("count(*)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

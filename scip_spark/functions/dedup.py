@@ -111,18 +111,24 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
             "band_idx", "digest"
         ),
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.digest") == F.col("b.digest"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # group members per bucket and emit ordered pairs in-place: the
+    # signature pipeline runs ONCE (a self-join would carry two full
+    # copies of it) and the only shuffle is the bucket groupBy. A hot
+    # bucket (boilerplate cluster) emits its n² pairs inside one task —
+    # the same cost the join pays, without the second signature pass.
+    members = buckets.groupBy("band_idx", "digest").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ms")
+    ).filter(F.size("ms") > 1)
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
     )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -178,9 +184,12 @@ def simhash_table(
     )
     sim = None
     for b in range(bits):
+        # NULL vote (doc with zero tokens, joined back below) → bit 0,
+        # matching the closed-form simhash() on an empty token array
         term = F.when(F.col(f"vote_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("long")
         sim = term if sim is None else sim + term
-    return votes.select(F.col(id_col), sim.alias("simhash"))
+    all_ids = docs.select(F.col(id_col)).distinct()
+    return all_ids.join(votes, id_col, "left").select(F.col(id_col), sim.alias("simhash"))
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
