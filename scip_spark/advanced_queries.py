@@ -366,3 +366,30 @@ def multimodal_meta(spark, sf_dir):
         F.md5("text").alias("payload_md5"),
         F.col("lang").alias("modality_tag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-proof salted aggregation: identical results to a direct groupBy,
+# but a hot token spreads over 16 reducers in stage 1.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_token_counts",
+    """
+    SELECT token AS _key, COUNT(*) AS n
+    FROM (
+      SELECT tokens[pos] AS token
+      FROM (SELECT string_split(text, ' ') AS tokens FROM documents) d,
+           UNNEST(generate_series(1, len(tokens))) AS u(pos)
+      WHERE tokens[pos] <> ''
+    )
+    GROUP BY token
+    """,
+    doc="skew-mitigated two-stage (salted) aggregation; oracle = plain GROUP BY",
+)
+def salted_token_counts(spark, sf_dir):
+    from scip_spark.functions.scale import salted_count
+    from scip_spark.functions.text import tokens as tok
+
+    docs = tbl(spark, sf_dir, "documents")
+    exploded = docs.select(F.explode(tok("text")).alias("token"))
+    return salted_count(exploded, "token")

@@ -1,0 +1,34 @@
+"""Scale techniques as first-class operators: salting for skewed keys,
+bucketed co-located joins.
+
+At 100 TB the difference between a working and a melted-down job is
+usually one hot key or one unnecessary shuffle; these helpers make the
+standard mitigations explicit and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, key, n_salts: int = 16, agg_cols: list[Column] | None = None
+) -> DataFrame:
+    """Two-stage skew-proof aggregation: stage 1 groups on
+    (key, crc32(row-id) % n_salts) so a hot key spreads over n_salts
+    reducers; stage 2 combines the per-salt partials. Results are
+    identical to a direct groupBy — only the shuffle shape changes.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    salt = (F.crc32(F.concat_ws("§", *df.columns)) % n_salts).alias("_salt")
+    stage1 = (
+        df.select(key_col.alias("_key"), salt)
+        .groupBy("_key", "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return (
+        stage1.groupBy("_key")
+        .agg(F.sum("_partial").alias("n"))
+        .select(F.col("_key"), F.col("n"))
+    )

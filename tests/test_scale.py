@@ -1,0 +1,68 @@
+"""Scale techniques: salted aggregation correctness + bucketed
+co-located joins (no shuffle above bucketed scans)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scip_spark.functions.scale import salted_count
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_count_equals_plain_groupby(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("k"), "l_orderkey", "l_linenumber"
+    )
+    got = {r._key: r.n for r in salted_count(li, "k").collect()}
+    want = {r.k: r.n for r in li.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
+def test_salted_plan_has_two_aggregation_stages(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = salted_count(li, "l_returnflag")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # stage1 (key, salt) agg + stage2 (key) agg → two exchanges
+    assert plan.count("Exchange") >= 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key co-locates matching rows:
+    the join runs with no Exchange above either bucketed scan."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        # the ONLY exchange is the final groupBy on o_orderpriority —
+        # below the SortMergeJoin there are just sorts over bucketed
+        # scans, no shuffle
+        tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+        below_join = tree.split("SortMergeJoin")[1]
+        assert "Exchange" not in below_join
+        # correctness unchanged
+        want = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
