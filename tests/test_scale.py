@@ -32,8 +32,15 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     the join runs with no Exchange above either bucketed scan."""
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the in-memory catalog forgets tables between sessions but the
+    # warehouse files persist; clear them so saveAsTable can't collide
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
 
