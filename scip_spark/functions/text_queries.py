@@ -105,3 +105,48 @@ def lang_id_heuristic(spark, sf_dir):
 def doc_fingerprint(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@register(
+    "tf_idf",
+    """
+    WITH tok AS (
+      SELECT doc_id, tokens[pos] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) d,
+           UNNEST(generate_series(1, len(tokens))) AS u(pos)
+      WHERE tokens[pos] <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+    doc="TF-IDF over documents: exact tf/df counts, smoothed idf "
+    "(tfidf rounded to 6dp; ln agrees within 1 ulp across runtimes)",
+)
+def tf_idf(spark, sf_dir):
+    from scip_spark.functions.text import tokens as tok
+
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tok("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "n_docs",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
