@@ -61,3 +61,40 @@ def test_soft_deleted_records_yield_null_features(full_events_df):
     assert len(out) == 10  # metadata rows survive
     assert out[feat_cols].isna().all().all()
     assert out.path.notna().all()
+
+
+def test_ragged_tensor_features(spark):
+    """Per-record H×W varies (the zarr/to_events reality): the feature
+    stage must handle ragged shapes in one batch with no NaNs."""
+    import numpy as np
+
+    from scip_spark.schema import EVENT_SCHEMA, events_to_pandas
+
+    rng = np.random.RandomState(3)
+    recs = []
+    for i, (h, w) in enumerate([(8, 8), (12, 9), (20, 30), (5, 7)]):
+        px = (rng.rand(2, h, w) * 50 + 1).astype(np.float32)
+        m = np.zeros((2, h, w), dtype=bool)
+        m[:, 1 : h - 1, 1 : w - 1] = True
+        recs.append(
+            {
+                "path": f"r{i}",
+                "group": "g",
+                "object_number": i,
+                "pixels": px,
+                "mask": m,
+                "combined_mask": m[0],
+                "background": [0.0, 0.0],
+                "bbox": [1, 1, h - 1, w - 1],
+                "regions": [1, 1],
+            }
+        )
+    df = spark.createDataFrame(events_to_pandas(recs), schema=EVENT_SCHEMA)
+    out = extract_features(df, nchannels=2).toPandas()
+    cols = feature_columns(2, DEFAULT_FAMILIES)
+    assert len(out) == 4
+    assert not out[cols].isna().any().any()
+    # area of the eroded interior mask = (h-2)*(w-2)
+    a = out.sort_values("object_number").reset_index(drop=True)
+    assert a.loc[0, "feat_shape_area_c0"] == 36.0  # (8-2)*(8-2)
+    assert a.loc[2, "feat_shape_area_c0"] == 18.0 * 28.0
