@@ -393,3 +393,42 @@ def salted_token_counts(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
     exploded = docs.select(F.explode(tok("text")).alias("token"))
     return salted_count(exploded, "token")
+
+
+# ---------------------------------------------------------------------------
+# Sliding (overlapping) window aggregation, batch analogue of the
+# streaming sliding_counts: each event lands in w/s consecutive windows.
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_window_events",
+    """
+    WITH assigned AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 1 HOUR, ts) - (i * INTERVAL 1 HOUR) AS window_start
+      FROM events, UNNEST(generate_series(0, 1)) AS u(i)
+      WHERE ts >= time_bucket(INTERVAL 1 HOUR, ts) - (i * INTERVAL 1 HOUR)
+        AND ts <  time_bucket(INTERVAL 1 HOUR, ts) - (i * INTERVAL 1 HOUR) + INTERVAL 2 HOUR
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    doc="sliding 2h/1h window agg (streaming twin: streaming/windows.sliding_counts)",
+)
+def sliding_window_events(spark, sf_dir):
+    from scip_spark.queries import dsum
+
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").cast("double").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -73,3 +73,14 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """Sketch aggregates (HLL++) can't oracle-match DuckDB's sketches —
+    accuracy is asserted against the exact distinct instead."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = orders.select("o_custkey").distinct().count()
+    approx = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a")
+    ).collect()[0].a
+    assert abs(approx - exact) / exact < 0.05
