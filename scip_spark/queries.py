@@ -284,31 +284,57 @@ def union_sources(spark, sf_dir):
 # A3: global mean/std (reference src/scip/filter/threshold.py:15-19) —
 # derived from exact decimal sums so both engines emit identical doubles.
 # ---------------------------------------------------------------------------
+# 2-decimal monetary values become exact integer cents; all sums are
+# then exact integers (DECIMAL(38,0)) and every double op afterwards is
+# the same op on the same bits in both engines. High-scale decimal
+# casts of x² are NOT engine-portable (rounding of the double→decimal
+# conversion differs in the last ulp at some inputs).
 _GLOBAL_STATS_SQL = """
-    SELECT COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
-           sqrt(
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*)
-             - pow(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
-           ) AS std_price
-    FROM lineitem
+    WITH cents AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc FROM lineitem
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+             SUM(CAST(xc * xc AS DECIMAL(38,0))) AS ssc_dec
+      FROM cents
+    ),
+    -- ssc exceeds 2^53: decimal→double conversion of the whole value is
+    -- NOT identical across engines. Split into hi/lo < 2^53 (each
+    -- converts exactly) and recombine with the same double ops.
+    split AS (
+      SELECT n, sc,
+             CAST(ssc_dec % 10000000000 AS BIGINT) AS ssc_lo,
+             CAST((ssc_dec - (ssc_dec % 10000000000)) / 10000000000 AS BIGINT) AS ssc_hi
+      FROM sums
+    )
+    SELECT n,
+           sc / n / 100.0 AS mean_price,
+           sqrt((ssc_hi * 1e10 + ssc_lo) / n / 10000.0
+                - (sc / n / 100.0) * (sc / n / 100.0)) AS std_price
+    FROM split
 """
 
 
-@register("global_stats", _GLOBAL_STATS_SQL, doc="A3 global mean/std via exact sums")
+@register("global_stats", _GLOBAL_STATS_SQL, doc="A3 global mean/std via exact integer-cents sums")
 def global_stats(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
-    x = F.col("l_extendedprice")
-    agg = li.agg(
+    xc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    agg = li.select(xc.alias("xc")).agg(
         F.count("*").alias("n"),
-        dsum("l_extendedprice").cast("double").alias("s"),
-        dsum(x * x, DEC10).cast("double").alias("ss"),
+        F.sum(F.col("xc").cast(T.DecimalType(38, 0))).cast("double").alias("sc"),
+        F.sum((F.col("xc") * F.col("xc")).cast(T.DecimalType(38, 0))).alias("ssc_dec"),
     )
-    mean = F.col("s") / F.col("n")
-    return agg.select(
+    ten10 = F.lit(10000000000).cast(T.DecimalType(38, 0))
+    lo = (F.col("ssc_dec") % ten10).cast("long")
+    hi = ((F.col("ssc_dec") - F.col("ssc_dec") % ten10) / ten10).cast("long")
+    split = agg.select("n", "sc", lo.alias("ssc_lo"), hi.alias("ssc_hi"))
+    mean = F.col("sc") / F.col("n") / 100.0
+    ssc_d = F.col("ssc_hi") * 1e10 + F.col("ssc_lo")
+    return split.select(
         "n",
         mean.alias("mean_price"),
-        F.sqrt(F.col("ss") / F.col("n") - F.pow(mean, F.lit(2))).alias("std_price"),
+        F.sqrt(ssc_d / F.col("n") / 10000.0 - mean * mean).alias("std_price"),
     )
 
 
@@ -336,13 +362,24 @@ def distinct_groups(spark, sf_dir):
 # features/__init__.py:77-99). filter_sum analogue = l_extendedprice.
 # ---------------------------------------------------------------------------
 _SOFT_DELETE_SQL = f"""
-    WITH stats AS (
-      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu,
-             sqrt(
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*)
-               - pow(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
-             ) AS sigma
+    WITH sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+             SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS ssc_dec
       FROM lineitem
+    ),
+    split AS (
+      SELECT n, sc,
+             CAST(ssc_dec % 10000000000 AS BIGINT) AS ssc_lo,
+             CAST((ssc_dec - (ssc_dec % 10000000000)) / 10000000000 AS BIGINT) AS ssc_hi
+      FROM sums
+    ),
+    stats AS (
+      SELECT sc / n / 100.0 AS mu,
+             sqrt((ssc_hi * 1e10 + ssc_lo) / n / 10000.0
+                  - (sc / n / 100.0) * (sc / n / 100.0)) AS sigma
+      FROM split
     )
     SELECT l_orderkey, l_linenumber,
            l_extendedprice AS filter_sum,
@@ -356,12 +393,24 @@ _SOFT_DELETE_SQL = f"""
 def soft_delete_filter(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice")
-    stats = li.agg(
-        (dsum("l_extendedprice").cast("double") / F.count("*")).alias("mu"),
-        F.sqrt(
-            dsum(x * x, DEC10).cast("double") / F.count("*")
-            - F.pow(dsum("l_extendedprice").cast("double") / F.count("*"), F.lit(2))
-        ).alias("sigma"),
+    xc = F.round(x * 100).cast("long")
+    agg = li.agg(
+        F.count("*").alias("n"),
+        F.sum(xc.cast(T.DecimalType(38, 0))).cast("double").alias("sc"),
+        F.sum((xc * xc).cast(T.DecimalType(38, 0))).alias("ssc_dec"),
+    )
+    ten10 = F.lit(10000000000).cast(T.DecimalType(38, 0))
+    split = agg.select(
+        "n",
+        "sc",
+        (F.col("ssc_dec") % ten10).cast("long").alias("ssc_lo"),
+        ((F.col("ssc_dec") - F.col("ssc_dec") % ten10) / ten10).cast("long").alias("ssc_hi"),
+    )
+    mu = F.col("sc") / F.col("n") / 100.0
+    ssc_d = F.col("ssc_hi") * 1e10 + F.col("ssc_lo")
+    stats = split.select(
+        mu.alias("mu"),
+        F.sqrt(ssc_d / F.col("n") / 10000.0 - mu * mu).alias("sigma"),
     )
     # broadcast 1-row stats into the stream — the reference's
     # delayed-scalar-into-map pattern (threshold.py item→predicate)
