@@ -45,9 +45,38 @@ _QUALITY_SQL = f"""
 
 @register("text_quality", _QUALITY_SQL, doc="quality scoring: length/punct/stopword ratios")
 def text_quality(spark, sf_dir):
+    """Exploded single-tokenize plan: the closed-form quality_columns
+    re-tokenizes per output column (no CSE across higher-order-function
+    lambdas); here tokens are exploded once and the per-doc counts come
+    back via a partial+final aggregation (tiny int rows in the shuffle)."""
+    from scip_spark.functions.text import STOPWORDS, tokens
+
     docs = tbl(spark, sf_dir, "documents")
-    cols = quality_columns("text")
-    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    counts = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.length("t")).alias("char_sum"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.lower(F.col("t"))), 1).otherwise(0)
+        ).alias("n_stopwords"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+        ).cast("long").alias("n_punct"),
+    )
+    return base.join(counts, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_chars_measured",
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "n_punct",
+        (F.col("char_sum").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+    )
 
 
 def _langid_sql() -> str:
