@@ -175,3 +175,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(F.col("x.jid").alias("id_a"), F.col("y.jid").alias("id_b"))
     )
     return dedup.jaccard_pairs(docs, pairs)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))) > 0.25
+    """,
+    doc="embedding-cosine near-duplicate pairs (exact, bounded id range; "
+    "LSH/IVF provide the unbounded scale path)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from scip_spark.functions.similarity import cosine
+
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") > 0.25)
+
+
+@register("sample_with_replacement", None, doc="P10 choices(): with-replacement sample, rows-only")
+def sample_with_replacement(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    return orders.sample(withReplacement=True, fraction=0.01, seed=42).select(
+        "o_orderkey", "o_totalprice"
+    )
