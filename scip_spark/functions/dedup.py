@@ -78,7 +78,11 @@ def minhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     so the shuffle carries only N×32-byte partial minima per doc —
     this is the formulation that survives 100 TB.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    from scip_spark.functions.scale import ensure_parallelism
+
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
+    )
     hashed = sh.select(
         id_col,
         *[
@@ -170,7 +174,9 @@ def simhash_table(
     """(id, simhash) at scale: explode tokens → one md5 per token →
     16 conditional partial sums → recombine bits. The shuffle carries
     one row of 16 ints per document (map-side combined)."""
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    from scip_spark.functions.scale import ensure_parallelism
+
+    tok = ensure_parallelism(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     h = tok.select(
         id_col, F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("int").alias("v")
     )

@@ -12,6 +12,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than cores. Compute-bound stages (hash-heavy dedup, per-record
+    kernels) over a small file otherwise run on one task — a 7 MB
+    parquet of documents is one 128 MB-split partition but minutes of
+    md5 work. At real scale inputs already carry enough partitions and
+    this is a no-op, so the 100 TB path never pays the shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_count(
     df: DataFrame, key, n_salts: int = 16, agg_cols: list[Column] | None = None
 ) -> DataFrame:

@@ -51,7 +51,9 @@ def text_quality(spark, sf_dir):
     back via a partial+final aggregation (tiny int rows in the shuffle)."""
     from scip_spark.functions.text import STOPWORDS, tokens
 
-    docs = tbl(spark, sf_dir, "documents")
+    from scip_spark.functions.scale import ensure_parallelism
+
+    docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     counts = tok.groupBy("doc_id").agg(
@@ -158,7 +160,9 @@ def doc_fingerprint(spark, sf_dir):
 def tf_idf(spark, sf_dir):
     from scip_spark.functions.text import tokens as tok
 
-    docs = tbl(spark, sf_dir, "documents")
+    from scip_spark.functions.scale import ensure_parallelism
+
+    docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.explode(tok("text")).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

@@ -123,65 +123,47 @@ def threshold_li(img: np.ndarray, tol: float | None = None, max_iter: int = 64) 
 
 
 def label(mask: np.ndarray, connectivity: int = 1) -> tuple[np.ndarray, int]:
-    """Two-pass union-find connected-component labeling.
+    """Connected-component labeling by vectorized min-index propagation.
 
-    connectivity 1 = 4-neighbour, 2 = 8-neighbour. Returns (labels, n).
+    Each foreground pixel starts at its own flat index; iterated
+    min-with-neighbours sweeps (numpy whole-array ops, no Python pixel
+    loops) converge to the component's minimum index. Densified label
+    ids follow first-occurrence raster order, matching the classic
+    two-pass algorithm. connectivity 1 = 4-neighbour, 2 = 8-neighbour.
+    Returns (labels, n).
     """
     h, w = mask.shape
-    labels = np.zeros((h, w), dtype=np.int32)
-    parent = [0]  # parent[i] for label i; 0 = background
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    nxt = 0
-    for y in range(h):
-        row = mask[y]
-        for x in range(w):
-            if not row[x]:
-                continue
-            neigh = []
-            if x > 0 and mask[y, x - 1]:
-                neigh.append(labels[y, x - 1])
-            if y > 0 and mask[y - 1, x]:
-                neigh.append(labels[y - 1, x])
-            if connectivity == 2 and y > 0:
-                if x > 0 and mask[y - 1, x - 1]:
-                    neigh.append(labels[y - 1, x - 1])
-                if x < w - 1 and mask[y - 1, x + 1]:
-                    neigh.append(labels[y - 1, x + 1])
-            if not neigh:
-                nxt += 1
-                parent.append(nxt)
-                labels[y, x] = nxt
-            else:
-                m = min(neigh)
-                labels[y, x] = m
-                for n in neigh:
-                    if n != m:
-                        union(m, n)
-    # second pass: flatten + densify label ids
-    remap: dict[int, int] = {}
-    out = np.zeros_like(labels)
-    for y in range(h):
-        for x in range(w):
-            l0 = labels[y, x]
-            if l0:
-                r = find(l0)
-                if r not in remap:
-                    remap[r] = len(remap) + 1
-                out[y, x] = remap[r]
-    return out, len(remap)
+    if not mask.any():
+        return np.zeros((h, w), dtype=np.int32), 0
+    idx = np.where(mask, np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w), 0)
+    shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 2:
+        shifts += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    while True:
+        nxt = idx.copy()
+        for dy, dx in shifts:
+            shifted = np.zeros_like(idx)
+            src_y = slice(max(0, -dy), h - max(0, dy))
+            dst_y = slice(max(0, dy), h - max(0, -dy))
+            src_x = slice(max(0, -dx), w - max(0, dx))
+            dst_x = slice(max(0, dx), w - max(0, -dx))
+            shifted[dst_y, dst_x] = idx[src_y, src_x]
+            np.minimum(
+                nxt,
+                np.where((shifted > 0) & mask, shifted, np.iinfo(np.int64).max),
+                out=nxt,
+                where=mask,
+            )
+        if (nxt == idx).all():
+            break
+        idx = nxt
+    roots = idx[mask]
+    uniq = np.unique(roots)  # sorted = first-occurrence raster order
+    remap = np.zeros(int(uniq.max()) + 1, dtype=np.int32)
+    remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    out = np.zeros((h, w), dtype=np.int32)
+    out[mask] = remap[roots]
+    return out, len(uniq)
 
 
 def _dilate(mask: np.ndarray, iterations: int = 1, connectivity: int = 1) -> np.ndarray:
@@ -228,22 +210,18 @@ def binary_closing(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
 
 
 def fill_holes(mask: np.ndarray) -> np.ndarray:
-    """Fill holes: background flood-filled from the border; anything not
-    reached is a hole."""
-    h, w = mask.shape
+    """Fill holes: label the background (4-connectivity); any background
+    component not touching the border is a hole."""
     bg = ~mask
-    reach = np.zeros((h, w), dtype=bool)
-    stack = [(y, x) for x in range(w) for y in (0, h - 1) if bg[y, x]]
-    stack += [(y, x) for y in range(h) for x in (0, w - 1) if bg[y, x]]
-    for y, x in stack:
-        reach[y, x] = True
-    while stack:
-        y, x = stack.pop()
-        for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
-            if 0 <= ny < h and 0 <= nx < w and bg[ny, nx] and not reach[ny, nx]:
-                reach[ny, nx] = True
-                stack.append((ny, nx))
-    return mask | (bg & ~reach)
+    labels, n = label(bg, connectivity=1)
+    if n == 0:
+        return mask.copy()
+    border = np.unique(
+        np.concatenate([labels[0, :], labels[-1, :], labels[:, 0], labels[:, -1]])
+    )
+    keep_open = np.zeros(n + 1, dtype=bool)
+    keep_open[border[border > 0]] = True
+    return mask | (bg & ~keep_open[labels])
 
 
 def remove_small_objects(mask: np.ndarray, min_size: int) -> np.ndarray:
