@@ -94,3 +94,28 @@ def test_load_meta_union(spark, tiff_dir):
     b = tiff_meta(spark, tiff_dir, REGEX, channels=["1", "2"])
     u = load_meta_union([a, b])
     assert u.count() == 4
+
+
+def test_python_datasource_image_dir(spark, tmp_path):
+    """Spark 4 Python DataSource: spark.read.format('scip_images')."""
+    from scip_spark.sources.datasource import register_image_source
+
+    if not register_image_source(spark):
+        pytest.skip("Python DataSource API unavailable")
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for rec in ("a", "b", "c"):
+        for c in (0, 1):
+            (d / f"{rec}_{c}.tif").write_bytes(b"\x00")
+    (d / "orphan_0.tif").write_bytes(b"\x00")  # missing channel 1 → dropped
+
+    df = (
+        spark.read.format("scip_images")
+        .option("path", str(d))
+        .option("recordsPerPartition", "2")
+        .load()
+    )
+    pdf = df.toPandas()
+    assert sorted(pdf.rec) == ["a", "b", "c"]
+    assert list(pdf.iloc[0].pixels_shape) == [2, 16, 16]
+    assert df.rdd.getNumPartitions() == 2  # 3 records / 2 per partition
