@@ -6,6 +6,7 @@ import scip_spark.advanced_queries  # noqa: F401  asof/range/cube/setops/windows
 import scip_spark.scalar_queries  # noqa: F401  math/array/datetime surface
 import scip_spark.sql_queries  # noqa: F401  SQL-API entry point queries
 import scip_spark.stats_queries  # noqa: F401  higher moments, MAD
+import scip_spark.tpch_queries  # noqa: F401  outer joins, IN/NOT-IN, HAVING
 
 # Extended registries (each module registers into queries.REGISTRY on import)
 for _mod in (
