@@ -432,3 +432,54 @@ def sliding_window_events(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO emulation (no Delta in this image): upsert = full outer
+# join + CASE, the anti-join+union pattern from the CDC/SCD2 playbook.
+# Target: per-customer balance; source: month of new orders.
+# ---------------------------------------------------------------------------
+@register(
+    "merge_upsert_emulation",
+    """
+    WITH source AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS delta
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-07-01 00:00:00'
+      GROUP BY o_custkey
+    ),
+    target AS (SELECT c_custkey AS k, c_acctbal FROM customer)
+    SELECT COALESCE(t.k, s.k) AS k,
+           CASE WHEN t.k IS NULL THEN 'insert'
+                WHEN s.k IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           COALESCE(t.c_acctbal, 0.0) + COALESCE(s.delta, 0.0) AS new_balance
+    FROM target t FULL OUTER JOIN source s ON t.k = s.k
+    """,
+    doc="MERGE INTO emulation: upsert via full outer join + CASE",
+)
+def merge_upsert_emulation(spark, sf_dir):
+    from scip_spark.queries import dsum
+
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-07-01 00:00:00").cast("timestamp")
+    )
+    source = orders.groupBy(F.col("o_custkey").alias("ks")).agg(
+        dsum("o_totalprice").cast("double").alias("delta")
+    )
+    target = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("kt"), "c_acctbal"
+    )
+    j = target.join(source, target.kt == source.ks, "full_outer")
+    return j.select(
+        F.coalesce(F.col("kt"), F.col("ks")).alias("k"),
+        F.when(F.col("kt").isNull(), "insert")
+        .when(F.col("ks").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        (
+            F.coalesce(F.col("c_acctbal"), F.lit(0.0))
+            + F.coalesce(F.col("delta"), F.lit(0.0))
+        ).alias("new_balance"),
+    )

@@ -135,6 +135,60 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Union-find over candidate pairs as iterative label propagation:
+    every node starts as its own component; each round joins the
+    current labels across edges and keeps the minimum. Converges in
+    O(log n) rounds for typical dup clusters (chains of length L need
+    ~log L doubling rounds since labels propagate transitively through
+    the min-aggregation). The reference has no grouping-of-duplicates
+    operator at all; this is the standard Spark CC loop (GraphFrames'
+    algorithm reduced to DataFrames).
+
+    ``pairs``: (id_a, id_b). Returns (node_id, component) where
+    component = min node id in the cluster.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+    )
+    for _ in range(max_iter):
+        # propagate: candidate label for dst = min(label[src]) over edges
+        prop = (
+            edges.join(labels, edges.src == labels.node_id)
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.min("component").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.join(prop, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("neighbor_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """fingerprint → (canonical id, dup count); only the digest shuffles."""
     return (

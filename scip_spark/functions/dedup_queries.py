@@ -212,3 +212,39 @@ def sample_with_replacement(spark, sf_dir):
     return orders.sample(withReplacement=True, fraction=0.01, seed=42).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+def _cc_sql() -> str:
+    return f"""
+    WITH RECURSIVE sigs AS ({_minhash_sql()}),
+    buckets AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, band_{i} AS digest FROM sigs" for i in range(N_BANDS))}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
+    ),
+    undirected AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    cc(node_id, component) AS (
+      SELECT src, src FROM undirected
+      UNION
+      SELECT u.dst, cc.component
+      FROM cc JOIN undirected u ON cc.node_id = u.src
+    )
+    SELECT node_id, MIN(component) AS component FROM cc GROUP BY node_id
+    """
+
+
+@register(
+    "dedup_connected_components",
+    _cc_sql(),
+    doc="duplicate clustering: connected components over LSH pairs "
+    "(iterative DataFrame label propagation; oracle = recursive CTE)",
+)
+def dedup_connected_components(spark, sf_dir):
+    from scip_spark.functions.dedup import connected_components
+
+    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+    return connected_components(pairs)
