@@ -15,7 +15,6 @@ from scip_spark.functions.dedup import (
     SIMHASH_BITS,
     lsh_candidate_pairs,
     minhash_table,
-    simhash,
 )
 from scip_spark.queries import register, tbl
 

@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 from scip_spark.functions.similarity import (
     N_PLANES,
     brute_force_topk,
-    cosine,
     l2_norm,
     lsh_bucket,
     lsh_topk,

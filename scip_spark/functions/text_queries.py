@@ -14,7 +14,6 @@ from scip_spark.functions.text import (
     STOPWORDS,
     fingerprint,
     lang_scores,
-    quality_columns,
 )
 from scip_spark.queries import register, tbl
 

@@ -14,11 +14,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import types as T
 
 from scip_spark.kernels import imageops as K
 from scip_spark.operators import map_events
-from scip_spark.schema import EVENT_SCHEMA, decode_series
+from scip_spark.schema import decode_series
 
 
 def segment_labels(df: DataFrame, backend: str = "watershed", parent_channel: int = 0) -> DataFrame:

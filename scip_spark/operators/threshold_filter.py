@@ -14,7 +14,6 @@ into a crossJoin(broadcast(stats)) so no second pass over tensors.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -14,7 +14,7 @@ reference's fragile positional concat (main.py:268).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -30,9 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from scip_spark.schema import EVENT_SCHEMA
-
-
 def regex_meta_fields(regex: str) -> list[str]:
     """Named groups → metadata columns (the reference synthesizes loader
     schema from the regex, zarr.py:73-86)."""

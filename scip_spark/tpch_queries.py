@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from scip_spark.queries import DEC, DEC6, dsum, register, tbl
+from scip_spark.queries import DEC6, dsum, register, tbl
 
 
 @register(
