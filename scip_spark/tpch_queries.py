@@ -243,3 +243,239 @@ def map_explode_props(spark, sf_dir):
     return ev.select(
         "event_id", F.explode(m).alias("prop_key", "prop_value")
     )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue ranking",
+)
+def q10_returned_items(spark, sf_dir):
+    from scip_spark.queries import DEC6
+
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, DEC6).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q12 shape: conditional counts by class",
+)
+def q12_priority_shipping(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(F.col("l_quantity") <= 25, 1).otherwise(0)).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+    SELECT CAST(100.0 AS DOUBLE)
+           * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+                      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+             AS promo_revenue_pct,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share",
+)
+def q14_promo_effect(spark, sf_dir):
+    from scip_spark.queries import DEC6
+
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = tbl(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev.cast(DEC6)).otherwise(
+        F.lit(0).cast(DEC6)
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0).cast("double")
+            * F.sum(promo).cast("double")
+            / dsum(rev, DEC6).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue_view AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue_view ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue_view)
+    """,
+    doc="TPC-H Q15 shape: view + scalar-subquery max (decimal-exact tie)",
+)
+def q15_top_supplier(spark, sf_dir):
+    from scip_spark.queries import DEC6
+
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), DEC6).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    supp = tbl(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q17_small_quantity_avg",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'BRAND_2'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: correlated avg-quantity subquery",
+)
+def q17_small_quantity_avg(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_2")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * (dsum("l_quantity").cast("double") / F.count("*"))).alias("limit_q")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == avg_q.pk)
+        .filter(F.col("l_quantity") < F.col("limit_q"))
+    )
+    return j.agg(
+        (dsum("l_extendedprice").cast("double") / 7.0).alias("avg_yearly"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q21_waiting_orders",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS on the same relation",
+)
+def q21_waiting_orders(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = tbl(spark, sf_dir, "supplier")
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    ).alias("l2")
+    l3 = li.select(
+        F.col("l_orderkey").alias("ok3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("sd3"),
+    ).alias("l3")
+    exists2 = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("ok2")) & (F.col("l1.l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    not3 = exists2.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("ok3"))
+        & (F.col("l1.l_suppkey") != F.col("sk3"))
+        & (F.col("sd3") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        not3.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
