@@ -100,3 +100,56 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> None
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_click_join(
+    events: DataFrame, events2: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding ``horizon``. Both sides are
+    watermarked so the state store can expire old click state — the
+    canonical funnel-attribution join."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user = c_user
+                AND click_ts <= purchase_ts
+                AND click_ts >= purchase_ts - INTERVAL {horizon}"""
+        ),
+    )
+
+
+def write_exactly_once_parquet(stream_df: DataFrame, out_dir: str, checkpoint: str) -> None:
+    """foreachBatch sink: idempotent per-epoch parquet writes keyed by
+    batch id — re-delivered batches overwrite their own directory, so
+    restarts cannot duplicate data."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

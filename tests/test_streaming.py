@@ -93,3 +93,50 @@ def test_stateful_user_profiles(spark, events_dir):
     )
     want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch}
     assert got == want
+
+
+def test_stream_stream_interval_join(spark, events_single_file):
+    """Stream-stream join result must equal the equivalent batch
+    interval join."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.streaming.windows import purchase_click_join
+
+    s1 = read_event_stream(spark, events_single_file)
+    s2 = read_event_stream(spark, events_single_file)
+    joined = purchase_click_join(s1, s2)
+    run_to_memory(joined, "ss_join_out")
+    got = spark.sql(
+        "select purchase_id, click_id from ss_join_out"
+    ).collect()
+    got = {(r.purchase_id, r.click_id) for r in got}
+
+    ev = load_events(spark, SF)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    want = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND click_ts <= purchase_ts "
+               "AND click_ts >= purchase_ts - INTERVAL 1 HOUR"),
+    ).select("purchase_id", "click_id").collect()
+    want = {(r.purchase_id, r.click_id) for r in want}
+    assert got == want and len(got) > 0
+
+
+def test_foreach_batch_exactly_once(spark, events_single_file, tmp_path):
+    from scip_spark.streaming.windows import write_exactly_once_parquet
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, events_single_file)
+    write_exactly_once_parquet(stream.select("event_id", "value"), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    # re-run with same checkpoint: no new epochs, no duplicates
+    stream2 = read_event_stream(spark, events_single_file)
+    write_exactly_once_parquet(stream2.select("event_id", "value"), out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == load_events(spark, SF).count()
