@@ -79,6 +79,11 @@ def median_filter(img: np.ndarray, size: int = 3) -> np.ndarray:
 def threshold_otsu(img: np.ndarray, nbins: int = 256) -> float:
     """Otsu's between-class-variance-maximizing threshold."""
     flat = img.ravel()
+    lo, hi = float(flat.min()), float(flat.max())
+    if lo == hi:
+        # constant image: histogram bin centers would fall outside the
+        # (degenerate) data range (found by hypothesis)
+        return lo
     hist, edges = np.histogram(flat, bins=nbins)
     centers = (edges[:-1] + edges[1:]) / 2
     hist = hist.astype(np.float64)

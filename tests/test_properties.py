@@ -1,0 +1,87 @@
+"""Property-based invariants (hypothesis) for the numpy kernels and
+the tensor codec — a verification layer the reference's suite lacks
+(SURVEY §5: no property-based testing upstream)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from scip_spark.kernels import imageops as K
+from scip_spark.schema import decode_tensor, encode_tensor
+
+small_masks = arrays(
+    dtype=bool,
+    shape=st.tuples(st.integers(2, 12), st.integers(2, 12)),
+)
+
+small_shapes = st.lists(st.integers(1, 6), min_size=1, max_size=4)
+
+
+@settings(max_examples=50, deadline=None)
+@given(small_shapes)
+def test_codec_roundtrip_any_shape(shape):
+    a = np.arange(int(np.prod(shape)), dtype=np.float32).reshape(shape)
+    flat, s = encode_tensor(a)
+    np.testing.assert_array_equal(decode_tensor(flat, s), a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(small_masks)
+def test_label_partitions_foreground(mask):
+    labels, n = K.label(mask, connectivity=1)
+    # background stays 0; foreground fully labeled with 1..n
+    assert (labels[~mask] == 0).all()
+    assert ((labels > 0) == mask).all()
+    found = set(np.unique(labels)) - {0}
+    assert found == set(range(1, n + 1))
+
+
+@settings(max_examples=60, deadline=None)
+@given(small_masks)
+def test_label_neighbors_share_component(mask):
+    labels, _ = K.label(mask, connectivity=1)
+    # any two 4-adjacent foreground pixels must carry the same label
+    h, w = mask.shape
+    same_r = mask[:, :-1] & mask[:, 1:]
+    assert (labels[:, :-1][same_r] == labels[:, 1:][same_r]).all()
+    same_c = mask[:-1, :] & mask[1:, :]
+    assert (labels[:-1, :][same_c] == labels[1:, :][same_c]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(small_masks, st.integers(1, 6))
+def test_remove_small_objects_threshold(mask, min_size):
+    out = K.remove_small_objects(mask, min_size)
+    # output is a subset of input, and every surviving component is big enough
+    assert (out <= mask).all()
+    labels, n = K.label(out, connectivity=2)
+    if n:
+        counts = np.bincount(labels.ravel())[1:]
+        assert (counts >= min_size).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(small_masks)
+def test_fill_holes_superset_and_border_preserving(mask):
+    filled = K.fill_holes(mask)
+    assert (filled >= mask).all()
+    # border background can never be a hole
+    border_bg = np.zeros_like(mask)
+    border_bg[[0, -1], :] = True
+    border_bg[:, [0, -1]] = True
+    border_bg &= ~mask
+    assert not (filled & border_bg).any()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(
+        dtype=np.float32,
+        shape=st.tuples(st.integers(3, 10), st.integers(3, 10)),
+        elements=st.floats(0, 100, width=32),
+    )
+)
+def test_otsu_threshold_within_range(img):
+    t = K.threshold_otsu(img)
+    assert img.min() <= t <= img.max()
