@@ -84,3 +84,23 @@ def test_approx_count_distinct_accuracy(spark):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("a")
     ).collect()[0].a
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Writing partitioned by a coarse key lets Catalyst prune entire
+    directories: the year filter must show up as a PartitionFilter and
+    read only that year's files."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_part")
+    orders.write.partitionBy("order_year").mode("overwrite").parquet(out)
+
+    q = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "order_year" in pf[0]
+    want = orders.filter(F.col("order_year") == 1997).count()
+    assert q.count() == want
