@@ -182,3 +182,32 @@ def tf_idf(spark, sf_dir):
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_runs
+    FROM documents
+    """,
+    doc="token counting: whitespace vs BPE-ish regex segmentation "
+    "(letter runs / digit runs / single punctuation — engine-portable "
+    "character classes only)",
+)
+def token_count_bpe(spark, sf_dir):
+    from scip_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    nums = F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(nums).cast("long").alias("n_number_runs"),
+    )
