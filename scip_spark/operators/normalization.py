@@ -22,9 +22,12 @@ from scip_spark.schema import decode_series, encode_series
 
 
 def record_extents(df: DataFrame, key: str = "group") -> DataFrame:
-    """Per-record per-channel masked min/max (falls back to unmasked
-    pixels when the channel mask is empty — reference
-    quantile_normalization.py:36-44)."""
+    """Per-record per-channel masked min/max.
+
+    Reference semantics (quantile_normalization.py:29-44): a record
+    with NO mask contributes its full pixels; a record WITH a mask
+    contributes masked pixels only, and a channel whose mask is empty
+    contributes nothing at all (the fold keeps its running extent)."""
     ext_schema = T.StructType(
         [
             T.StructField(key, T.StringType()),
@@ -42,9 +45,12 @@ def record_extents(df: DataFrame, key: str = "group") -> DataFrame:
             if a is None:
                 continue
             for c in range(a.shape[0]):
-                vals = a[c]
-                if m is not None and m[c].any():
+                if m is None:
+                    vals = a[c]
+                elif m[c].any():
                     vals = a[c][m[c]]
+                else:
+                    continue  # masked channel with nothing selected: skip
                 rows.append((g, c, float(vals.min()), float(vals.max())))
         return pd.DataFrame(rows, columns=[key, "channel", "cmin", "cmax"])
 

@@ -28,3 +28,26 @@ def test_normalized_range(full_events_df):
         a = decode_tensor(r.pixels, r.pixels_shape)
         assert a.min() >= 0.0 and a.max() <= 1.0
         assert a.max() > 0.5  # actually rescaled, not zeroed
+
+
+def test_empty_channel_mask_skipped(spark):
+    """Reference fold semantics: a masked record whose channel mask is
+    empty contributes nothing to that channel's extent (it does NOT
+    fall back to unmasked pixels)."""
+    import numpy as np
+
+    from scip_spark.schema import EVENT_SCHEMA, events_to_pandas
+
+    tile = np.arange(100, dtype=np.float32).reshape(10, 10)
+    m_full = np.ones((1, 10, 10), bool)
+    m_empty = np.zeros((1, 10, 10), bool)
+    recs = [
+        {"path": "a", "group": "g", "object_number": 0,
+         "pixels": tile[None] * 0 + 50, "mask": m_full},   # masked vals = 50
+        {"path": "b", "group": "g", "object_number": 1,
+         "pixels": tile[None], "mask": m_empty},           # empty mask → skipped
+    ]
+    df = spark.createDataFrame(events_to_pandas(recs), schema=EVENT_SCHEMA)
+    rows = group_extents(df).collect()
+    assert len(rows) == 1
+    assert rows[0].gmin == 50.0 and rows[0].gmax == 50.0  # record b ignored
