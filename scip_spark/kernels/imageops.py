@@ -210,6 +210,28 @@ def disk(radius: int) -> np.ndarray:
     return (x * x + y * y) <= radius * radius
 
 
+def erode_footprint(mask: np.ndarray, footprint: np.ndarray) -> np.ndarray:
+    """Binary erosion by an arbitrary footprint: AND of the mask
+    shifted by every footprint offset (out-of-image = background)."""
+    h, w = mask.shape
+    fy, fx = footprint.shape
+    cy, cx = fy // 2, fx // 2
+    out = np.ones_like(mask)
+    for oy, ox in zip(*np.nonzero(footprint)):
+        dy, dx = oy - cy, ox - cx
+        if abs(dy) >= h or abs(dx) >= w:
+            # footprint larger than the image: nothing survives erosion
+            return np.zeros_like(mask)
+        shifted = np.zeros_like(mask)
+        src_y = slice(max(0, dy), h + min(0, dy))
+        dst_y = slice(max(0, -dy), h - max(0, dy))
+        src_x = slice(max(0, dx), w + min(0, dx))
+        dst_x = slice(max(0, -dx), w - max(0, dx))
+        shifted[dst_y, dst_x] = mask[src_y, src_x]
+        out &= shifted
+    return out
+
+
 def binary_closing(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
     return _erode(_dilate(mask, iterations), iterations)
 

@@ -33,13 +33,12 @@ SHAPE_PROPS = [
     "bbox_maxc", "extent", "major_axis_length", "minor_axis_length",
     "eccentricity", "perimeter", "n_components",
 ]
+GLCM_BASE = ["contrast", "dissimilarity", "homogeneity", "energy", "correlation", "asm"]
+# reference texture.py:25-47: per-prop mean AND std over the 4 angles,
+# at distances 3 and 5, plus sobel-map stats
 TEXTURE_PROPS = [
-    "glcm_contrast_d3", "glcm_dissimilarity_d3", "glcm_homogeneity_d3",
-    "glcm_energy_d3", "glcm_correlation_d3", "glcm_asm_d3",
-    "glcm_contrast_d5", "glcm_dissimilarity_d5", "glcm_homogeneity_d5",
-    "glcm_energy_d5", "glcm_correlation_d5", "glcm_asm_d5",
-    "sobel_mean", "sobel_std", "sobel_max", "sobel_min",
-]
+    f"glcm_{stat}_{p}_d{d}" for d in (3, 5) for p in GLCM_BASE for stat in ("mean", "std")
+] + ["sobel_mean", "sobel_std", "sobel_max", "sobel_min"]
 BBOX_PROPS = ["bbox_minr", "bbox_minc", "bbox_maxr", "bbox_maxc"]
 
 
@@ -94,49 +93,56 @@ def _stats11(x: np.ndarray) -> list[float]:
 
 
 def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int = 15) -> list[float]:
-    """GLCM over 4 directions (0/45/90/135°), symmetric+normed, masked
-    pixels only — contrast/dissimilarity/homogeneity/energy/correlation/ASM
+    """Per-angle GLCMs over 4 directions (0/45/90/135 deg), symmetric +
+    normed, masked pixels only; per-prop mean AND std over the angles
     (reference texture.py:25-132 semantics, numpy re-implementation)."""
     vals = ch[mask]
     if vals.size < 2:
-        return [0.0] * 6
+        return [0.0] * 12
     lo, hi = float(vals.min()), float(vals.max())
     span = (hi - lo) or 1.0
     q = np.zeros_like(ch, dtype=np.int32)
     q[mask] = np.minimum(((ch[mask] - lo) / span * levels).astype(np.int32), levels - 1) + 1
-    glcm = np.zeros((levels + 1, levels + 1), dtype=np.float64)
     d = distance
-    offsets = [(0, d), (d, d), (d, 0), (d, -d)]
     h, w = q.shape
-    for dy, dx in offsets:
+    i, j = np.meshgrid(np.arange(levels), np.arange(levels), indexing="ij")
+    diff = i - j
+    per_angle: list[list[float]] = []
+    for dy, dx in [(0, d), (d, d), (d, 0), (d, -d)]:
+        glcm = np.zeros((levels + 1, levels + 1), dtype=np.float64)
         y0, y1 = max(0, -dy), min(h, h - dy)
         x0, x1 = max(0, -dx), min(w, w - dx)
         a = q[y0:y1, x0:x1]
         b = q[y0 + dy : y1 + dy, x0 + dx : x1 + dx]
         valid = (a > 0) & (b > 0)
         np.add.at(glcm, (a[valid], b[valid]), 1.0)
-    glcm = glcm[1:, 1:]
-    glcm = glcm + glcm.T  # symmetric
-    total = glcm.sum()
-    if total == 0:
-        return [0.0] * 6
-    p = glcm / total
-    i, j = np.meshgrid(np.arange(levels), np.arange(levels), indexing="ij")
-    diff = i - j
-    contrast = float((p * diff**2).sum())
-    dissim = float((p * np.abs(diff)).sum())
-    homog = float((p / (1.0 + diff**2)).sum())
-    asm = float((p**2).sum())
-    energy = float(np.sqrt(asm))
-    mu_i = float((p * i).sum())
-    mu_j = float((p * j).sum())
-    sd_i = float(np.sqrt((p * (i - mu_i) ** 2).sum()))
-    sd_j = float(np.sqrt((p * (j - mu_j) ** 2).sum()))
-    if sd_i > 0 and sd_j > 0:
-        corr = float(((p * (i - mu_i) * (j - mu_j)).sum()) / (sd_i * sd_j))
-    else:
-        corr = 1.0
-    return [contrast, dissim, homog, energy, corr, asm]
+        glcm = glcm[1:, 1:]
+        glcm = glcm + glcm.T  # symmetric
+        total = glcm.sum()
+        if total == 0:
+            per_angle.append([0.0] * 6)
+            continue
+        p = glcm / total
+        contrast = float((p * diff**2).sum())
+        dissim = float((p * np.abs(diff)).sum())
+        homog = float((p / (1.0 + diff**2)).sum())
+        asm = float((p**2).sum())
+        energy = float(np.sqrt(asm))
+        mu_i = float((p * i).sum())
+        mu_j = float((p * j).sum())
+        sd_i = float(np.sqrt((p * (i - mu_i) ** 2).sum()))
+        sd_j = float(np.sqrt((p * (j - mu_j) ** 2).sum()))
+        if sd_i > 0 and sd_j > 0:
+            corr = float(((p * (i - mu_i) * (j - mu_j)).sum()) / (sd_i * sd_j))
+        else:
+            corr = 1.0
+        per_angle.append([contrast, dissim, homog, energy, corr, asm])
+    arr = np.asarray(per_angle)
+    out: list[float] = []
+    for k in range(6):
+        out.append(float(arr[:, k].mean()))
+        out.append(float(arr[:, k].std()))
+    return out
 
 
 def _record_features(a, m, cm, bg, bbox, families: list[str], nchannels: int) -> list[float]:
@@ -147,7 +153,7 @@ def _record_features(a, m, cm, bg, bbox, families: list[str], nchannels: int) ->
         for c in range(nchannels):
             chan = a[c]
             mask_c = m[c] if m is not None else np.ones_like(chan, bool)
-            edge_c = mask_c & ~K._erode(mask_c, 1)
+            edge_c = mask_c & ~K.erode_footprint(mask_c, K.disk(6))
             bg_c = bg[c] if bg is not None else 0.0
             views = {
                 "mask": chan[mask_c],

@@ -188,19 +188,18 @@ def remove_border_regions(df: DataFrame, main_channel: int = 0, max_fraction: fl
     ``mask`` and ``pixels`` (reference masking/__init__.py:132-180)."""
 
     def clean(m: np.ndarray) -> np.ndarray:
+        # reference _regions_touching (masking/__init__.py:132-156):
+        # border occupancy is counted over the CONCATENATED four edges
+        # (corners twice), and a component is dropped when its total
+        # border count exceeds 25% of min(h, w)
         lab, n = K.label(m, 2)
         if n == 0:
             return m
-        h, w = m.shape
-        limit = max_fraction * min(h, w)
-        out = m.copy()
-        for l0 in range(1, n + 1):
-            comp = lab == l0
-            for border in (comp[0, :], comp[-1, :], comp[:, 0], comp[:, -1]):
-                if border.sum() > limit:
-                    out[comp] = False
-                    break
-        return out
+        limit = int(min(m.shape) * max_fraction)
+        border = np.concatenate([lab[0, :], lab[-1, :], lab[:, 0], lab[:, -1]])
+        idx, counts = np.unique(border, return_counts=True)
+        drop = idx[(idx > 0) & (counts > limit)]
+        return m & ~np.isin(lab, drop)
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         masks = decode_series(pdf["mask"], pdf["mask_shape"], dtype=bool)
