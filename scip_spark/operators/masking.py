@@ -72,13 +72,15 @@ def compute_filters(
 
 
 def _mask_li(channel: np.ndarray, smooth: float = 1.0, **_) -> np.ndarray:
+    # reference li.py:36-43: gaussian(s) → sobel → gaussian(2s) → Li
+    # threshold → remove_small_holes(HW/4) → remove_small_objects(20)
     blur = K.gaussian(channel, smooth)
     edges = K.sobel(blur)
     edges = K.gaussian(edges, 2.0 * smooth)
     t = K.threshold_li(edges)
     m = edges > t
-    m = K.fill_holes(m)
-    return K.remove_small_objects(m, 8)
+    m = K.remove_small_holes(m, int(m.shape[0] * m.shape[1] / 4))
+    return K.remove_small_objects(m, 20)
 
 
 def _mask_otsu(channel: np.ndarray, **_) -> np.ndarray:
@@ -158,15 +160,26 @@ def get_mask(df: DataFrame, method: str = "otsu", **kwargs) -> DataFrame:
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         arrs = decode_series(pdf["pixels"], pdf["pixels_shape"])
+        flt = pdf["mask_filter"] if "mask_filter" in pdf.columns else [None] * len(pdf)
         masks, regions = [], []
-        for a in arrs:
+        for a, mf in zip(arrs, flt):
             if a is None:
                 masks.append(None)
                 regions.append(None)
                 continue
-            ms = np.stack([fn(a[c], **kwargs) for c in range(a.shape[0])])
-            masks.append(ms)
-            regions.append([int(K.label(ms[c], 2)[1]) for c in range(ms.shape[0])])
+            # channels failing QC (mask_filter False) get an empty mask
+            # and 0 regions (reference li.py:33-47)
+            chans, cc = [], []
+            for c in range(a.shape[0]):
+                if mf is not None and not pd.isna(mf).all() and not bool(mf[c]):
+                    chans.append(np.zeros(a.shape[1:], dtype=bool))
+                    cc.append(0)
+                else:
+                    m = fn(a[c], **kwargs)
+                    chans.append(m)
+                    cc.append(int(K.label(m, 2)[1]))
+            masks.append(np.stack(chans))
+            regions.append(cc)
         flat, shape = encode_series(masks)
         pdf = pdf.copy()
         pdf["mask"] = flat.values

@@ -110,7 +110,7 @@ def to_events(df: DataFrame, parent_channel: int = 0, group_keys: list[str] | No
                 row["background"] = [0.0] * crop_px.shape[0]
                 row["combined_background"] = [0.0] * crop_px.shape[0]
                 row["bbox"] = [int(minr), int(minc), int(maxr), int(maxc)]
-                row["regions"] = [1] * crop_px.shape[0]
+                row["regions"] = [int(crop_m[c].any()) for c in range(crop_px.shape[0])]  # reference segmentation/__init__.py:100-102
                 row["id"] = int(l0)
                 row["group"] = "_".join(str(base[k]) for k in group_keys if k in pdf.columns)
                 out_rows.append(row)

@@ -69,3 +69,22 @@ def test_mask_subtract(full_events_df):
     out = mask_subtract(masked, target=2, left=0, right=1).toPandas()
     m = decode_tensor(out.iloc[0]["mask"], out.iloc[0].mask_shape, dtype=bool)
     np.testing.assert_array_equal(m[2], m[0] & ~m[1])
+
+
+def test_mask_filter_gates_channels(spark, full_events_df):
+    """A channel whose mask_filter is False gets an all-False mask and
+    0 regions (reference li.py:33-47 semantics)."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import functions as F
+    from scip_spark.schema import decode_tensor
+
+    flagged = full_events_df.withColumn(
+        "mask_filter", F.array(F.lit(True), F.lit(False), F.lit(True))
+    )
+    out = get_mask(flagged, "circle").toPandas()
+    r = out.iloc[0]
+    m = decode_tensor(r["mask"], r.mask_shape, dtype=bool)
+    assert m[0].any() and m[2].any()
+    assert not m[1].any()
+    assert list(r.regions) == [1, 0, 1]
