@@ -135,12 +135,13 @@ def _mask_watershed(channel: np.ndarray, **_) -> np.ndarray:
 
 def _post_process(m: np.ndarray) -> tuple[np.ndarray, int]:
     """mask_post_process (reference masking/__init__.py:245-251):
-    remove small holes → expand → remove small objects → count."""
-    m = K.remove_small_holes(m, 64)
+    remove_small_holes(300) → expand_labels(1) →
+    remove_small_objects(20) → label → count."""
+    m = K.remove_small_holes(m, 300)
     lab, _ = K.label(m, 2)
     lab = K.expand_labels(lab, 1)
     m = lab > 0
-    m = K.remove_small_objects(m, 4)
+    m = K.remove_small_objects(m, 20)
     _, n = K.label(m, 2)
     return m, n
 
