@@ -71,6 +71,35 @@ def median_filter(img: np.ndarray, size: int = 3) -> np.ndarray:
     return np.median(np.stack(stack), axis=0)
 
 
+def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray:
+    """Grayscale rank/order filter over an arbitrary footprint: stack
+    the shifted views for every footprint offset (reflect padding) and
+    reduce with ``func`` (np.median / np.min / np.max) along axis 0."""
+    fy, fx = footprint.shape
+    cy, cx = fy // 2, fx // 2
+    p = np.pad(img, ((cy, fy - 1 - cy), (cx, fx - 1 - cx)), mode="reflect")
+    h, w = img.shape
+    stack = [
+        p[oy : oy + h, ox : ox + w] for oy, ox in zip(*np.nonzero(footprint))
+    ]
+    return func(np.stack(stack), axis=0)
+
+
+def median_disk(img: np.ndarray, radius: int) -> np.ndarray:
+    return footprint_filter(img, disk(radius), np.median)
+
+
+def gray_closing(img: np.ndarray, footprint: np.ndarray) -> np.ndarray:
+    """Grayscale closing: dilation (max) then erosion (min)."""
+    return footprint_filter(footprint_filter(img, footprint, np.max), footprint, np.min)
+
+
+def white_tophat(img: np.ndarray, footprint: np.ndarray) -> np.ndarray:
+    """img − opening(img); opening = erosion (min) then dilation (max)."""
+    opened = footprint_filter(footprint_filter(img, footprint, np.min), footprint, np.max)
+    return img - opened
+
+
 # ---------------------------------------------------------------------------
 # thresholds
 # ---------------------------------------------------------------------------

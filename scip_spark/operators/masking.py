@@ -84,35 +84,40 @@ def _mask_li(channel: np.ndarray, smooth: float = 1.0, **_) -> np.ndarray:
 
 
 def _mask_otsu(channel: np.ndarray, **_) -> np.ndarray:
-    t = K.threshold_otsu(channel)
-    m = channel > t
-    m = K.binary_closing(m, 1)
-    return K.fill_holes(m)
+    # reference otsu.py:19-44: (digitize>512) → median(disk 5) residual →
+    # gaussian(.5) → sobel → rescale to [0, max] → median(disk 5) →
+    # Otsu threshold → remove_small_holes(HW/4) → remove_small_objects(20)
+    x = channel
+    if x.max() > 512:
+        edges = np.histogram_bin_edges(x.ravel(), bins=512)
+        x = np.digitize(x, bins=edges).astype(np.float64)
+    p = K.median_disk(x, 5)
+    p = x.astype(np.float64) - p
+    p = K.gaussian(p, 0.5)
+    p = K.sobel(p)
+    span = (p.max() - p.min()) or 1.0
+    p = (p - p.min()) / span
+    p = np.floor(p * x.max())  # uint16 cast in the reference
+    p = K.median_disk(p, 5)
+    m = p > K.threshold_otsu(p)
+    m = K.remove_small_holes(m, int(m.shape[0] * m.shape[1] / 4))
+    return K.remove_small_objects(m, 20)
 
 
 def _mask_sobel(channel: np.ndarray, **_) -> np.ndarray:
-    edges = K.sobel(channel)
-    m = edges > np.quantile(edges, 0.9)
-    m = K.binary_closing(m, 2)
+    # reference sobel.py:24-41: sobel elevation → GRAYSCALE closing
+    # (disk 2) → q90 threshold → mask_post_process
+    elev = K.sobel(channel)
+    closed = K.gray_closing(elev, K.disk(2))
+    m = closed > np.quantile(closed, 0.9)
+    if not m.any():
+        return m
     return _post_process(m)[0]
 
 
 def _mask_spot(channel: np.ndarray, spotsize: int = 3, **_) -> np.ndarray:
-    # white tophat ≈ img − opening(img); opening via erode+dilate on grayscale
-    # approximated with min/max filters of radius spotsize
-    r = spotsize
-    p = np.pad(channel, r, mode="reflect")
-    h, w = channel.shape
-    stack = [
-        p[dy : dy + h, dx : dx + w] for dy in range(2 * r + 1) for dx in range(2 * r + 1)
-    ]
-    eroded = np.min(np.stack(stack), axis=0)
-    p2 = np.pad(eroded, r, mode="reflect")
-    stack2 = [
-        p2[dy : dy + h, dx : dx + w] for dy in range(2 * r + 1) for dx in range(2 * r + 1)
-    ]
-    opened = np.max(np.stack(stack2), axis=0)
-    tophat = channel - opened
+    # reference spot.py:35-41: white_tophat(disk(spotsize)) → q99
+    tophat = K.white_tophat(channel.astype(np.float64), K.disk(spotsize))
     return tophat > np.quantile(tophat, 0.99)
 
 
