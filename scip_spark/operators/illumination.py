@@ -24,7 +24,8 @@ from scip_spark.operators import map_events
 from scip_spark.schema import decode_series, encode_series
 
 
-def mean_images(df: DataFrame, key: str = "group", median_size: int = 3) -> dict[str, np.ndarray]:
+def mean_images(df: DataFrame, key: str = "group", median_size: int = 3,
+                downscale: int = 1) -> dict[str, np.ndarray]:
     """Compute the per-group correction image (mean over records, then
     per-channel median filter, zero-guarded).
 
@@ -91,20 +92,42 @@ def mean_images(df: DataFrame, key: str = "group", median_size: int = 3) -> dict
         mean = (
             np.asarray(row["sum_flat"], dtype=np.float64).reshape(row["shape"]) / row["n"]
         )
-        smoothed = np.stack(
-            [K.median_filter(mean[c], median_size) for c in range(mean.shape[0])]
-        )
-        smoothed[smoothed == 0] = 1.0  # zero-guard (reference _finish)
-        out[row[key]] = smoothed.astype(np.float32)
+        out[row[key]] = _finish(mean, median_size, downscale)
     return out
 
 
-def correct(df: DataFrame, key: str = "group", median_size: int = 3,
+def _finish(mean: np.ndarray, median_size: int, downscale: int) -> np.ndarray:
+    """Reference _finish (jones_2006.py:38-55): optional block-mean
+    downscale → per-channel median filter → zero-guard → upscale back.
+    Downscaling keeps the (large, disk-50 in the reference) median
+    affordable on big correction images."""
+    c, h, w = mean.shape
+    img = mean
+    if downscale > 1:
+        hh, ww = h - h % downscale, w - w % downscale
+        img = (
+            mean[:, :hh, :ww]
+            .reshape(c, hh // downscale, downscale, ww // downscale, downscale)
+            .mean(axis=(2, 4))
+        )
+    smoothed = np.stack([K.median_disk(img[i], median_size) for i in range(c)])
+    smoothed = np.where(smoothed == 0, 1.0, smoothed)  # division no-op guard
+    if downscale > 1:
+        smoothed = np.repeat(np.repeat(smoothed, downscale, axis=1), downscale, axis=2)
+        # pad/trim back to the original shape
+        sh = smoothed.shape
+        outp = np.ones((c, h, w), dtype=np.float64)
+        outp[:, : min(h, sh[1]), : min(w, sh[2])] = smoothed[:, :h, :w]
+        smoothed = outp
+    return smoothed.astype(np.float32)
+
+
+def correct(df: DataFrame, key: str = "group", median_size: int = 3, downscale: int = 1,
             precomputed: dict[str, np.ndarray] | None = None) -> DataFrame:
     """Divide each image by its group's correction image. ``precomputed``
     skips the aggregation job (reference jones_2006.py:122-128 pickle
     reload path)."""
-    mu = precomputed if precomputed is not None else mean_images(df, key, median_size)
+    mu = precomputed if precomputed is not None else mean_images(df, key, median_size, downscale)
     bc = df.sparkSession.sparkContext.broadcast(mu)
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -129,13 +129,21 @@ def _mask_circle(channel: np.ndarray, **_) -> np.ndarray:
 
 
 def _mask_watershed(channel: np.ndarray, **_) -> np.ndarray:
-    # watershed-lite: otsu foreground split by eroded markers grown back
-    t = K.threshold_otsu(channel)
-    fg = K.fill_holes(channel > t)
-    markers = K._erode(fg, 2)
-    lab, n = K.label(markers, 2)
-    grown = K.expand_labels(lab, 3)
-    return (grown > 0) & fg if n else fg
+    # reference watershed.py:37-55: sobel elevation → grayscale closing
+    # (disk 2) → Otsu-derived bg/fg markers (thresh ∓ 50%) → watershed →
+    # mask_post_process. The flood is approximated by growing the
+    # markers over the elevation map (label expansion), keeping the
+    # fg-marker basin.
+    elev = K.sobel(channel)
+    closed = K.gray_closing(elev, K.disk(2))
+    t = K.threshold_otsu(closed)
+    markers = np.zeros(channel.shape, dtype=np.int32)
+    markers[closed < t - t * 0.5] = 1
+    markers[closed > t + t * 0.5] = 2
+    if not (markers == 2).any():
+        return np.zeros(channel.shape, dtype=bool)
+    grown = K.expand_labels(markers, max(channel.shape))
+    return _post_process(grown == 2)[0]
 
 
 def _post_process(m: np.ndarray) -> tuple[np.ndarray, int]:
