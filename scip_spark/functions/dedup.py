@@ -4,8 +4,8 @@ Four families, all shuffle-efficient:
 
 - **Exact**: hash-groupBy on a normalized md5 fingerprint. One shuffle
   on a 32-byte key — never on the document text.
-- **MinHash + LSH**: shingle → per-seed min-md5 signature → band
-  digests → candidate pairs via an equi-join on (band_idx, digest).
+- **MinHash + LSH**: shingle → md5 sliced into N 16-bit min-hashes →
+  band digests → candidate pairs via an equi-join on (band_idx, digest).
   The join key is a 32-byte digest, so the shuffle moves O(docs ×
   n_bands) tiny rows; the full text never shuffles. This is the
   banding construction from Broder's MinHash / the MMDS LSH chapter.
@@ -42,21 +42,26 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(sh: Column, n_hashes: int = N_MINHASH) -> list[Column]:
-    """Per-seed MinHash: min over shingles of md5(seed|shingle).
+    """MinHash family: the j-th hash of a shingle is the j-th disjoint
+    4-hex-char slice of ONE md5(shingle) — 8 independent-enough 16-bit
+    hashes for the price of a single digest (the "one permutation"
+    slicing trick). Minima compare lexicographically on hex, which
+    orders identically to the underlying 16-bit integers, and the
+    construction reproduces bit-exactly in ANSI SQL (md5 + substr).
 
-    md5 hex strings are compared lexicographically — equivalent to a
-    128-bit hash family, and identical across engines.
+    16 bits is plenty for LSH candidate generation: band keys are
+    rows-per-band × 16 bits and collision-induced estimator bias only
+    matters once a document has O(2^16) distinct shingles.
 
-    NB: the per-seed lambda must take exactly one parameter — PySpark
-    passes (element, index) to two-parameter lambdas, so a ``j=j``
-    default would silently be overwritten by the array index.
+    NB: slicing one digest instead of hashing 8 seeded copies cuts the
+    dominant cost of the signature pipeline 8× — md5 over every
+    (seed, shingle) pair was the hot loop at table scale.
     """
 
-    def seeded(j: int):
-        prefix = f"{j}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def slice_hash(j: int):
+        return lambda s: F.substring(F.md5(s), 4 * j + 1, 4)
 
-    return [F.array_min(F.transform(sh, seeded(j))) for j in range(n_hashes)]
+    return [F.array_min(F.transform(sh, slice_hash(j))) for j in range(n_hashes)]
 
 
 def band_digests(sig: list[Column], n_bands: int = N_BANDS) -> list[Column]:
@@ -70,12 +75,13 @@ def band_digests(sig: list[Column], n_bands: int = N_BANDS) -> list[Column]:
 def minhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """doc_id + mh_0..mh_{n-1} + band_0..band_{b-1}.
 
-    Physical form: explode shingles → per-shingle seeded md5s →
+    Physical form: explode shingles → ONE md5 per shingle, sliced into
+    N 16-bit hex pieces (codegen CSEs the shared digest) →
     ``groupBy(doc).agg(min×N)``. Tokenization/shingling runs ONCE per
     document (the closed-form per-column variant re-evaluates the
-    shingle lambda for every seed — Catalyst doesn't CSE across
+    shingle lambda for every slice — Catalyst doesn't CSE across
     higher-order functions), and the min-aggregation is partial+final,
-    so the shuffle carries only N×32-byte partial minima per doc —
+    so the shuffle carries only N×4-byte partial minima per doc —
     this is the formulation that survives 100 TB.
     """
     from scip_spark.functions.scale import ensure_parallelism
@@ -86,7 +92,7 @@ def minhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     hashed = sh.select(
         id_col,
         *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h_{j}")
+            F.substring(F.md5("shingle"), 4 * j + 1, 4).alias(f"h_{j}")
             for j in range(N_MINHASH)
         ],
     )

@@ -40,7 +40,7 @@ def dedup_exact(spark, sf_dir):
 
 def _minhash_sql() -> str:
     mh_cols = ",\n           ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min') AS mh_{j}"
+        f"list_aggregate(list_transform(hs, h -> substr(h, {4 * j + 1}, 4)), 'min') AS mh_{j}"
         for j in range(N_MINHASH)
     )
     band_cols = ",\n           ".join(
@@ -61,10 +61,13 @@ def _minhash_sql() -> str:
                   ELSE [] END AS sh
       FROM tokenized
     ),
+    hashed AS (
+      SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM shingled
+    ),
     sigs AS (
       SELECT doc_id,
            {mh_cols}
-      FROM shingled
+      FROM hashed
     )
     SELECT doc_id,
            {band_cols}
