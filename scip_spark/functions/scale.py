@@ -26,6 +26,30 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join by dim replication: the fact side gets a
+    random salt in [0, n_salts); the (small) dim side is exploded
+    n_salts times so every (key, salt) combination exists. The join key
+    becomes (key, salt), spreading a hot key over n_salts reducers.
+    Results equal ``fact.join(dim, key, how)`` — only shuffle placement
+    changes. Use when the dim is too big to broadcast but a fact key is
+    hot enough to melt one reducer; cost = n_salts× dim shuffle volume.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", (F.rand(seed=7) * n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
+
+
 def salted_count(
     df: DataFrame, key, n_salts: int = 16, agg_cols: list[Column] | None = None
 ) -> DataFrame:

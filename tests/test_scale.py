@@ -75,6 +75,82 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def _skewed_fact(spark, n=200_000):
+    """~98% of rows share key 0 — one reducer would get almost the
+    whole shuffle in a plain hash-partitioned join/agg."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 100 < 98, 0).otherwise((F.col("id") % 10)).alias("k"),
+        F.col("id").alias("v"),
+    )
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew torture: with AQE skew-join thresholds scaled down to test
+    size, the hot key-0 partition of a sort-merge join must be split
+    into multiple tasks (executedPlan reports the skew split) and the
+    result must equal the non-AQE join."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = _skewed_fact(spark)
+        dim = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 100).alias("w"))
+        # bare join: AQE can split the hot partition freely (a downstream
+        # groupBy on k would pin the partitioning and veto the split
+        # unless forceOptimizeSkewedJoin accepts the extra shuffle)
+        joined = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's QueryExecution (count()
+        # would build a fresh one and leave this plan un-finalized)
+        assert len(joined.collect()) == 200_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+        grouped = fact.join(dim, "k").groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("w").alias("sw")
+        )
+        # id%100 in {98,99} → id%10 in {8,9}: keys are 0 (hot), 8, 9
+        rows = {r.k: (r.n, r.sw) for r in grouped.collect()}
+        assert rows[0] == (196_000, 0)
+        assert rows[8] == (2_000, 2_000 * 800)
+        assert rows[9] == (2_000, 2_000 * 900)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from scip_spark.functions.scale import salted_join
+
+    fact = _skewed_fact(spark, n=50_000)
+    dim = spark.range(10).select(F.col("id").alias("k"), (F.col("id") + 100).alias("w"))
+    got = (
+        salted_join(fact, dim, "k", n_salts=8)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("w").alias("sw"))
+    )
+    want = fact.join(dim, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("sw")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the join key is widened with the salt → hot key 0 no longer maps
+    # to a single reducer partition
+    plan = salted_join(fact, dim, "k", n_salts=8)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "_salt" in plan
+
+
 def test_approx_count_distinct_accuracy(spark):
     """Sketch aggregates (HLL++) can't oracle-match DuckDB's sketches —
     accuracy is asserted against the exact distinct instead."""
