@@ -479,3 +479,312 @@ def q21_waiting_orders(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q8/Q9/Q11/Q19/Q20 shapes. The synthetic schema has no partsupp
+# table, so the part-supplier relation is derived from lineitem
+# (l_partkey, l_suppkey, l_extendedprice as the "offer"), preserving
+# each query's join/subquery structure exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part, offers, supplier, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size < 20 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND l_extendedprice = (SELECT MIN(o2.l_extendedprice)
+                             FROM offers o2
+                             WHERE o2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q2 shape: correlated MIN scalar subquery over the "
+    "region-restricted part-supplier offers",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 20) & (F.col("p_type") == "STANDARD")
+    )
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    offers = (
+        tbl(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(euro_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .distinct()
+    )
+    # correlated MIN subquery → per-part min + equality join (MIN of
+    # doubles is order-insensitive, no decimal cast needed)
+    min_offer = offers.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = offers.join(F.broadcast(min_offer), "l_partkey").filter(
+        F.col("l_extendedprice") == F.col("min_price")
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END
+                         AS DECIMAL(24,6))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: national market share — conditional numerator "
+    "over a full-volume denominator, 8-way join",
+)
+def q8_market_share(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = tbl(spark, sf_dir, "supplier")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 00:00:00")
+    )
+    cust = tbl(spark, sf_dir, "customer")
+    n1 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1")
+    )
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
+    )
+    region = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("nk1"))
+        .join(F.broadcast(region), F.col("rk1") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("nk2"))
+    )
+    num = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(F.lit(0.0))
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        (dsum(num, DEC6).cast("double") / dsum(volume, DEC6).cast("double")).alias(
+            "mkt_share"
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(24,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01 AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: LIKE-filtered multi-join profit by nation/year "
+    "(supply cost proxied by 1% of retail price — no partsupp table)",
+)
+def q9_product_type_profit(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = tbl(spark, sf_dir, "supplier")
+    orders = tbl(spark, sf_dir, "orders")
+    nation = tbl(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(amount, DEC6).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH value_by_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,6))) AS part_value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM value_by_part
+    WHERE part_value * 1000 > (SELECT SUM(part_value) FROM value_by_part)
+    """,
+    doc="TPC-H Q11 shape: HAVING against a global scalar subquery over "
+    "the same aggregation (inventory value from lineitem — no partsupp)",
+)
+def q11_important_stock(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi"
+    )
+    value = (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC6)
+    by_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("part_value"))
+    )
+    # scalar subquery: total over the SAME aggregate, broadcast back.
+    # integer-scaled decimal comparison (×1000, not ×0.001) keeps row
+    # membership exact — a double epsilon could flip boundary rows
+    # between engines
+    total = by_part.agg(F.sum("part_value").alias("t"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 1000 > F.col("t"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 5 AND 30)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 10 AND 40)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive brand/size/qty "
+    "ranges across the join",
+)
+def q19_discounted_revenue(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(5, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(10, 40)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(clause).agg(
+        dsum(revenue, DEC6).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(CASE WHEN year(l_shipdate) = 1997 THEN l_quantity ELSE 0 END
+                      AS DECIMAL(18,2))) AS qty_1997,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+                        WHERE qty_total >= 60 AND qty_1997 * 4 > qty_total)
+    GROUP BY s_name, n_name
+    """,
+    doc="TPC-H Q20 shape: nested IN subqueries — LIKE-filtered parts "
+    "inside an agg-HAVING supplier set",
+)
+def q20_potential_promotion(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    qty97 = F.when(F.year("l_shipdate") == 1997, F.col("l_quantity")).otherwise(
+        F.lit(0.0)
+    )
+    shipped = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            dsum(qty97).alias("qty_1997"),
+            dsum("l_quantity").alias("qty_total"),
+        )
+    )
+    # exact integer-scaled decimal comparison, same reason as q11; the
+    # volume floor keeps the IN-set selective (~60/100 suppliers at
+    # sf0.01) so a predicate bug can't hide behind an all-pass set
+    promo_supp = shipped.filter(
+        (F.col("qty_total") >= 60) & (F.col("qty_1997") * 4 > F.col("qty_total"))
+    ).select("l_suppkey")
+    return (
+        supp.join(F.broadcast(promo_supp), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+    )
