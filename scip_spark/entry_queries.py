@@ -14,6 +14,7 @@ for _mod in (
     "scip_spark.functions.dedup_queries",
     "scip_spark.functions.similarity_queries",
     "scip_spark.functions.tensor_queries",
+    "scip_spark.functions.sketch_queries",
 ):
     try:
         __import__(_mod)

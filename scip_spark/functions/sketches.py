@@ -1,0 +1,79 @@
+"""Mergeable distinct-count sketches.
+
+Two families:
+
+- **KMV (k-minimum-values)**: keep the k smallest hash values of a
+  set; estimate distinct count as ``(k-1) / kth_min_fraction``
+  (Bar-Yossef et al. 2002). The sketch is an array column — merging
+  two sketches is ``array_sort(array_union(a, b))[:k]``, an ordinary
+  expression, so partial sketches roll up through any tree of unions
+  (per-partition → per-day → global) without a custom UDAF. Because
+  the hash (md5) is deterministic, the estimate is bit-reproducible
+  across engines — KMV queries are oracle-paired, which no
+  implementation-defined sketch (HLL/theta) can be.
+- **HLL++** via Spark's built-in Datasketches integration
+  (``hll_sketch_agg`` / ``hll_union`` / ``hll_sketch_estimate``):
+  the production path for 100 TB — constant 2^lgK registers per
+  group, binary-mergeable. Tested with accuracy bounds (its register
+  layout is engine-specific, so no DuckDB oracle).
+
+The reference has no sketches at all (SURVEY §2.4: plain foldby
+aggregations); these extend the engine for training-data-pipeline
+cardinality work (dedup planning, join-size estimation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KMV_K = 64
+
+# first 12 hex chars of md5 → 48-bit integer; IEEE doubles hold 48
+# bits exactly, so hash/2^48 is the same double in every engine
+_HASH_BITS = 48
+_HASH_SPACE = float(2**_HASH_BITS)
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """Deterministic 48-bit uniform hash of a value (md5 prefix)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key: str, value: str, k: int = KMV_K) -> DataFrame:
+    """Per-key KMV sketch: array of the k smallest distinct hashes.
+
+    Physical plan: distinct (key, hash) pairs — a partial+final
+    aggregation on tiny rows — then one more partial+final agg
+    collecting per-key minima. ``slice(array_sort(collect_set))`` is
+    exact because collect_set holds distinct hashes only; at 100 TB
+    scale the distinct step bounds the set size per key long before
+    the collect (keys with more distinct values than executor memory
+    would need the HLL path instead — that trade-off is the point of
+    shipping both).
+    """
+    hashed = df.select(F.col(key), kmv_hash(value).alias("h")).distinct()
+    return hashed.groupBy(key).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmv")
+    )
+
+
+def kmv_estimate(sketch: Column | str, k: int = KMV_K) -> Column:
+    """(k-1)/fraction-of-space-at-kth-min; exact size when |set| < k."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    kth = F.element_at(s, k).cast("double") / F.lit(_HASH_SPACE)
+    return (
+        F.when(F.size(s) < k, F.size(s).cast("double"))
+        .otherwise(F.lit(float(k - 1)) / kth)
+    )
+
+
+def kmv_merge(a: Column | str, b: Column | str, k: int = KMV_K) -> Column:
+    """Union two sketches: merged k-minima of the combined hash sets.
+    array_union dedups, so merging a sketch with itself is a no-op —
+    the algebra is idempotent/commutative/associative (a proper
+    semilattice), which is what makes rollup trees safe."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)

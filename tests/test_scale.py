@@ -162,6 +162,68 @@ def test_approx_count_distinct_accuracy(spark):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_kmv_estimate_accuracy(spark):
+    """KMV with k=64 has relative stderr ~1/sqrt(k-1) ≈ 12.6%; assert
+    the estimate lands within 3σ of the exact distinct count."""
+    from scip_spark.functions.sketches import kmv_estimate, kmv_sketch
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    sk = kmv_sketch(orders, "o_orderpriority", "o_custkey")
+    est = {
+        r.o_orderpriority: r.e
+        for r in sk.select("o_orderpriority", kmv_estimate("kmv").alias("e")).collect()
+    }
+    assert est.keys() == exact.keys()
+    for key, n in exact.items():
+        assert abs(est[key] - n) / n < 0.38, (key, est[key], n)
+
+
+def test_kmv_merge_is_idempotent_and_matches_union(spark):
+    """Merging a sketch with itself is a no-op; merging two disjoint
+    halves equals the sketch of the union — the semilattice algebra
+    that makes per-partition rollups safe."""
+    from scip_spark.functions.sketches import kmv_merge, kmv_sketch
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "half", (F.col("o_orderkey") % 2).cast("int")
+    )
+    halves = kmv_sketch(orders, "half", "o_custkey")
+    whole = kmv_sketch(orders.withColumn("half", F.lit(-1)), "half", "o_custkey")
+    merged = (
+        halves.agg(F.collect_list("kmv").alias("ks"))
+        .select(kmv_merge(F.element_at("ks", 1), F.element_at("ks", 2)).alias("kmv"))
+        .collect()[0]
+        .kmv
+    )
+    self_merged = halves.select(
+        "half", kmv_merge("kmv", "kmv").alias("m"), "kmv"
+    ).collect()
+    for r in self_merged:
+        assert r.m == r.kmv
+    assert merged == whole.collect()[0].kmv
+
+
+def test_hll_sketches_merge_across_groups(spark):
+    """Production sketch path: per-priority HLL sketches united into a
+    global sketch (binary-mergeable — what a 1000-executor rollup
+    ships between stages) whose estimate tracks the exact distinct."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = orders.select("o_custkey").distinct().count()
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", 14).alias("sk")
+    )
+    est = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0].e
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
 def test_partition_pruning(spark, tmp_path):
     """Writing partitioned by a coarse key lets Catalyst prune entire
     directories: the year filter must show up as a PartitionFilter and
