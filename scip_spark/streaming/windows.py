@@ -138,6 +138,18 @@ def purchase_click_join(
     )
 
 
+def dedup_event_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup: drop re-deliveries of the same event_id
+    arriving within the watermark horizon. State holds one entry per
+    id seen in the horizon and is expired by the watermark — bounded
+    memory on an unbounded stream, the streaming twin of the batch
+    ``dedup_exact`` operator (at-least-once sources → exactly-once
+    downstream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def write_exactly_once_parquet(stream_df: DataFrame, out_dir: str, checkpoint: str) -> None:
     """foreachBatch sink: idempotent per-epoch parquet writes keyed by
     batch id — re-delivered batches overwrite their own directory, so
