@@ -72,16 +72,36 @@ def median_filter(img: np.ndarray, size: int = 3) -> np.ndarray:
 
 
 def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray:
-    """Grayscale rank/order filter over an arbitrary footprint: stack
-    the shifted views for every footprint offset (reflect padding) and
-    reduce with ``func`` (np.median / np.min / np.max) along axis 0."""
+    """Grayscale rank/order filter over an arbitrary footprint
+    (shifted views with reflect padding, reduced per pixel).
+
+    min/max accumulate across the views (no k×H×W stack allocation);
+    the median gathers into one (H, W, k) buffer and runs a single
+    k/2-th ``partition`` along the contiguous last axis — ~2× faster
+    than ``np.median(stack, axis=0)``, which partitions along the
+    strided first axis and computes a second kth for even k."""
     fy, fx = footprint.shape
     cy, cx = fy // 2, fx // 2
     p = np.pad(img, ((cy, fy - 1 - cy), (cx, fx - 1 - cx)), mode="reflect")
     h, w = img.shape
-    stack = [
-        p[oy : oy + h, ox : ox + w] for oy, ox in zip(*np.nonzero(footprint))
-    ]
+    offsets = list(zip(*np.nonzero(footprint)))
+    if func is np.min or func is np.max:
+        acc = p[offsets[0][0] : offsets[0][0] + h, offsets[0][1] : offsets[0][1] + w].copy()
+        op = np.minimum if func is np.min else np.maximum
+        for oy, ox in offsets[1:]:
+            op(acc, p[oy : oy + h, ox : ox + w], out=acc)
+        return acc
+    if func is np.median:
+        k = len(offsets)
+        buf = np.empty((h, w, k), dtype=img.dtype)
+        for i, (oy, ox) in enumerate(offsets):
+            buf[:, :, i] = p[oy : oy + h, ox : ox + w]
+        if k % 2:
+            buf.partition(k // 2, axis=-1)
+            return buf[:, :, k // 2]
+        part = np.partition(buf, (k // 2 - 1, k // 2), axis=-1)
+        return (part[:, :, k // 2 - 1] + part[:, :, k // 2]) / 2.0
+    stack = [p[oy : oy + h, ox : ox + w] for oy, ox in offsets]
     return func(np.stack(stack), axis=0)
 
 
@@ -157,46 +177,67 @@ def threshold_li(img: np.ndarray, tol: float | None = None, max_iter: int = 64) 
 
 
 def label(mask: np.ndarray, connectivity: int = 1) -> tuple[np.ndarray, int]:
-    """Connected-component labeling by vectorized min-index propagation.
+    """Connected-component labeling: run-based two-pass union-find.
 
-    Each foreground pixel starts at its own flat index; iterated
-    min-with-neighbours sweeps (numpy whole-array ops, no Python pixel
-    loops) converge to the component's minimum index. Densified label
-    ids follow first-occurrence raster order, matching the classic
-    two-pass algorithm. connectivity 1 = 4-neighbour, 2 = 8-neighbour.
-    Returns (labels, n).
+    Pass 1 (vectorized): number the horizontal foreground runs in
+    raster order. Pass 2: union runs that touch between adjacent rows
+    (directly for 4-connectivity, ±1 column for 8), then resolve the
+    run graph with a tiny union-find — the loop is over RUNS (tens),
+    not pixels (thousands), unlike the previous min-propagation sweep
+    whose iteration count grew with component diameter. Densified ids
+    follow first-occurrence raster order (a component's root is its
+    smallest run id, and run ids increase in raster order).
+    Returns (labels, n). connectivity 1 = 4-neighbour, 2 = 8-neighbour.
     """
     h, w = mask.shape
     if not mask.any():
         return np.zeros((h, w), dtype=np.int32), 0
-    idx = np.where(mask, np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w), 0)
-    shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    # run starts: foreground with background (or row edge) to the left
+    starts = mask.copy()
+    starts[:, 1:] &= ~mask[:, :-1]
+    run_ids = np.cumsum(starts.ravel()).reshape(h, w)
+    run_ids = np.where(mask, run_ids, 0).astype(np.int64)
+    n_runs = int(run_ids.max())
+
+    # vertical adjacency pairs (run_above, run_below)
+    pair_sets = [(mask[:-1, :] & mask[1:, :], run_ids[:-1, :], run_ids[1:, :])]
     if connectivity == 2:
-        shifts += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
-    while True:
-        nxt = idx.copy()
-        for dy, dx in shifts:
-            shifted = np.zeros_like(idx)
-            src_y = slice(max(0, -dy), h - max(0, dy))
-            dst_y = slice(max(0, dy), h - max(0, -dy))
-            src_x = slice(max(0, -dx), w - max(0, dx))
-            dst_x = slice(max(0, dx), w - max(0, -dx))
-            shifted[dst_y, dst_x] = idx[src_y, src_x]
-            np.minimum(
-                nxt,
-                np.where((shifted > 0) & mask, shifted, np.iinfo(np.int64).max),
-                out=nxt,
-                where=mask,
-            )
-        if (nxt == idx).all():
-            break
-        idx = nxt
-    roots = idx[mask]
-    uniq = np.unique(roots)  # sorted = first-occurrence raster order
-    remap = np.zeros(int(uniq.max()) + 1, dtype=np.int32)
+        pair_sets.append(
+            (mask[:-1, :-1] & mask[1:, 1:], run_ids[:-1, :-1], run_ids[1:, 1:])
+        )
+        pair_sets.append(
+            (mask[:-1, 1:] & mask[1:, :-1], run_ids[:-1, 1:], run_ids[1:, :-1])
+        )
+    edges = set()
+    for touch, above, below in pair_sets:
+        if touch.any():
+            edges.update(zip(above[touch].tolist(), below[touch].tolist()))
+
+    parent = np.arange(n_runs + 1, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller id as root → root = min run id in comp
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    for i in range(1, n_runs + 1):
+        parent[i] = find(i)
+
+    roots = parent[1:]
+    uniq = np.unique(roots)  # sorted min-run-ids = raster order
+    remap = np.zeros(n_runs + 1, dtype=np.int32)
     remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
-    out = np.zeros((h, w), dtype=np.int32)
-    out[mask] = remap[roots]
+    run_label = np.concatenate(([0], remap[roots]))
+    out = run_label[run_ids].astype(np.int32)
     return out, len(uniq)
 
 
