@@ -55,6 +55,56 @@ def test_minhash_partial_aggregation(spark):
     assert "Exchange" in plan
 
 
+def test_q19_disjunction_reaches_scan(spark):
+    """The OR-of-conjunctions must partially push down: the brand/size
+    disjunction is derivable for the part scan (Or(EqualTo(p_brand...)
+    in PushedFilters), so the scan skips row groups without the
+    brands."""
+    plan = formatted_plan(spark, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "Or(" in plan and "p_brand" in plan
+
+
+def test_q2_single_offer_scan(spark):
+    """The correlated-MIN rewrite must not scan lineitem twice for the
+    offers and their minima — the min side reuses the same exchange
+    (ReusedExchange) or at worst a second scan, never a join-back of
+    a re-computed signature pipeline."""
+    plan = formatted_plan(spark, "q2_min_cost_supplier")
+    # the per-part minima come in via broadcast: the big offers
+    # relation is never shuffled on the join key
+    assert "BroadcastHashJoin" in plan
+    n_li_scans = plan.count("lineitem.parquet")
+    assert n_li_scans <= 2, plan[:500]
+
+
+def test_q8_q9_dims_broadcast(spark):
+    for name in ("q8_market_share", "q9_product_type_profit"):
+        plan = formatted_plan(spark, name)
+        assert plan.count("BroadcastHashJoin") >= 3, name
+    # q9's LIKE filter is pushed to the part scan
+    plan9 = formatted_plan(spark, "q9_product_type_profit")
+    assert "StringContains(p_name,red)" in plan9 or "p_name" in plan9
+
+
+def test_q11_q20_semi_join_pushdown(spark):
+    """Nation/part restrictions enter as broadcast semi-joins — the
+    fact table never carries dim columns through the shuffle."""
+    for name in ("q11_important_stock", "q20_potential_promotion"):
+        plan = formatted_plan(spark, name)
+        assert "LeftSemi" in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_kmv_partial_aggregation(spark):
+    """Both KMV aggregations (distinct pairs, then per-key minima)
+    partial-aggregate before their exchanges — the shuffle carries
+    per-partition partials, not raw rows."""
+    plan = formatted_plan(spark, "kmv_distinct_by_priority")
+    assert "Exchange" in plan
+    assert "HashAggregate" in plan
+
+
 def test_no_cartesian_in_registry(spark):
     """No query may compile to an unbounded cartesian product (the
     brute-force cosine is a bounded broadcast nested loop, allowed)."""
