@@ -8,15 +8,17 @@ import scip_spark.sql_queries  # noqa: F401  SQL-API entry point queries
 import scip_spark.stats_queries  # noqa: F401  higher moments, MAD
 import scip_spark.tpch_queries  # noqa: F401  outer joins, IN/NOT-IN, HAVING
 
-# Extended registries (each module registers into queries.REGISTRY on import)
-for _mod in (
-    "scip_spark.functions.text_queries",
-    "scip_spark.functions.dedup_queries",
-    "scip_spark.functions.similarity_queries",
-    "scip_spark.functions.tensor_queries",
-    "scip_spark.functions.sketch_queries",
-):
-    try:
-        __import__(_mod)
-    except ImportError:
-        pass
+# Extended registries (each module registers into queries.REGISTRY on
+# import). Imports are NOT guarded: a broken module must fail loudly,
+# not silently shrink the query surface the driver grades.
+import scip_spark.functions.dedup_queries  # noqa: F401
+import scip_spark.functions.similarity_queries  # noqa: F401
+import scip_spark.functions.sketch_queries  # noqa: F401
+import scip_spark.functions.tensor_queries  # noqa: F401
+import scip_spark.functions.text_queries  # noqa: F401
+
+# registry floor: catches an accidentally-deleted registration at
+# import time, where the driver (and tests) will see it immediately
+from scip_spark.queries import REGISTRY as _R
+
+assert len(_R) >= 81, f"query registry shrank: {len(_R)} entries"
