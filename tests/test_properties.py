@@ -49,6 +49,44 @@ def test_label_neighbors_share_component(mask):
     assert (labels[:-1, :][same_c] == labels[1:, :][same_c]).all()
 
 
+def _label_bfs(mask, connectivity):
+    """Brute-force flood-fill oracle: labels in first-occurrence raster
+    order — the exact contract of K.label."""
+    h, w = mask.shape
+    out = np.zeros((h, w), dtype=np.int32)
+    shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 2:
+        shifts += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    n = 0
+    for y in range(h):
+        for x in range(w):
+            if mask[y, x] and out[y, x] == 0:
+                n += 1
+                stack = [(y, x)]
+                out[y, x] = n
+                while stack:
+                    cy, cx = stack.pop()
+                    for dy, dx in shifts:
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and out[ny, nx] == 0:
+                            out[ny, nx] = n
+                            stack.append((ny, nx))
+    return out, n
+
+
+@settings(max_examples=60, deadline=None)
+@given(small_masks, st.sampled_from([1, 2]))
+def test_label_equals_flood_fill_oracle(mask, connectivity):
+    """Full equality against a flood fill: same components AND the same
+    raster-order label ids — catches both under-merging (two labels in
+    one component) and over-merging (one label across components),
+    which the partition/adjacency invariants alone cannot."""
+    got, n_got = K.label(mask, connectivity)
+    want, n_want = _label_bfs(mask, connectivity)
+    assert n_got == n_want
+    np.testing.assert_array_equal(got, want)
+
+
 @settings(max_examples=40, deadline=None)
 @given(small_masks, st.integers(1, 6))
 def test_remove_small_objects_threshold(mask, min_size):
