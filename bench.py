@@ -33,6 +33,7 @@ HEADLINE = [
     "tumbling_window_events",
     "explode_tokens",
     "text_quality",
+    "corpus_clean",
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
     "dedup_simhash",

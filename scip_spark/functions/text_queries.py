@@ -211,3 +211,74 @@ def token_count_bpe(spark, sf_dir):
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.size(nums).cast("long").alias("n_number_runs"),
     )
+
+
+def _corpus_clean_sql() -> str:
+    """The composed training-data pipeline: quality floor → exact
+    dedup keep-min-id. Every stage reuses the already-oracle-verified
+    constructions above."""
+    return f"""
+    WITH tokenized AS (
+      SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             {_sql_stop_count(STOPWORDS)} AS n_stop
+      FROM tokenized
+    ),
+    quality AS (
+      SELECT doc_id, text, n_tokens
+      FROM scored
+      WHERE n_tokens >= 10
+        AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01
+    ),
+    deduped AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             MIN(doc_id) AS doc_id,
+             COUNT(*) AS n_copies
+      FROM quality
+      GROUP BY 1
+    )
+    SELECT d.doc_id, d.fp, d.n_copies, q.n_tokens
+    FROM deduped d JOIN quality q ON d.doc_id = q.doc_id
+    """
+
+
+@register(
+    "corpus_clean",
+    _corpus_clean_sql(),
+    doc="composed training-data pipeline: token/stopword quality floor "
+    "→ exact dedup keeping the min doc_id → kept-corpus manifest; "
+    "one scan feeds quality + fingerprint, only 32-byte digests and "
+    "counts shuffle",
+)
+def corpus_clean(spark, sf_dir):
+    from scip_spark.functions.scale import ensure_parallelism
+    from scip_spark.functions.text import STOPWORDS, fingerprint, tokens
+
+    docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    counts = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.lower(F.col("t"))), 1).otherwise(0)
+        ).alias("n_stop"),
+    )
+    quality = (
+        docs.join(counts, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.01)
+        )
+        .select("doc_id", "text", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )
+    deduped = (
+        quality.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+    return deduped.join(quality, "doc_id").select(
+        "doc_id", "fp", "n_copies", "n_tokens"
+    )
