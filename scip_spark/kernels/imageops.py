@@ -373,6 +373,100 @@ def expand_labels(labels: np.ndarray, distance: int = 1) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def watershed(
+    elevation: np.ndarray,
+    markers: np.ndarray,
+    mask: np.ndarray | None = None,
+    connectivity: int = 1,
+) -> np.ndarray:
+    """Marker-based watershed by priority flood: marker labels grow
+    outward in increasing elevation order, so each basin fills from
+    its marker and basins meet along elevation ridges — the semantics
+    of ``skimage.segmentation.watershed`` (without watershed lines).
+    A heap of (elevation, insertion-age, y, x) makes the flood order —
+    and therefore the result — deterministic. ``mask`` limits the
+    flood to foreground. The heap loop is per-pixel Python, but the
+    events this engine labels are small crops (64²-256²); the cost is
+    the same order as one rank filter pass.
+    """
+    import heapq
+
+    h, w = elevation.shape
+    out = markers.astype(np.int32).copy()
+    allowed = np.ones((h, w), dtype=bool) if mask is None else mask.astype(bool)
+    out[~allowed] = 0
+    shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 2:
+        shifts += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    heap: list = []
+    age = 0
+    ys, xs = np.nonzero(out > 0)
+    order = np.argsort(elevation[ys, xs], kind="stable")
+    for i in order:
+        y, x = int(ys[i]), int(xs[i])
+        heapq.heappush(heap, (float(elevation[y, x]), age, y, x))
+        age += 1
+    while heap:
+        _, _, y, x = heapq.heappop(heap)
+        lab = out[y, x]
+        for dy, dx in shifts:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and allowed[ny, nx] and out[ny, nx] == 0:
+                out[ny, nx] = lab
+                heapq.heappush(heap, (float(elevation[ny, nx]), age, ny, nx))
+                age += 1
+    return out
+
+
+def distance_transform(mask: np.ndarray) -> np.ndarray:
+    """Chamfer distance to the nearest background pixel (3-4 weights /
+    3, ≤ ~6% off Euclidean): two raster sweeps over the padded image —
+    pure numpy row-vectorized, no per-pixel Python."""
+    h, w = mask.shape
+    big = 1e9
+    d = np.where(mask, big, 0.0)
+    # out-of-image is NOT background (scipy edt semantics): pad high
+    pad = np.pad(d, 1, mode="constant", constant_values=big)
+    a, b = 1.0, 4.0 / 3.0  # orthogonal / diagonal steps (3-4 chamfer)
+    ramp = a * np.arange(w + 2)
+
+    def relax_lr(row: np.ndarray) -> np.ndarray:
+        # min_j(row[j] + a*(x-j)) for j<=x  ==  a*x + cummin(row - a*j)
+        left = np.minimum.accumulate(row - ramp) + ramp
+        right = (np.minimum.accumulate((row - ramp[::-1])[::-1]) + ramp)[::-1]
+        return np.minimum(left, right)
+
+    # forward sweep (vertical/diagonal from the row above, then the
+    # in-row horizontal relaxation in closed form — no pixel loops)
+    for y in range(1, h + 1):
+        np.minimum(pad[y, 1:-1], pad[y - 1, 1:-1] + a, out=pad[y, 1:-1])
+        np.minimum(pad[y, 1:-1], pad[y - 1, :-2] + b, out=pad[y, 1:-1])
+        np.minimum(pad[y, 1:-1], pad[y - 1, 2:] + b, out=pad[y, 1:-1])
+        pad[y] = relax_lr(pad[y])
+    # backward sweep
+    for y in range(h, 0, -1):
+        np.minimum(pad[y, 1:-1], pad[y + 1, 1:-1] + a, out=pad[y, 1:-1])
+        np.minimum(pad[y, 1:-1], pad[y + 1, :-2] + b, out=pad[y, 1:-1])
+        np.minimum(pad[y, 1:-1], pad[y + 1, 2:] + b, out=pad[y, 1:-1])
+        pad[y] = relax_lr(pad[y])
+    return pad[1:-1, 1:-1]
+
+
+def local_maxima_markers(
+    img: np.ndarray, min_distance: int = 3, threshold: float = 0.0
+) -> tuple[np.ndarray, int]:
+    """Labeled peak markers: pixels equal to the footprint max of their
+    (2·min_distance+1)² neighbourhood and above ``threshold``;
+    adjacent/plateau peaks merge into one marker via labeling — the
+    reference's peak_local_max → markers step
+    (src/scip/segmentation/watershed_dapi.py:29-62)."""
+    size = 2 * min_distance + 1
+    fp = np.ones((size, size), dtype=bool)
+    neighborhood_max = footprint_filter(img, fp, np.max)
+    peaks = (img >= neighborhood_max) & (img > threshold)
+    return label(peaks, connectivity=2)
+
+
 def bounding_box(mask: np.ndarray) -> tuple[int, int, int, int] | None:
     """(minr, minc, maxr, maxc) half-open, or None for empty mask."""
     ys, xs = np.nonzero(mask)

@@ -130,10 +130,8 @@ def _mask_circle(channel: np.ndarray, **_) -> np.ndarray:
 
 def _mask_watershed(channel: np.ndarray, **_) -> np.ndarray:
     # reference watershed.py:37-55: sobel elevation → grayscale closing
-    # (disk 2) → Otsu-derived bg/fg markers (thresh ∓ 50%) → watershed →
-    # mask_post_process. The flood is approximated by growing the
-    # markers over the elevation map (label expansion), keeping the
-    # fg-marker basin.
+    # (disk 2) → Otsu-derived bg/fg markers (thresh ∓ 50%) → watershed
+    # flood of the elevation map → mask_post_process
     elev = K.sobel(channel)
     closed = K.gray_closing(elev, K.disk(2))
     t = K.threshold_otsu(closed)
@@ -142,8 +140,8 @@ def _mask_watershed(channel: np.ndarray, **_) -> np.ndarray:
     markers[closed > t + t * 0.5] = 2
     if not (markers == 2).any():
         return np.zeros(channel.shape, dtype=bool)
-    grown = K.expand_labels(markers, max(channel.shape))
-    return _post_process(grown == 2)[0]
+    flooded = K.watershed(closed, markers)
+    return _post_process(flooded == 2)[0]
 
 
 def _post_process(m: np.ndarray) -> tuple[np.ndarray, int]:

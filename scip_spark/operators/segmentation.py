@@ -39,13 +39,37 @@ def segment_labels(df: DataFrame, backend: str = "watershed", parent_channel: in
                 shapes.append(None)
                 continue
             ch = a[parent_channel]
+            # reference watershed_dapi.py:29-62: Otsu fg → distance
+            # transform → peak markers → watershed on -distance. The
+            # flood splits touching objects; clearing the 1-px line
+            # between distinct labels (watershed_line semantics) keeps
+            # them distinct through downstream bool re-labeling.
             t = K.threshold_otsu(ch)
             fg = K.fill_holes(ch > t)
-            markers = K._erode(fg, 2)
-            lab, n = K.label(markers, 2)
-            lab = K.expand_labels(lab, 3)
-            lab[~fg] = 0
-            full = np.broadcast_to(lab > 0, a.shape).copy()
+            if not fg.any():
+                lab = np.zeros(ch.shape, dtype=np.int32)
+            else:
+                dist = K.distance_transform(fg)
+                markers, n = K.local_maxima_markers(dist, min_distance=3)
+                if n == 0:
+                    lab, _ = K.label(fg, 2)
+                else:
+                    lab = K.watershed(-dist, markers, mask=fg)
+            sep = lab > 0
+            # every 8-adjacent different-label pair has exactly one
+            # representation q = p + f over these forward offsets, so
+            # clearing the p side breaks all 8-connectivity across the
+            # ridge (to_events re-labels with connectivity 2)
+            h_, w_ = lab.shape
+            for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+                ys = slice(0, h_ - dy)
+                xs = slice(-dx, w_) if dx < 0 else slice(0, w_ - dx)
+                ys2 = slice(dy, h_)
+                xs2 = slice(0, w_ + dx) if dx < 0 else slice(dx, w_)
+                la, lb = lab[ys, xs], lab[ys2, xs2]
+                ridge = (la > 0) & (lb > 0) & (la != lb)
+                sep[ys, xs] &= ~ridge
+            full = np.broadcast_to(sep, a.shape).copy()
             masks.append(full.ravel().tolist())
             shapes.append(list(a.shape))
         pdf = pdf.copy()

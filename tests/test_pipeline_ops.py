@@ -83,6 +83,27 @@ def test_segmentation_to_events(spark):
     assert set(cells.id) == {1, 2}
 
 
+def test_segmentation_splits_touching_blobs(spark):
+    """Two gaussian blobs whose Otsu foregrounds TOUCH form one
+    connected component — the distance-transform watershed must still
+    produce two cell records (reference watershed_dapi semantics; a
+    plain threshold+label would emit one)."""
+    yy, xx = np.mgrid[:40, :60].astype(np.float32)
+    ch = 200 * np.exp(-(((yy - 20) ** 2 + (xx - 20) ** 2) / 60))
+    ch += 200 * np.exp(-(((yy - 20) ** 2 + (xx - 38) ** 2) / 60))
+    img = ch[None, :, :].astype(np.float32)
+    df = spark.createDataFrame(
+        events_to_pandas([{"path": "img", "group": "g", "pixels": img}]),
+        schema=EVENT_SCHEMA,
+    )
+    seg = segment_labels(df, "watershed")
+    cells = to_events(seg).toPandas()
+    assert len(cells) == 2
+    # the two cells sit left and right: bbox column ranges must differ
+    boxes = sorted([tuple(b) for b in cells.bbox], key=lambda b: b[1])
+    assert boxes[0][3] <= boxes[1][3] and boxes[0][1] < boxes[1][1]
+
+
 def test_cellpose_stub_raises(full_events_df):
     with pytest.raises(NotImplementedError):
         segment_labels(full_events_df, "cellpose")

@@ -87,6 +87,33 @@ def test_label_equals_flood_fill_oracle(mask, connectivity):
     np.testing.assert_array_equal(got, want)
 
 
+@settings(max_examples=30, deadline=None)
+@given(small_masks)
+def test_distance_transform_properties(mask):
+    """Chamfer DT: zero exactly on background, ≥1 on foreground, and
+    1-Lipschitz across 4-neighbours (distance can't jump more than the
+    step cost)."""
+    d = K.distance_transform(mask)
+    assert (d[~mask] == 0).all()
+    if mask.any():
+        assert (d[mask] >= 1.0 - 1e-9).all()
+    assert (np.abs(np.diff(d, axis=0)) <= 4.0 / 3.0 + 1e-9).all()
+    assert (np.abs(np.diff(d, axis=1)) <= 4.0 / 3.0 + 1e-9).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(small_masks)
+def test_watershed_covers_mask_and_respects_markers(mask):
+    """Flooding from per-component markers relabels exactly the
+    reachable foreground, and marker pixels keep their labels."""
+    if not mask.any():
+        return
+    markers, n = K.label(mask, 1)  # one marker per component
+    elev = K.distance_transform(mask)
+    ws = K.watershed(-elev, markers, mask=mask)
+    np.testing.assert_array_equal(ws, markers)  # full-component markers → identity
+
+
 @settings(max_examples=40, deadline=None)
 @given(small_masks, st.integers(1, 6))
 def test_remove_small_objects_threshold(mask, min_size):
