@@ -104,3 +104,69 @@ def kmv_union_estimate(spark, sf_dir):
         F.size("kmv").cast("long").alias("sketch_size"),
         kmv_estimate("kmv").alias("est_distinct"),
     )
+
+
+def _kmv_intersection_sql(k: int = KMV_K) -> str:
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT o_orderpriority, {_H} AS h FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    sk AS (
+      SELECT o_orderpriority, list_slice(list_sort(list(h)), 1, {k}) AS kmv
+      FROM hashed GROUP BY o_orderpriority
+    ),
+    ab AS (
+      SELECT (SELECT kmv FROM sk WHERE o_orderpriority = '1-URGENT') AS ka,
+             (SELECT kmv FROM sk WHERE o_orderpriority = '2-HIGH') AS kb
+    ),
+    merged AS (
+      SELECT ka, kb,
+             list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, {k}) AS ku
+      FROM ab
+    )
+    SELECT CAST(len(list_filter(ku, h -> list_contains(ka, h) AND list_contains(kb, h)))
+                AS DOUBLE) / len(ku) AS jaccard_est,
+           CASE WHEN len(ku) < {k} THEN CAST(len(ku) AS DOUBLE)
+                ELSE {float(k - 1)} / (CAST(ku[{k}] AS DOUBLE) / {_HASH_SPACE})
+           END AS union_est,
+           CAST(len(list_filter(ku, h -> list_contains(ka, h) AND list_contains(kb, h)))
+                AS DOUBLE) / len(ku)
+             * CASE WHEN len(ku) < {k} THEN CAST(len(ku) AS DOUBLE)
+                    ELSE {float(k - 1)} / (CAST(ku[{k}] AS DOUBLE) / {_HASH_SPACE})
+               END AS inter_est
+    FROM merged
+    """
+
+
+@register(
+    "kmv_intersection_estimate",
+    _kmv_intersection_sql(),
+    doc="theta-style set operation on KMV sketches: |A∩B| estimated as "
+    "J·|A∪B| where J = shared fraction of the union's k-minima — "
+    "deterministic, so the approximation itself is oracle-verified",
+)
+def kmv_intersection_estimate(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    sk = kmv_sketch(orders, "o_orderpriority", "o_custkey")
+    a = sk.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("kmv").alias("ka")
+    )
+    b = sk.filter(F.col("o_orderpriority") == "2-HIGH").select(F.col("kmv").alias("kb"))
+    both = a.crossJoin(F.broadcast(b)).select(
+        "ka", "kb", kmv_merge("ka", "kb").alias("ku")
+    )
+    shared = F.size(
+        F.filter(
+            F.col("ku"),
+            lambda h: F.array_contains(F.col("ka"), h)
+            & F.array_contains(F.col("kb"), h),
+        )
+    )
+    j = shared.cast("double") / F.size("ku")
+    u = kmv_estimate("ku")
+    return both.select(
+        j.alias("jaccard_est"), u.alias("union_est"), (j * u).alias("inter_est")
+    )

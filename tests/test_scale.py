@@ -209,6 +209,36 @@ def test_kmv_merge_is_idempotent_and_matches_union(spark):
     assert merged == whole.collect()[0].kmv
 
 
+def test_kmv_intersection_tracks_exact(spark):
+    """The theta-style |A∩B| estimate from two KMV sketches must land
+    near the exact customer overlap of the two priorities."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    exact_inter = a.intersect(b).count()
+    est = REGISTRY["kmv_intersection_estimate"].fn(spark, SF).collect()[0]
+    assert est.union_est > 0
+    # k=64 → loose 3σ-ish band; the point is order-of-magnitude sanity
+    assert abs(est.inter_est - exact_inter) / max(exact_inter, 1) < 0.6, (
+        est.inter_est,
+        exact_inter,
+    )
+
+
+def test_bench_headline_names_exist(spark):
+    """bench.py's HEADLINE list must reference live registry keys — a
+    rename would silently shrink the driver's recorded benchmark."""
+    import bench
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert missing == []
+
+
 def test_hll_sketches_merge_across_groups(spark):
     """Production sketch path: per-priority HLL sketches united into a
     global sketch (binary-mergeable — what a 1000-executor rollup
