@@ -101,6 +101,99 @@ def encode_series(arrays: Iterable[np.ndarray | None]) -> tuple[pd.Series, pd.Se
     return pd.Series(flats, dtype=object), pd.Series(shapes, dtype=object)
 
 
+# ---------------------------------------------------------------------------
+# binary tensor codec — the at-scale variant
+# ---------------------------------------------------------------------------
+# The array<float> codec above is the interop path (DuckDB oracle,
+# plain SQL on tensor columns). For 100 TB pixel pipelines the list
+# round-trip (ravel().tolist() → per-element Python objects → Arrow
+# list array) dominates; raw little-endian bytes in a BinaryType
+# column move through Arrow as one buffer and decode with
+# np.frombuffer — no per-element objects in either direction.
+
+def encode_tensor_bin(arr: np.ndarray) -> tuple[bytes, list[int]]:
+    a = np.ascontiguousarray(arr)
+    return a.tobytes(), list(a.shape)
+
+
+def decode_tensor_bin(buf, shape, dtype=np.float32) -> np.ndarray | None:
+    if buf is None or shape is None:
+        return None
+    return np.frombuffer(buf, dtype=dtype).reshape(tuple(int(s) for s in shape))
+
+
+def decode_series_bin(buf_s: pd.Series, shape_s: pd.Series, dtype=np.float32):
+    out = []
+    for buf, shape in zip(buf_s, shape_s):
+        if buf is None or shape is None or (isinstance(buf, float) and pd.isna(buf)):
+            out.append(None)
+        else:
+            out.append(
+                np.frombuffer(buf, dtype=dtype).reshape(tuple(int(s) for s in shape))
+            )
+    return out
+
+
+def encode_series_bin(arrays: Iterable[np.ndarray | None]) -> tuple[pd.Series, pd.Series]:
+    bufs, shapes = [], []
+    for a in arrays:
+        if a is None:
+            bufs.append(None)
+            shapes.append(None)
+        else:
+            a = np.ascontiguousarray(a)
+            bufs.append(a.tobytes())
+            shapes.append(list(a.shape))
+    return pd.Series(bufs, dtype=object), pd.Series(shapes, dtype=object)
+
+
+def pixels_to_binary(df, col: str = "pixels", dtype=np.float32):
+    """array<float> + shape → binary + shape (``<col>_bin``): one
+    mapInPandas pass converting the tensor column to the at-scale
+    binary layout. The inverse is :func:`pixels_to_array`."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != col]
+        + [T.StructField(f"{col}_bin", T.BinaryType(), True)]
+    )
+
+    def conv(it):
+        for pdf in it:
+            arrays = decode_series(pdf[col], pdf[f"{col}_shape"], dtype=dtype)
+            out = pdf.drop(columns=[col])
+            out[f"{col}_bin"] = pd.Series(
+                [None if a is None else a.tobytes() for a in arrays], dtype=object
+            ).values
+            yield out
+
+    return df.mapInPandas(conv, schema=schema)
+
+
+def pixels_to_array(df, col: str = "pixels", dtype=np.float32, spark_type=T.FloatType()):
+    """binary + shape (``<col>_bin``) → array<float> + shape: inverse
+    of :func:`pixels_to_binary`, for handing binary-layout data back
+    to SQL-visible array columns."""
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != f"{col}_bin"]
+        + [T.StructField(col, T.ArrayType(spark_type), True)]
+    )
+
+    def conv(it):
+        for pdf in it:
+            out = pdf.drop(columns=[f"{col}_bin"])
+            vals = []
+            for buf in pdf[f"{col}_bin"]:
+                if buf is None or (isinstance(buf, float) and pd.isna(buf)):
+                    vals.append(None)
+                else:
+                    vals.append(np.frombuffer(buf, dtype=dtype).tolist())
+            out[col] = pd.Series(vals, dtype=object).values
+            yield out
+
+    return df.mapInPandas(conv, schema=schema)
+
+
 def ensure_event_columns(df):
     """Add any missing EVENT_SCHEMA columns as typed nulls so loader
     outputs (which carry only their own metadata + pixels) can flow
