@@ -41,9 +41,11 @@ def _norm_cell(v: Any) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
+        # Dtype-faithful: a DuckDB HUGEINT surfacing as 939.0 must NOT match a
+        # Spark bigint 939 — the driver's hash distinguishes them, and round 1
+        # showed the old int-collapse here masked exactly that failure class.
+        # float(v) strips numpy scalar wrappers so repr is engine-neutral.
+        return repr(float(v))
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()
     return str(v)

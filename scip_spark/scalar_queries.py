@@ -24,8 +24,8 @@ from scip_spark.queries import register, tbl
            pow(l_discount, 2) AS disc_sq,
            CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
            CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_weeks,
-           sign(l_discount - 0.05) AS disc_sign,
-           round(l_extendedprice / 3.0, 2) AS third_price
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           CAST(floor(l_extendedprice * 100 / 3.0) AS BIGINT) AS third_cents
     FROM lineitem WHERE l_orderkey < 500
     """,
     doc="math scalar surface (IEEE-exact subset)",
@@ -40,8 +40,14 @@ def math_functions(spark, sf_dir):
         F.pow("l_discount", F.lit(2)).alias("disc_sq"),
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
         F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("qty_weeks"),
+        # DuckDB sign() returns TINYINT; Spark signum is DOUBLE — oracle casts
+        # to DOUBLE so both engines emit the same dtype (round-1 driver fail).
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
-        F.round(F.col("l_extendedprice") / 3.0, 2).alias("third_price"),
+        # Exact integer-cents formulation instead of round(x/3.0, 2):
+        # double-rounding is the most likely cross-engine ulp divergence, while
+        # floor of an IEEE quotient whose true value is k, k+1/3, or k+2/3 is
+        # deterministic on any correctly-rounding engine.
+        F.floor(F.col("l_extendedprice") * 100 / 3.0).cast("long").alias("third_cents"),
     )
 
 

@@ -290,8 +290,8 @@ def q10_returned_items(spark, sf_dir):
     "q12_priority_shipping",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
