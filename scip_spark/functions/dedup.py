@@ -107,12 +107,29 @@ def minhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+HOT_BUCKET_THRESHOLD = 64
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_bucket_threshold: int = HOT_BUCKET_THRESHOLD,
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band.
 
     Scale path: the exploded (band_idx, digest) relation shuffles
-    ~32 B/row; a skewed digest (boilerplate cluster) is handled by
-    AQE skew-join splitting.
+    ~32 B/row and the signature pipeline runs ONCE (a self-join would
+    carry two full copies of it); the only shuffle is the bucket
+    groupBy. Collecting a bucket's member ids is cheap even for a
+    mega-bucket (100k ids ≈ 800 KB), but the TRIANGULAR pair expansion
+    is n² — 10¹⁰ structs inside one task for a 100k-doc boilerplate
+    cluster, and no optimizer can split a single aggregation group.
+    So buckets larger than ``hot_bucket_threshold`` emit a STAR instead
+    (min member ↔ every other member): n−1 pairs, bounded per-task
+    memory, and exactly the same connected components downstream —
+    a star keeps the whole cluster linked, which is what the candidate
+    graph exists for. Small buckets keep exact all-pairs semantics.
     """
     mh = minhash_table(docs, text_col, id_col)
     buckets = mh.select(
@@ -121,15 +138,10 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
             "band_idx", "digest"
         ),
     )
-    # group members per bucket and emit ordered pairs in-place: the
-    # signature pipeline runs ONCE (a self-join would carry two full
-    # copies of it) and the only shuffle is the bucket groupBy. A hot
-    # bucket (boilerplate cluster) emits its n² pairs inside one task —
-    # the same cost the join pays, without the second signature pass.
     members = buckets.groupBy("band_idx", "digest").agg(
         F.array_sort(F.collect_list(id_col)).alias("ms")
     ).filter(F.size("ms") > 1)
-    pairs = members.select(
+    small_pairs = members.filter(F.size("ms") <= hot_bucket_threshold).select(
         F.explode(
             F.expr(
                 "flatten(transform(ms, (x, i) -> "
@@ -138,7 +150,16 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
             )
         ).alias("p")
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    # ms is sorted ascending, so ms[0] is the bucket minimum
+    hot_pairs = members.filter(F.size("ms") > hot_bucket_threshold).select(
+        F.explode(
+            F.expr(
+                "transform(slice(ms, 2, size(ms) - 1), "
+                "y -> struct(element_at(ms, 1) AS id_a, y AS id_b))"
+            )
+        ).alias("p")
+    )
+    return small_pairs.unionByName(hot_pairs).select("p.id_a", "p.id_b").distinct()
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -165,6 +186,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("node_id"))
     )
+    prev_cached = None
     for _ in range(max_iter):
         # propagate: candidate label for dst = min(label[src]) over edges
         prop = (
@@ -189,9 +211,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the count above materialized new_labels; the previous
+        # iteration's cache is dead weight from here on — without this
+        # unpersist, 20 iterations pile 20 label snapshots into executor
+        # storage memory
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
             break
+    # the returned labels stay cached (the caller consumes them next);
+    # edges are only needed if lineage recomputes
+    edges.unpersist()
     return labels
 
 

@@ -87,16 +87,31 @@ def dedup_minhash_signatures(spark, sf_dir):
 
 
 def _lsh_pairs_sql() -> str:
+    """Mirrors lsh_candidate_pairs' hot-bucket semantics: all-pairs for
+    buckets ≤ threshold, min-member star for oversized buckets."""
     bands_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, {i} AS band_idx, band_{i} AS digest FROM sigs"
         for i in range(N_BANDS)
     )
+    t = dedup.HOT_BUCKET_THRESHOLD
     return f"""
     WITH sigs AS ({_minhash_sql()}),
-    buckets AS ({bands_union})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM buckets a JOIN buckets b
-      ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
+    buckets AS ({bands_union}),
+    sized AS (
+      SELECT doc_id, band_idx, digest,
+             COUNT(*) OVER (PARTITION BY band_idx, digest) AS n,
+             MIN(doc_id) OVER (PARTITION BY band_idx, digest) AS mn
+      FROM buckets
+    )
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b
+        ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
+      WHERE a.n <= {t}
+      UNION ALL
+      SELECT mn AS id_a, doc_id AS id_b
+      FROM sized WHERE n > {t} AND doc_id <> mn
+    )
     """
 
 

@@ -27,18 +27,30 @@ META_COLS = ["path", "group", "id", "object_number"]
 INTENSITY_PROPS = [
     "mean", "median", "min", "max", "std", "mad", "q25", "q75", "sum", "skew", "kurt",
 ]
-INTENSITY_VIEWS = ["mask", "bgcorr", "edge", "combined"]
-SHAPE_PROPS = [
-    "area", "centroid_r", "centroid_c", "bbox_minr", "bbox_minc", "bbox_maxr",
-    "bbox_maxc", "extent", "major_axis_length", "minor_axis_length",
-    "eccentricity", "perimeter", "n_components",
+# Reference intensity.py:40-51 — 8 views: {channel, combined} ×
+# {raw, bgcorr, edge, bgcorr_edge}.
+INTENSITY_VIEWS = [
+    "mask",
+    "bgcorr",
+    "edge",
+    "bgcorr_edge",
+    "combined",
+    "combined_bgcorr",
+    "combined_edge",
+    "combined_bgcorr_edge",
 ]
+# Reference shape.py:24-84 — the full 59-prop regionprops set, computed
+# for the combined mask plus every channel mask (shape.py:108-112).
+SHAPE_PROPS = list(K.SHAPE_PROP_NAMES)
 GLCM_BASE = ["contrast", "dissimilarity", "homogeneity", "energy", "correlation", "asm"]
 # reference texture.py:25-47: per-prop mean AND std over the 4 angles,
 # at distances 3 and 5, plus sobel-map stats
 TEXTURE_PROPS = [
     f"glcm_{stat}_{p}_d{d}" for d in (3, 5) for p in GLCM_BASE for stat in ("mean", "std")
 ] + ["sobel_mean", "sobel_std", "sobel_max", "sobel_min"]
+# Reference texture.py:29-47: every texture prop is computed on the
+# channel-mask view AND the combined-mask view.
+TEXTURE_VIEWS = ["", "combined_"]
 BBOX_PROPS = ["bbox_minr", "bbox_minc", "bbox_maxr", "bbox_maxc"]
 
 
@@ -56,9 +68,15 @@ def feature_columns(nchannels: int, families: list[str]) -> list[str]:
     if "raw" in families:
         cols += [f"feat_raw_{p}_c{c}" for c in range(nchannels) for p in INTENSITY_PROPS]
     if "shape" in families:
+        cols += [f"feat_shape_{p}_combined" for p in SHAPE_PROPS]
         cols += [f"feat_shape_{p}_c{c}" for c in range(nchannels) for p in SHAPE_PROPS]
     if "texture" in families:
-        cols += [f"feat_texture_{p}_c{c}" for c in range(nchannels) for p in TEXTURE_PROPS]
+        cols += [
+            f"feat_texture_{v}{p}_c{c}"
+            for c in range(nchannels)
+            for v in TEXTURE_VIEWS
+            for p in TEXTURE_PROPS
+        ]
     return cols
 
 
@@ -145,51 +163,94 @@ def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int 
     return out
 
 
-def _record_features(a, m, cm, bg, bbox, families: list[str], nchannels: int) -> list[float]:
+def _shape_row(mask: np.ndarray) -> list[float]:
+    """Component-mean of the 59 regionprops (reference shape.py:115-123:
+    ``numpy.mean(props[k])`` over the labeled components), or the fixed
+    empty-mask default row (shape.py:149-211)."""
+    if not mask.any():
+        return list(K.SHAPE_EMPTY_DEFAULTS)
+    lab, _ = K.label(mask, 2)
+    props = K.regionprops_full(lab)
+    return [float(np.mean([pr[p] for pr in props])) for p in SHAPE_PROPS]
+
+
+def _texture_row(chan: np.ndarray, mask: np.ndarray) -> list[float]:
+    out = _glcm_features(chan, mask, 3) + _glcm_features(chan, mask, 5)
+    sob = K.sobel(chan)[mask]
+    if sob.size:
+        out += [float(sob.mean()), float(sob.std()), float(sob.max()), float(sob.min())]
+    else:
+        out += [0.0] * 4
+    return out
+
+
+def _record_features(
+    a, m, cm, bg, cbg, bbox, families: list[str], nchannels: int
+) -> list[float]:
     out: list[float] = []
+    ZERO11 = [0.0] * len(INTENSITY_PROPS)
+    if cm is not None:
+        cm_any = cm
+    elif m is not None:
+        cm_any = m.any(axis=0)
+    else:
+        cm_any = np.ones(a.shape[1:], bool)
     if "bbox" in families:
         out += [float(v) for v in (bbox if bbox is not None else [0, 0, 0, 0])]
     if "intensity" in families:
+        # combined-mask edge is channel-independent: compute once
+        cm_edge = cm_any ^ K.erode_footprint(cm_any, K.disk(6))
         for c in range(nchannels):
             chan = a[c]
             mask_c = m[c] if m is not None else np.ones_like(chan, bool)
-            edge_c = mask_c & ~K.erode_footprint(mask_c, K.disk(6))
-            bg_c = bg[c] if bg is not None else 0.0
-            views = {
-                "mask": chan[mask_c],
-                "bgcorr": chan[mask_c] - bg_c,
-                "edge": chan[edge_c],
-                "combined": chan[cm] if cm is not None else chan[mask_c],
-            }
+            bg_c = float(bg[c]) if bg is not None else 0.0
+            cbg_c = float(cbg[c]) if cbg is not None else 0.0
+            rows: dict[str, list[float]] = {}
+            # views 1-4: channel mask (reference intensity.py:126-145 —
+            # empty mask or empty edge default to 0 rows)
+            if mask_c.any():
+                mp = chan[mask_c]
+                rows["mask"] = _stats11(mp)
+                rows["bgcorr"] = _stats11(mp - bg_c)
+                edge = mask_c ^ K.erode_footprint(mask_c, K.disk(6))
+                if edge.any():
+                    ep = chan[edge]
+                    rows["edge"] = _stats11(ep)
+                    rows["bgcorr_edge"] = _stats11(ep - bg_c)
+                else:
+                    rows["edge"] = ZERO11
+                    rows["bgcorr_edge"] = ZERO11
+            else:
+                rows["mask"] = rows["bgcorr"] = ZERO11
+                rows["edge"] = rows["bgcorr_edge"] = ZERO11
+            # views 5-8: combined mask (intensity.py:147-162)
+            cp = chan[cm_any]
+            rows["combined"] = _stats11(cp)
+            rows["combined_bgcorr"] = _stats11(cp - cbg_c)
+            if cm_edge.any():
+                cep = chan[cm_edge]
+                rows["combined_edge"] = _stats11(cep)
+                rows["combined_bgcorr_edge"] = _stats11(cep - cbg_c)
+            else:
+                rows["combined_edge"] = ZERO11
+                rows["combined_bgcorr_edge"] = ZERO11
             for v in INTENSITY_VIEWS:
-                out += _stats11(views[v])
+                out += rows[v]
     if "raw" in families:
         for c in range(nchannels):
             out += _stats11(a[c])
     if "shape" in families:
+        # combined row first, then one row per channel (shape.py:143-148)
+        out += _shape_row(cm_any)
         for c in range(nchannels):
             mask_c = m[c] if m is not None else np.ones(a.shape[1:], bool)
-            lab, n = K.label(mask_c, 2)
-            props = K.regionprops_basic(lab)
-            if props:
-                for p in SHAPE_PROPS[:-1]:
-                    out.append(float(np.mean([pr[p] for pr in props])))
-                out.append(float(n))
-            else:
-                # fixed default row for empty masks (reference
-                # shape.py:149-211)
-                out += [0.0] * len(SHAPE_PROPS)
+            out += _shape_row(mask_c)
     if "texture" in families:
         for c in range(nchannels):
             chan = a[c]
             mask_c = m[c] if m is not None else np.ones_like(chan, bool)
-            out += _glcm_features(chan, mask_c, 3)
-            out += _glcm_features(chan, mask_c, 5)
-            sob = K.sobel(chan)[mask_c]
-            if sob.size:
-                out += [float(sob.mean()), float(sob.std()), float(sob.max()), float(sob.min())]
-            else:
-                out += [0.0] * 4
+            out += _texture_row(chan, mask_c)
+            out += _texture_row(chan, cm_any)
     return out
 
 
@@ -227,7 +288,14 @@ def extract_features(df: DataFrame, nchannels: int, families: list[str] | None =
                 else None
             )
             vals = _record_features(
-                a, m, cm, base.get("background"), base.get("bbox"), families, nchannels
+                a,
+                m,
+                cm,
+                base.get("background"),
+                base.get("combined_background"),
+                base.get("bbox"),
+                families,
+                nchannels,
             )
             rows.append({**meta, **dict(zip(feat_cols, vals))})
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])

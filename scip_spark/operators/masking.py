@@ -130,18 +130,22 @@ def _mask_circle(channel: np.ndarray, **_) -> np.ndarray:
 
 def _mask_watershed(channel: np.ndarray, **_) -> np.ndarray:
     # reference watershed.py:37-55: sobel elevation → grayscale closing
-    # (disk 2) → Otsu-derived bg/fg markers (thresh ∓ 50%) → watershed
-    # flood of the elevation map → mask_post_process
+    # (disk 2) → Otsu-derived bg/fg markers (thresh ∓ 50%) → compact
+    # watershed flood of the RAW channel (watershed.py:48:
+    # ``watershed(image[dim], markers, compactness=1)``) → keep
+    # ``segmentation == segmentation.max()`` (watershed.py:50-54: with
+    # background markers only, label 1 IS the kept region)
     elev = K.sobel(channel)
     closed = K.gray_closing(elev, K.disk(2))
     t = K.threshold_otsu(closed)
     markers = np.zeros(channel.shape, dtype=np.int32)
     markers[closed < t - t * 0.5] = 1
     markers[closed > t + t * 0.5] = 2
-    if not (markers == 2).any():
+    flooded = K.watershed(channel, markers, compactness=1.0)
+    top = int(flooded.max())
+    if top == 0:
         return np.zeros(channel.shape, dtype=bool)
-    flooded = K.watershed(closed, markers)
-    return _post_process(flooded == 2)[0]
+    return _post_process(flooded == top)[0]
 
 
 def _post_process(m: np.ndarray) -> tuple[np.ndarray, int]:

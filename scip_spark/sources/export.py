@@ -30,45 +30,89 @@ def export_parquet(df: DataFrame, output: str, mode: str = "overwrite",
     w.parquet(output)
 
 
-def export_anndata(df: DataFrame, output: str, filename: str = "features") -> None:
-    """Split feat_*/meta columns per partition into .h5ad files
-    (reference src/scip/export/anndata.py:12-60)."""
-    try:
-        import anndata  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "anndata/h5py are not installed in this environment; the "
-            "parquet sink is the supported path here."
-        ) from e
+def export_anndata(
+    df: DataFrame,
+    output: str,
+    filename: str = "features",
+    anndata_factory=None,
+) -> int:
+    """Split feat_*/meta columns into one ``.h5ad`` file per partition
+    (reference src/scip/export/anndata.py:12-60), written EXECUTOR-side
+    via ``mapInPandas`` — no driver collect, so the sink scales with the
+    cluster exactly like ``export_labeled_masks``. Returns rows written.
 
-    def write_partition(idx: int, pdf: pd.DataFrame) -> None:  # pragma: no cover
-        import anndata
+    ``anndata_factory`` is a zero-arg callable returning an
+    anndata-compatible module/namespace, imported INSIDE the task (the
+    real import by default). Tests inject a fake factory — cloudpickle
+    ships it by value — which exercises the full distributed write path
+    without the optional dependency (reference treats anndata as an
+    optional extra, setup.cfg:52-60)."""
+    if anndata_factory is None:
+        try:
+            import anndata  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "anndata/h5py are not installed in this environment; the "
+                "parquet sink is the supported path here, or inject "
+                "anndata_factory."
+            ) from e
 
-        feat = pdf[[c for c in pdf.columns if c.startswith("feat_")]]
-        meta = pdf[[c for c in pdf.columns if not c.startswith("feat_")]]
-        ad = anndata.AnnData(X=feat.to_numpy(), obs=meta)
-        ad.write(os.path.join(output, f"{filename}.{idx}.h5ad"))
+        def anndata_factory():  # pragma: no cover - env-dependent
+            import anndata
 
-    for idx, pdf in enumerate(df.toPandas().groupby(df.columns[0], sort=False)):
-        write_partition(idx, pdf[1])
+            return anndata
+
+    os.makedirs(output, exist_ok=True)
+
+    def write_partitions(batches):
+        from pyspark import TaskContext
+
+        ad_mod = anndata_factory()
+        pid = TaskContext.get().partitionId()
+        parts = [pdf for pdf in batches]
+        n = 0
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            feat = pdf[[c for c in pdf.columns if c.startswith("feat_")]]
+            meta = pdf[[c for c in pdf.columns if not c.startswith("feat_")]]
+            ad = ad_mod.AnnData(X=feat.to_numpy(), obs=meta)
+            ad.write(os.path.join(output, f"{filename}.{pid}.h5ad"))
+            n = len(pdf)
+        yield pd.DataFrame({"rows_written": [n]})
+
+    counts = df.mapInPandas(write_partitions, schema="rows_written long")
+    row = counts.agg({"rows_written": "sum"}).collect()[0]
+    return int(row[0] or 0)
 
 
 def export_labeled_masks(df: DataFrame, output: str, group_keys: list[str]) -> int:
     """Write each record's mask as .npy named by its group keys
     (reference src/scip/segmentation/__init__.py:56-67). Side-effecting
-    foreachPartition; returns number of files written."""
+    mapInPandas; returns number of files written, aggregated from the
+    tasks themselves — on a real cluster each executor writes to ITS
+    local/shared filesystem, so counting the driver's local directory
+    (the previous implementation) is only correct in local mode."""
     os.makedirs(output, exist_ok=True)
 
-    def write_partition(rows) -> None:
-        for row in rows:
-            if row["mask"] is None:
-                continue
-            name = "_".join(str(row[k]) for k in group_keys)
-            arr = np.asarray(row["mask"], dtype=bool).reshape(row["mask_shape"])
-            np.save(os.path.join(output, f"{name}.npy"), arr)
+    def write_partitions(batches):
+        n = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                if row["mask"] is None:
+                    continue
+                name = "_".join(str(row[k]) for k in group_keys)
+                arr = np.asarray(row["mask"], dtype=bool).reshape(
+                    list(row["mask_shape"])
+                )
+                np.save(os.path.join(output, f"{name}.npy"), arr)
+                n += 1
+        yield pd.DataFrame({"files_written": [n]})
 
-    df.select("mask", "mask_shape", *group_keys).foreachPartition(write_partition)
-    return len(os.listdir(output))
+    counts = df.select("mask", "mask_shape", *group_keys).mapInPandas(
+        write_partitions, schema="files_written long"
+    )
+    row = counts.agg({"files_written": "sum"}).collect()[0]
+    return int(row[0] or 0)
 
 
 def export_channel_boundaries(extents_df: DataFrame, output: str) -> str:

@@ -98,3 +98,204 @@ def test_ragged_tensor_features(spark):
     a = out.sort_values("object_number").reset_index(drop=True)
     assert a.loc[0, "feat_shape_area_c0"] == 36.0  # (8-2)*(8-2)
     assert a.loc[2, "feat_shape_area_c0"] == 18.0 * 28.0
+
+
+# --- round 2: full 59-prop shape set (F18), 8 intensity views (F19),
+# --- texture combined view (F21)
+
+
+def test_shape_prop_inventory_matches_reference():
+    """59 props per view (reference shape.py:24-84), combined + per
+    channel (shape.py:108-112)."""
+    from scip_spark.kernels.imageops import SHAPE_PROP_NAMES
+    from scip_spark.operators.features import SHAPE_PROPS
+
+    assert len(SHAPE_PROP_NAMES) == 59
+    assert SHAPE_PROPS == list(SHAPE_PROP_NAMES)
+    cols = feature_columns(3, ["shape"])
+    assert len(cols) == 59 * 4  # combined + 3 channels
+    assert "feat_shape_moments_hu_6_combined" in cols
+    assert "feat_shape_solidity_c2" in cols
+
+
+def test_regionprops_full_known_values():
+    import numpy as np
+
+    from scip_spark.kernels import imageops as K
+
+    # solid 6x6 square
+    m = np.zeros((10, 10), bool)
+    m[2:8, 2:8] = True
+    p = K.regionprops_full(K.label(m, 2)[0])[0]
+    assert p["area"] == 36.0
+    assert p["convex_area"] == 36.0
+    assert p["filled_area"] == 36.0
+    assert p["solidity"] == 1.0
+    assert p["extent"] == 1.0
+    assert p["euler_number"] == 1.0
+    assert p["eccentricity"] == 0.0  # symmetric
+    assert p["moments_0_0"] == 36.0
+    # raw moment m10 = sum of row coords (bbox-local 0..5, 6 each)
+    assert p["moments_1_0"] == 6 * (0 + 1 + 2 + 3 + 4 + 5)
+    assert p["moments_central_1_0"] == 0.0  # central first moment vanishes
+    np.testing.assert_allclose(p["equivalent_diameter"], np.sqrt(4 * 36 / np.pi))
+    # inertia tensor of a symmetric square: diagonal, equal eigenvalues
+    assert p["inertia_tensor_0_1"] == 0.0
+    assert p["inertia_tensor_eigvals_0"] == p["inertia_tensor_eigvals_1"]
+
+    # square with a hole: euler 0, filled_area recovers the hole
+    m2 = m.copy()
+    m2[4:6, 4:6] = False
+    p2 = K.regionprops_full(K.label(m2, 2)[0])[0]
+    assert p2["euler_number"] == 0.0
+    assert p2["area"] == 32.0
+    assert p2["filled_area"] == 36.0
+
+    # L-shape: convex hull strictly larger than the region
+    mL = np.zeros((10, 10), bool)
+    mL[1:9, 1:3] = True
+    mL[7:9, 1:9] = True
+    pL = K.regionprops_full(K.label(mL, 2)[0])[0]
+    assert pL["convex_area"] > pL["area"]
+    assert 0 < pL["solidity"] < 1
+
+    # thin diagonal: eccentricity ~1, feret = hull diagonal
+    m3 = np.zeros((20, 20), bool)
+    for i in range(15):
+        m3[i + 2, i + 2] = True
+    p3 = K.regionprops_full(K.label(m3, 2)[0])[0]
+    assert p3["eccentricity"] > 0.99
+    assert p3["feret_diameter_max"] > 14 * np.sqrt(2)
+
+    # Hu moments are translation-invariant
+    mA = np.zeros((16, 16), bool)
+    mA[2:7, 3:9] = True
+    mB = np.zeros((16, 16), bool)
+    mB[9:14, 7:13] = True
+    pA = K.regionprops_full(K.label(mA, 2)[0])[0]
+    pB = K.regionprops_full(K.label(mB, 2)[0])[0]
+    for k in range(7):
+        np.testing.assert_allclose(
+            pA[f"moments_hu_{k}"], pB[f"moments_hu_{k}"], atol=1e-12
+        )
+
+
+def test_shape_empty_mask_default_row(spark):
+    """Reference shape.py:149-211: empty channel mask -> first 11 props
+    0, the rest null."""
+    import numpy as np
+
+    from scip_spark.kernels.imageops import SHAPE_PROP_NAMES
+    from scip_spark.schema import EVENT_SCHEMA, events_to_pandas
+
+    px = np.ones((2, 8, 8), dtype=np.float32)
+    m = np.zeros((2, 8, 8), dtype=bool)
+    m[0, 2:6, 2:6] = True  # channel 1 mask stays empty
+    rec = {
+        "path": "r0", "group": "g", "object_number": 0,
+        "pixels": px, "mask": m, "combined_mask": m[0],
+        "background": [0.0, 0.0], "combined_background": [0.0, 0.0],
+        "bbox": [2, 2, 6, 6], "regions": [1, 0],
+    }
+    df = spark.createDataFrame(events_to_pandas([rec]), schema=EVENT_SCHEMA)
+    out = extract_features(df, nchannels=2, families=["shape"]).toPandas().iloc[0]
+    zero_props = SHAPE_PROP_NAMES[:11]
+    null_props = SHAPE_PROP_NAMES[11:]
+    for p in zero_props:
+        assert out[f"feat_shape_{p}_c1"] == 0.0, p
+    for p in null_props:
+        assert np.isnan(out[f"feat_shape_{p}_c1"]), p
+    # non-empty channel 0 and combined rows are fully populated
+    for p in SHAPE_PROP_NAMES:
+        assert not np.isnan(out[f"feat_shape_{p}_c0"]), p
+        assert not np.isnan(out[f"feat_shape_{p}_combined"]), p
+    assert out["feat_shape_area_c0"] == 16.0
+    assert out["feat_shape_area_combined"] == 16.0
+
+
+def test_intensity_eight_views(full_events_df):
+    """Reference intensity.py:40-51: 8 views x 11 props per channel;
+    bgcorr shifts the mean by the background, combined views use the
+    combined background."""
+    from scip_spark.operators.features import INTENSITY_PROPS, INTENSITY_VIEWS
+
+    assert INTENSITY_VIEWS == [
+        "mask", "bgcorr", "edge", "bgcorr_edge",
+        "combined", "combined_bgcorr", "combined_edge", "combined_bgcorr_edge",
+    ]
+    cols = feature_columns(3, ["intensity"])
+    assert len(cols) == 11 * 8 * 3
+    out = _feat_frame(full_events_df).iloc[0]
+    # zero background: bgcorr views equal their raw counterparts
+    assert out["feat_intensity_mean_bgcorr_c0"] == out["feat_intensity_mean_mask_c0"]
+    assert (
+        out["feat_intensity_sum_combined_bgcorr_c1"]
+        == out["feat_intensity_sum_combined_c1"]
+    )
+    # full 10x10 mask: disk(6) erosion clears it, so edge == mask view
+    assert out["feat_intensity_mean_edge_c0"] == out["feat_intensity_mean_mask_c0"]
+    assert len(INTENSITY_PROPS) == 11
+
+
+def test_intensity_bgcorr_shifts_mean(spark):
+    import numpy as np
+
+    from scip_spark.schema import EVENT_SCHEMA, events_to_pandas
+
+    px = np.tile(np.arange(64, dtype=np.float32).reshape(8, 8), (2, 1, 1))
+    m = np.ones((2, 8, 8), dtype=bool)
+    rec = {
+        "path": "r0", "group": "g", "object_number": 0,
+        "pixels": px, "mask": m, "combined_mask": m[0],
+        "background": [10.0, 3.0], "combined_background": [7.0, 2.0],
+        "bbox": [0, 0, 8, 8], "regions": [1, 1],
+    }
+    df = spark.createDataFrame(events_to_pandas([rec]), schema=EVENT_SCHEMA)
+    out = extract_features(df, nchannels=2, families=["intensity"]).toPandas().iloc[0]
+    mu = float(np.arange(64).mean())
+    assert out["feat_intensity_mean_mask_c0"] == mu
+    assert out["feat_intensity_mean_bgcorr_c0"] == mu - 10.0
+    assert out["feat_intensity_mean_bgcorr_c1"] == mu - 3.0
+    # combined views use combined_background, not the channel background
+    assert out["feat_intensity_mean_combined_bgcorr_c0"] == mu - 7.0
+    assert out["feat_intensity_mean_combined_bgcorr_c1"] == mu - 2.0
+
+
+def test_texture_combined_view(spark):
+    """Reference texture.py:29-47: every texture prop appears for the
+    channel-mask AND combined-mask views; with combined == channel mask
+    the two views agree, with a different combined mask they differ."""
+    import numpy as np
+
+    from scip_spark.schema import EVENT_SCHEMA, events_to_pandas
+
+    cols = feature_columns(2, ["texture"])
+    assert len(cols) == 28 * 2 * 2  # 28 props x 2 views x 2 channels
+    assert "feat_texture_combined_glcm_mean_contrast_d3_c0" in cols
+    assert "feat_texture_combined_sobel_max_c1" in cols
+
+    rng = np.random.RandomState(7)
+    px = (rng.rand(2, 12, 12) * 100).astype(np.float32)
+    m = np.zeros((2, 12, 12), dtype=bool)
+    m[:, 2:10, 2:10] = True
+    cm_same = m[0].copy()
+    rec = {
+        "path": "r0", "group": "g", "object_number": 0,
+        "pixels": px, "mask": m, "combined_mask": cm_same,
+        "background": [0.0, 0.0], "combined_background": [0.0, 0.0],
+        "bbox": [2, 2, 10, 10], "regions": [1, 1],
+    }
+    df = spark.createDataFrame(events_to_pandas([rec]), schema=EVENT_SCHEMA)
+    out = extract_features(df, nchannels=2, families=["texture"]).toPandas().iloc[0]
+    for p in ["glcm_mean_contrast_d3", "glcm_std_energy_d5", "sobel_mean"]:
+        assert out[f"feat_texture_{p}_c0"] == out[f"feat_texture_combined_{p}_c0"], p
+
+    cm_diff = np.zeros((12, 12), dtype=bool)
+    cm_diff[4:8, 4:8] = True
+    rec2 = dict(rec, combined_mask=cm_diff)
+    df2 = spark.createDataFrame(events_to_pandas([rec2]), schema=EVENT_SCHEMA)
+    out2 = extract_features(df2, nchannels=2, families=["texture"]).toPandas().iloc[0]
+    assert (
+        out2["feat_texture_glcm_mean_contrast_d3_c0"]
+        != out2["feat_texture_combined_glcm_mean_contrast_d3_c0"]
+    )

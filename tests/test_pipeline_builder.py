@@ -128,3 +128,60 @@ def test_multimodal_plumbing(spark):
     # media_id=5 (video, 5s) contributes 5 frames; id=0 → 1 frame
     assert len(frames[frames.media_id == 5]) == 5
     assert len(frames[frames.media_id == 0]) == 1
+
+
+def test_export_anndata_distributed_fake_factory(full_events_df, tmp_path):
+    """S11: the anndata sink writes per-partition INSIDE tasks (no
+    driver collect). A fake factory — shipped by value via cloudpickle —
+    proves the executor-side path runs end-to-end without the optional
+    dependency and that every row is written exactly once."""
+    import glob
+    import json
+    import os
+
+    from scip_spark.operators.features import extract_features
+    from scip_spark.sources.export import export_anndata
+
+    out_dir = str(tmp_path / "h5ad")
+
+    def fake_factory():
+        class FakeAnnData:
+            def __init__(self, X, obs):
+                self.X = X
+                self.obs = obs
+
+            def write(self, path):
+                with open(path, "w") as f:
+                    json.dump(
+                        {"n_obs": len(self.obs), "n_feat": self.X.shape[1]}, f
+                    )
+
+        class FakeModule:
+            AnnData = FakeAnnData
+
+        return FakeModule
+
+    feats = extract_features(full_events_df, nchannels=3)
+    n = export_anndata(feats, out_dir, anndata_factory=fake_factory)
+    assert n == 10
+    files = sorted(glob.glob(os.path.join(out_dir, "features.*.h5ad")))
+    assert files  # at least one non-empty partition wrote a file
+    total = 0
+    for fp in files:
+        with open(fp) as f:
+            payload = json.load(f)
+        assert payload["n_feat"] > 0
+        total += payload["n_obs"]
+    assert total == 10
+
+
+def test_export_anndata_no_driver_collect():
+    """Guard: the sink's code path must not fall back to toPandas on the
+    driver (the round-1 implementation did, a driver OOM at scale)."""
+    import inspect
+
+    from scip_spark.sources import export
+
+    src = inspect.getsource(export.export_anndata)
+    assert "toPandas" not in src
+    assert "mapInPandas" in src

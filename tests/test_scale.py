@@ -272,3 +272,53 @@ def test_partition_pruning(spark, tmp_path):
     assert pf and "order_year" in pf[0]
     want = orders.filter(F.col("order_year") == 1997).count()
     assert q.count() == want
+
+
+def test_lsh_hot_bucket_star_fallback(spark):
+    """A 10k-doc identical-boilerplate cluster lands in one (band,
+    digest) bucket; the triangular expansion would be ~50M pairs inside
+    ONE task. The star fallback emits n-1 pairs, bounded per task, and
+    preserves connectivity for downstream connected components."""
+    import pandas as pd
+
+    from scip_spark.functions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    n = 10_000
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": ["the same boilerplate legal disclaimer text here"] * n,
+            }
+        )
+    )
+    pairs = lsh_candidate_pairs(docs)
+    got = pairs.toPandas()
+    # star over the min member: exactly n-1 pairs, all anchored at 0
+    assert len(got) == n - 1
+    assert (got["id_a"] == 0).all()
+    # the whole cluster still collapses to one component
+    cc = connected_components(pairs).toPandas()
+    assert cc["component"].nunique() == 1
+    assert len(cc) == n
+
+
+def test_lsh_star_fallback_equals_uncapped_on_normal_corpus(spark):
+    """On a corpus with no oversized buckets the capped operator is
+    bit-identical to the uncapped all-pairs semantics."""
+    import pandas as pd
+
+    from scip_spark.functions.dedup import lsh_candidate_pairs
+
+    rows = []
+    for i in range(60):
+        base = f"document number {i % 20} talks about topic {i % 7} in detail"
+        rows.append({"doc_id": i, "text": base})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    capped = lsh_candidate_pairs(docs).toPandas()
+    uncapped = lsh_candidate_pairs(docs, hot_bucket_threshold=10**9).toPandas()
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    assert key(capped) == key(uncapped)
