@@ -47,7 +47,11 @@ def _install_builtins() -> None:
     from scip_spark.operators.illumination import correct
     from scip_spark.operators.normalization import quantile_normalization
     from scip_spark.operators.projection import project
-    from scip_spark.operators.segmentation import segment_labels, to_events
+    from scip_spark.operators.segmentation import (
+        segment_cellpose,
+        segment_labels,
+        to_events,
+    )
     from scip_spark.operators.threshold_filter import population_filter
     from scip_spark.sources import filescan
 
@@ -62,6 +66,7 @@ def _install_builtins() -> None:
     _REGISTRY[("map", "population_filter")] = population_filter
     _REGISTRY[("expand", "to_events")] = to_events
     _REGISTRY[("map", "segment_watershed")] = segment_labels
+    _REGISTRY[("map", "segment_cellpose")] = segment_cellpose
     _REGISTRY[("source", "tiff")] = filescan.tiff_meta
     _REGISTRY[("source", "multiframe_tiff")] = filescan.multiframe_tiff_meta
     _REGISTRY[("source", "zarr")] = filescan.zarr_meta

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from scip_spark.kernels import imageops as K
+from scip_spark.kernels.stats import normaltest_filter
 from scip_spark.operators import map_events
 from scip_spark.schema import decode_series, encode_series
 
@@ -34,6 +35,11 @@ from scip_spark.schema import decode_series, encode_series
 FILTERS: dict[str, Callable[[np.ndarray, float], bool]] = {
     "std": lambda x, threshold=0.0: bool(np.std(x) > threshold),
     "value_range": lambda x, threshold=0.0: bool((x.max() - x.min()) > threshold),
+    # reference filters/normaltest.py:5-10: keep channels whose pixels
+    # are NOT normal at the .05 level (threshold overrides the level)
+    "normaltest": lambda x, threshold=0.05: normaltest_filter(
+        x, threshold if threshold > 0 else 0.05
+    ),
 }
 
 

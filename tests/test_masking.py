@@ -88,3 +88,46 @@ def test_mask_filter_gates_channels(spark, full_events_df):
     assert m[0].any() and m[2].any()
     assert not m[1].any()
     assert list(r.regions) == [1, 0, 1]
+
+
+# ---------------------------------------------------------------------------
+# P6 normaltest filter (reference filters/normaltest.py:5-10)
+# ---------------------------------------------------------------------------
+
+
+def test_normaltest_matches_scipy_docstring_values():
+    """Pin against the value table published in scipy's own docstrings
+    (computed by scipy.stats, not by this repo — scipy is absent here).
+    """
+    from scip_spark.kernels.stats import kurtosistest_z, skewtest_z
+
+    # scipy.stats.skewtest([1,2,3,4,5,6,7,8]) -> statistic=1.0108048609177787
+    assert abs(skewtest_z(np.arange(1, 9)) - 1.0108048609177787) < 1e-12
+    # scipy.stats.kurtosistest(range(20)) -> statistic=-1.7058104152122062
+    assert abs(kurtosistest_z(np.arange(20)) - (-1.7058104152122062)) < 1e-12
+
+
+def test_normaltest_discriminates_normal_from_uniform():
+    from scip_spark.kernels.stats import normaltest_filter, normaltest_pvalue
+
+    rng = np.random.default_rng(7)
+    normal = rng.normal(100.0, 5.0, size=4096)
+    uniform = rng.uniform(0.0, 1.0, size=4096)
+    bimodal = np.concatenate([rng.normal(0, 1, 2048), rng.normal(8, 1, 2048)])
+    assert normaltest_pvalue(normal) > 0.05
+    assert normaltest_pvalue(uniform) < 1e-6
+    # reference semantics: True == NOT normal == keep (interesting signal)
+    assert not normaltest_filter(normal)
+    assert normaltest_filter(uniform)
+    assert normaltest_filter(bimodal)
+
+
+def test_normaltest_registered_as_qc_filter(full_events_df):
+    from scip_spark.functions.registry import resolve
+
+    assert resolve("filter", "normaltest") is not None
+    out = compute_filters(full_events_df, "normaltest").toPandas()
+    assert "mask_filter" in out.columns
+    flags = [f for f in out["mask_filter"] if f is not None]
+    assert flags, "expected at least one non-null flag row"
+    assert all(isinstance(bool(v), bool) for row in flags for v in row)

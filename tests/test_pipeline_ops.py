@@ -107,3 +107,95 @@ def test_segmentation_splits_touching_blobs(spark):
 def test_cellpose_stub_raises(full_events_df):
     with pytest.raises(NotImplementedError):
         segment_labels(full_events_df, "cellpose")
+
+
+# ---------------------------------------------------------------------------
+# F12 CellPose batched-inference path with an injectable model
+# (reference cellpose.py:39-126; real model absent in this container)
+# ---------------------------------------------------------------------------
+
+
+def _make_fake_loader():
+    """Build a loader for a deterministic CellPose stand-in honouring
+    the eval signature (reference cellpose.py:88-94): labels =
+    connected components of pixels > half-max on the FIRST channel of
+    each (chan, dapi) pair.
+
+    Returned as a CLOSURE so cloudpickle ships it by value to the
+    Spark workers (the tests package is not importable there).
+    """
+
+    def loader():
+        class FakeCellpose:
+            def eval(self, x, channels, diameter, batch_size, flow_threshold):
+                from scip_spark.kernels import imageops as K
+
+                assert channels == [1, 2] and batch_size == 128
+                masks = []
+                for img in x:
+                    assert img.ndim == 3 and img.shape[0] == 2  # (chan, dapi)
+                    ch = img[0]
+                    fg = ch > (ch.max() / 2 if ch.max() > 0 else 1)
+                    lab, _ = K.label(fg, 2)
+                    masks.append(lab)
+                return masks, None, None, None
+
+        return FakeCellpose()
+
+    return loader
+
+
+def _two_blob_df(spark, nchan=2):
+    img = np.zeros((nchan, 20, 20), dtype=np.float32)
+    img[:, 2:8, 2:8] = 100.0
+    img[:, 12:18, 12:18] = 100.0
+    return spark.createDataFrame(
+        events_to_pandas([{"path": "img", "group": "g", "pixels": img}]),
+        schema=EVENT_SCHEMA,
+    )
+
+
+def test_cellpose_fake_model_end_to_end(spark):
+    from scip_spark.operators.segmentation import segment_cellpose
+
+    df = _two_blob_df(spark)
+    seg = segment_cellpose(df, model_loader=_make_fake_loader())
+    cells = to_events(seg).toPandas().sort_values("id")
+    # structural parity with the watershed path: same schema, one row
+    # per parent object, cropped pixels+mask, ids 1..N
+    ws = to_events(segment_labels(df, "watershed")).toPandas()
+    assert list(cells.columns) == list(ws.columns)
+    assert len(cells) == 2 and set(cells.id) == {1, 2}
+    for _, r in cells.iterrows():
+        a = decode_tensor(r.pixels, r.pixels_shape)
+        m = decode_tensor(r["mask"], r.mask_shape, dtype=bool)
+        assert a.shape == m.shape and m.any()
+        assert (a[m] == 100.0).all()
+
+
+def test_cellpose_child_assignment_overlap_rule():
+    """Reference cellpose.py:109-121: a child label survives only when
+    it overlaps >10% of its parent object, and takes the parent id."""
+    from scip_spark.operators.segmentation import _assign_children
+
+    parent = np.zeros((10, 10), dtype=np.int64)
+    parent[0:6, 0:6] = 1  # 36 px
+    child = np.zeros_like(parent)
+    child[0:2, 0:2] = 7   # 4/36 = 11% of parent 1 -> kept, relabeled 1
+    child[5, 5] = 8       # 1/36 = 2.8% -> dropped
+    child[8:10, 8:10] = 9  # outside parent -> dropped
+    out = _assign_children(parent, child)
+    assert (out[0:2, 0:2] == 1).all()
+    assert out[5, 5] == 0 and (out[8:10, 8:10] == 0).all()
+    assert set(np.unique(out)) == {0, 1}
+
+
+def test_cellpose_null_pixels_pass_through(spark):
+    from scip_spark.operators.segmentation import segment_cellpose
+    from scip_spark.operators.masking import compute_filters
+
+    # soft-deleted rows (null pixels) must survive with null masks
+    df = compute_filters(_two_blob_df(spark), "std", threshold=1e12)
+    out = segment_cellpose(df, model_loader=_make_fake_loader()).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["mask"] is None or pd.isna(out.iloc[0]["mask"])
