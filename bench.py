@@ -36,6 +36,7 @@ HEADLINE = [
     "corpus_clean",
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
+    "dedup_lsh_pairs_skew",
     "dedup_simhash",
     "cosine_topk",
     "ann_lsh_buckets",

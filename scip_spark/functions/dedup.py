@@ -141,25 +141,27 @@ def lsh_candidate_pairs(
     members = buckets.groupBy("band_idx", "digest").agg(
         F.array_sort(F.collect_list(id_col)).alias("ms")
     ).filter(F.size("ms") > 1)
-    small_pairs = members.filter(F.size("ms") <= hot_bucket_threshold).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms) - i - 1), "
-                "y -> struct(x AS id_a, y AS id_b))))"
-            )
-        ).alias("p")
+    # one conditional projection, NOT a union of two filtered branches:
+    # a union would re-run the whole signature pipeline once per branch.
+    # ms is sorted ascending, so element_at(ms, 1) is the bucket minimum.
+    pair_expr = F.when(
+        F.size("ms") <= hot_bucket_threshold,
+        F.expr(
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        ),
+    ).otherwise(
+        F.expr(
+            "transform(slice(ms, 2, size(ms) - 1), "
+            "y -> struct(element_at(ms, 1) AS id_a, y AS id_b))"
+        )
     )
-    # ms is sorted ascending, so ms[0] is the bucket minimum
-    hot_pairs = members.filter(F.size("ms") > hot_bucket_threshold).select(
-        F.explode(
-            F.expr(
-                "transform(slice(ms, 2, size(ms) - 1), "
-                "y -> struct(element_at(ms, 1) AS id_a, y AS id_b))"
-            )
-        ).alias("p")
+    return (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
     )
-    return small_pairs.unionByName(hot_pairs).select("p.id_a", "p.id_b").distinct()
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

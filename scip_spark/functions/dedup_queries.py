@@ -38,7 +38,7 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(tbl(spark, sf_dir, "documents"))
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(source: str = "documents") -> str:
     mh_cols = ",\n           ".join(
         f"list_aggregate(list_transform(hs, h -> substr(h, {4 * j + 1}, 4)), 'min') AS mh_{j}"
         for j in range(N_MINHASH)
@@ -51,7 +51,7 @@ def _minhash_sql() -> str:
     )
     return f"""
     WITH tokenized AS (
-      SELECT doc_id, {_TOKS} AS toks FROM documents
+      SELECT doc_id, {_TOKS} AS toks FROM {source}
     ),
     shingled AS (
       SELECT doc_id,
@@ -86,7 +86,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     return mh.select("doc_id", *[f"band_{i}" for i in range(N_BANDS)])
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_sql(source: str = "documents") -> str:
     """Mirrors lsh_candidate_pairs' hot-bucket semantics: all-pairs for
     buckets ≤ threshold, min-member star for oversized buckets."""
     bands_union = "\nUNION ALL\n".join(
@@ -95,7 +95,7 @@ def _lsh_pairs_sql() -> str:
     )
     t = dedup.HOT_BUCKET_THRESHOLD
     return f"""
-    WITH sigs AS ({_minhash_sql()}),
+    WITH sigs AS ({_minhash_sql(source)}),
     buckets AS ({bands_union}),
     sized AS (
       SELECT doc_id, band_idx, digest,
@@ -122,6 +122,40 @@ def _lsh_pairs_sql() -> str:
 )
 def dedup_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+
+
+_SKEW_N = 2000
+
+_SKEW_SOURCE = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 1000000 + g.i AS doc_id,
+         (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+  FROM generate_series(0, {_SKEW_N - 1}) AS g(i)
+) skew_corpus"""
+
+
+@register(
+    "dedup_lsh_pairs_skew",
+    _lsh_pairs_sql(_SKEW_SOURCE),
+    doc="LSH pairs on a boilerplate-skewed corpus: a 2000-copy cluster "
+    "lands in one bucket per band and must take the bounded star path, "
+    "not the n² triangular expansion",
+)
+def dedup_lsh_pairs_skew(spark, sf_dir):
+    """The hot-bucket torture case from VERDICT 'What's wrong' #5: the
+    corpus plus 2000 identical copies of its first document. All copies
+    share every band digest, so each band forms one mega-bucket; the
+    star expansion emits O(n) pairs per bucket with bounded task
+    memory, where the triangular path would emit ~2M per band."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler_text = docs.orderBy("doc_id").limit(1).select("text")
+    boiler = (
+        spark.range(0, _SKEW_N)
+        .crossJoin(F.broadcast(boiler_text))
+        .select((F.lit(1000000) + F.col("id")).alias("doc_id"), "text")
+    )
+    return lsh_candidate_pairs(docs.unionByName(boiler))
 
 
 def _simhash_sql() -> str:
