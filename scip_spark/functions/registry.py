@@ -71,6 +71,7 @@ def _install_builtins() -> None:
     _REGISTRY[("source", "multiframe_tiff")] = filescan.multiframe_tiff_meta
     _REGISTRY[("source", "zarr")] = filescan.zarr_meta
     _REGISTRY[("source", "czi")] = filescan.czi_meta
+    _REGISTRY[("source", "czi_pixels")] = filescan.czi_attach_pixels
 
 
 _install_builtins()

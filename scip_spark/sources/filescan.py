@@ -228,6 +228,60 @@ def czi_meta(
     return df
 
 
+def czi_scene_meta(df: DataFrame, meta_regex: str) -> DataFrame:
+    """Reference czi.py:85-87: named groups of ``meta_regex`` matched
+    against the SCENE name become metadata columns (the tiff/zarr twins
+    extract from the path instead)."""
+    for i, name in enumerate(regex_meta_fields(meta_regex), start=1):
+        df = df.withColumn(name, F.regexp_extract("scene", _java_regex(meta_regex), i))
+    return df
+
+
+def czi_reader_stub(path: str, scene: str, tile: int) -> np.ndarray:
+    raise NotImplementedError(
+        "aicsimageio is not installed in this environment; inject a "
+        "reader=... callable (AICSImage(path, reconstruct_mosaic=False)"
+        ".set_scene(scene); get_image_data('CZXY', T=0) in production)."
+    )
+
+
+def czi_attach_pixels(
+    df: DataFrame,
+    reader: Callable[[str, str, int], np.ndarray] = czi_reader_stub,
+    channels: list[int] | None = None,
+) -> DataFrame:
+    """S9 pixel read (reference czi.py:35-46 ``_load_block``): one
+    ``reader(path, scene, tile) -> C×H×W ndarray`` call per (scene,
+    tile) record, channel-selected like the reference's
+    ``get_image_data(..., C=channels)``. Arrow-batched IO: each task
+    opens its own records' scenes, so tile reads parallelize across the
+    cluster while the driver never touches pixel data."""
+    out_fields = [f for f in df.schema.fields] + [
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+        T.StructField("pixels_shape", T.ArrayType(T.IntegerType())),
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flats, shapes = [], []
+            for _, row in pdf.iterrows():
+                arr = np.asarray(
+                    reader(row["path"], row["scene"], int(row["tile"])),
+                    dtype=np.float32,
+                )
+                if channels is not None:
+                    arr = arr[channels]
+                flats.append(arr.ravel().tolist())
+                shapes.append(list(arr.shape))
+            pdf = pdf.copy()
+            pdf["pixels"] = pd.Series(flats, dtype=object).values
+            pdf["pixels_shape"] = pd.Series(shapes, dtype=object).values
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # S1/J5: multi-path union
 # ---------------------------------------------------------------------------

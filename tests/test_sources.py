@@ -89,6 +89,38 @@ def test_czi_meta_explodes_tiles(spark):
     assert sorted(meta[meta.scene == "s2"].tile) == [0, 1, 2]
 
 
+def test_czi_attach_pixels_injectable_reader(spark):
+    """S9 pixel read (reference czi.py:35-46) with an injectable
+    aicsimageio-shaped reader; stub raises cleanly when not injected."""
+    from scip_spark.sources.filescan import (
+        czi_attach_pixels,
+        czi_reader_stub,
+        czi_scene_meta,
+    )
+
+    meta = czi_meta(
+        spark, "/scan.czi", ["well_A1", "well_B2"], {"well_A1": 2, "well_B2": 1}
+    )
+    meta = czi_scene_meta(meta, r"well_(?P<row>[A-Z])(?P<col>[0-9])")
+
+    def fake_reader(path, scene, tile):
+        # deterministic 3-channel tile keyed by scene+tile, CZXY-style
+        base = float(ord(scene[-2]) * 10 + int(scene[-1]) + tile)
+        return np.full((3, 4, 4), base, dtype=np.float32)
+
+    out = czi_attach_pixels(meta, fake_reader, channels=[0, 2]).toPandas()
+    assert len(out) == 3  # 2 + 1 tiles
+    assert {tuple(s) for s in out.pixels_shape} == {(2, 4, 4)}  # C-selected
+    r = out[(out.scene == "well_A1") & (out.tile == 1)].iloc[0]
+    assert r.row == "A" and r.col == "1"
+    assert r.pixels[0] == float(ord("A") * 10 + 1 + 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        czi_reader_stub("/scan.czi", "well_A1", 0)
+
+
 def test_load_meta_union(spark, tiff_dir):
     a = tiff_meta(spark, tiff_dir, REGEX, channels=["1", "2"])
     b = tiff_meta(spark, tiff_dir, REGEX, channels=["1", "2"])
