@@ -45,18 +45,20 @@ def kmv_sketch(df: DataFrame, key: str, value: str, k: int = KMV_K) -> DataFrame
     """Per-key KMV sketch: array of the k smallest distinct hashes.
 
     Physical plan: distinct (key, hash) pairs — a partial+final
-    aggregation on tiny rows — then one more partial+final agg
-    collecting per-key minima. ``slice(array_sort(collect_set))`` is
-    exact because collect_set holds distinct hashes only; at 100 TB
-    scale the distinct step bounds the set size per key long before
-    the collect (keys with more distinct values than executor memory
-    would need the HLL path instead — that trade-off is the point of
-    shipping both).
+    aggregation on tiny rows — then a sort-based window keeps only the
+    k smallest hashes per key BEFORE any collect: the window sort is
+    spillable, so per-key aggregation state is bounded at k elements
+    even for a key with billions of distinct values (a bare
+    ``collect_set`` would buffer them all). The window's hash
+    partitioning by key is reused by the final groupBy — no extra
+    shuffle. Result is bit-identical to slicing the full sorted set.
     """
+    from pyspark.sql import Window
+
     hashed = df.select(F.col(key), kmv_hash(value).alias("h")).distinct()
-    return hashed.groupBy(key).agg(
-        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmv")
-    )
+    w = Window.partitionBy(key).orderBy("h")
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return kept.groupBy(key).agg(F.array_sort(F.collect_list("h")).alias("kmv"))
 
 
 def kmv_estimate(sketch: Column | str, k: int = KMV_K) -> Column:
