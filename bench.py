@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "dedup_lsh_pairs_skew",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "cosine_topk",
     "ann_lsh_buckets",
     "mean_tensor_by_group",

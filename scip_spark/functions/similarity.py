@@ -67,6 +67,107 @@ def lsh_bucket(emb: Column, n_planes: int = N_PLANES, dim: int = 64) -> Column:
     return bucket
 
 
+def band_buckets(
+    emb: Column, n_bands: int = 4, band_bits: int = 4, dim: int = 64
+) -> Column:
+    """Banded sign-projection buckets: an array of (band, bucket)
+    structs, one per band. Banding trades precision for recall the
+    standard LSH way — two vectors collide if ANY band's ``band_bits``
+    sign bits all agree, so recall at a given cosine is
+    1-(1-p^bits)^bands instead of p^bits for one wide bucket."""
+    planes = plane_weights(n_bands * band_bits, dim)
+    entries = []
+    for b in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(band_bits):
+            w = planes[b * band_bits + i]
+            warr = F.array(*[F.lit(x) for x in w])
+            proj = _fold_sum(F.zip_with(emb, warr, lambda x, y: x * y))
+            bucket = bucket + (
+                F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
+            )
+        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    verify: str = "exact",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidate
+    generation + exact cosine verification — the embedding-space twin
+    of MinHash+LSH text dedup (functions/dedup.py).
+
+    Scale shape: each side shuffles on the (band, bucket) key only; the
+    candidate join is a plain equi-join (AQE can split hot buckets,
+    unlike a collect_list group), and the exact-verify filter runs
+    before the pair-dedup shuffle so only (id, id, sim) triples — not
+    embeddings — reach the final groupBy. Identical vectors agree in
+    every band, so true duplicates are found with probability 1.
+
+    ``verify`` picks the pair-scoring kernel: ``"exact"`` is the
+    sequential JVM fold (bit-identical to the DuckDB oracle's
+    list_reduce — the correctness-gate path); ``"fast"`` scores each
+    Arrow batch of pairs with one numpy einsum (~50x less CPU — the
+    kernel for real corpora, where summation order may differ from the
+    fold in the last ulp; agreement asserted in tests)."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    )
+    # per-row norm computed ONCE before the join — the naive
+    # cosine(emb_a, emb_b) inside the join condition would re-fold both
+    # norms for every candidate pair (3 O(dim) folds/pair instead of 1)
+    keyed = v.select(
+        "id",
+        "emb",
+        l2_norm(F.col("emb")).alias("norm"),
+        F.explode(band_buckets(F.col("emb"), n_bands, band_bits, dim)).alias("bb"),
+    )
+    a = keyed.select(
+        F.col("bb"),
+        F.col("id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = keyed.select(
+        F.col("bb"),
+        F.col("id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    if verify == "fast":
+
+        @F.pandas_udf(T.DoubleType())
+        def batch_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+            ma = np.asarray([np.asarray(x, dtype=np.float64) for x in ea])
+            mb = np.asarray([np.asarray(x, dtype=np.float64) for x in eb])
+            return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+        sim = batch_dot(F.col("emb_a"), F.col("emb_b"))
+    else:
+        sim = dot(F.col("emb_a"), F.col("emb_b"))
+    scored = (
+        a.join(b, "bb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (sim / (F.col("norm_a") * F.col("norm_b"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    # a pair can collide in several bands; sims are identical so max()
+    # is just dedup — only the id/sim triple shuffles here
+    return scored.groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from scip_spark.functions.similarity import (
     N_PLANES,
     brute_force_topk,
+    embedding_near_dup,
     l2_norm,
     lsh_bucket,
     lsh_topk,
@@ -70,6 +71,50 @@ def ann_lsh_buckets(spark, sf_dir):
         "label",
         lsh_bucket(F.col("embedding").cast("array<double>")).alias("bucket"),
     )
+
+
+def _band_bucket_sql(
+    emb_expr: str, band: int, band_bits: int = 4, n_bands: int = 4, dim: int = 64
+) -> str:
+    """One band's bucket id, over the same md5-derived planes as
+    similarity.band_buckets — bit-reproducible across engines because
+    the fold order and IEEE double ops are identical."""
+    planes = plane_weights(n_bands * band_bits, dim)
+    terms = []
+    for i in range(band_bits):
+        w = planes[band * band_bits + i]
+        warr = "[" + ", ".join(str(x) for x in w) + "]::DOUBLE[]"
+        proj = _DOT.format(a=emb_expr, b=warr)
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**i} ELSE 0 END")
+    return " + ".join(terms)
+
+
+_NEAR_DUP_BANDS = 4
+_NEAR_DUP_TAU = 0.35
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {', '.join(f'CAST({_band_bucket_sql("embedding::DOUBLE[]", b)} AS BIGINT) AS b{b}' for b in range(_NEAR_DUP_BANDS))}
+      FROM embeddings
+    )
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT.format(a='a.emb', b='b.emb')}
+               / ({_NORM.format(a='a.emb')} * {_NORM.format(a='b.emb')}) AS sim
+      FROM v a JOIN v b
+        ON a.vec_id < b.vec_id
+       AND ({' OR '.join(f'a.b{b} = b.b{b}' for b in range(_NEAR_DUP_BANDS))})
+    ) WHERE sim >= {_NEAR_DUP_TAU}
+    """,
+    doc="embedding-cosine near-dup: banded sign-LSH candidates + exact cosine verify",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=_NEAR_DUP_TAU, n_bands=_NEAR_DUP_BANDS)
 
 
 @register("ann_lsh_topk", None, doc="LSH-bucketed approximate top-k (recall tested in pytest)")

@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from scip_spark.functions.similarity import (
     brute_force_topk,
+    cosine,
+    embedding_near_dup,
     ivf_centroids,
     ivf_topk,
     lsh_topk,
@@ -50,6 +52,65 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(tuple, ivf_topk(q, emb, cents, k=K).collect()))
     b = sorted(map(tuple, ivf_topk(q, emb, cents, k=K).collect()))
     assert a == b
+
+
+def test_near_dup_finds_exact_duplicates_always(spark, emb):
+    """An identical vector agrees with its twin in EVERY band, so true
+    duplicates are found with probability 1 (not just high recall)."""
+    twins = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_dup(emb.unionByName(twins), threshold=0.99)
+    found = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
+    for i in range(3):
+        assert (i, i + 1_000_000) in found
+        assert found[(i, i + 1_000_000)] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_near_dup_pairs_verified_exactly(spark, emb):
+    """Every reported pair must carry the true cosine (LSH only gates
+    candidacy — the score is exact) and clear the threshold."""
+    tau = 0.3
+    pairs = embedding_near_dup(emb, threshold=tau).collect()
+    assert len(pairs) > 0
+    by_id = {
+        r.vec_id: r.emb
+        for r in emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ).collect()
+    }
+    import math
+
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.sim >= tau
+        a, b = by_id[r.id_a], by_id[r.id_b]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert r.sim == pytest.approx(dot / (na * nb), rel=1e-9)
+
+
+def test_near_dup_fast_verify_agrees_with_exact(spark, emb):
+    """The production (einsum-batched) verify kernel must find the same
+    pair set as the oracle-exact fold and agree on sims to 1e-9 — only
+    the summation order (hence the last ulp) may differ."""
+    exact_pairs = {
+        (r.id_a, r.id_b): r.sim for r in embedding_near_dup(emb).collect()
+    }
+    fast_pairs = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_near_dup(emb, verify="fast").collect()
+    }
+    assert set(exact_pairs) == set(fast_pairs)
+    for k, v in exact_pairs.items():
+        assert fast_pairs[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_near_dup_deterministic(spark, emb):
+    a = sorted(map(tuple, embedding_near_dup(emb).collect()))
+    b = sorted(map(tuple, embedding_near_dup(emb).collect()))
+    assert a == b and len(a) > 0
 
 
 def test_lsh_candidates_are_subset_and_scored_exactly(spark, emb, exact):
