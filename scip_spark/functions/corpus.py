@@ -1,0 +1,179 @@
+"""Training-corpus construction operators: deterministic splits,
+hash sampling, per-group quotas, mixture upsampling, and token-budget
+shard packing.
+
+These are the ops a 100 TB pretraining pipeline runs AFTER cleaning and
+dedup (functions/text.py, functions/dedup.py): assign every document a
+stable train/val/test split, cap over-represented groups, replicate
+under-represented sources by their mixture epoch count, and pack the
+result into fixed-budget shards for the trainer.
+
+Design rules:
+- Every assignment is a PURE FUNCTION of (seed, key) via md5 — no rand()
+  anywhere, so reruns, backfills and per-partition retries agree, and
+  the DuckDB oracle reproduces results bit-exactly (md5 + substr + the
+  same integer arithmetic).
+- No driver-side state and no global windows except over per-bucket
+  OFFSET tables (P rows, broadcast) — the shard packer does a
+  distributed cumulative sum as bucket-local window + tiny offset join,
+  never a single-partition global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+SPLIT_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, seed: str, buckets: int = SPLIT_BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets): 12 hex chars (48 bits) of
+    md5(seed|key) mod buckets. Pure, engine-reproducible (DuckDB:
+    CAST('0x'||substr(md5(...),1,12) AS BIGINT) % buckets)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), col.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return h % buckets
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Stable train/val/test assignment: bucket(seed|key) against the
+    cumulative weight boundaries. Adding data later never moves an
+    existing document across splits (the property rand() lacks)."""
+    bucket = hash_bucket(F.col(key_col), seed)
+    cum = 0
+    expr = None
+    for name, w in weights[:-1]:
+        cum += int(round(w * SPLIT_BUCKETS))
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(weights[-1][0])
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic fraction sample: keep keys whose bucket falls below
+    fraction*buckets. Unlike df.sample(), membership is a function of
+    the key — stable across reruns, joinable across tables sampled with
+    the same seed (correlated sampling)."""
+    return df.filter(
+        hash_bucket(F.col(key_col), seed) < int(round(fraction * SPLIT_BUCKETS))
+    )
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    cap: int = 100,
+    key_col: str = "doc_id",
+    seed: str = "quota-v1",
+) -> DataFrame:
+    """Cap each group at ``cap`` rows, chosen by deterministic hash
+    order (an unbiased, stable subset — not "first files scanned").
+    Per-group window: shuffles on group_col; a skewed group is one
+    sort partition, acceptable because the output is truncated at cap —
+    for extreme skew pre-filter with hash_sample first."""
+    order = hash_bucket(F.col(key_col), seed)
+    w = W.partitionBy(group_col).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("qrank", F.row_number().over(w))
+        .filter(F.col("qrank") <= cap)
+        .drop("qrank")
+    )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    epochs_by_group: dict[str, int],
+    group_col: str = "source",
+    default_epochs: int = 1,
+) -> DataFrame:
+    """Mixture construction: replicate each document ``epochs`` times
+    per its group's mixture weight (integer epochs, the way pretraining
+    mixes sources), with an ``epoch`` column for shard-level shuffling.
+    explode(sequence(1, epochs)) is pure map-side — no shuffle, no skew:
+    replication happens in the scan partition that owns the row."""
+    ep = None
+    for g, n in sorted(epochs_by_group.items()):
+        cond = F.col(group_col) == g
+        ep = F.when(cond, n) if ep is None else ep.when(cond, n)
+    ep = ep.otherwise(default_epochs) if ep is not None else F.lit(default_epochs)
+    return df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), ep.cast("int")))
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int,
+    cost_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: str = "pack-v1",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Pack documents into fixed-budget shards: deterministic global
+    order, running cost total, shard = floor(preceding_total / budget).
+
+    The global cumulative sum is distributed, not a single-partition
+    window: buckets are RANGES of the order key (monotone, like
+    repartitionByRange), so ordering by (bucket, order_key, key) IS the
+    global (order_key, key) order and the result is independent of
+    ``n_buckets`` (asserted in tests). Each bucket computes its LOCAL
+    running sum (window partitioned by bucket); bucket start offsets
+    come from a ``n_buckets``-row aggregate — window over P rows,
+    broadcast back. At 1000 executors the only wide exchange is the
+    bucket repartition; integer arithmetic end to end so the DuckDB
+    single-window oracle matches bit-exactly."""
+    order_key = hash_bucket(F.col(key_col), seed)
+    bucketed = df.withColumn("pack_order", order_key).withColumn(
+        # contiguous hash ranges: bucket is monotone in pack_order
+        "pack_bucket",
+        F.expr(f"pack_order * {int(n_buckets)} div {SPLIT_BUCKETS}"),
+    )
+    local_w = (
+        W.partitionBy("pack_bucket")
+        .orderBy(F.col("pack_order").asc(), F.col(key_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = bucketed.withColumn(
+        "local_cum", F.sum(F.col(cost_col).cast("long")).over(local_w)
+    )
+    totals = bucketed.groupBy("pack_bucket").agg(
+        F.sum(F.col(cost_col).cast("long")).alias("bucket_total")
+    )
+    # exclusive prefix sum over the tiny per-bucket totals (P rows —
+    # this single-partition window is over n_buckets rows, not data)
+    offset_w = W.orderBy("pack_bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "bucket_offset", F.coalesce(F.sum("bucket_total").over(offset_w), F.lit(0))
+    ).select("pack_bucket", "bucket_offset")
+    packed = (
+        local.join(F.broadcast(offsets), "pack_bucket")
+        .withColumn(
+            "pack_prior",
+            F.col("bucket_offset") + F.col("local_cum") - F.col(cost_col).cast("long"),
+        )
+        # integer division (`div`), not double `/` — exact at any scale
+        .withColumn("shard_id", F.expr(f"pack_prior div {int(budget)}"))
+    )
+    return packed.drop(
+        "pack_bucket", "pack_order", "local_cum", "bucket_offset", "pack_prior"
+    )

@@ -1,0 +1,120 @@
+"""Oracle-paired queries for the corpus-construction operators.
+
+Every assignment is md5-deterministic, so the DuckDB SQL reproduces the
+Spark result bit-exactly: same hash, same integer arithmetic, same
+ordering. The pack_shards oracle is ONE global window — the point of
+the comparison is that the distributed two-level cumsum (bucket-local
+window + broadcast offsets) computes the identical shard ids.
+"""
+
+from __future__ import annotations
+
+from scip_spark.functions.corpus import (
+    SPLIT_BUCKETS,
+    hash_sample,
+    mixture_upsample,
+    pack_shards,
+    quota_per_group,
+    split_assign,
+)
+from scip_spark.queries import register, tbl
+
+# DuckDB twin of corpus.hash_bucket(seed|key)
+_BUCKET = (
+    "CAST(('0x' || substr(md5('{seed}|' || CAST({key} AS VARCHAR)), 1, 12)) "
+    f"AS BIGINT) % {SPLIT_BUCKETS}"
+)
+
+
+@register(
+    "corpus_split_assign",
+    f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN {_BUCKET.format(seed='split-v1', key='doc_id')} < 9800 THEN 'train'
+                WHEN {_BUCKET.format(seed='split-v1', key='doc_id')} < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="deterministic hash-based train/val/test split (stable under backfill)",
+)
+def corpus_split_assign(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "lang", "source", "split")
+
+
+@register(
+    "corpus_hash_sample",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_BUCKET.format(seed='sample-v1', key='doc_id')} < 1000
+    """,
+    doc="deterministic 10%% hash sample (rerun-stable, join-correlated)",
+)
+def corpus_hash_sample(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    return hash_sample(docs, fraction=0.10).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "corpus_lang_quota",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_BUCKET.format(seed='quota-v1', key='doc_id')}, doc_id
+             ) AS qrank
+      FROM documents
+    ) WHERE qrank <= 50
+    """,
+    doc="per-language cap: unbiased hash-ordered quota subset",
+)
+def corpus_lang_quota(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    return quota_per_group(docs, group_col="lang", cap=50).select("doc_id", "lang")
+
+
+_EPOCHS = {"web": 1, "wiki": 3, "books": 2}
+
+
+@register(
+    "corpus_mixture_upsample",
+    f"""
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1,
+             CASE source {' '.join(f"WHEN '{g}' THEN {n}" for g, n in sorted(_EPOCHS.items()))}
+                  ELSE 1 END)) AS INT) AS epoch
+    FROM documents
+    """,
+    doc="mixture construction: integer-epoch upsampling per source (map-side explode)",
+)
+def corpus_mixture_upsample(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    return mixture_upsample(docs, _EPOCHS).select("doc_id", "source", "epoch")
+
+
+_PACK_BUDGET = 50_000
+
+
+@register(
+    "corpus_pack_shards",
+    f"""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             {_BUCKET.format(seed='pack-v1', key='doc_id')} AS ok
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST((SUM(n_chars) OVER (
+              ORDER BY ok, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - n_chars) // {_PACK_BUDGET} AS BIGINT) AS shard_id
+    FROM ordered
+    """,
+    doc="token-budget shard packing: distributed prefix sum == single global window",
+)
+def corpus_pack_shards(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    return pack_shards(docs, budget=_PACK_BUDGET).select(
+        "doc_id", "n_chars", "shard_id"
+    )

@@ -1,0 +1,114 @@
+"""Corpus-construction operators: determinism, stability-under-growth,
+and the distributed-prefix-sum == serial-window equivalence that makes
+pack_shards safe at cluster scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scip_spark.functions.corpus import (
+    hash_sample,
+    mixture_upsample,
+    pack_shards,
+    quota_per_group,
+    split_assign,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_split_stable_under_growth(spark, docs):
+    """A document's split must not change when the corpus grows — the
+    property that makes hash splits (unlike rand()) backfill-safe."""
+    small = split_assign(docs.filter(F.col("doc_id") < 100))
+    full = split_assign(docs)
+    s = {r.doc_id: r.split for r in small.select("doc_id", "split").collect()}
+    f = {r.doc_id: r.split for r in full.select("doc_id", "split").collect()}
+    assert all(f[k] == v for k, v in s.items())
+    # proportions: train dominates, all three present at 500 docs is not
+    # guaranteed for 1% slices — just check train ~ 98% +- 4pts
+    n = len(f)
+    train = sum(1 for v in f.values() if v == "train")
+    assert abs(train / n - 0.98) < 0.04
+
+
+def test_hash_sample_correlated_and_disjoint_seeds(spark, docs):
+    a1 = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    a2 = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    assert a1 == a2 and 0.1 < len(a1) / 500 < 0.3
+    b = {
+        r.doc_id
+        for r in hash_sample(docs, 0.2, seed="other").select("doc_id").collect()
+    }
+    assert b != a1  # different seed, different subset
+    # nesting: a 10% sample with the same seed is a subset of the 20%
+    c = {r.doc_id for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    assert c <= a1
+
+
+def test_quota_caps_every_group(spark, docs):
+    out = quota_per_group(docs, group_col="lang", cap=30)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    orig = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(30, orig[lang])
+    # deterministic subset
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in quota_per_group(docs, group_col="lang", cap=30).select("doc_id").collect()
+    )
+    assert a == b
+
+
+def test_mixture_upsample_counts_and_no_shuffle(spark, docs):
+    epochs = {"web": 1, "wiki": 3, "books": 2}
+    out = mixture_upsample(docs, epochs)
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    orig = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in orig.items():
+        assert got[src] == n * epochs.get(src, 1)
+    # replication is map-side: no Exchange below the Generate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_shards_distributed_equals_serial(spark, docs):
+    """The two-level cumsum (bucket windows + broadcast offsets) must
+    produce byte-identical shard ids to a 1-bucket (serial) run."""
+    dist = {
+        r.doc_id: r.shard_id
+        for r in pack_shards(docs, budget=50_000, n_buckets=64)
+        .select("doc_id", "shard_id")
+        .collect()
+    }
+    serial = {
+        r.doc_id: r.shard_id
+        for r in pack_shards(docs, budget=50_000, n_buckets=1)
+        .select("doc_id", "shard_id")
+        .collect()
+    }
+    assert dist == serial
+
+
+def test_pack_shards_budget_respected(spark, docs):
+    out = pack_shards(docs, budget=50_000).select("doc_id", "n_chars", "shard_id")
+    rows = out.collect()
+    totals = {}
+    maxdoc = 0
+    for r in rows:
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_chars
+        maxdoc = max(maxdoc, r.n_chars)
+    sids = sorted(totals)
+    assert sids == list(range(len(sids)))  # contiguous from 0
+    # a shard only overflows by the document that straddles its boundary
+    for sid in sids:
+        assert totals[sid] < 50_000 + maxdoc
+    # every full shard is actually full (no premature cut): all but the
+    # last shard must reach the budget once its straddling doc lands
+    for sid in sids[:-1]:
+        assert totals[sid] + 1 > 50_000 - maxdoc
