@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_lsh_pairs_skew",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "corpus_pack_shards",
     "cosine_topk",
     "ann_lsh_buckets",
     "mean_tensor_by_group",

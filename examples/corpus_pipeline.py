@@ -62,10 +62,26 @@ def main() -> None:
     final = exact.join(drop, "doc_id", "left_anti")
     n3 = final.count()
 
-    final.drop("n_tokens").write.mode("overwrite").parquet(out)
+    # 4. training-set assembly: stable split assignment + fixed-budget
+    #    shard packing (train split only), partitioned output
+    from scip_spark.functions.corpus import pack_shards, split_assign
+
+    assigned = split_assign(final)
+    packed = pack_shards(
+        assigned.filter(F.col("split") == "train"), budget=200_000
+    )
+    n_shards = packed.agg(F.countDistinct("shard_id")).collect()[0][0]
+
+    holdout = assigned.filter(F.col("split") != "train").withColumn(
+        "shard_id", F.lit(-1).cast("long")
+    )
+    packed.unionByName(holdout).drop("n_tokens").write.mode(
+        "overwrite"
+    ).partitionBy("split").parquet(out)
     print(
         f"corpus: {n0} raw -> {n1} quality ({n1 / n0:.1%}) -> "
-        f"{n2} exact-deduped -> {n3} near-dedup survivors -> {out}"
+        f"{n2} exact-deduped -> {n3} near-dedup survivors -> "
+        f"{n_shards} train shards -> {out}"
     )
 
 

@@ -107,6 +107,26 @@ def test_near_dup_fast_verify_agrees_with_exact(spark, emb):
         assert fast_pairs[k] == pytest.approx(v, rel=1e-9)
 
 
+def test_near_dup_mega_bucket_completes_bounded(spark):
+    """Skew torture: 1500 identical vectors form one hot (band, bucket)
+    group in every band. Because candidates come from an equi-JOIN (not
+    a collect_list group), the hot bucket is ordinary join skew —
+    splittable by AQE, no single-task n^2 state — and all C(1500,2)
+    true-dup pairs come out exactly once with sim == 1."""
+    n = 1500
+    base = [float((i * 37) % 19 - 9) for i in range(64)]
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in base]).cast("array<float>").alias("embedding"),
+    )
+    out = embedding_near_dup(df, threshold=0.99, verify="fast")
+    agg = out.agg(
+        F.count("*").alias("n_pairs"), F.min("sim").alias("min_sim")
+    ).collect()[0]
+    assert agg.n_pairs == n * (n - 1) // 2
+    assert agg.min_sim == pytest.approx(1.0, abs=1e-9)
+
+
 def test_near_dup_deterministic(spark, emb):
     a = sorted(map(tuple, embedding_near_dup(emb).collect()))
     b = sorted(map(tuple, embedding_near_dup(emb).collect()))
