@@ -483,3 +483,37 @@ def merge_upsert_emulation(spark, sf_dir):
             + F.coalesce(F.col("delta"), F.lit(0.0))
         ).alias("new_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key: Morton interleave for two-dimensional file
+# clustering — pure integer algebra, engine-exact.
+# ---------------------------------------------------------------------------
+def _zorder_sql(a: str, b: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_key_lineitem",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_zorder_sql('l_partkey', 'l_suppkey')} AS BIGINT) AS zkey
+    FROM lineitem
+    """,
+    doc="Morton (Z-order) layout key over (partkey, suppkey) for 2-D file clustering",
+)
+def zorder_key_lineitem(spark, sf_dir):
+    from scip_spark.functions.scale import zorder_key
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    )

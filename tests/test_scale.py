@@ -322,3 +322,74 @@ def test_lsh_star_fallback_equals_uncapped_on_normal_corpus(spark):
     uncapped = lsh_candidate_pairs(docs, hot_bucket_threshold=10**9).toPandas()
     key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
     assert key(capped) == key(uncapped)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime row-level filtering: with a selective predicate on the
+    dim side of a shuffle join, the optimizer injects a bloom filter
+    (`might_contain`) on the fact side — at 100 TB this prunes fact
+    rows BEFORE the shuffle instead of after the join. Result must
+    equal the plain join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # test-sized tables are far below the default 10GB app-side floor
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+        spark.range(0, 200_000).withColumn("k", F.col("id") % 20_000).write.parquet(fact_p)
+        spark.range(0, 20_000).select(
+            F.col("id").alias("k"), (F.col("id") % 500).alias("w")
+        ).write.parquet(dim_p)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("w") == 7)
+        joined = fact.join(dim, "k")
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # 40 dim keys x 10 fact rows each
+        assert len(rows) == 400
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_zorder_write_tightens_file_bounds(spark, tmp_path):
+    """Z-ordered layout: each output file's (partkey, suppkey) bounding
+    box must be far tighter than a round-robin layout's — the min/max
+    stats that let parquet row-group skipping prune filtered scans on
+    EITHER dimension."""
+    import glob
+
+    from scip_spark.functions.scale import zorder_write
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    zorder_write(li, zpath, ("l_partkey", "l_suppkey"), n_files=8)
+    li.repartition(8).write.parquet(rpath)
+
+    def total_bbox_area(path):
+        area = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            pdf = spark.read.parquet(f).toPandas()
+            area += (pdf.l_partkey.max() - pdf.l_partkey.min() + 1) * (
+                pdf.l_suppkey.max() - pdf.l_suppkey.min() + 1
+            )
+        return area
+
+    z_area, r_area = total_bbox_area(zpath), total_bbox_area(rpath)
+    # same rows either way
+    assert (
+        spark.read.parquet(zpath).count() == spark.read.parquet(rpath).count()
+    )
+    assert z_area < 0.5 * r_area, (z_area, r_area)
