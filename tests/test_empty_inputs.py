@@ -24,3 +24,25 @@ def test_all_null_pixels_through_features(spark, full_events_df):
     nulled = full_events_df.withColumn("pixels", F.lit(None).cast("array<float>"))
     out = extract_features(nulled, nchannels=3).toPandas()
     assert len(out) == 10  # metadata rows survive, features null
+
+
+def test_empty_corpus_and_similarity_ops(spark):
+    from scip_spark.functions.corpus import (
+        hash_sample,
+        mixture_upsample,
+        pack_shards,
+        quota_per_group,
+        split_assign,
+    )
+    from scip_spark.functions.similarity import embedding_near_dup
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert split_assign(docs).count() == 0
+    assert hash_sample(docs, 0.5).count() == 0
+    assert quota_per_group(docs).count() == 0
+    assert mixture_upsample(docs, {"web": 2}).count() == 0
+    assert pack_shards(docs, budget=1000).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dup(emb).count() == 0

@@ -270,3 +270,31 @@ def test_foreach_batch_exactly_once(spark, events_single_file, tmp_path):
     write_exactly_once_parquet(stream2.select("event_id", "value"), out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == load_events(spark, SF).count()
+
+
+def test_streaming_corpus_ingest_matches_batch(spark, tmp_path):
+    """Corpus construction is streaming-safe where it is stateless:
+    quality gate + split assignment applied to a document stream must
+    produce exactly the batch result (hash assignments are pure
+    functions of the key, so micro-batch boundaries cannot matter)."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.corpus import split_assign
+    from scip_spark.functions.text import tokens
+
+    src = str(tmp_path / "docs_stream")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    def construct(df):
+        kept = df.filter(F.size(tokens("text")) >= 10)
+        return split_assign(kept).select("doc_id", "split")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    run_to_memory(construct(stream), "corpus_ingest")
+    got = {
+        (r.doc_id, r.split)
+        for r in spark.sql("select * from corpus_ingest").collect()
+    }
+    want = {(r.doc_id, r.split) for r in construct(docs).collect()}
+    assert got == want and len(want) > 0
