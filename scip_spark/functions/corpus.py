@@ -88,9 +88,10 @@ def quota_per_group(
 ) -> DataFrame:
     """Cap each group at ``cap`` rows, chosen by deterministic hash
     order (an unbiased, stable subset — not "first files scanned").
-    Per-group window: shuffles on group_col; a skewed group is one
-    sort partition, acceptable because the output is truncated at cap —
-    for extreme skew pre-filter with hash_sample first."""
+    The rank filter triggers Catalyst's WindowGroupLimit pushdown
+    (plan-asserted in tests): every map task keeps only its local
+    top-``cap`` per group BEFORE the exchange, so shuffle volume per
+    group is bounded by cap x tasks regardless of group skew."""
     order = hash_bucket(F.col(key_col), seed)
     w = W.partitionBy(group_col).orderBy(order.asc(), F.col(key_col).asc())
     return (

@@ -65,6 +65,23 @@ def test_quota_caps_every_group(spark, docs):
     assert a == b
 
 
+def test_quota_plan_pushes_group_limit_below_exchange(spark, docs):
+    """The rank<=cap filter must become a map-side WindowGroupLimit
+    (before the Exchange) — shuffle volume per group is then bounded by
+    cap x tasks, so a 90%-hot language cannot melt one reducer."""
+    plan = (
+        quota_per_group(docs, cap=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:1500]
+    # partial (map-side) limit: a WindowGroupLimit appears below the
+    # shuffle — its string form lists it after Exchange in the tree
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in post, plan[:1500]
+
+
 def test_mixture_upsample_counts_and_no_shuffle(spark, docs):
     epochs = {"web": 1, "wiki": 3, "books": 2}
     out = mixture_upsample(docs, epochs)
