@@ -24,7 +24,12 @@ from dataclasses import dataclass
 import numpy as np
 
 try:
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
     HAVE_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - pre-Spark-4
@@ -34,6 +39,9 @@ except ImportError:  # pragma: no cover - pre-Spark-4
         pass
 
     class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamReader:  # type: ignore[no-redef]
         pass
 
     class InputPartition:  # type: ignore[no-redef]
@@ -63,6 +71,37 @@ class _RecordPartition(InputPartition):
     reader_spec: str | None
 
 
+def _discover_records(path: str, regex: str) -> list[tuple[str, str, str]]:
+    """Sorted complete (rec, path_c0, path_c1) triples under ``path``."""
+    pat = re.compile(regex)
+    by_rec: dict[str, dict[str, str]] = {}
+    for f in sorted(_glob.glob(os.path.join(path, "**", "*"), recursive=True)):
+        m = pat.match(f)
+        if m:
+            by_rec.setdefault(m.group("rec"), {})[m.group("channel")] = f
+    return [
+        (rec, chans["0"], chans["1"])
+        for rec, chans in sorted(by_rec.items())
+        if "0" in chans and "1" in chans  # drop incomplete records
+    ]
+
+
+def _chunk(rows, batch, reader_spec):
+    return [
+        _RecordPartition(rows[i : i + batch], reader_spec)
+        for i in range(0, len(rows), batch)
+    ]
+
+
+def _decode_partition(partition: _RecordPartition):
+    reader = _resolve_reader(partition.reader_spec)
+    for rec, p0, p1 in partition.rows:
+        stack = np.stack(
+            [np.asarray(reader(p0), np.float32), np.asarray(reader(p1), np.float32)]
+        )
+        yield (rec, p0, p1, stack.ravel().tolist(), list(stack.shape))
+
+
 class ImageDirReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -71,29 +110,44 @@ class ImageDirReader(DataSourceReader):
         self.batch = int(options.get("recordsPerPartition", "64"))
 
     def partitions(self):
-        pat = re.compile(self.regex)
-        by_rec: dict[str, dict[str, str]] = {}
-        for f in sorted(_glob.glob(os.path.join(self.path, "**", "*"), recursive=True)):
-            m = pat.match(f)
-            if m:
-                by_rec.setdefault(m.group("rec"), {})[m.group("channel")] = f
-        rows = [
-            (rec, chans["0"], chans["1"])
-            for rec, chans in sorted(by_rec.items())
-            if "0" in chans and "1" in chans  # drop incomplete records
-        ]
-        return [
-            _RecordPartition(rows[i : i + self.batch], self.reader_spec)
-            for i in range(0, len(rows), self.batch)
-        ]
+        return _chunk(
+            _discover_records(self.path, self.regex), self.batch, self.reader_spec
+        )
 
     def read(self, partition: _RecordPartition):
-        reader = _resolve_reader(partition.reader_spec)
-        for rec, p0, p1 in partition.rows:
-            stack = np.stack(
-                [np.asarray(reader(p0), np.float32), np.asarray(reader(p1), np.float32)]
-            )
-            yield (rec, p0, p1, stack.ravel().tolist(), list(stack.shape))
+        return _decode_partition(partition)
+
+
+class ImageDirStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over a growing acquisition directory.
+
+    Offset = count of COMPLETE records in discovery order. Assumes the
+    instrument emits monotonically-named records (seq-numbered
+    filenames, the common acquisition layout), so new records extend
+    the tail of the sorted record list and every record is read exactly
+    once. Each micro-batch fans its slice out ``recordsPerPartition``
+    per task, same as the batch reader."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        self.regex = options.get("regex", _DEFAULT_REGEX)
+        self.reader_spec = options.get("reader")
+        self.batch = int(options.get("recordsPerPartition", "64"))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": len(_discover_records(self.path, self.regex))}
+
+    def partitions(self, start, end):
+        rows = _discover_records(self.path, self.regex)[
+            start["index"] : end["index"]
+        ]
+        return _chunk(rows, self.batch, self.reader_spec)
+
+    def read(self, partition: _RecordPartition):
+        return _decode_partition(partition)
 
 
 class ImageDirDataSource(DataSource):
@@ -106,6 +160,9 @@ class ImageDirDataSource(DataSource):
 
     def reader(self, schema):
         return ImageDirReader(self.options)
+
+    def streamReader(self, schema):
+        return ImageDirStreamReader(self.options)
 
 
 def register_image_source(spark) -> bool:

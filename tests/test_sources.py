@@ -151,3 +151,48 @@ def test_python_datasource_image_dir(spark, tmp_path):
     assert sorted(pdf.rec) == ["a", "b", "c"]
     assert list(pdf.iloc[0].pixels_shape) == [2, 16, 16]
     assert df.rdd.getNumPartitions() == 2  # 3 records / 2 per partition
+
+
+def test_python_datasource_image_stream(spark, tmp_path):
+    """Streaming side of the scip_images source: records present at
+    start arrive in batch 1; records acquired later arrive in a later
+    micro-batch; nothing is re-read (offset = complete-record count)."""
+    from scip_spark.sources.datasource import register_image_source
+
+    if not register_image_source(spark):
+        pytest.skip("Python DataSource API unavailable")
+    d = tmp_path / "acq"
+    d.mkdir()
+    for rec in ("s001", "s002"):
+        for c in (0, 1):
+            (d / f"{rec}_{c}.tif").write_bytes(b"\x00")
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("scip_images")
+            .option("path", str(d))
+            .option("recordsPerPartition", "1")
+            .load()
+            .select("rec", "path_c0")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = sorted(r.rec for r in spark.read.parquet(out).collect())
+    assert first == ["s001", "s002"]
+
+    # two more records land; the incomplete one must NOT be emitted
+    for c in (0, 1):
+        (d / f"s003_{c}.tif").write_bytes(b"\x00")
+    (d / "s004_0.tif").write_bytes(b"\x00")
+    run_once()
+    second = sorted(r.rec for r in spark.read.parquet(out).collect())
+    assert second == ["s001", "s002", "s003"]
