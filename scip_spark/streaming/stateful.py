@@ -68,3 +68,58 @@ def user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class UserProfileProcessor:
+    """``transformWithStateInPandas`` twin of ``user_profiles`` — the
+    Spark 4 successor API: named state handles (ValueState) with
+    per-state TTL support instead of one opaque state tuple. Same
+    semantics, same output schema; equality with the
+    applyInPandasWithState path is asserted in tests.
+
+    Environment note: the TWS state protocol speaks protobuf to the
+    JVM; pyspark treats ``protobuf`` as an optional dependency and the
+    test skips when ``google.protobuf`` is absent (this container).
+    Requires the RocksDB state store provider."""
+
+    def init(self, handle) -> None:
+        self._profile = handle.getValueState("profile", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> "Iterator[pd.DataFrame]":
+        (user_id,) = key
+        if self._profile.exists():
+            n, total, last_us = self._profile.get()
+        else:
+            n, total, last_us = 0, 0.0, 0
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        self._profile.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_seen": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profiles_tws(events: DataFrame) -> DataFrame:
+    """events stream → per-user profiles via transformWithStateInPandas."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _P(UserProfileProcessor, StatefulProcessor):
+        pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_P(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

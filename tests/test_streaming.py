@@ -298,3 +298,45 @@ def test_streaming_corpus_ingest_matches_batch(spark, tmp_path):
     }
     want = {(r.doc_id, r.split) for r in construct(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, events_dir):
+    """transformWithStateInPandas (Spark 4 named-state API) must land on
+    the same final per-user profiles as the applyInPandasWithState
+    operator and the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    # the TWS state protocol is protobuf-based; pyspark treats protobuf
+    # as an optional dep and this container doesn't ship it
+    pytest.importorskip("google.protobuf.descriptor")
+    from scip_spark.streaming.stateful import user_profiles_tws
+
+    # transformWithState requires the RocksDB state store provider
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        stream = read_event_stream(spark, events_dir)
+        run_to_memory(user_profiles_tws(stream), "profiles_tws_out", mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM profiles_tws_out) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final}
+    batch = (
+        load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch}
+    assert got == want
