@@ -121,6 +121,12 @@ def embedding_near_dup(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("emb"),
     )
+    # a small parquet is one scan split, which would serialize the
+    # whole O(candidates x dim) verify into one task; no-op when the
+    # input already carries enough partitions (the 100 TB case)
+    from scip_spark.functions.scale import ensure_parallelism
+
+    v = ensure_parallelism(v)
     # per-row norm computed ONCE before the join — the naive
     # cosine(emb_a, emb_b) inside the join condition would re-fold both
     # norms for every candidate pair (3 O(dim) folds/pair instead of 1)
