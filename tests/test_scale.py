@@ -393,3 +393,29 @@ def test_zorder_write_tightens_file_bounds(spark, tmp_path):
         spark.read.parquet(zpath).count() == spark.read.parquet(rpath).count()
     )
     assert z_area < 0.5 * r_area, (z_area, r_area)
+
+
+def test_zorder_key_matches_python_model(spark):
+    """Bit-exact check of the Morton interleave against a direct
+    python model, over random pairs plus the corner values."""
+    import random
+
+    from scip_spark.functions.scale import zorder_key
+
+    rnd = random.Random(7)
+    pairs = [(rnd.randrange(2**16), rnd.randrange(2**16)) for _ in range(500)]
+    pairs += [(0, 0), (65535, 65535), (1, 0), (0, 1), (65535, 0), (0, 65535)]
+    df = spark.createDataFrame(pairs, "a int, b int")
+    got = df.select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+
+    def model(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in got:
+        assert r.z == model(r.a, r.b), (r.a, r.b)
