@@ -170,3 +170,72 @@ def kmv_intersection_estimate(spark, sf_dir):
     return both.select(
         j.alias("jaccard_est"), u.alias("union_est"), (j * u).alias("inter_est")
     )
+
+
+def _kmv_difference_sql(k: int = KMV_K) -> str:
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT o_orderpriority, {_H} AS h FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    sk AS (
+      SELECT o_orderpriority, list_slice(list_sort(list(h)), 1, {k}) AS kmv
+      FROM hashed GROUP BY o_orderpriority
+    ),
+    ab AS (
+      SELECT (SELECT kmv FROM sk WHERE o_orderpriority = '1-URGENT') AS ka,
+             (SELECT kmv FROM sk WHERE o_orderpriority = '2-HIGH') AS kb
+    ),
+    merged AS (
+      SELECT ka, kb,
+             list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, {k}) AS ku
+      FROM ab
+    )
+    SELECT CAST(len(list_filter(ku, h -> list_contains(ka, h) AND NOT list_contains(kb, h)))
+                AS DOUBLE) / len(ku) AS diff_frac,
+           CASE WHEN len(ku) < {k} THEN CAST(len(ku) AS DOUBLE)
+                ELSE {float(k - 1)} / (CAST(ku[{k}] AS DOUBLE) / {_HASH_SPACE})
+           END AS union_est,
+           CAST(len(list_filter(ku, h -> list_contains(ka, h) AND NOT list_contains(kb, h)))
+                AS DOUBLE) / len(ku)
+             * CASE WHEN len(ku) < {k} THEN CAST(len(ku) AS DOUBLE)
+                    ELSE {float(k - 1)} / (CAST(ku[{k}] AS DOUBLE) / {_HASH_SPACE})
+               END AS diff_est
+    FROM merged
+    """
+
+
+@register(
+    "kmv_difference_estimate",
+    _kmv_difference_sql(),
+    doc="theta-style A∖B on KMV sketches: |A∖B| estimated as the "
+    "A-only fraction of the union's k-minima times |A∪B| — "
+    "deterministic, so the approximation itself is oracle-verified",
+)
+def kmv_difference_estimate(spark, sf_dir):
+    """|A∖B| over o_custkey for priority 1-URGENT minus 2-HIGH — the
+    set-difference companion to kmv_intersection_estimate (same
+    theta-sketch algebra on the merged k-minima)."""
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    sk = kmv_sketch(orders, "o_orderpriority", "o_custkey")
+    a = sk.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("kmv").alias("ka")
+    )
+    b = sk.filter(F.col("o_orderpriority") == "2-HIGH").select(F.col("kmv").alias("kb"))
+    both = a.crossJoin(F.broadcast(b)).select(
+        "ka", "kb", kmv_merge("ka", "kb").alias("ku")
+    )
+    only_a = F.size(
+        F.filter(
+            F.col("ku"),
+            lambda h: F.array_contains(F.col("ka"), h)
+            & ~F.array_contains(F.col("kb"), h),
+        )
+    )
+    frac = only_a.cast("double") / F.size("ku")
+    u = kmv_estimate("ku")
+    return both.select(
+        frac.alias("diff_frac"), u.alias("union_est"), (frac * u).alias("diff_est")
+    )

@@ -419,3 +419,21 @@ def test_zorder_key_matches_python_model(spark):
 
     for r in got:
         assert r.z == model(r.a, r.b), (r.a, r.b)
+
+
+def test_kmv_difference_tracks_exact(spark):
+    """The theta-style |A∖B| estimate must land near the exact count of
+    customers ordering 1-URGENT but never 2-HIGH."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    exact_diff = a.distinct().subtract(b.distinct()).count()
+    est = REGISTRY["kmv_difference_estimate"].fn(spark, SF).collect()[0]
+    assert est.union_est > 0
+    assert abs(est.diff_est - exact_diff) / max(exact_diff, 1) < 0.6, (
+        est.diff_est,
+        exact_diff,
+    )
