@@ -127,3 +127,32 @@ def mad_by_flag(spark, sf_dir):
         "l_linenumber",
     )
     return disc_median(devs, "dev", "mad")
+
+
+@register(
+    "approx_percentile_prices",
+    None,
+    doc="Greenwald-Khanna approximate percentiles (mergeable quantile "
+    "summaries — the at-scale alternative to an exact global sort); "
+    "rank-error bound vs exact percentiles asserted in pytest",
+)
+def approx_percentile_prices(spark, sf_dir):
+    """Per-flag p50/p90/p99 of l_extendedprice via percentile_approx
+    (one pass, bounded memory, mergeable across partitions). The exact
+    `percentile` twin is what median_price_by_flag oracle-checks; this
+    entry covers the sketch path a 100 TB job would actually run."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], 10_000
+            ).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+    )

@@ -437,3 +437,29 @@ def test_kmv_difference_tracks_exact(spark):
         est.diff_est,
         exact_diff,
     )
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """percentile_approx(accuracy=10000) guarantees rank error <=
+    n/accuracy; check the returned values sit within the corresponding
+    exact-rank window for every flag and probe."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    got = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in REGISTRY["approx_percentile_prices"].fn(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for flag, vals in got.items():
+        prices = sorted(
+            r.l_extendedprice
+            for r in li.filter(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(prices)
+        err = max(n // 10_000, 1)
+        for p, v in zip((0.5, 0.9, 0.99), vals):
+            target = int(p * n)
+            lo = prices[max(target - err - 1, 0)]
+            hi = prices[min(target + err, n - 1)]
+            assert lo <= v <= hi, (flag, p, v, lo, hi)
