@@ -38,11 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q5_local_supplier_volume"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Queries the round-1 driver CORRECTNESS run reached before stopping at
-# 50 entries (CORRECTNESS_r01.json): all green there (the two dtype
-# hash-misses were fixed and re-verified locally). Listing them LAST
-# rotates the driver's budget onto the queries it has not yet verified.
-_ROUND1_DRIVER_CHECKED = {
+# Union of queries any past driver CORRECTNESS run has verified green
+# (round 1: CORRECTNESS_r01.json; the two dtype hash-misses there were
+# fixed and re-verified locally). Listing them LAST rotates the
+# driver's per-round budget onto the queries it has not yet verified.
+# Refresh with each round's green rows.
+_DRIVER_CHECKED = {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "pivot_channels", "union_sources", "global_stats", "distinct_groups",
     "soft_delete_filter", "group_minmax_normalize", "keyed_branch_concat",
@@ -66,7 +67,7 @@ _ROUND1_DRIVER_CHECKED = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    driver-unverified queries run first (see _ROUND1_DRIVER_CHECKED)."""
+    driver-unverified queries run first (see _DRIVER_CHECKED)."""
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    ordered = sorted(REGISTRY, key=lambda n: n in _ROUND1_DRIVER_CHECKED)
+    ordered = sorted(REGISTRY, key=lambda n: n in _DRIVER_CHECKED)
     return {name: wrap(REGISTRY[name].fn) for name in ordered}
 
 
