@@ -13,6 +13,7 @@ import scip_spark.tpch_queries  # noqa: F401  outer joins, IN/NOT-IN, HAVING
 # not silently shrink the query surface the driver grades.
 import scip_spark.functions.corpus_queries  # noqa: F401
 import scip_spark.functions.dedup_queries  # noqa: F401
+import scip_spark.functions.quality_queries  # noqa: F401
 import scip_spark.functions.similarity_queries  # noqa: F401
 import scip_spark.functions.sketch_queries  # noqa: F401
 import scip_spark.functions.tensor_queries  # noqa: F401
@@ -22,4 +23,4 @@ import scip_spark.functions.text_queries  # noqa: F401
 # import time, where the driver (and tests) will see it immediately
 from scip_spark.queries import REGISTRY as _R
 
-assert len(_R) >= 92, f"query registry shrank: {len(_R)} entries"
+assert len(_R) >= 95, f"query registry shrank: {len(_R)} entries"

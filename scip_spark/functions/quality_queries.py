@@ -1,0 +1,262 @@
+"""Corpus-quality operators a large-scale training-data pipeline needs:
+repetition filters (Gopher-style), benchmark-contamination checks, and
+domain-mixture token accounting.
+
+These extend the reference's per-record filter stage (reference
+src/scip/masking/filters/__init__.py:21-38 — compute a per-record
+statistic, threshold it downstream) to document corpora: the same
+shape — one scan, per-record reductions, broadcast of tiny summary
+state — expressed as DataFrame column algebra so every count stays
+JVM-side and map-side-combined.
+
+Scale notes (100 TB):
+- n-gram construction is per-row array algebra (zip_with/slice) inside
+  whole-stage codegen — no shuffle, no Python.
+- per-doc gram counts shuffle only (doc_id, gram-hash, count) rows with
+  partial aggregation; the three stat families re-join on doc_id and
+  AQE coalesces the tiny post-agg partitions.
+- the contamination benchmark set is DISTINCT 5-grams of a tiny,
+  explicitly-bounded document subset — broadcast to every executor, so
+  the 100-TB candidate side never shuffles for the probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from scip_spark.functions.scale import ensure_parallelism
+from scip_spark.functions.text import tokens
+from scip_spark.queries import register, tbl
+
+_SQL_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+def _ngram_col(n: int):
+    """n-gram array from a ``toks`` array column, pure column algebra.
+
+    Built by folding zip_with over shifted slices — each element i of
+    the result is ``toks[i] .. toks[i+n-1]`` joined by spaces. The
+    ``greatest(len-k, 0)`` guard keeps slice lengths non-negative for
+    short docs (Spark's sequence() would count *down* for a negative
+    span, so slices are the safe formulation).
+    """
+    m = F.greatest(F.size("toks") - (n - 1), F.lit(0))
+    out = F.slice("toks", 1, m)
+    for k in range(1, n):
+        out = F.zip_with(out, F.slice("toks", k + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def _sql_ngrams(n: int) -> str:
+    parts = ", ".join(f"toks[i+{k}]" for k in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len(toks)-{n - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+_REP_SQL = f"""
+    WITH tokenized AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, toks,
+             {_sql_ngrams(2)} AS bi,
+             {_sql_ngrams(3)} AS tri
+      FROM tokenized
+    ),
+    uni_c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams, unnest(toks) AS u(g) GROUP BY doc_id, g
+    ),
+    bi_c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams, unnest(bi) AS u(g) GROUP BY doc_id, g
+    ),
+    tri_c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams, unnest(tri) AS u(g) GROUP BY doc_id, g
+    ),
+    uni_s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS mx FROM uni_c GROUP BY doc_id),
+    bi_s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi, MAX(c) AS mx FROM bi_c GROUP BY doc_id),
+    tri_s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+                     CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+              FROM tri_c GROUP BY doc_id)
+    SELECT u.doc_id,
+           u.n_tokens,
+           CAST(u.mx AS DOUBLE) / u.n_tokens AS top_token_frac,
+           CAST(b.mx AS DOUBLE) / b.n_bi AS top_bigram_frac,
+           CAST(t.dup_occ AS DOUBLE) / t.n_tri AS dup_trigram_frac
+    FROM uni_s u JOIN bi_s b USING (doc_id) JOIN tri_s t USING (doc_id)
+"""
+
+
+@register(
+    "quality_repetition",
+    _REP_SQL,
+    doc="Gopher-style repetition filter stats: most-common-token "
+    "fraction, most-common-bigram fraction, fraction of trigram "
+    "occurrences belonging to repeated trigrams (all int/int "
+    "divisions — bit-exact across engines)",
+)
+def quality_repetition(spark, sf_dir):
+    docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
+    g = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", "toks", _ngram_col(2).alias("bi"), _ngram_col(3).alias("tri")
+    )
+
+    def stats(col, mx_name, n_name, dup=False):
+        c = (
+            g.select("doc_id", F.explode(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        aggs = [F.sum("c").cast("long").alias(n_name), F.max("c").alias(mx_name)]
+        if dup:
+            aggs.append(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias("dup_occ")
+            )
+        return c.groupBy("doc_id").agg(*aggs)
+
+    uni = stats("toks", "mx_uni", "n_tokens")
+    bi = stats("bi", "mx_bi", "n_bi")
+    tri = stats("tri", "mx_tri", "n_tri", dup=True)
+    return (
+        uni.join(bi, "doc_id")
+        .join(tri, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("mx_uni").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+            (F.col("mx_bi").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
+            (F.col("dup_occ").cast("double") / F.col("n_tri")).alias("dup_trigram_frac"),
+        )
+    )
+
+
+# Benchmark-contamination check: which corpus documents share any exact
+# 5-gram with a held-out "benchmark" set (here: every 50th doc_id — a
+# deterministic stand-in for an eval-suite table). The real-pipeline
+# property is the JOIN SHAPE: the benchmark n-gram set is small and
+# broadcast; the corpus side streams through it without shuffling.
+_CONTAM_SQL = f"""
+    WITH tokenized AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, list_distinct({_sql_ngrams(5)}) AS gs FROM tokenized
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams, unnest(gs) AS u(g) WHERE doc_id % 50 = 0
+    ),
+    cand AS (
+      SELECT doc_id, g FROM grams, unnest(gs) AS u(g) WHERE doc_id % 50 <> 0
+    ),
+    hit AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(b.g) AS BIGINT) AS n_matched
+      FROM cand c LEFT JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_grams, n_matched,
+           CAST(n_matched AS DOUBLE) / n_grams AS contamination,
+           n_matched > 0 AS contaminated
+    FROM hit
+"""
+
+
+@register(
+    "contamination_ngram",
+    _CONTAM_SQL,
+    doc="benchmark-contamination check: exact 5-gram overlap between "
+    "corpus docs and a deterministic benchmark subset; benchmark "
+    "gram set broadcast, corpus side never shuffles for the probe",
+)
+def contamination_ngram(spark, sf_dir):
+    docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
+    g = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select("doc_id", F.array_distinct(_ngram_col(5)).alias("gs"))
+    bench = (
+        g.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = g.filter(F.col("doc_id") % 50 != 0).select("doc_id", F.explode("gs").alias("g"))
+    return (
+        cand.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_matched"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.col("n_grams")).alias("contamination"),
+            (F.col("n_matched") > 0).alias("contaminated"),
+        )
+    )
+
+
+# Domain-mixture accounting: token totals and cumulative shares per
+# (lang, source) domain — the bookkeeping behind mixture-weight tuning.
+# The unpartitioned window runs AFTER the group-by, over #domains rows
+# (tiny at any corpus scale); every share is a bigint/bigint division,
+# so cum_share is bit-exact without summing doubles.
+_BUDGET_SQL = f"""
+    WITH tokenized AS (
+      SELECT lang, source, {_SQL_TOKS} AS toks FROM documents
+    ),
+    dom AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+      FROM tokenized GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM dom)
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total AS token_share,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(CAST(SUM(n_tokens) OVER w AS BIGINT) AS DOUBLE) / total AS cum_share
+    FROM dom, tot
+    WINDOW w AS (ORDER BY n_tokens DESC, lang, source ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register(
+    "token_budget_by_domain",
+    _BUDGET_SQL,
+    doc="domain-mixture token accounting: per-(lang,source) token "
+    "totals, share of corpus, and cumulative share in descending "
+    "token order (mixture-weight bookkeeping)",
+)
+def token_budget_by_domain(spark, sf_dir):
+    docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
+    dom = (
+        docs.select("lang", "source", F.size(tokens("text")).alias("n"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.sum("n").cast("long").alias("n_tokens"))
+    )
+    total = dom.agg(F.sum("n_tokens").cast("long").alias("total"))
+    w = (
+        W.orderBy(F.desc("n_tokens"), "lang", "source")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        dom.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("total")).alias("token_share"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            (F.sum("n_tokens").over(w).cast("long").cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+        )
+    )

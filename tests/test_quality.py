@@ -1,0 +1,91 @@
+"""Repetition filters, contamination check, and mixture accounting:
+known-value assertions on hand-built documents plus invariants on the
+synthetic corpus."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scip_spark.functions.quality_queries import (
+    contamination_ngram,
+    quality_repetition,
+    token_budget_by_domain,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def toy_sf(spark, tmp_path_factory):
+    """A tiny documents.parquet with exactly known repetition stats."""
+    d = tmp_path_factory.mktemp("toy")
+    pdf = pd.DataFrame(
+        {
+            # doc 0: "a a a b" -> top token a:3/4; bigrams [a a, a a, a b]
+            #   top bigram 2/3; trigrams [a a a, a a b] all unique -> dup 0
+            # doc 50: benchmark row (50 % 50 == 0)
+            # doc 1: shares the 5-gram "x y z w v" with the benchmark doc
+            # doc 2: no 5-gram overlap with doc 50
+            "doc_id": [0, 50, 1, 2],
+            "text": [
+                "a a a b",
+                "x y z w v q r s t u",
+                "x y z w v one two three four five",
+                "p q r s a t u m n o",
+            ],
+            "lang": ["en", "en", "de", "de"],
+            "source": ["s0", "s0", "s1", "s1"],
+            "n_chars": [7, 19, 33, 19],
+        }
+    )
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_repetition_known_values(spark, toy_sf):
+    rows = {r.doc_id: r for r in quality_repetition(spark, toy_sf).collect()}
+    r0 = rows[0]
+    assert r0.n_tokens == 4
+    assert r0.top_token_frac == 3 / 4
+    assert r0.top_bigram_frac == 2 / 3
+    assert r0.dup_trigram_frac == 0.0
+    # doc 50: ten distinct tokens, no repetition anywhere
+    r5 = rows[50]
+    assert r5.top_token_frac == 1 / 10 and r5.dup_trigram_frac == 0.0
+
+
+def test_contamination_flags_overlapping_doc(spark, toy_sf):
+    rows = {r.doc_id: r for r in contamination_ngram(spark, toy_sf).collect()}
+    assert 50 not in rows  # benchmark docs are not scored
+    assert rows[1].contaminated and rows[1].n_matched == 1  # "x y z w v"
+    # doc 2 shares tokens (q r s t) but no aligned run of 5
+    assert not rows[2].contaminated and rows[2].n_matched == 0
+    assert rows[1].n_grams == 6  # 10 tokens -> 6 distinct 5-grams
+
+
+def test_token_budget_shares_sum_to_one(spark, toy_sf):
+    out = token_budget_by_domain(spark, toy_sf).orderBy("cum_tokens").collect()
+    assert abs(sum(r.token_share for r in out) - 1.0) < 1e-12
+    assert out[-1].cum_tokens == sum(r.n_tokens for r in out)
+    assert out[-1].cum_share == 1.0
+    # cumulative ordering is by descending token mass
+    masses = [r.n_tokens for r in out]
+    assert masses == sorted(masses, reverse=True)
+
+
+def test_repetition_fracs_bounded_on_corpus(spark):
+    out = quality_repetition(spark, SF)
+    bad = out.filter(
+        (F.col("top_token_frac") <= 0)
+        | (F.col("top_token_frac") > 1)
+        | (F.col("top_bigram_frac") > 1)
+        | (F.col("dup_trigram_frac") > 1)
+        | (F.col("dup_trigram_frac") < 0)
+    ).count()
+    assert bad == 0
+    assert out.count() == 500
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    plan = contamination_ngram(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
