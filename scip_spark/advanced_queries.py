@@ -517,3 +517,49 @@ def zorder_key_lineitem(spark, sf_dir):
         "l_suppkey",
         zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="explicit GROUPING SETS (a strict subset of cube: no "
+    "linestatus-only set) with the grouping-id bitmap distinguishing "
+    "aggregation level from genuine NULL keys",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        dsum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+    doc="wide-to-long unpivot (Spark df.unpivot / melt; oracle as the "
+    "equivalent UNION ALL) -- a map-side 1-to-N expansion, no shuffle",
+)
+def unpivot_part_metrics(spark, sf_dir):
+    part = tbl(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")

@@ -1,0 +1,66 @@
+"""SCD2 interval chaining, pseudonymization/k-anonymity invariants, and
+the grouping-sets / unpivot relational shapes."""
+
+from pyspark.sql import functions as F
+
+from scip_spark.advanced_queries import grouping_sets_revenue, unpivot_part_metrics
+from scip_spark.governance_queries import pseudonymize_events, scd2_customer_orders
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_scd2_intervals_chain(spark):
+    out = scd2_customer_orders(spark, SF).cache()
+    # exactly one open (is_current) interval per customer
+    open_per_cust = out.filter("is_current").groupBy("o_custkey").count()
+    assert open_per_cust.filter("count != 1").count() == 0
+    # version n's valid_to == version n+1's valid_from (gap-free chain)
+    nxt = out.select(
+        "o_custkey", (F.col("version") - 1).alias("version"), F.col("valid_from").alias("nf")
+    )
+    joined = out.join(nxt, ["o_custkey", "version"])
+    assert joined.filter(F.col("valid_to") != F.col("nf")).count() == 0
+    # closed intervals are properly ordered
+    closed = out.filter("NOT is_current")
+    assert closed.filter(F.col("valid_from") > F.col("valid_to")).count() == 0
+    out.unpersist()
+
+
+def test_pseudonymize_suppresses_small_groups(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = pseudonymize_events(spark, SF).cache()
+    assert out.filter(F.col("grp_n") < 5).count() == 0
+    assert out.count() < ev.count()  # something was actually suppressed
+    # pseudonym is a stable function of user_id: distinct pseudonyms
+    # cannot exceed distinct user ids
+    n_users = ev.select("user_id").distinct().count()
+    assert out.select("user_pseudo").distinct().count() <= n_users
+    # no raw identifier or full-precision timestamp columns leak through
+    assert set(out.columns) == {"user_pseudo", "hour", "event_type", "grp_n"}
+    out.unpersist()
+
+
+def test_grouping_sets_levels(spark):
+    rows = grouping_sets_revenue(spark, SF).collect()
+    gids = {r.gid for r in rows}
+    assert gids == {0, 1, 3}  # (rf,ls), (rf), () — and no ls-only set
+    total = [r for r in rows if r.gid == 3]
+    assert len(total) == 1 and total[0].n == sum(r.n for r in rows if r.gid == 0)
+
+
+def test_unpivot_roundtrip(spark):
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    out = unpivot_part_metrics(spark, SF)
+    assert out.count() == 2 * part.count()
+    back = (
+        out.groupBy("p_partkey")
+        .pivot("metric")
+        .agg(F.first("value"))
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+    orig = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    assert back.exceptAll(orig).count() == 0 and orig.exceptAll(back).count() == 0
