@@ -100,3 +100,168 @@ def pseudonymize_events(spark, sf_dir):
         p.join(F.broadcast(k.filter(F.col("grp_n") >= _K)), ["event_type", "hour"])
         .select("user_pseudo", "hour", "event_type", "grp_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reconciliation: order-independent table checksums + CDC snapshot diff
+# ---------------------------------------------------------------------------
+
+# 2^61 - 1 (Mersenne): checksum modulus. Row hashes are 48-bit md5
+# prefixes summed EXACTLY as decimals, then reduced — identical integer
+# arithmetic on both engines, independent of aggregation order.
+_M61 = (1 << 61) - 1
+
+
+def _row_hash_sql(cols: str) -> str:
+    return f"CAST(('0x' || substr(md5({cols}), 1, 12)) AS BIGINT)"
+
+
+def _checksum_sql(tbl: str, cols: str) -> str:
+    return f"""
+      SELECT '{tbl}' AS tbl,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(CAST(SUM(CAST({_row_hash_sql(cols)} AS DECIMAL(38, 0))) AS DECIMAL(38,0))
+                  % {_M61} AS BIGINT) AS checksum
+      FROM {tbl}
+    """
+
+
+# Canonical row representation: every column rendered engine-neutrally
+# (decimals for money, strftime for dates) and joined with '|'.
+_CHECKSUM_TABLES = {
+    "orders": "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), "
+    "strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)",
+    "customer": "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, "
+    "CAST(c_nationkey AS VARCHAR), CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), "
+    "c_mktsegment)",
+    "supplier": "concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name, "
+    "CAST(s_nationkey AS VARCHAR), CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR))",
+}
+
+_CHECKSUM_SQL = " UNION ALL ".join(
+    _checksum_sql(t, cols) for t, cols in _CHECKSUM_TABLES.items()
+)
+
+
+@register(
+    "table_checksum",
+    _CHECKSUM_SQL,
+    doc="cross-system reconciliation: order-independent table "
+    "fingerprint (48-bit md5 row-hash prefixes summed exactly as "
+    "decimals, reduced mod 2^61-1) — map-side combinable, so a "
+    "100 TB table checksums in one scan with a 16-byte shuffle "
+    "per partition",
+)
+def table_checksum(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    outs = []
+    for t in _CHECKSUM_TABLES:
+        df = tbl(spark, sf_dir, t)
+        if t == "orders":
+            repr_col = F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                "o_orderstatus",
+                F.col("o_totalprice").cast(T.DecimalType(18, 2)).cast("string"),
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                "o_orderpriority",
+            )
+        elif t == "customer":
+            repr_col = F.concat_ws(
+                "|",
+                F.col("c_custkey").cast("string"),
+                "c_name",
+                F.col("c_nationkey").cast("string"),
+                F.col("c_acctbal").cast(T.DecimalType(18, 2)).cast("string"),
+                "c_mktsegment",
+            )
+        else:
+            repr_col = F.concat_ws(
+                "|",
+                F.col("s_suppkey").cast("string"),
+                "s_name",
+                F.col("s_nationkey").cast("string"),
+                F.col("s_acctbal").cast(T.DecimalType(18, 2)).cast("string"),
+            )
+        h = F.conv(F.substring(F.md5(repr_col), 1, 12), 16, 10).cast("long")
+        outs.append(
+            df.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                (F.sum(h.cast(T.DecimalType(38, 0))) % _M61).cast("long").alias("checksum"),
+            ).select(F.lit(t).alias("tbl"), "n_rows", "checksum")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# CDC snapshot diff: two deterministic snapshots derived from orders
+# (old misses keys %7==0; new misses %11==0 and reprices %5==0), then a
+# single full-outer join on the key classifies added/removed/changed.
+_DIFF_SQL = """
+    WITH old AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2))
+               + CASE WHEN o_orderkey % 5 = 0 THEN CAST(10 AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END AS price
+      FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CAST(o.price AS DOUBLE) AS old_price,
+           CAST(n.price AS DOUBLE) AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.price <> n.price
+"""
+
+
+@register(
+    "snapshot_diff_orders",
+    _DIFF_SQL,
+    doc="CDC snapshot diff: one full-outer join on the key classifies "
+    "rows as added/removed/changed between two table versions; "
+    "unchanged rows are filtered pre-output so only the delta "
+    "leaves the join",
+)
+def snapshot_diff_orders(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    orders = tbl(spark, sf_dir, "orders")
+    dec = T.DecimalType(18, 2)
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").cast(dec).alias("price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice").cast(dec)
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(10).cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("price"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return joined.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.price") != F.col("n.price"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("o.price").cast("double").alias("old_price"),
+        F.col("n.price").cast("double").alias("new_price"),
+    )

@@ -64,3 +64,49 @@ def test_unpivot_roundtrip(spark):
         F.col("p_retailprice").cast("double").alias("p_retailprice"),
     )
     assert back.exceptAll(orig).count() == 0 and orig.exceptAll(back).count() == 0
+
+
+def test_table_checksum_detects_single_row_change(spark, tmp_path):
+    """The reconciliation property: equal data -> equal checksum; one
+    changed cell -> different checksum, same row count."""
+    from scip_spark.governance_queries import table_checksum
+
+    base = {r.tbl: r for r in table_checksum(spark, SF).collect()}
+    # copy sf dir with one mutated supplier row
+    import duckdb
+
+    for t in ["orders", "customer", "supplier"]:
+        if t == "supplier":
+            duckdb.connect().execute(
+                f"COPY (SELECT s_suppkey, CASE WHEN s_suppkey = 1 THEN 'MUTATED' "
+                f"ELSE s_name END AS s_name, s_nationkey, s_acctbal "
+                f"FROM '{SF}/{t}.parquet') TO '{tmp_path}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            duckdb.connect().execute(
+                f"COPY (SELECT * FROM '{SF}/{t}.parquet') TO '{tmp_path}/{t}.parquet' "
+                f"(FORMAT PARQUET)"
+            )
+    mutated = {r.tbl: r for r in table_checksum(spark, str(tmp_path)).collect()}
+    for t in ["orders", "customer"]:
+        assert mutated[t].checksum == base[t].checksum
+    assert mutated["supplier"].n_rows == base["supplier"].n_rows
+    assert mutated["supplier"].checksum != base["supplier"].checksum
+
+
+def test_snapshot_diff_classes(spark):
+    from scip_spark.governance_queries import snapshot_diff_orders
+
+    out = snapshot_diff_orders(spark, SF).cache()
+    by_type = {r.change_type: r["count"] for r in out.groupBy("change_type").count().collect()}
+    assert set(by_type) == {"added", "removed", "changed"}
+    # added rows: in new only => keys divisible by 7 but not 11
+    added_bad = out.filter("change_type = 'added' AND (o_orderkey % 7 != 0 OR o_orderkey % 11 = 0)")
+    assert added_bad.count() == 0
+    assert out.filter("change_type = 'added' AND old_price IS NOT NULL").count() == 0
+    assert out.filter("change_type = 'removed' AND new_price IS NOT NULL").count() == 0
+    # changed rows are exactly the repriced (%5) keys present in both
+    chg_bad = out.filter("change_type = 'changed' AND o_orderkey % 5 != 0")
+    assert chg_bad.count() == 0
+    assert out.filter("change_type = 'changed' AND new_price - old_price != 10").count() == 0
+    out.unpersist()
