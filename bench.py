@@ -43,6 +43,9 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_buckets",
     "mean_tensor_by_group",
+    "quality_repetition",
+    "contamination_ngram",
+    "table_checksum",
 ]
 
 
