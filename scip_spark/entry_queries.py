@@ -14,6 +14,7 @@ import scip_spark.tpch_queries  # noqa: F401  outer joins, IN/NOT-IN, HAVING
 # not silently shrink the query surface the driver grades.
 import scip_spark.functions.corpus_queries  # noqa: F401
 import scip_spark.functions.dedup_queries  # noqa: F401
+import scip_spark.functions.graph_queries  # noqa: F401
 import scip_spark.functions.quality_queries  # noqa: F401
 import scip_spark.functions.similarity_queries  # noqa: F401
 import scip_spark.functions.sketch_queries  # noqa: F401
