@@ -70,13 +70,21 @@ def main() -> None:
     # Whole-stage codegen caches by generated source, which depends on
     # the plan shape, not the data — so this compiles exactly the
     # classes the measured run uses, and the timings below measure
-    # execution, not Janino compilation.
+    # execution, not Janino compilation. A query that raises here (e.g.
+    # an env/data-encoding drift) is recorded in `errors` and excluded
+    # from the measured loop — one broken query must never zero out the
+    # whole round's bench signal.
+    errors: dict[str, str] = {}
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             spec = REGISTRY.get(name)
-            if spec is not None:
+            if spec is None:
+                continue
+            try:
                 spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     # best-of-2: the box hosting local[32] is shared, and a single GC
     # or neighbour burst can triple one query's wall time; the min of
@@ -85,25 +93,29 @@ def main() -> None:
     for _ in range(2):
         for name in HEADLINE:
             spec = REGISTRY.get(name)
-            if spec is None:
+            if spec is None or name in errors:
                 continue
             t0 = time.time()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                timings.pop(name, None)
+                continue
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

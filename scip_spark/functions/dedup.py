@@ -189,7 +189,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("node_id"))
     )
     prev_cached = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # propagate: candidate label for dst = min(label[src]) over edges
         prop = (
             edges.join(labels, edges.src == labels.node_id)
@@ -220,6 +220,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = new_labels
+        # every few rounds, truncate the lineage: each round's plan
+        # embeds the previous labels TWICE (propagation join + changed
+        # comparison), so un-truncated lineage doubles per round —
+        # exponential plan size and, at 100 TB, a recompute-from-source
+        # hazard for any lost cached partition. localCheckpoint (eager;
+        # the count above already materialized the data) cuts the
+        # logical plan back to the checkpointed RDD, capping growth at
+        # 2^interval copies of a checkpoint scan.
+        if (it + 1) % 4 == 0:
+            cp = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()  # checkpoint storage supersedes the cache
+            prev_cached = None
+            new_labels = cp
         labels = new_labels
         if changed == 0:
             break

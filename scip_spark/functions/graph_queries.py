@@ -8,15 +8,20 @@ partial-aggregated groupBy, and the previous iteration's ranks are
 unpersisted as soon as the next is materialized (the lesson from
 round-1's connected-components storage-creep finding).
 
-Numeric determinism: the per-edge contribution ``rank/outdeg`` is a
-double (identical in any engine), cast to DECIMAL(38,10) so the SUM is
-order-independent, then the damped update is rounded to 10 dp — making
-five iterations bit-exact between Spark's parallel partial aggregation
-and DuckDB's serial fold, so the whole iterative computation is
-oracle-paired (the oracle unrolls the loop as generated CTEs).
+Numeric determinism: the whole loop runs in FIXED-POINT BIGINT
+arithmetic — ranks are integers in units of 1e-15 rank mass, per-edge
+contributions are integer division ``R div outdeg``, and the damped
+update is ``tp + (85 * sum) div 100``. Every operation is exact and
+engine-independent, so five iterations are bit-identical between
+Spark's parallel partial aggregation and DuckDB's serial fold no
+matter the partial-agg order, rounding mode, or partition count. (A
+previous double/DECIMAL(38,10) formulation drifted in the 10th decimal
+because Spark and DuckDB round double→decimal conversions differently;
+integers have no such freedom.) Only the final display value divides
+by 1e15 — one double op, identical everywhere.
 
 Scale notes (100 TB): edges shuffle once to build degrees; each
-iteration shuffles only (node, decimal) pairs with map-side combine.
+iteration shuffles only (node, bigint) pairs with map-side combine.
 Rank state is O(nodes), not O(edges). For long chains swap the cache
 hand-off for localCheckpoint to truncate lineage.
 """
@@ -25,10 +30,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from scip_spark.queries import DEC10, register, tbl
+from scip_spark.queries import register, tbl
 
-_D = 0.85
+_D_NUM, _D_DEN = 85, 100  # damping 0.85 as an exact ratio
 _ITERS = 5
+_SCALE = 10**15  # rank mass fixed-point unit; 85 * 1e15 stays in int64
 
 
 def _pr_sql() -> str:
@@ -38,7 +44,7 @@ def _pr_sql() -> str:
         its.append(
             f"""r{k} AS (
       SELECT e.dst AS node,
-             round(t.tp + {_D} * CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,10))) AS DOUBLE), 10) AS rank
+             t.tp + ({_D_NUM} * SUM(r.r // d.outdeg)) // {_D_DEN} AS r
       FROM sym e
       JOIN {prev} r ON e.src = r.node
       JOIN deg d ON d.node = e.src
@@ -62,10 +68,10 @@ def _pr_sql() -> str:
     nodes AS (SELECT DISTINCT src AS node FROM sym),
     deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM sym GROUP BY src),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-    tp AS (SELECT CAST(0.15 AS DOUBLE) / n AS tp FROM n),
-    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS rank FROM nodes CROSS JOIN n),
+    tp AS (SELECT (15 * {_SCALE} // 100) // n AS tp FROM n),
+    r0 AS (SELECT node, {_SCALE} // n.n AS r FROM nodes CROSS JOIN n),
     {iters}
-    SELECT node, rank FROM {prev}
+    SELECT node, CAST(r AS DOUBLE) / {float(_SCALE)} AS rank FROM {prev}
     ORDER BY rank DESC, node
     LIMIT 20
     """
@@ -74,10 +80,11 @@ def _pr_sql() -> str:
 @register(
     "pagerank_suppliers",
     _pr_sql(),
-    doc=f"iterative PageRank ({_ITERS} damped iterations, d={_D}) over "
-    "the symmetric customer–supplier purchase graph; decimal-cast "
-    "contribution sums + 10dp per-iteration rounding make the loop "
-    "bit-exact vs the oracle's unrolled CTEs; top-20 with tie-break",
+    doc=f"iterative PageRank ({_ITERS} damped iterations, d=0.85) over "
+    "the symmetric customer–supplier purchase graph in fixed-point "
+    "bigint arithmetic — integer div/sum make the loop bit-exact vs "
+    "the oracle's unrolled CTEs regardless of aggregation order; "
+    "top-20 with tie-break",
 )
 def pagerank_suppliers(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
@@ -99,31 +106,33 @@ def pagerank_suppliers(spark, sf_dir):
     # static across iterations: cache the edge+degree relation once
     contrib_base = sym.join(deg, "src").cache()
     n = contrib_base.select("src").distinct().count()
-    tp, init = 0.15 / n, 1.0 / n
+    tp_units = (15 * _SCALE // 100) // n
+    init_units = _SCALE // n
 
     ranks = (
         contrib_base.select("src")
         .distinct()
-        .select(F.col("src").alias("node"), F.lit(init).alias("rank"))
+        .select(F.col("src").alias("node"), F.lit(init_units).alias("r"))
         .cache()
     )
     for _ in range(_ITERS):
         new = (
             contrib_base.join(ranks, contrib_base.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).cast(DEC10).alias("c"),
-            )
+            .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
             .select(
                 "node",
-                F.round(F.lit(tp) + F.lit(_D) * F.col("s").cast("double"), 10).alias("rank"),
+                (F.lit(tp_units) + F.expr(f"({_D_NUM} * s) div {_D_DEN}")).alias("r"),
             )
             .cache()
         )
         new.count()  # materialize before dropping the previous state
         ranks.unpersist()
         ranks = new
-    out = ranks.orderBy(F.desc("rank"), "node").limit(20)
+    out = (
+        ranks.select("node", (F.col("r").cast("double") / float(_SCALE)).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
     return out

@@ -98,39 +98,53 @@ _REP_SQL = f"""
     "divisions — bit-exact across engines)",
 )
 def quality_repetition(spark, sf_dir):
+    """Single-pass plan: ONE documents scan, ONE tokenization. The
+    uni/bi/trigram families are tagged (k=1/2/3) and concatenated into
+    one struct array before the explode, so per-gram counting is a
+    single groupBy(doc_id, k, gram) with map-side partial aggregation,
+    and the per-doc stats fold out via conditional aggregation — two
+    shuffles total instead of three scan+explode+agg branches joined
+    on doc_id. Docs too short for bi/trigrams drop (inner-join
+    semantics of the oracle)."""
     docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
-    g = docs.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id", "toks", _ngram_col(2).alias("bi"), _ngram_col(3).alias("tri")
-    )
 
-    def stats(col, mx_name, n_name, dup=False):
-        c = (
-            g.select("doc_id", F.explode(col).alias("g"))
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("c"))
-        )
-        aggs = [F.sum("c").cast("long").alias(n_name), F.max("c").alias(mx_name)]
-        if dup:
-            aggs.append(
-                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-                .cast("long")
-                .alias("dup_occ")
-            )
-        return c.groupBy("doc_id").agg(*aggs)
+    def tagged(col, k):
+        return F.transform(col, lambda t: F.struct(F.lit(k).alias("k"), t.alias("g")))
 
-    uni = stats("toks", "mx_uni", "n_tokens")
-    bi = stats("bi", "mx_bi", "n_bi")
-    tri = stats("tri", "mx_tri", "n_tri", dup=True)
-    return (
-        uni.join(bi, "doc_id")
-        .join(tri, "doc_id")
+    per_gram = (
+        docs.select("doc_id", tokens("text").alias("toks"))
         .select(
             "doc_id",
-            "n_tokens",
-            (F.col("mx_uni").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
-            (F.col("mx_bi").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
-            (F.col("dup_occ").cast("double") / F.col("n_tri")).alias("dup_trigram_frac"),
+            F.explode(
+                F.concat(
+                    tagged(F.col("toks"), 1),
+                    tagged(_ngram_col(2), 2),
+                    tagged(_ngram_col(3), 3),
+                )
+            ).alias("kg"),
         )
+        .groupBy("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+        .agg(F.count("*").alias("c"))
+    )
+    k = F.col("k")
+    wide = per_gram.groupBy("doc_id").agg(
+        F.sum(F.when(k == 1, F.col("c"))).cast("long").alias("n_tokens"),
+        F.max(F.when(k == 1, F.col("c"))).alias("mx_uni"),
+        F.sum(F.when(k == 2, F.col("c"))).cast("long").alias("n_bi"),
+        F.max(F.when(k == 2, F.col("c"))).alias("mx_bi"),
+        F.sum(F.when(k == 3, F.col("c"))).cast("long").alias("n_tri"),
+        F.sum(F.when((k == 3) & (F.col("c") > 1), F.col("c")))
+        .cast("long")
+        .alias("dup_occ"),
+    )
+    return wide.filter("n_bi IS NOT NULL AND n_tri IS NOT NULL").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("mx_uni").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        (F.col("mx_bi").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
+        (F.coalesce(F.col("dup_occ"), F.lit(0)).cast("double") / F.col("n_tri")).alias(
+            "dup_trigram_frac"
+        ),
     )
 
 

@@ -223,13 +223,21 @@ def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id", emb_col: str = 
 
 
 def ivf_centroids(df: DataFrame, k: int = 16, emb_col: str = "embedding", iters: int = 3):
-    """Deterministic k-means-lite: seeds = first k vectors by id, a few
-    Lloyd iterations driver-side on a collected sample. At 100 TB the
-    sample is a `.sample(fraction)` — centroids stay tiny either way."""
-    sample = np.asarray(
-        [r[0] for r in df.select(emb_col).orderBy("vec_id").limit(2048).collect()],
-        dtype=np.float64,
+    """Deterministic k-means-lite: a seeded Bernoulli sample of the
+    corpus (NO global sort — a count + per-partition sampling, both
+    embarrassingly parallel at 100 TB), sorted driver-side by vec_id for
+    run-to-run stability, then a few Lloyd iterations driver-side.
+    Centroids stay tiny (K×dim) either way."""
+    n = df.count()
+    frac = min(1.0, (4 * 2048) / max(n, 1))
+    rows = (
+        df.select("vec_id", emb_col)
+        .sample(withReplacement=False, fraction=frac, seed=42)
+        .limit(2048)
+        .collect()
     )
+    rows.sort(key=lambda r: r[0])
+    sample = np.asarray([r[1] for r in rows], dtype=np.float64)
     cents = sample[:k].copy()
     for _ in range(iters):
         sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)

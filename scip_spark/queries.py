@@ -45,14 +45,25 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as a
-    long (``spark.sql.legacy.parquet.nanosAsLong``). The data is
-    micro-precision, so ``ts DIV 1000`` → timestamp_micros is lossless.
-    Integer division — a double roundtrip would lose precision at 1e18 ns.
+    """Load events.parquet with ``ts`` normalized to TIMESTAMP (with local
+    TZ semantics, session TZ pinned UTC) regardless of how the file encodes
+    it. Seen encodings across driver testdata generations:
+
+    - TIMESTAMP(NANOS): Spark reads it as a long
+      (``spark.sql.legacy.parquet.nanosAsLong``). Micro-precision data, so
+      ``ts DIV 1000`` → timestamp_micros is lossless. Integer division — a
+      double roundtrip would lose precision at 1e18 ns.
+    - timestamp[us] without isAdjustedToUTC: Spark reads TIMESTAMP_NTZ,
+      which is not castable to BIGINT and breaks unix_micros(). Cast to
+      TIMESTAMP; with the session TZ pinned UTC the wall-clock values are
+      identical to what DuckDB's oracle sees.
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    ts_dtype = dict(ev.dtypes)["ts"]
+    if ts_dtype == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

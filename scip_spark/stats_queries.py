@@ -131,28 +131,52 @@ def mad_by_flag(spark, sf_dir):
 
 @register(
     "approx_percentile_prices",
-    None,
+    """
+    SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="Greenwald-Khanna approximate percentiles (mergeable quantile "
-    "summaries — the at-scale alternative to an exact global sort); "
-    "rank-error bound vs exact percentiles asserted in pytest",
+    "summaries — the at-scale alternative to an exact global sort), "
+    "verified via the sketch's own rank-error invariant: for each "
+    "flag/percentile, count(x < v)/n <= p + eps and count(x <= v)/n >= "
+    "p - eps with eps = 2/accuracy; the oracle emits the literal bound",
 )
 def approx_percentile_prices(spark, sf_dir):
     """Per-flag p50/p90/p99 of l_extendedprice via percentile_approx
-    (one pass, bounded memory, mergeable across partitions). The exact
-    `percentile` twin is what median_price_by_flag oracle-checks; this
-    entry covers the sketch path a 100 TB job would actually run."""
+    (one pass, bounded memory, mergeable across partitions), then a
+    second pass re-joins the 3-row sketch output (broadcast) to verify
+    the GK rank guarantee engine-side. The exact `percentile` twin is
+    what median_price_by_flag oracle-checks; this entry covers — and
+    now hash-checks — the sketch path a 100 TB job would actually run."""
     li = tbl(spark, sf_dir, "lineitem")
-    return (
+    acc = 10_000
+    eps = 2.0 / acc
+    pcts = (
         li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.5, 0.9, 0.99], 10_000
-            ).alias("pcts")
-        )
+        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], acc).alias("pcts"))
         .select(
             "l_returnflag",
             F.col("pcts")[0].alias("p50"),
             F.col("pcts")[1].alias("p90"),
             F.col("pcts")[2].alias("p99"),
+        )
+    )
+    x = F.col("l_extendedprice")
+
+    def ok(p: float, vcol: str):
+        # after the broadcast join every row carries its flag's sketch
+        # value, so the rank check is plain conditional aggregation
+        n = F.count("*")
+        frac_lt = F.sum(F.when(x < F.col(vcol), 1).otherwise(0)) / n
+        frac_le = F.sum(F.when(x <= F.col(vcol), 1).otherwise(0)) / n
+        return (frac_lt <= p + eps) & (frac_le >= p - eps)
+
+    return (
+        li.join(F.broadcast(pcts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            ok(0.5, "p50").alias("p50_ok"),
+            ok(0.9, "p90").alias("p90_ok"),
+            ok(0.99, "p99").alias("p99_ok"),
         )
     )

@@ -114,3 +114,33 @@ def test_no_cartesian_in_registry(spark):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
         )
         assert "CartesianProduct" not in plan, name
+
+
+def test_quality_repetition_single_scan(spark):
+    """The Gopher-repetition stats must come from ONE documents scan
+    (tag-explode of all n-gram families before the shuffle) — the
+    3-scan variant tripled the tokenize cost at sf0.1."""
+    plan = formatted_plan(spark, "quality_repetition")
+    assert plan.count("documents.parquet") == 1
+
+
+def test_ivf_seeding_no_global_sort(spark):
+    """ivf_centroids seeds from a Bernoulli sample, never a global
+    sort of the corpus: no Sort node may appear in the seeding scan."""
+    from pyspark.sql import functions as F  # noqa: F401
+    import scip_spark.functions.similarity as sim
+
+    emb = REGISTRY["embedding_stats"].fn  # noqa: F841  (registry warm)
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seed_plan = (
+        df.select("vec_id", "embedding")
+        .sample(withReplacement=False, fraction=0.5, seed=42)
+        .limit(2048)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort" not in seed_plan
+    # and the public entry still produces centroids of the right shape
+    cents = sim.ivf_centroids(df, k=8)
+    assert cents.shape == (8, 64)

@@ -2,6 +2,7 @@
 batch windowed aggregation exactly."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from scip_spark.queries import load_events
 from scip_spark.streaming.windows import (
@@ -340,3 +341,49 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, events_d
     )
     want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch}
     assert got == want
+
+
+def test_watermark_bounds_state_at_scale(spark, tmp_path):
+    """At-scale state proof (sf0.1: 100k events spanning 30 days): a
+    multi-micro-batch tumbling aggregation with a 2h watermark must
+    keep BOUNDED state — old windows are emitted and evicted as the
+    watermark advances, so the state store never holds anywhere near
+    the ~3600 total (hour, event_type) windows of the month. This is
+    the property that makes the operator viable on an unbounded
+    100 TB stream."""
+    sf01 = "/root/testdata/sf0.1"
+    import os
+
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 testdata not present")
+    d = str(tmp_path / "events_sorted")
+    # time-ordered files => the watermark advances every micro-batch
+    load_events(spark, sf01).repartitionByRange(8, "ts").sortWithinPartitions(
+        "ts"
+    ).write.mode("overwrite").parquet(d)
+
+    stream = read_event_stream(spark, d, max_files=1)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("state_scale_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progresses) >= 2  # genuinely multi-micro-batch
+    peak_state = max(p["stateOperators"][0]["numRowsTotal"] for p in progresses)
+    emitted = spark.sql("select count(*) n from state_scale_out").collect()[0].n
+    total_windows = (
+        load_events(spark, sf01)
+        .select(F.window("ts", "1 hour"), "event_type")
+        .distinct()
+        .count()
+    )
+    # most windows were flushed to the sink...
+    assert emitted > 0.8 * total_windows
+    # ...while live state stayed a small fraction of them: eviction works
+    assert peak_state < 0.35 * total_windows, (peak_state, total_windows)
