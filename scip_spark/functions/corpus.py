@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from scip_spark.functions.text import tokens
+
 SPLIT_BUCKETS = 10_000
 
 
@@ -177,4 +179,45 @@ def pack_shards(
     )
     return packed.drop(
         "pack_bucket", "pack_order", "local_cum", "bucket_offset", "pack_prior"
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    overlapping fixed-size windows (the training-sequence preparation
+    step between cleaning and shard packing).
+
+    Chunk k covers tokens [k*stride, k*stride + window); the last chunk
+    is the first one whose window reaches the end of the document, so
+    every token is covered and no chunk starts past the end. All
+    arithmetic is integer (chunk count = 1 + ceil((n-window)/stride))
+    and slicing truncates at the document tail — engine-reproducible.
+
+    Scale: pure per-row array algebra + explode. NO shuffle at any
+    size; chunk rows land in the same partitions as their documents.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    t = (
+        df.select(id_col, tokens(text_col).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    last = F.expr(
+        f"CASE WHEN n <= {window} THEN 0 "
+        f"ELSE (n - {window} + {stride} - 1) div {stride} END"
+    )
+    c = t.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), last)))
+    chunk = F.slice("toks", F.col("chunk_id") * stride + 1, window)
+    return c.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).alias("chunk_n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
     )

@@ -118,3 +118,40 @@ def corpus_pack_shards(spark, sf_dir):
     return pack_shards(docs, budget=_PACK_BUDGET).select(
         "doc_id", "n_chars", "shard_id"
     )
+
+
+_CHUNK_W, _CHUNK_S = 64, 48
+_CHUNK_SQL_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@register(
+    "corpus_chunk_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_CHUNK_SQL_TOKS} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= {_CHUNK_W} THEN 0
+                    ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} END
+             )) AS chunk_id
+      FROM s
+    )
+    SELECT doc_id, chunk_id,
+           len(list_slice(toks, chunk_id*{_CHUNK_S}+1, chunk_id*{_CHUNK_S}+{_CHUNK_W})) AS chunk_n_tokens,
+           array_to_string(list_slice(toks, chunk_id*{_CHUNK_S}+1, chunk_id*{_CHUNK_S}+{_CHUNK_W}), ' ') AS chunk_text
+    FROM c
+    """,
+    doc=f"context-window chunking: overlapping {_CHUNK_W}-token windows "
+    f"at stride {_CHUNK_S} (training-sequence prep); pure per-row "
+    "explode, zero shuffle at any scale",
+)
+def corpus_chunk_windows(spark, sf_dir):
+    from scip_spark.functions.corpus import chunk_tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    return chunk_tokens(docs, window=_CHUNK_W, stride=_CHUNK_S)

@@ -265,3 +265,31 @@ def snapshot_diff_orders(spark, sf_dir):
         F.col("o.price").cast("double").alias("old_price"),
         F.col("n.price").cast("double").alias("new_price"),
     )
+
+
+@register(
+    "pii_scrub_customers",
+    """
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+           CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS digits_redacted,
+           regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_tokenized
+    FROM customer
+    """,
+    doc="PII scrubbing pass over identifying strings: mask every digit, "
+    "count redactions, and collapse numeric identifier runs to a "
+    "placeholder token — per-row regex column algebra (JVM-side "
+    "regexp_replace, no UDF, no shuffle); the training-data analogue "
+    "is scrubbing emails/phones/ids from documents before tokenization",
+)
+def pii_scrub_customers(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace(name, "[0-9]", "X").alias("name_masked"),
+        (F.length(name) - F.length(F.regexp_replace(name, "[0-9]", "")))
+        .cast("long")
+        .alias("digits_redacted"),
+        F.regexp_replace(name, "[0-9]+", "<ID>").alias("name_tokenized"),
+    )

@@ -129,3 +129,45 @@ def test_pack_shards_budget_respected(spark, docs):
     # last shard must reach the budget once its straddling doc lands
     for sid in sids[:-1]:
         assert totals[sid] + 1 > 50_000 - maxdoc
+
+
+def test_chunk_tokens_semantics(spark):
+    """Window/stride coverage rules: short docs give one chunk, longer
+    docs tile with the configured overlap, every token is covered, and
+    no chunk starts at/past the end."""
+    import pandas as pd
+
+    from scip_spark.functions.corpus import chunk_tokens
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(5))),    # n < window: 1 chunk
+        (2, " ".join(f"t{i}" for i in range(8))),    # n == window: 1 chunk
+        (3, " ".join(f"t{i}" for i in range(9))),    # 1 past: 2 chunks
+        (4, " ".join(f"t{i}" for i in range(20))),   # (20-8+5)//6+1 = 3 chunks
+        (5, ""),                                     # empty: dropped
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = chunk_tokens(docs, window=8, stride=6).toPandas()
+    by_doc = out.groupby("doc_id")
+
+    assert 5 not in set(out["doc_id"])
+    assert by_doc.size().to_dict() == {1: 1, 2: 1, 3: 2, 4: 3}
+    # full coverage + tail truncation for the 9-token doc
+    c3 = out[out.doc_id == 3].sort_values("chunk_id")
+    assert list(c3.chunk_n_tokens) == [8, 3]
+    assert c3.iloc[1].chunk_text == "t6 t7 t8"  # starts at stride=6, truncated
+    # overlap: chunk k starts at k*stride
+    c4 = out[out.doc_id == 4].sort_values("chunk_id")
+    assert [t.split()[0] for t in c4.chunk_text] == ["t0", "t6", "t12"]
+    assert list(c4.chunk_n_tokens) == [8, 8, 8]
+
+
+def test_chunk_tokens_no_shuffle(spark):
+    """Chunking must stay narrow: no Exchange in the physical plan."""
+    from scip_spark.functions.corpus import chunk_tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        chunk_tokens(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -39,3 +39,41 @@ def test_model_cache_singleton():
     a = cached_model("m1", loader)
     b = cached_model("m1", loader)
     assert a is b and len(calls) == 1
+
+
+def test_load_events_normalizes_both_ts_encodings(spark, tmp_path):
+    """The driver's testdata has stored events.ts as TIMESTAMP(NANOS)
+    (read as bigint under nanosAsLong) in some generations and
+    timestamp[us] (read as TIMESTAMP_NTZ) in others. load_events must
+    deliver identical TIMESTAMP values for both encodings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scip_spark.queries import load_events
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(micros, pa.timestamp("us")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    ntz_dir = tmp_path / "ntz"
+    nanos_dir = tmp_path / "nanos"
+    ntz_dir.mkdir(); nanos_dir.mkdir()
+    pq.write_table(base, ntz_dir / "events.parquet")
+    nanos = base.set_column(
+        1, "ts", pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+    )
+    pq.write_table(nanos, nanos_dir / "events.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    got_ntz = {r.event_id: r.ts for r in load_events(spark, str(ntz_dir)).collect()}
+    got_ns = {r.event_id: r.ts for r in load_events(spark, str(nanos_dir)).collect()}
+    assert got_ntz == got_ns
+    for df in (load_events(spark, str(ntz_dir)), load_events(spark, str(nanos_dir))):
+        assert dict(df.dtypes)["ts"] == "timestamp"
