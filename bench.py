@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "corpus_pack_shards",
+    "corpus_chunk_windows",
+    "pii_scrub_customers",
     "cosine_topk",
     "ann_lsh_buckets",
     "mean_tensor_by_group",
