@@ -44,5 +44,8 @@ def test_empty_corpus_and_similarity_ops(spark):
     assert quota_per_group(docs).count() == 0
     assert mixture_upsample(docs, {"web": 2}).count() == 0
     assert pack_shards(docs, budget=1000).count() == 0
+    from scip_spark.functions.corpus import chunk_tokens
+
+    assert chunk_tokens(docs).count() == 0
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert embedding_near_dup(emb).count() == 0
