@@ -254,31 +254,37 @@ def _corpus_clean_sql() -> str:
     "counts shuffle",
 )
 def corpus_clean(spark, sf_dir):
+    """ONE scan, ONE shuffle. Token and stopword counts are per-row
+    array algebra (size/filter over the token array — no explode, no
+    count-join back to the docs), and the surviving doc's n_tokens
+    rides through the fingerprint groupBy via min_by(doc_id) instead
+    of a second join. At 100 TB the only thing that ever shuffles is
+    (fp, doc_id, n_tokens, partial count) — 48 bytes a row."""
     from scip_spark.functions.scale import ensure_parallelism
     from scip_spark.functions.text import STOPWORDS, fingerprint, tokens
 
     docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    counts = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(
-            F.when(F.array_contains(stop_arr, F.lower(F.col("t"))), 1).otherwise(0)
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
         ).alias("n_stop"),
     )
-    quality = (
-        docs.join(counts, "doc_id")
-        .filter(
-            (F.col("n_tokens") >= 10)
-            & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.01)
-        )
-        .select("doc_id", "text", F.col("n_tokens").cast("long").alias("n_tokens"))
+    quality = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.01)
     )
-    deduped = (
-        quality.select("doc_id", fingerprint("text").alias("fp"))
+    return (
+        quality.select("doc_id", "n_tokens", fingerprint("text").alias("fp"))
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-    )
-    return deduped.join(quality, "doc_id").select(
-        "doc_id", "fp", "n_copies", "n_tokens"
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.expr("min_by(n_tokens, doc_id)").alias("n_tokens"),
+        )
+        .select("doc_id", "fp", "n_copies", "n_tokens")
     )
