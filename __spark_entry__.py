@@ -45,7 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sessionize_events / asof_join_events (re-fixed for the timestamp[us]
 # testdata). pagerank_suppliers (rewritten to fixed-point bigint) and
 # quality_repetition (rewritten single-pass) are also left out so the
-# driver re-verifies the new implementations. Listing checked queries
+# driver re-verifies the new implementations, as is text_quality
+# (rewritten closed-form single-pass). Listing checked queries
 # LAST rotates the driver's 50-query budget onto the unverified ones.
 # Refresh with each round's green rows.
 _DRIVER_CHECKED = {
@@ -78,7 +79,7 @@ _DRIVER_CHECKED = {
     "running_sum_per_customer", "salted_token_counts", "scd2_customer_orders",
     "semi_anti_join", "set_ops_customers", "sliding_window_events",
     "snapshot_diff_orders", "soft_delete_filter", "string_functions_part",
-    "table_checksum", "text_quality", "tf_idf", "token_budget_by_domain",
+    "table_checksum", "tf_idf", "token_budget_by_domain",
     "topk_per_group", "tumbling_window_events", "union_sources",
     "unpivot_part_metrics", "zorder_key_lineitem",
 }
