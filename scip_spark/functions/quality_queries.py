@@ -12,9 +12,9 @@ JVM-side and map-side-combined.
 Scale notes (100 TB):
 - n-gram construction is per-row array algebra (zip_with/slice) inside
   whole-stage codegen — no shuffle, no Python.
-- per-doc gram counts shuffle only (doc_id, gram-hash, count) rows with
-  partial aggregation; the three stat families re-join on doc_id and
-  AQE coalesces the tiny post-agg partitions.
+- per-doc repetition stats are computed per ROW (sorted-run folding
+  over each gram array): nothing shuffles at any corpus size — the
+  stats never leave the scanning task.
 - the contamination benchmark set is DISTINCT 5-grams of a tiny,
   explicitly-bounded document subset — broadcast to every executor, so
   the 100-TB candidate side never shuffles for the probe.
@@ -89,6 +89,46 @@ _REP_SQL = f"""
 """
 
 
+def _run_stats(arr):
+    """Per-ROW duplicate statistics of an array: sort the array, fold
+    adjacent-equal runs, return struct(mx = longest run = count of the
+    most frequent element, dup = total occurrences belonging to runs
+    longer than 1). O(n log n) per row, zero shuffle — the key insight
+    is that per-document gram counts need no cross-row aggregation at
+    all, so the stats never leave the scanning task."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        closed_dup = acc["dup"] + F.when(
+            acc["run"] > 1, acc["run"]
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["mx"])
+            .otherwise(F.greatest(acc["mx"], acc["run"]))
+            .alias("mx"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            F.greatest(acc["mx"], acc["run"]).alias("mx"),
+            (
+                acc["dup"]
+                + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0).cast("long"))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, finish)
+
+
 @register(
     "quality_repetition",
     _REP_SQL,
@@ -98,53 +138,31 @@ _REP_SQL = f"""
     "divisions — bit-exact across engines)",
 )
 def quality_repetition(spark, sf_dir):
-    """Single-pass plan: ONE documents scan, ONE tokenization. The
-    uni/bi/trigram families are tagged (k=1/2/3) and concatenated into
-    one struct array before the explode, so per-gram counting is a
-    single groupBy(doc_id, k, gram) with map-side partial aggregation,
-    and the per-doc stats fold out via conditional aggregation — two
-    shuffles total instead of three scan+explode+agg branches joined
-    on doc_id. Docs too short for bi/trigrams drop (inner-join
-    semantics of the oracle)."""
+    """ZERO-shuffle plan: one documents scan, one tokenization, and all
+    three gram families' repetition stats computed per row via
+    sorted-run folding (_run_stats) — no explode, no groupBy, nothing
+    shuffles at any corpus size. Docs too short for bi/trigrams drop
+    (inner-join semantics of the oracle)."""
     docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
-
-    def tagged(col, k):
-        return F.transform(col, lambda t: F.struct(F.lit(k).alias("k"), t.alias("g")))
-
-    per_gram = (
+    s = (
         docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", "toks", _ngram_col(2).alias("bi"), _ngram_col(3).alias("tri"))
         .select(
             "doc_id",
-            F.explode(
-                F.concat(
-                    tagged(F.col("toks"), 1),
-                    tagged(_ngram_col(2), 2),
-                    tagged(_ngram_col(3), 3),
-                )
-            ).alias("kg"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size("bi").cast("long").alias("n_bi"),
+            F.size("tri").cast("long").alias("n_tri"),
+            _run_stats(F.col("toks")).alias("u"),
+            _run_stats(F.col("bi")).alias("b"),
+            _run_stats(F.col("tri")).alias("t"),
         )
-        .groupBy("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
-        .agg(F.count("*").alias("c"))
     )
-    k = F.col("k")
-    wide = per_gram.groupBy("doc_id").agg(
-        F.sum(F.when(k == 1, F.col("c"))).cast("long").alias("n_tokens"),
-        F.max(F.when(k == 1, F.col("c"))).alias("mx_uni"),
-        F.sum(F.when(k == 2, F.col("c"))).cast("long").alias("n_bi"),
-        F.max(F.when(k == 2, F.col("c"))).alias("mx_bi"),
-        F.sum(F.when(k == 3, F.col("c"))).cast("long").alias("n_tri"),
-        F.sum(F.when((k == 3) & (F.col("c") > 1), F.col("c")))
-        .cast("long")
-        .alias("dup_occ"),
-    )
-    return wide.filter("n_bi IS NOT NULL AND n_tri IS NOT NULL").select(
+    return s.filter((F.col("n_bi") > 0) & (F.col("n_tri") > 0)).select(
         "doc_id",
         "n_tokens",
-        (F.col("mx_uni").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
-        (F.col("mx_bi").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
-        (F.coalesce(F.col("dup_occ"), F.lit(0)).cast("double") / F.col("n_tri")).alias(
-            "dup_trigram_frac"
-        ),
+        (F.col("u.mx").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        (F.col("b.mx").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
+        (F.col("t.dup").cast("double") / F.col("n_tri")).alias("dup_trigram_frac"),
     )
 
 
