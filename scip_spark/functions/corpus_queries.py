@@ -155,3 +155,62 @@ def corpus_chunk_windows(spark, sf_dir):
 
     docs = tbl(spark, sf_dir, "documents")
     return chunk_tokens(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+_CHUNK_PACK_BUDGET = 512
+
+
+@register(
+    "corpus_chunk_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_CHUNK_SQL_TOKS} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= {_CHUNK_W} THEN 0
+                    ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} END
+             )) AS chunk_id
+      FROM s
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             len(list_slice(toks, chunk_id*{_CHUNK_S}+1, chunk_id*{_CHUNK_S}+{_CHUNK_W})) AS chunk_n_tokens,
+             doc_id || ':' || chunk_id AS key
+      FROM c
+    ),
+    keyed AS (
+      SELECT *, {_BUCKET.format(seed='pack-v1', key='key')} AS ok FROM chunks
+    )
+    SELECT doc_id, chunk_id, CAST(chunk_n_tokens AS BIGINT) AS chunk_n_tokens,
+           CAST((SUM(chunk_n_tokens) OVER (
+              ORDER BY ok, key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - chunk_n_tokens) // {_CHUNK_PACK_BUDGET} AS BIGINT) AS shard_id
+    FROM keyed
+    """,
+    doc=f"end-to-end trainer prep: documents → overlapping "
+    f"{_CHUNK_W}-token chunks → {_CHUNK_PACK_BUDGET}-token shards via "
+    "the distributed prefix sum; the oracle's single global window "
+    "must equal the bucketed two-level cumsum",
+)
+def corpus_chunk_pack(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.corpus import chunk_tokens, pack_shards
+
+    docs = tbl(spark, sf_dir, "documents")
+    chunks = chunk_tokens(docs, window=_CHUNK_W, stride=_CHUNK_S).select(
+        "doc_id",
+        "chunk_id",
+        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+        F.concat_ws(":", "doc_id", "chunk_id").alias("key"),
+    )
+    packed = pack_shards(
+        chunks, budget=_CHUNK_PACK_BUDGET, cost_col="chunk_n_tokens", key_col="key"
+    )
+    return packed.select("doc_id", "chunk_id", "chunk_n_tokens", "shard_id")

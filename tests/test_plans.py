@@ -144,3 +144,35 @@ def test_ivf_seeding_no_global_sort(spark):
     # and the public entry still produces centroids of the right shape
     cents = sim.ivf_centroids(df, k=8)
     assert cents.shape == (8, 64)
+
+
+def test_text_quality_no_shuffle_no_join(spark):
+    """Closed-form text_quality: all stats are per-row array algebra
+    over one tokenize column — no aggregation exchange, no join, and
+    the tokenizing split() is evaluated once, not per output column."""
+    plan = formatted_plan(spark, "text_quality")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    # one split() in the plan == one tokenization per row
+    assert plan.count("split(text#") == 1, plan.count("split(text#")
+
+
+def test_corpus_clean_single_shuffle_no_join(spark):
+    """corpus_clean's only distributed step is the fingerprint groupBy;
+    counts are array algebra and n_tokens rides through min_by."""
+    plan = formatted_plan(spark, "corpus_clean")
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
+    # exchanges: the fp groupBy (+ at most an ensure_parallelism
+    # repartition); an explode+count-join regression would add more
+    assert plan.count("(") > 0 and plan.count("Exchange") <= 4
+
+
+def test_quality_repetition_no_explode_no_agg(spark):
+    """Repetition stats are sorted-run folds per row: a regression to
+    the explode+groupBy formulation reintroduces a corpus-sized
+    shuffle."""
+    plan = formatted_plan(spark, "quality_repetition")
+    assert "Generate" not in plan  # no explode
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
