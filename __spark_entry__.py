@@ -45,8 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # sessionize_events / asof_join_events (re-fixed for the timestamp[us]
 # testdata). pagerank_suppliers (rewritten to fixed-point bigint) and
 # quality_repetition (rewritten single-pass) are also left out so the
-# driver re-verifies the new implementations, as is text_quality
-# (rewritten closed-form single-pass). Listing checked queries
+# driver re-verifies the new implementations, as are text_quality
+# (rewritten closed-form single-pass) and the minhash family
+# (dedup_minhash_signatures / dedup_lsh_pairs / dedup_lsh_pairs_skew —
+# rewritten zero-shuffle per-row signatures). Listing checked queries
 # LAST rotates the driver's 50-query budget onto the unverified ones.
 # Refresh with each round's green rows.
 _DRIVER_CHECKED = {
@@ -55,8 +57,7 @@ _DRIVER_CHECKED = {
     "corpus_mixture_upsample", "corpus_pack_shards", "corpus_split_assign",
     "correlated_scalar_subquery", "cosine_topk", "cube_returnflag_linestatus",
     "datetime_functions", "dedup_connected_components",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_lsh_pairs",
-    "dedup_lsh_pairs_skew", "dedup_minhash_signatures", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_simhash", "distinct_groups", "doc_fingerprint", "embedding_stats",
     "explode_tokens", "full_outer_join_balance", "global_stats",
     "group_minmax_normalize", "grouping_sets_revenue",

@@ -73,31 +73,42 @@ def band_digests(sig: list[Column], n_bands: int = N_BANDS) -> list[Column]:
 
 
 def minhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """doc_id + mh_0..mh_{n-1} + band_0..band_{b-1}.
+    """doc_id + mh_0..mh_{n-1} + band_0..band_{b-1}, computed entirely
+    per ROW — zero shuffle at any corpus size.
 
-    Physical form: explode shingles → ONE md5 per shingle, sliced into
-    N 16-bit hex pieces (codegen CSEs the shared digest) →
-    ``groupBy(doc).agg(min×N)``. Tokenization/shingling runs ONCE per
-    document (the closed-form per-column variant re-evaluates the
-    shingle lambda for every slice — Catalyst doesn't CSE across
-    higher-order functions), and the min-aggregation is partial+final,
-    so the shuffle carries only N×4-byte partial minima per doc —
-    this is the formulation that survives 100 TB.
+    Physical form: two stacked projections. The first materializes ONE
+    md5 digest per shingle as an array column (a projection boundary
+    CollapseProject keeps, because the alias is non-cheap and
+    referenced N times); the second takes the per-slice minima with
+    array_min over cheap substring transforms. One md5 per shingle —
+    same as the old explode→groupBy(min×N) formulation — but the
+    signature never leaves the scanning task: no shingle-per-row
+    explosion through the pipeline and no per-doc partial-minima
+    shuffle. This is the formulation that survives 100 TB.
     """
     from scip_spark.functions.scale import ensure_parallelism
 
-    sh = ensure_parallelism(docs).select(
-        F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
+    # shingle-less docs (fewer than 3 tokens) are dropped, matching the
+    # old explode+groupBy (and the oracle's unnest) semantics. The
+    # predicate tests the TOKEN count, not the digest array: a filter
+    # on the digs alias would be pushdown-substituted and re-evaluate
+    # every md5 a second time inside the filter condition.
+    digs = (
+        ensure_parallelism(docs)
+        .filter(F.size(tokens(text_col)) >= 3)
+        .select(
+            F.col(id_col),
+            F.transform(shingles(text_col), lambda s: F.md5(s)).alias("digs"),
+        )
     )
-    hashed = sh.select(
+    sig = digs.select(
         id_col,
         *[
-            F.substring(F.md5("shingle"), 4 * j + 1, 4).alias(f"h_{j}")
+            F.array_min(
+                F.transform("digs", lambda d: F.substring(d, 4 * j + 1, 4))
+            ).alias(f"mh_{j}")
             for j in range(N_MINHASH)
         ],
-    )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h_{j}").alias(f"mh_{j}") for j in range(N_MINHASH)]
     )
     bands = band_digests([F.col(f"mh_{j}") for j in range(N_MINHASH)])
     return sig.select(

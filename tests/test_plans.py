@@ -46,13 +46,18 @@ def test_soft_delete_stats_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_minhash_partial_aggregation(spark):
-    # explode→groupBy(min×8): partial aggregation before the exchange
-    # means the shuffle carries one row per (doc, seed-minima), not one
-    # per shingle
+def test_minhash_fully_mapside(spark):
+    # the signature is per-row array algebra (one md5 digest array,
+    # per-slice array_min): no explode, no aggregation, no shuffle —
+    # and exactly ONE md5 evaluation per shingle (the digest-array
+    # projection boundary; band digests add N_BANDS more)
     plan = formatted_plan(spark, "dedup_minhash_signatures")
-    assert "partial_min" in plan or "HashAggregate" in plan
-    assert "Exchange" in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan  # no explode
+    from scip_spark.functions.dedup import N_BANDS
+
+    assert plan.count("md5(cast(lambda") == 1  # one digest per shingle
+    assert plan.count("md5(") <= 1 + N_BANDS
 
 
 def test_q19_disjunction_reaches_scan(spark):
