@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver re-verifies the new implementations, as are text_quality
 # (rewritten closed-form single-pass) and the minhash family
 # (dedup_minhash_signatures / dedup_lsh_pairs / dedup_lsh_pairs_skew —
-# rewritten zero-shuffle per-row signatures). Listing checked queries
+# rewritten zero-shuffle per-row signatures) and dedup_simhash (same). Listing checked queries
 # LAST rotates the driver's 50-query budget onto the unverified ones.
 # Refresh with each round's green rows.
 _DRIVER_CHECKED = {
@@ -58,7 +58,7 @@ _DRIVER_CHECKED = {
     "correlated_scalar_subquery", "cosine_topk", "cube_returnflag_linestatus",
     "datetime_functions", "dedup_connected_components",
     "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_simhash", "distinct_groups", "doc_fingerprint", "embedding_stats",
+    "distinct_groups", "doc_fingerprint", "embedding_stats",
     "explode_tokens", "full_outer_join_balance", "global_stats",
     "group_minmax_normalize", "grouping_sets_revenue",
     "higher_moments_by_flag", "json_extract_events", "keyed_branch_concat",

@@ -266,9 +266,10 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over whitespace tokens: per-bit signed vote of token
     hashes (md5 prefix → int), bit set when the vote is positive.
 
-    Column form (used per-row); for table-scale computation prefer
-    :func:`simhash_table`, whose exploded partial-aggregation plan
-    hashes each token once instead of once per bit.
+    Column form (inlines the token hashing into every bit's fold); for
+    table-scale computation prefer :func:`simhash_table`, which
+    materializes the hash array behind a projection boundary so each
+    token is hashed once instead of once per bit.
     """
     toks = tokens(text)
     h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"))
@@ -289,31 +290,34 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
 def simhash_table(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(id, simhash) at scale: explode tokens → one md5 per token →
-    16 conditional partial sums → recombine bits. The shuffle carries
-    one row of 16 ints per document (map-side combined)."""
+    """(id, simhash) computed entirely per ROW: one md5 per token into
+    an int array (a projection boundary CollapseProject keeps, so the
+    hashes are evaluated once, not once per bit), then ``bits`` integer
+    folds for the signed bit votes. No explode, no groupBy, and no
+    join-back for empty docs — a zero-token array votes 0 on every bit
+    and yields simhash 0, exactly like the old NULL-vote left join.
+    Zero shuffle at any corpus size."""
     from scip_spark.functions.scale import ensure_parallelism
 
-    tok = ensure_parallelism(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
-    h = tok.select(
-        id_col, F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("int").alias("v")
+    hv = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.transform(
+            tokens(text_col),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
+        ).alias("hv"),
     )
-    votes = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"vote_{b}")
-            for b in range(bits)
-        ]
-    )
+
+    def bit_vote(b: int):
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     sim = None
     for b in range(bits):
-        # NULL vote (doc with zero tokens, joined back below) → bit 0,
-        # matching the closed-form simhash() on an empty token array
-        term = F.when(F.col(f"vote_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("long")
+        vote = F.aggregate("hv", F.lit(0).cast("long"), bit_vote(b))
+        term = F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("long")
         sim = term if sim is None else sim + term
-    all_ids = docs.select(F.col(id_col)).distinct()
-    return all_ids.join(votes, id_col, "left").select(F.col(id_col), sim.alias("simhash"))
+    return hv.select(F.col(id_col), sim.alias("simhash"))
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -55,8 +55,8 @@ def test_minhash_signature_closed_form_matches_table(spark):
     sig_cols = minhash_signature(shingles("text"))
     closed = docs.select(
         "doc_id", *[c.alias(f"mh_{j}") for j, c in enumerate(sig_cols)]
-    ).toPandas().set_index("doc_id")
-    table = minhash_table(docs).toPandas().set_index("doc_id")
+    ).toPandas().set_index("doc_id").sort_index()
+    table = minhash_table(docs).toPandas().set_index("doc_id").sort_index()
     for j in range(N_MINHASH):
         assert (closed[f"mh_{j}"] == table[f"mh_{j}"]).all()
 
@@ -65,6 +65,11 @@ def test_simhash_closed_form_matches_table(spark):
     from scip_spark.functions.dedup import simhash, simhash_table
 
     docs = _docs(spark)
-    closed = docs.select("doc_id", simhash("text").alias("s")).toPandas().set_index("doc_id")
-    table = simhash_table(docs).toPandas().set_index("doc_id")
+    closed = (
+        docs.select("doc_id", simhash("text").alias("s"))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    table = simhash_table(docs).toPandas().set_index("doc_id").sort_index()
     assert (closed["s"] == table["simhash"]).all()
