@@ -239,3 +239,38 @@ def kmv_difference_estimate(spark, sf_dir):
     return both.select(
         frac.alias("diff_frac"), u.alias("union_est"), (frac * u).alias("diff_est")
     )
+
+
+@register(
+    "hll_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="HyperLogLog++ distinct counting (approx_count_distinct, "
+    "rsd=0.05) verified via the sketch's own error invariant: the "
+    "estimate must sit within 3 standard errors of the exact count "
+    "(the oracle emits the literal bound alongside the exact count, "
+    "which IS hash-checked); the one-pass mergeable sketch is what a "
+    "100 TB job runs instead of COUNT(DISTINCT)'s two-phase shuffle",
+)
+def hll_distinct_users(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    rsd = 0.05
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.lit(3 * rsd) * F.col("n_exact")
+            ).alias("approx_ok"),
+        )
+    )
