@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Empirical scale-linearity probe for the headline corpus operators.
+
+Replicates the sf0.1 documents table N× into /tmp (doc_ids re-keyed so
+dedup semantics stay realistic), then times the core text/dedup
+operators at 1×, and N× and reports per-scale wall time and the
+throughput ratio. A map-side operator should scale ~linearly in rows
+(ratio ≈ N on fixed cores); a shuffle-heavy one degrades faster.
+
+This is the local stand-in for the 100 TB question: the plans that
+stay flat here (zero-shuffle signatures, bounded-bucket LSH) are the
+ones whose wall time is scan-bound, which is the property that
+survives a 1000-executor scale-out.
+
+Usage: python tools/scale_probe.py [N ...] [sf_dir]  (default N=100, sf0.1)
+Multiple N values produce one table column per scale. Writes
+SCALE_PROBE.md. NB: small N (<50) mostly measures fixed task overhead
+on 32 idle-ish cores — use ≥100 for data-bound signal.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scip_spark.session import get_spark  # noqa: E402
+
+
+def replicate(spark, sf_dir: str, n: int, out: str) -> str:
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = spark.range(n).select(F.col("id").alias("rep"))
+    big = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") * n + F.col("rep")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+    )
+    big.write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+OPS = ["dedup_minhash_signatures", "dedup_simhash", "quality_repetition",
+       "text_quality", "corpus_clean", "dedup_lsh_pairs", "corpus_chunk_windows"]
+
+
+def time_op(spark, fn, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and "/" in args[-1]:
+        sf_dir = args.pop()
+    factors = [int(a) for a in args] or [100]
+
+    spark = get_spark("scale-probe",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    dirs = {1: sf_dir}
+    for n in factors:
+        big_dir = replicate(spark, sf_dir, n, f"/tmp/scale_probe_x{n}")
+        # the probe dir only has documents; point other tables at base
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            src = f"{sf_dir}/{t}.parquet"
+            dst = f"{big_dir}/{t}.parquet"
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.symlink(src, dst)
+        dirs[n] = big_dir
+
+    scales = [1] + factors
+    header = " | ".join(f"{n}× (s)" for n in scales)
+    ratio_hdr = " | ".join(f"r{n}" for n in factors)
+    lines = [
+        "# SCALE_PROBE — wall time vs corpus size (fixed local[32])",
+        "",
+        "documents sf0.1 replicated N× with re-keyed doc_ids; best-of-2,",
+        "noop sink. rN = time(N×)/time(1×): rN ≈ N means data-bound and",
+        "linear — the plan shape that survives a cluster scale-out; a",
+        "super-linear rN flags a shuffle/skew that would dominate at",
+        "100 TB. rN << N means fixed overhead still dominates at N×.",
+        "",
+        f"| op | {header} | {ratio_hdr} |",
+        "|" + "---|" * (1 + len(scales) + len(factors)),
+    ]
+    for name in OPS:
+        fn = REGISTRY[name].fn
+        times = {n: time_op(spark, fn, dirs[n]) for n in scales}
+        cells = " | ".join(f"{times[n]:.2f}" for n in scales)
+        ratios = " | ".join(
+            f"{times[n] / max(times[1], 1e-9):.1f}" for n in factors
+        )
+        lines.append(f"| {name} | {cells} | {ratios} |")
+    out = "\n".join(lines) + "\n"
+    with open("SCALE_PROBE.md", "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
