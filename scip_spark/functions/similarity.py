@@ -334,3 +334,91 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "sim")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Full-corpus distributed k-means (cosine-assignment Lloyd).
+
+    Seeds come from :func:`ivf_centroids` (seeded Bernoulli sample, no
+    global sort); each iteration then runs over ALL rows:
+
+    - assignment: broadcast the K×dim centroid matrix, one numpy matmul
+      per Arrow batch (vectorized pandas UDF) returning (cluster, sim);
+    - update: posexplode the embedding into (cluster, dim, value),
+      groupBy(cluster, dim) partial-sum — the shuffle carries K×dim
+      partials per partition, NOT rows — and collect the K×dim sums
+      driver-side to rebuild centroids (tiny: k*dim doubles).
+
+    Returns (centroids ndarray, assignments DataFrame(id, cluster,
+    sim), inertia_history list). Inertia = sum(1 - cos_sim) — driver
+    tracks it per round; Lloyd guarantees non-increase under the same
+    metric modulo the mean-vs-cosine mismatch, which the test bounds.
+    """
+    cents = ivf_centroids(df, k=k, emb_col=emb_col)
+    inertia_hist: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        bc = df.sparkSession.sparkContext.broadcast(cn)
+
+        @F.pandas_udf(
+            T.StructType(
+                [
+                    T.StructField("cluster", T.IntegerType()),
+                    T.StructField("sim", T.DoubleType()),
+                ]
+            )
+        )
+        def assign(emb: pd.Series) -> pd.DataFrame:
+            m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ bc.value.T
+            best = np.argmax(sims, axis=1)
+            return pd.DataFrame(
+                {
+                    "cluster": best.astype(np.int32),
+                    "sim": sims[np.arange(len(best)), best],
+                }
+            )
+
+        assigned = df.select(
+            F.col(id_col),
+            F.col(emb_col).cast("array<double>").alias("e"),
+            assign(F.col(emb_col)).alias("a"),
+        ).select(
+            id_col, "e", F.col("a.cluster").alias("cluster"), F.col("a.sim").alias("sim")
+        )
+        stats = (
+            assigned.select(
+                "cluster", "sim", F.posexplode("e").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count("*").alias("n"),
+                F.sum(F.lit(1.0) - F.col("sim")).alias("inertia_part"),
+            )
+            .collect()
+        )
+        new_cents = cents.copy()
+        dim = cents.shape[1]
+        counts = np.zeros(k)
+        sums = np.zeros((k, dim))
+        inertia = 0.0
+        for r in stats:
+            sums[r.cluster, r.dim] = r.s
+            counts[r.cluster] = r.n
+            if r.dim == 0:
+                inertia += r.inertia_part
+        for j in range(k):
+            if counts[j]:
+                new_cents[j] = sums[j] / counts[j]
+        cents = new_cents
+        inertia_hist.append(float(inertia))
+    return cents, assigned.drop("e"), inertia_hist
