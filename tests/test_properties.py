@@ -150,3 +150,77 @@ def test_fill_holes_superset_and_border_preserving(mask):
 def test_otsu_threshold_within_range(img):
     t = K.threshold_otsu(img)
     assert img.min() <= t <= img.max()
+
+
+# ---- per-row text kernels (Spark-side, checked via one batched job) ----
+# Spark round-trips are slow per example, so these properties generate
+# MANY random docs with hypothesis-like structure in one DataFrame and
+# verify every row against a plain-Python reference.
+
+
+def test_run_stats_matches_python_reference(spark):
+    """_run_stats(arr) must equal {max count of any element, total
+    occurrences in elements appearing >1 time} for arbitrary token
+    arrays, including empty and all-identical."""
+    import random
+
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.quality_queries import _run_stats
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, [rng.choice(vocab) for _ in range(rng.randint(0, 40))]) for i in range(300)]
+    rows += [(300, []), (301, ["x"] * 25), (302, ["a", "b", "c"])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "arr"]))
+    got = {
+        r.i: (r.s["mx"], r.s["dup"])
+        for r in df.select("i", _run_stats(F.col("arr")).alias("s")).collect()
+    }
+    for i, arr in rows:
+        c = Counter(arr)
+        mx = max(c.values()) if c else 0
+        dup = sum(v for v in c.values() if v > 1)
+        assert got[i] == (mx, dup), (i, arr, got[i], (mx, dup))
+
+
+def test_chunk_tokens_coverage_properties(spark):
+    """For random docs and (window, stride) combos: chunk k starts at
+    token k*stride, every token is covered by at least one chunk, all
+    chunks except the last have exactly `window` tokens, and no chunk
+    is empty."""
+    import random
+
+    import pandas as pd
+
+    from scip_spark.functions.corpus import chunk_tokens
+
+    rng = random.Random(29)
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(rng.randint(0, 120))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for window, stride in [(16, 16), (16, 12), (7, 3), (1, 1)]:
+        out = chunk_tokens(docs, window=window, stride=stride).toPandas()
+        n_by_doc = {i: len(t.split()) if t else 0 for i, t in rows}
+        for doc_id, grp in out.groupby("doc_id"):
+            n = n_by_doc[doc_id]
+            grp = grp.sort_values("chunk_id").reset_index(drop=True)
+            # chunk ids are dense from 0
+            assert list(grp.chunk_id) == list(range(len(grp)))
+            covered = set()
+            for _, row in grp.iterrows():
+                toks = row.chunk_text.split()
+                assert 1 <= len(toks) <= window
+                start = row.chunk_id * stride
+                assert toks[0] == f"t{start}"
+                covered.update(range(start, start + len(toks)))
+            assert covered == set(range(n)), (doc_id, window, stride)
+            # all but the last chunk are full
+            assert (grp.chunk_n_tokens[:-1] == window).all()
+        # docs with zero tokens produce no chunks
+        assert set(out.doc_id) == {i for i, t in rows if n_by_doc[i] > 0}
