@@ -504,3 +504,17 @@ def test_cc_chain_bounded_lineage(spark):
     # last checkpoint; measured ~400 at interval 4. The unbounded
     # variant is ~2^12 nodes (>40k) here and grows with every round.
     assert depth < 1500, depth
+
+
+def test_ensure_parallelism_noop_at_scale(spark):
+    """The parallelism floor only pays its shuffle for under-split
+    inputs; a table that already carries >= cores partitions (the
+    100 TB case) must pass through with NO added Exchange."""
+    from scip_spark.functions.scale import ensure_parallelism
+
+    wide = spark.range(0, 10_000, 1, 64).selectExpr("id", "id * 2 AS v")
+    out = ensure_parallelism(wide)
+    assert out is wide  # no wrapper, no repartition
+    narrow = spark.range(0, 100, 1, 1)
+    bumped = ensure_parallelism(narrow)
+    assert bumped.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
