@@ -274,3 +274,48 @@ def hll_distinct_users(spark, sf_dir):
             ).alias("approx_ok"),
         )
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    """
+    WITH tok AS (
+      SELECT u.t AS token
+      FROM documents,
+           unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS u(t)
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+    ),
+    top5 AS (
+      SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 5
+    )
+    SELECT token, n, TRUE AS in_sketch_topk FROM top5 ORDER BY n DESC, token
+    """,
+    doc="heavy-hitter detection via the approx_top_k sketch "
+    "(space-saving summary, one pass, mergeable): the exact top-5 "
+    "tokens and counts are hash-checked, and the sketch's top-10 must "
+    "contain every true top-5 item — the frequent-items guarantee a "
+    "100 TB profile pass relies on instead of a full groupBy+sort",
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    from scip_spark.functions.text import tokens as tok_col
+
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tok_col("text")).alias("token"))
+    exact_top5 = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(5)
+    )
+    sketch_items = (
+        tok.agg(F.expr("approx_top_k(token, 10)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("token"))
+    )
+    return (
+        exact_top5.join(sketch_items, "token", "left_semi")
+        .select("token", "n", F.lit(True).alias("in_sketch_topk"))
+        .orderBy(F.desc("n"), "token")
+    )
