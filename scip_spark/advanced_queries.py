@@ -563,3 +563,99 @@ def unpivot_part_metrics(spark, sf_dir):
         F.col("p_size").cast("double").alias("p_size"),
         F.col("p_retailprice").cast("double").alias("p_retailprice"),
     ).unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view>click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 'view>click>purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+    doc="ordered funnel analysis (view -> click -> purchase, strictly "
+    "increasing event times): each stage is a per-user MIN over the "
+    "events after the previous stage's entry time — conditional "
+    "aggregation + re-join on user_id, the partitioning reused across "
+    "stages; counts are engine-exact",
+)
+def funnel_conversion(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+
+    def stage(prev, etype, tcol_prev, tcol):
+        src = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(prev, "user_id").filter(F.col("ts") > F.col(tcol_prev))
+        return src.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage(None, "view", None, "t1")
+    s2 = stage(s1, "click", "t1", "t2")
+    s3 = stage(s2, "purchase", "t2", "t3")
+    rows = [("view", s1), ("view>click", s2), ("view>click>purchase", s3)]
+    out = None
+    for name, s in rows:
+        c = s.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((a.week - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="cohort retention: users bucketed by first-seen week, activity "
+    "counted per (cohort_week, week_offset) — one distinct pass plus a "
+    "user-keyed join of the tiny firsts relation; the classic "
+    "engagement matrix",
+)
+def cohort_retention(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
