@@ -659,3 +659,98 @@ def cohort_retention(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="behavioral Markov transition counts: per-user LEAD over the "
+    "event stream (one partitioned window — the sessionize partition "
+    "reused), then a 25-key aggregation; the raw material for "
+    "next-action models and anomaly scoring",
+)
+def event_transition_matrix(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "time_to_conversion",
+    """
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             CAST((epoch_us(MIN(e.ts)) - epoch_us(s.t0)) // 1000000 AS BIGINT) AS secs
+      FROM events e JOIN signup s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id, s.t0
+    ),
+    ranked AS (
+      SELECT secs, ROW_NUMBER() OVER (ORDER BY secs, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
+           (SELECT secs FROM ranked WHERE rn = (n + 1) // 2 LIMIT 1) AS median_secs
+    """,
+    doc="time-to-event: seconds from first signup to first subsequent "
+    "purchase per user, with the exact lower-median (discrete "
+    "rank-based — engine-exact, no interpolated float percentile); "
+    "the survival-analysis primitive",
+)
+def time_to_conversion(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t1"))
+        .select(
+            "user_id",
+            F.expr("(unix_micros(t1) - unix_micros(t0)) DIV 1000000").alias("secs"),
+        )
+    )
+    w = W.orderBy("secs", "user_id")
+    ranked = conv.select(
+        "secs",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("secs").alias("median_secs")
+    )
+    return conv.agg(F.count("*").cast("long").alias("n_converted")).crossJoin(
+        F.broadcast(med)
+    )
