@@ -754,3 +754,101 @@ def time_to_conversion(spark, sf_dir):
     return conv.agg(F.count("*").cast("long").alias("n_converted")).crossJoin(
         F.broadcast(med)
     )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency, monetary,
+             NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+    FROM scored GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per-customer recency/frequency/"
+    "monetary, quartiled with deterministic tie-breaks (custkey), "
+    "rolled up to segment sizes and value. The three global NTILEs run "
+    "over the ALREADY-AGGREGATED per-customer relation (|customers| "
+    "rows, not orders) — the single-partition window is over post-agg "
+    "data, the standard at-scale shape for global ranking",
+)
+def rfm_segmentation(spark, sf_dir):
+    from scip_spark.queries import DEC
+
+    orders = tbl(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
+    )
+    scored = base.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy(F.desc("last_order"), "o_custkey")).alias("r_score"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.col("monetary").cast(DEC)).cast("double").alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "order_seasonality",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(CAST(AVG(revenue) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,6)) AS DOUBLE) AS ma7,
+           CAST(CAST(revenue - AVG(revenue) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,6)) AS DOUBLE) AS residual
+    FROM daily ORDER BY 1
+    """,
+    doc="time-series decomposition primitive: daily revenue, trailing "
+    "7-day moving average, residual. Decimal aggregation keeps the "
+    "rolling mean engine-exact; the global window runs over the tiny "
+    "post-agg daily relation",
+)
+def order_seasonality(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    orders = tbl(spark, sf_dir, "orders")
+    dec2 = T.DecimalType(18, 2)
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(dec2)).cast(dec2).alias("revenue")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    ma = F.avg("revenue").over(w).cast(T.DecimalType(18, 6))
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("revenue").cast("double").alias("revenue"),
+        ma.cast("double").alias("ma7"),
+        (F.col("revenue") - ma).cast(T.DecimalType(18, 6)).cast("double").alias("residual"),
+    ).orderBy("day")

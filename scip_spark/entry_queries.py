@@ -25,4 +25,4 @@ import scip_spark.functions.text_queries  # noqa: F401
 # import time, where the driver (and tests) will see it immediately
 from scip_spark.queries import REGISTRY as _R
 
-assert len(_R) >= 112, f"query registry shrank: {len(_R)} entries"
+assert len(_R) >= 114, f"query registry shrank: {len(_R)} entries"
