@@ -196,3 +196,51 @@ def test_python_datasource_image_stream(spark, tmp_path):
     run_once()
     second = sorted(r.rec for r in spark.read.parquet(out).collect())
     assert second == ["s001", "s002", "s003"]
+
+
+def test_jsonl_roundtrip_and_corrupt_rescue(spark, tmp_path):
+    """JSONL corpus IO: clean lines round-trip exactly; corrupt lines
+    land in _corrupt_record instead of killing the read or silently
+    vanishing."""
+    from scip_spark.sources.corpus_io import (
+        corrupt_stats,
+        read_jsonl_corpus,
+        write_jsonl_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    n_shards = write_jsonl_shards(docs, out, budget=50_000)
+    assert n_shards >= 2
+
+    back = read_jsonl_corpus(spark, f"{out}/shard_id=*/")
+    # NB: any query off a permissive read must reference a real column
+    # alongside _corrupt_record (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so
+    # no bare .count() after a corrupt-only filter
+    clean = back.filter("_corrupt_record IS NULL").select("doc_id", "text")
+    a = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    b = sorted(r.doc_id for r in clean.select("doc_id").collect())
+    assert a == b
+    # text survives byte-exact through the JSON roundtrip
+    orig = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = {r.doc_id: r.text for r in clean.collect()}
+    assert orig == got
+
+    # corrupt handling: append garbage lines to one shard file
+    import glob
+
+    (f,) = glob.glob(f"{out}/shard_id=0/part-*.json")[:1]
+    with open(f, "a") as fh:
+        fh.write('{"doc_id": 1, "text": "trunc\n')
+        fh.write("not json at all\n")
+    # drop the Hadoop CRC sidecar: real-world raw dumps carry no
+    # checksums, and the local FS would fail the whole read otherwise
+    import os as _os
+
+    crc = f"{_os.path.dirname(f)}/.{_os.path.basename(f)}.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    back2 = read_jsonl_corpus(spark, f"{out}/shard_id=*/")
+    stats = corrupt_stats(back2).collect()[0]
+    assert stats.n_corrupt == 2
+    assert stats.n_rows == docs.count() + 2
