@@ -113,3 +113,57 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> dict:
+    """Small-files compaction (the OPTIMIZE-style table maintenance a
+    long-lived dataset needs): rewrite a parquet directory so each
+    output file is ~``target_file_bytes``.
+
+    Streaming ingests and fine-grained partitionBy writes leave
+    thousands of KB-sized files; every reader then pays per-file open
+    + footer + task-schedule overhead, and the NameNode/listing cost
+    grows unbounded. Compaction = one coalesce-style rewrite sized
+    from the ACTUAL on-disk bytes (not row counts — compression varies),
+    written to a temp dir and atomically swapped in.
+
+    Returns {files_before, files_after, bytes}. Scale notes: the
+    rewrite is a single pass with NO wide shuffle — coalesce() merges
+    input splits without repartitioning; use zorder_write instead when
+    the goal is clustering rather than file-count hygiene.
+    """
+    import math
+    import os
+    import shutil
+
+    def _stats(d: str) -> tuple[int, int]:
+        n, b = 0, 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet") or (
+                    f.startswith("part-") and not f.endswith(".crc")
+                ):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, total_bytes = _stats(path)
+    n_out = max(min_files, math.ceil(total_bytes / max(target_file_bytes, 1)))
+    tmp = f"{path.rstrip('/')}.__compacting__"
+    df = spark.read.parquet(path)
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    back = f"{path.rstrip('/')}.__precompact__"
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)
+    files_after, _ = _stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -518,3 +518,35 @@ def test_ensure_parallelism_noop_at_scale(spark):
     narrow = spark.range(0, 100, 1, 1)
     bumped = ensure_parallelism(narrow)
     assert bumped.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """A fragmented write (64 tiny files) compacts to the byte-sized
+    target with identical contents and no wide shuffle in the plan."""
+    from scip_spark.functions.scale import compact_parquet
+
+    d = str(tmp_path / "frag")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    li.repartition(64).write.mode("overwrite").parquet(d)
+    before = sorted(map(tuple, spark.read.parquet(d).collect()))
+    stats = compact_parquet(spark, d, target_file_bytes=4 * 1024 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 8
+    after = sorted(map(tuple, spark.read.parquet(d).collect()))
+    assert before == after
+
+
+def test_self_join_reuses_exchange(spark):
+    """Catalyst's ReuseExchange: a self-aggregation joined to itself
+    must shuffle the base relation ONCE and reference the same
+    exchange twice — the plan property that halves IO for
+    with-total-style queries."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    j = agg.alias("a").join(
+        agg.alias("b"),
+        F.col("a.l_returnflag") == F.col("b.l_returnflag"),
+    )
+    j.collect()
+    final = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedShuffle" in final, final[:800]
