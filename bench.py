@@ -41,7 +41,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "corpus_pack_shards",
     "corpus_chunk_windows",
+    "corpus_chunk_pack",
     "pii_scrub_customers",
+    "heavy_hitter_tokens",
+    "funnel_conversion",
     "cosine_topk",
     "ann_lsh_buckets",
     "mean_tensor_by_group",
