@@ -597,25 +597,50 @@ def unpivot_part_metrics(spark, sf_dir):
     "stages; counts are engine-exact",
 )
 def funnel_conversion(spark, sf_dir):
+    """ONE events scan, ONE shuffle: the three stage-entry times are
+    stacked full-partition window minima over the SAME user_id
+    partitioning (each stage's condition references the previous
+    stage's per-user constant), so Catalyst plans one Exchange followed
+    by three Window operators — no per-stage re-scan or re-join."""
     ev = tbl(spark, sf_dir, "events")
-
-    def stage(prev, etype, tcol_prev, tcol):
-        src = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            src = src.join(prev, "user_id").filter(F.col("ts") > F.col(tcol_prev))
-        return src.groupBy("user_id").agg(F.min("ts").alias(tcol))
-
-    s1 = stage(None, "view", None, "t1")
-    s2 = stage(s1, "click", "t1", "t2")
-    s3 = stage(s2, "purchase", "t2", "t3")
-    rows = [("view", s1), ("view>click", s2), ("view>click>purchase", s3)]
-    out = None
-    for name, s in rows:
-        c = s.agg(F.count("*").cast("long").alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
-        )
-        out = c if out is None else out.unionByName(c)
-    return out
+    w = W.partitionBy("user_id")
+    d = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").cast("long").alias("s1"),
+        F.count("t2").cast("long").alias("s2"),
+        F.count("t3").cast("long").alias("s3"),
+    )
+    stages = F.array(
+        F.struct(F.lit("view").alias("stage"), F.col("s1").alias("n_users")),
+        F.struct(F.lit("view>click").alias("stage"), F.col("s2").alias("n_users")),
+        F.struct(
+            F.lit("view>click>purchase").alias("stage"), F.col("s3").alias("n_users")
+        ),
+    )
+    return counts.select(F.explode(stages).alias("r")).select("r.stage", "r.n_users")
 
 
 @register(
