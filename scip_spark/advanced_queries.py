@@ -752,16 +752,27 @@ def event_transition_matrix(spark, sf_dir):
     "the survival-analysis primitive",
 )
 def time_to_conversion(spark, sf_dir):
+    """ONE events scan (same stacked-window shape as funnel_conversion):
+    first-signup and first-subsequent-purchase times are two window
+    minima over the user_id partitioning, reduced per user — no
+    signup-relation join."""
     ev = tbl(spark, sf_dir, "events")
-    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
-        F.min("ts").alias("t0")
+    wu = W.partitionBy("user_id")
+    d = ev.withColumn(
+        "t0", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu)
+    ).withColumn(
+        "t1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")),
+                F.col("ts"),
+            )
+        ).over(wu),
     )
     conv = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(signup, "user_id")
-        .filter(F.col("ts") > F.col("t0"))
-        .groupBy("user_id", "t0")
-        .agg(F.min("ts").alias("t1"))
+        d.groupBy("user_id")
+        .agg(F.max("t0").alias("t0"), F.max("t1").alias("t1"))
+        .filter(F.col("t1").isNotNull())
         .select(
             "user_id",
             F.expr("(unix_micros(t1) - unix_micros(t0)) DIV 1000000").alias("secs"),
