@@ -39,48 +39,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Union of queries any past driver CORRECTNESS run has verified green
-# (r01 ∪ r02 ∪ r03), MINUS the four whose driver rows are stale or
-# missing and need (re-)verification this round: math_functions and
-# q12_priority_shipping (r01 red, fixed in r2, never re-checked) and
-# sessionize_events / asof_join_events (re-fixed for the timestamp[us]
-# testdata). pagerank_suppliers (rewritten to fixed-point bigint) and
-# quality_repetition (rewritten single-pass) are also left out so the
-# driver re-verifies the new implementations, as are text_quality
-# (rewritten closed-form single-pass) and the minhash family
-# (dedup_minhash_signatures / dedup_lsh_pairs / dedup_lsh_pairs_skew —
-# rewritten zero-shuffle per-row signatures) and dedup_simhash (same). Listing checked queries
-# LAST rotates the driver's 50-query budget onto the unverified ones.
-# Refresh with each round's green rows.
+# (r01 ∪ r02 ∪ r03 ∪ r04), MINUS the ones rewritten in round 5 that
+# need driver re-verification: rfm_segmentation and time_to_conversion
+# (de-globalized onto functions/ranking.py's distributed rank) plus the
+# two samplers (sample_exact_k / sample_with_replacement — now
+# deterministic seeded-hash constructions with real DuckDB oracles, no
+# longer rows-only). Listing checked queries LAST rotates the driver's
+# 50-query budget onto the unverified ones. Refresh with each round's
+# green rows.
 _DRIVER_CHECKED = {
-    "ann_lsh_buckets", "array_functions", "conditional_aggregation",
-    "contamination_ngram", "corpus_hash_sample", "corpus_lang_quota",
-    "corpus_mixture_upsample", "corpus_pack_shards", "corpus_split_assign",
-    "correlated_scalar_subquery", "cosine_topk", "cube_returnflag_linestatus",
-    "datetime_functions", "dedup_connected_components",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
-    "distinct_groups", "doc_fingerprint", "embedding_stats",
-    "explode_tokens", "full_outer_join_balance", "global_stats",
-    "group_minmax_normalize", "grouping_sets_revenue",
-    "higher_moments_by_flag", "json_extract_events", "keyed_branch_concat",
+    "ann_ivf_topk", "ann_lsh_buckets", "ann_lsh_topk",
+    "approx_percentile_prices", "array_functions", "asof_join_events",
+    "cohort_retention", "conditional_aggregation", "contamination_ngram",
+    "corpus_chunk_pack", "corpus_chunk_windows", "corpus_clean",
+    "corpus_hash_sample", "corpus_lang_quota", "corpus_mixture_upsample",
+    "corpus_pack_shards", "corpus_split_assign",
+    "correlated_scalar_subquery", "cosine_topk",
+    "cube_returnflag_linestatus", "datetime_functions",
+    "dedup_connected_components", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_lsh_pairs", "dedup_lsh_pairs_skew", "dedup_minhash_signatures",
+    "dedup_ngram_jaccard", "dedup_simhash", "distinct_groups",
+    "doc_fingerprint", "embedding_stats", "event_transition_matrix",
+    "explode_tokens", "full_outer_join_balance", "funnel_conversion",
+    "global_stats", "group_minmax_normalize", "grouping_sets_revenue",
+    "heavy_hitter_tokens", "higher_moments_by_flag", "hll_distinct_users",
+    "json_extract_events", "keyed_branch_concat", "kmeans_embeddings",
     "kmv_difference_estimate", "kmv_distinct_by_priority",
     "kmv_intersection_estimate", "kmv_union_estimate", "lang_id_heuristic",
     "mad_by_flag", "map_explode_props", "masked_extent_by_group",
-    "mean_tensor_by_group", "median_price_by_flag", "merge_upsert_emulation",
-    "monthly_order_rollup", "multimodal_meta", "order_gaps_ntile",
-    "pivot_channels", "pseudonymize_events",
-    "q10_returned_items", "q11_important_stock", "q13_customer_distribution",
-    "q14_promo_effect", "q15_top_supplier", "q16_parts_supplier",
-    "q17_small_quantity_avg", "q18_large_volume_customer",
-    "q19_discounted_revenue", "q1_pricing_summary", "q20_potential_promotion",
-    "q21_waiting_orders", "q22_global_sales_opportunity",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit",
+    "math_functions", "mean_tensor_by_group", "median_price_by_flag",
+    "merge_upsert_emulation", "monthly_order_rollup", "multimodal_meta",
+    "order_gaps_ntile", "order_seasonality", "pagerank_suppliers",
+    "pii_scrub_customers", "pivot_channels", "pseudonymize_events",
+    "q10_returned_items", "q11_important_stock", "q12_priority_shipping",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_parts_supplier", "q17_small_quantity_avg",
+    "q18_large_volume_customer", "q19_discounted_revenue",
+    "q1_pricing_summary", "q20_potential_promotion", "q21_waiting_orders",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "quality_repetition",
     "range_join_quantity_bands", "rollup_order_date",
-    "running_sum_per_customer", "salted_token_counts", "scd2_customer_orders",
-    "semi_anti_join", "set_ops_customers", "sliding_window_events",
-    "snapshot_diff_orders", "soft_delete_filter", "string_functions_part",
-    "table_checksum", "tf_idf", "token_budget_by_domain",
+    "running_sum_per_customer", "salted_token_counts",
+    "scd2_customer_orders", "semi_anti_join", "sessionize_events",
+    "set_ops_customers", "sliding_window_events", "snapshot_diff_orders",
+    "soft_delete_filter", "string_functions_part", "table_checksum",
+    "text_quality", "tf_idf", "token_budget_by_domain", "token_count_bpe",
     "topk_per_group", "tumbling_window_events", "union_sources",
     "unpivot_part_metrics", "zorder_key_lineitem",
 }

@@ -755,7 +755,11 @@ def time_to_conversion(spark, sf_dir):
     """ONE events scan (same stacked-window shape as funnel_conversion):
     first-signup and first-subsequent-purchase times are two window
     minima over the user_id partitioning, reduced per user — no
-    signup-relation join."""
+    signup-relation join. The exact lower median comes from the
+    distributed rank construction (functions/ranking.py) — no
+    partition-less window — and the median row is LEFT-joined so an
+    empty conversion set still emits (0, NULL) exactly like the
+    oracle's scalar subqueries."""
     ev = tbl(spark, sf_dir, "events")
     wu = W.partitionBy("user_id")
     d = ev.withColumn(
@@ -778,17 +782,16 @@ def time_to_conversion(spark, sf_dir):
             F.expr("(unix_micros(t1) - unix_micros(t0)) DIV 1000000").alias("secs"),
         )
     )
-    w = W.orderBy("secs", "user_id")
-    ranked = conv.select(
-        "secs",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-    )
-    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        F.col("secs").alias("median_secs")
-    )
-    return conv.agg(F.count("*").cast("long").alias("n_converted")).crossJoin(
-        F.broadcast(med)
+    from scip_spark.functions.ranking import exact_rank_row
+
+    med = exact_rank_row(
+        conv, "secs", "user_id", rank_expr="rn = (n + 1) DIV 2"
+    ).select(F.col("secs").alias("median_secs"))
+    counts = conv.agg(F.count("*").cast("long").alias("n_converted"))
+    return (
+        counts.withColumn("__k", F.lit(1))
+        .join(F.broadcast(med.withColumn("__k", F.lit(1))), "__k", "left")
+        .select("n_converted", "median_secs")
     )
 
 
@@ -817,12 +820,14 @@ def time_to_conversion(spark, sf_dir):
     """,
     doc="RFM customer segmentation: per-customer recency/frequency/"
     "monetary, quartiled with deterministic tie-breaks (custkey), "
-    "rolled up to segment sizes and value. The three global NTILEs run "
-    "over the ALREADY-AGGREGATED per-customer relation (|customers| "
-    "rows, not orders) — the single-partition window is over post-agg "
-    "data, the standard at-scale shape for global ranking",
+    "rolled up to segment sizes and value. The quartiles are exact "
+    "SQL NTILE semantics computed by the distributed rank construction "
+    "(functions/ranking.py) — quantile-bucketed partitioned windows + "
+    "broadcast offsets, NO partition-less window, so the per-customer "
+    "relation never funnels through one task",
 )
 def rfm_segmentation(spark, sf_dir):
+    from scip_spark.functions.ranking import with_ntile
     from scip_spark.queries import DEC
 
     orders = tbl(spark, sf_dir, "orders")
@@ -831,14 +836,13 @@ def rfm_segmentation(spark, sf_dir):
         F.count("*").cast("long").alias("frequency"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
     )
-    scored = base.select(
-        "o_custkey",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(W.orderBy(F.desc("last_order"), "o_custkey")).alias("r_score"),
-        F.ntile(4).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    # DESC orderings become negated ascending numeric keys; custkey is
+    # the unique tiebreak, matching the oracle's NTILE ORDER BY exactly
+    scored = with_ntile(
+        base, 4, -F.unix_date(F.col("last_order").cast("date")), "o_custkey", "r_score"
     )
+    scored = with_ntile(scored, 4, -F.col("frequency"), "o_custkey", "f_score")
+    scored = with_ntile(scored, 4, -F.col("monetary"), "o_custkey", "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

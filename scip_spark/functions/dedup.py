@@ -234,13 +234,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # every few rounds, truncate the lineage: each round's plan
         # embeds the previous labels TWICE (propagation join + changed
         # comparison), so un-truncated lineage doubles per round —
-        # exponential plan size and, at 100 TB, a recompute-from-source
-        # hazard for any lost cached partition. localCheckpoint (eager;
-        # the count above already materialized the data) cuts the
-        # logical plan back to the checkpointed RDD, capping growth at
-        # 2^interval copies of a checkpoint scan.
+        # exponential plan size. When a reliable checkpoint dir is
+        # configured (sc.setCheckpointDir), use checkpoint(): the data
+        # lands on the shared store and survives executor loss. With no
+        # dir set, fall back to localCheckpoint — NOTE its trade-off:
+        # partitions become NON-recomputable, so losing an executor
+        # fails the job instead of recomputing; acceptable on a single
+        # node / short iteration, but set a checkpoint dir at cluster
+        # scale. Both are eager here (the count above materialized the
+        # data) and cut the logical plan back to the checkpointed RDD.
         if (it + 1) % 4 == 0:
-            cp = new_labels.localCheckpoint(eager=True)
+            sc = new_labels.sparkSession.sparkContext
+            if sc.getCheckpointDir() is not None:
+                cp = new_labels.checkpoint(eager=True)
+            else:
+                cp = new_labels.localCheckpoint(eager=True)
             new_labels.unpersist()  # checkpoint storage supersedes the cache
             prev_cached = None
             new_labels = cp

@@ -257,11 +257,58 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") > 0.25)
 
 
-@register("sample_with_replacement", None, doc="P10 choices(): with-replacement sample, rows-only")
+@register(
+    "sample_with_replacement",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS n FROM orders),
+    draws AS (
+      SELECT i AS draw_idx,
+             (CAST(('0x' || substr(md5('swr-v1|' || CAST(i AS VARCHAR)), 1, 12))
+                   AS BIGINT) % n) + 1 AS target
+      FROM range(1, 101) t(i), n
+    )
+    SELECT d.draw_idx, r.o_orderkey, r.o_totalprice
+    FROM draws d JOIN ranked r ON r.rn = d.target
+    """,
+    doc="P10 choices(): deterministic with-replacement sample — draw i "
+    "picks global rank (md5(seed|i) mod n)+1, exact across engines",
+)
 def sample_with_replacement(spark, sf_dir):
-    orders = tbl(spark, sf_dir, "orders")
-    return orders.sample(withReplacement=True, fraction=0.01, seed=42).select(
-        "o_orderkey", "o_totalprice"
+    """Deterministic `random.choices` analogue (reference
+    src/scip/main.py:191-196): 100 seeded draws, each mapping to an
+    exact global rank of the orders relation. The rank comes from the
+    distributed construction in functions/ranking.py (no
+    single-partition window); the 100 draws broadcast onto it."""
+    from scip_spark.functions.ranking import with_global_rank
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    ranked = with_global_rank(orders, "o_orderkey", "o_orderkey", out_col="rn")
+    cnt = orders.agg(F.count("*").alias("n"))
+    draw_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("swr-v1"), F.col("draw_idx").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = (
+        spark.range(1, 101)
+        .select(F.col("id").alias("draw_idx"))
+        .crossJoin(F.broadcast(cnt))
+        .select("draw_idx", (draw_hash % F.col("n") + 1).alias("target"))
+    )
+    return (
+        ranked.join(F.broadcast(draws), ranked["rn"] == draws["target"])
+        .select("draw_idx", "o_orderkey", "o_totalprice")
     )
 
 

@@ -128,13 +128,25 @@ def compact_parquet(
     Streaming ingests and fine-grained partitionBy writes leave
     thousands of KB-sized files; every reader then pays per-file open
     + footer + task-schedule overhead, and the NameNode/listing cost
-    grows unbounded. Compaction = one coalesce-style rewrite sized
-    from the ACTUAL on-disk bytes (not row counts — compression varies),
-    written to a temp dir and atomically swapped in.
+    grows unbounded. Compaction = one rewrite sized from the ACTUAL
+    on-disk bytes (not row counts — compression varies), written to a
+    temp dir and swapped in via two renames.
 
-    Returns {files_before, files_after, bytes}. Scale notes: the
-    rewrite is a single pass with NO wide shuffle — coalesce() merges
-    input splits without repartitioning; use zorder_write instead when
+    The swap is NOT atomic: readers racing the swap can see a missing
+    path between the two renames, and a crash there leaves the original
+    data intact under ``<path>.__precompact__`` (recovery = rename it
+    back). Production tables want a transactional format's OPTIMIZE
+    (snapshot isolation) instead; this is the bare-metal equivalent
+    for plain parquet directories, maintenance-window semantics.
+
+    A ``key=value`` partitioned layout is PRESERVED: partition columns
+    are re-derived from the directory names and the rewrite goes
+    through ``repartition(part_cols)`` + ``partitionBy`` — each
+    partition key lands in one task, so each leaf dir compacts to one
+    file. Unpartitioned input uses ``coalesce()`` (merges input splits,
+    no wide shuffle).
+
+    Returns {files_before, files_after, bytes}. Use zorder_write when
     the goal is clustering rather than file-count hygiene.
     """
     import math
@@ -152,14 +164,31 @@ def compact_parquet(
                     b += os.path.getsize(os.path.join(root, f))
         return n, b
 
+    def _partition_cols(d: str) -> list[str]:
+        cols = []
+        cur = d
+        while True:
+            subs = [s for s in os.listdir(cur) if os.path.isdir(os.path.join(cur, s))]
+            hive = [s for s in subs if "=" in s]
+            if not hive:
+                return cols
+            cols.append(hive[0].split("=", 1)[0])
+            cur = os.path.join(cur, hive[0])
+
     files_before, total_bytes = _stats(path)
     n_out = max(min_files, math.ceil(total_bytes / max(target_file_bytes, 1)))
     tmp = f"{path.rstrip('/')}.__compacting__"
     df = spark.read.parquet(path)
-    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    part_cols = _partition_cols(path)
+    if part_cols:
+        df.repartition(*[F.col(c) for c in part_cols]).write.mode(
+            "overwrite"
+        ).partitionBy(*part_cols).parquet(tmp)
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     back = f"{path.rstrip('/')}.__precompact__"
     os.rename(path, back)
-    os.rename(tmp, path)
+    os.rename(tmp, path)  # crash between renames: recover from `back`
     shutil.rmtree(back)
     files_after, _ = _stats(path)
     return {

@@ -227,15 +227,29 @@ def ivf_centroids(df: DataFrame, k: int = 16, emb_col: str = "embedding", iters:
     corpus (NO global sort — a count + per-partition sampling, both
     embarrassingly parallel at 100 TB), sorted driver-side by vec_id for
     run-to-run stability, then a few Lloyd iterations driver-side.
-    Centroids stay tiny (K×dim) either way."""
+    Centroids stay tiny (K×dim) either way.
+
+    Determinism caveat: ``limit(2048)`` truncates whichever sampled
+    rows arrive first, so WHICH rows survive depends on the file/
+    partition layout — "deterministic" holds for a fixed layout (rerun,
+    retry), not across a re-layout of the table. The driver-side sort
+    then fixes the ordering within the surviving set. If the seeded
+    sample under-shoots ``k`` rows, retry with the full relation before
+    giving up."""
     n = df.count()
     frac = min(1.0, (4 * 2048) / max(n, 1))
+    base = df.select("vec_id", emb_col)
     rows = (
-        df.select("vec_id", emb_col)
-        .sample(withReplacement=False, fraction=frac, seed=42)
+        base.sample(withReplacement=False, fraction=frac, seed=42)
         .limit(2048)
         .collect()
     )
+    if len(rows) < k:
+        rows = base.limit(2048).collect()
+    if len(rows) < k:
+        raise ValueError(
+            f"ivf_centroids: need at least k={k} rows to seed, got {len(rows)}"
+        )
     rows.sort(key=lambda r: r[0])
     sample = np.asarray([r[1] for r in rows], dtype=np.float64)
     cents = sample[:k].copy()

@@ -703,9 +703,29 @@ def sessionize_events(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # P10: exact-k random sample (reference src/scip/main.py:191-196).
-# Nondeterministic across engines → rows-only check (sql=None).
+# Seeded md5 order instead of rand(): the "random" permutation is a pure
+# function of (seed, key), so the same rows come back on rerun, on
+# partition retry, and from the DuckDB oracle — and the top-k executes
+# as TakeOrderedAndProject (per-partition heaps + driver merge of k
+# rows), never a global sort.
 # ---------------------------------------------------------------------------
-@register("sample_exact_k", None, doc="P10 exact-k sample, rows-only")
+@register(
+    "sample_exact_k",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY md5('sample-v1|' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT 100
+    """,
+    doc="P10 exact-k sample: deterministic seeded-hash order + distributed top-k",
+)
 def sample_exact_k(spark, sf_dir):
     orders = tbl(spark, sf_dir, "orders")
-    return orders.orderBy(F.rand(seed=42)).limit(100).select("o_orderkey", "o_totalprice")
+    key = F.md5(
+        F.concat_ws("|", F.lit("sample-v1"), F.col("o_orderkey").cast("string"))
+    )
+    return (
+        orders.orderBy(key, "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )

@@ -181,3 +181,51 @@ def test_quality_repetition_no_explode_no_agg(spark):
     assert "Generate" not in plan  # no explode
     assert "HashAggregate" not in plan
     assert "Join" not in plan
+
+
+# queries where a partition-less Window is deliberate AND bounded: the
+# window runs over a small post-aggregation relation whose cardinality
+# does not scale with the data, never over row-scale input.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # per-day daily revenue relation (~|distinct order dates| rows)
+    "order_seasonality",
+    # per-(lang,source) domain totals (bounded domain cardinality)
+    "token_budget_by_domain",
+    # pack_shards / chunk pack: exclusive prefix over the n_buckets-row
+    # bucket-totals relation (corpus.py:167) — bounded by construction
+    "corpus_pack_shards",
+    "corpus_chunk_pack",
+}
+
+
+def _partitionless_windows(plan: str) -> int:
+    """Count Window nodes whose spec has no partition columns: in the
+    plan string the spec's first argument is then an ordered
+    (ASC/DESC-marked) expression rather than a partition column."""
+    n = 0
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            first_arg = spec.split(",", 1)[0]
+            if " ASC" in first_arg or " DESC" in first_arg:
+                n += 1
+    return n
+
+
+def test_no_partitionless_window_in_registry(spark):
+    """No registry query may funnel a data-scale relation through a
+    single-partition window (`WindowExec: No Partition Defined`).
+    rfm_segmentation / time_to_conversion were rewritten onto the
+    distributed rank construction (functions/ranking.py); this pins
+    the class shut. Whitelisted queries run their global window over
+    a provably bounded post-agg relation."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in _BOUNDED_GLOBAL_WINDOWS:
+            continue
+        df = spec.fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = _partitionless_windows(plan)
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders

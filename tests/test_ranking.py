@@ -1,0 +1,89 @@
+"""Distributed exact rank / NTILE (functions/ranking.py) vs Spark's own
+partition-less window on adversarial distributions: the construction
+must be bit-identical to ``row_number()/ntile() OVER (ORDER BY ...)``
+while never building a single-partition window over the data."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from scip_spark.functions.ranking import exact_rank_row, with_global_rank, with_ntile
+
+
+def _make(spark, pairs):
+    return spark.createDataFrame(
+        [(float(v), int(k)) for v, k in pairs], "v double, k long"
+    )
+
+
+def _cases():
+    rng = random.Random(7)
+    return {
+        # every order value identical: worst-case tie skew — the
+        # sub-bucketing by tiebreak is what keeps partitions bounded
+        "all_ties": [(1.0, k) for k in range(500)],
+        # all unique values
+        "unique": [(rng.uniform(-100, 100), k) for k in range(500)],
+        # low-cardinality (5 distinct values, 100 rows each)
+        "low_card": [(float(k % 5), k) for k in range(500)],
+        # fewer rows than tiles
+        "tiny": [(3.0, 1), (1.0, 2), (2.0, 3)],
+        # single row
+        "one": [(9.0, 42)],
+        # negative + duplicated values, shuffled keys
+        "mixed": [(float(rng.choice([-3, -1, 0, 2, 2, 7])), k) for k in rng.sample(range(1000), 400)],
+    }
+
+
+@pytest.mark.parametrize("case", sorted(_cases()))
+def test_global_rank_matches_window(spark, case):
+    df = _make(spark, _cases()[case])
+    got = with_global_rank(df, "v", "k", out_col="rn", n_buckets=8, total_col="n")
+    want = df.withColumn("rn", F.row_number().over(W.orderBy("v", "k")))
+    g = {(r["v"], r["k"]): r["rn"] for r in got.collect()}
+    w = {(r["v"], r["k"]): r["rn"] for r in want.collect()}
+    assert g == w
+    n = df.count()
+    assert {r["n"] for r in got.collect()} == ({n} if n else set())
+
+
+@pytest.mark.parametrize("case", sorted(_cases()))
+@pytest.mark.parametrize("tiles", [4, 7])
+def test_ntile_matches_window(spark, case, tiles):
+    df = _make(spark, _cases()[case])
+    got = with_ntile(df, tiles, "v", "k", out_col="t", n_buckets=8)
+    want = df.withColumn("t", F.ntile(tiles).over(W.orderBy("v", "k")))
+    g = {(r["v"], r["k"]): r["t"] for r in got.collect()}
+    w = {(r["v"], r["k"]): r["t"] for r in want.collect()}
+    assert g == w
+
+
+def test_exact_median_row(spark):
+    df = _make(spark, [(float(v), v) for v in range(1, 102)])  # 1..101
+    med = exact_rank_row(df, "v", "k", rank_expr="rn = (n + 1) DIV 2", n_buckets=8)
+    rows = med.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 51.0
+
+
+def test_empty_input(spark):
+    df = _make(spark, []).filter("v > 0")
+    assert with_global_rank(df, "v", "k", out_col="rn").count() == 0
+    assert with_ntile(df, 4, "v", "k", out_col="t").count() == 0
+
+
+def test_no_partitionless_window_in_plan(spark):
+    """The construction's own physical plan must not contain a window
+    without a partition spec (the thing it exists to avoid)."""
+    df = _make(spark, [(float(k % 3), k) for k in range(100)])
+    plan = with_ntile(df, 4, "v", "k", out_col="t")._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # partition-less specs start the spec with an ordered
+            # (ASC/DESC-marked) expression instead of partition columns
+            spec = line.split("windowspecdefinition(", 1)[1]
+            first_arg = spec.split(",", 1)[0]
+            assert " ASC" not in first_arg and " DESC" not in first_arg, line

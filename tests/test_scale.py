@@ -550,3 +550,52 @@ def test_self_join_reuses_exchange(spark):
     j.collect()
     final = j._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final or "ReusedShuffle" in final, final[:800]
+
+
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    """A key=value partitioned directory keeps its hive layout through
+    compaction: each leaf dir compacts to one file, partition columns
+    still readable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.scale import compact_parquet
+
+    d = str(tmp_path / "ptab")
+    df = spark.range(2000).withColumn("grp", (F.col("id") % 3).cast("int"))
+    df.repartition(8).write.partitionBy("grp").parquet(d)
+    before = spark.read.parquet(d)
+    n_before = before.count()
+    stats = compact_parquet(spark, d, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"]
+    leaf_dirs = [p for p in os.listdir(d) if p.startswith("grp=")]
+    assert sorted(leaf_dirs) == ["grp=0", "grp=1", "grp=2"]
+    after = spark.read.parquet(d)
+    assert after.count() == n_before
+    assert set(after.columns) == {"id", "grp"}
+    assert after.groupBy("grp").count().count() == 3
+
+
+def test_connected_components_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """With a checkpoint dir configured, the CC loop takes the
+    fault-tolerant checkpoint() path (data on shared store, partitions
+    recomputable-by-read) and still converges to the right labels."""
+    from scip_spark.functions.dedup import connected_components
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (21, 22)],
+            "id_a long, id_b long",
+        )
+        labels = {r["node_id"]: r["component"] for r in connected_components(edges).collect()}
+        # chain 0-1-2-3 merged via (1,2); components labeled by min node
+        assert labels[3] == 0 and labels[23] == 20
+    finally:
+        # restore "no checkpoint dir" so other tests keep exercising the
+        # localCheckpoint fallback ($-named Scala setter needs getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
