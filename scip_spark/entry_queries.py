@@ -16,6 +16,7 @@ import scip_spark.functions.corpus_queries  # noqa: F401
 import scip_spark.functions.dedup_queries  # noqa: F401
 import scip_spark.functions.graph_queries  # noqa: F401
 import scip_spark.functions.quality_queries  # noqa: F401
+import scip_spark.functions.quantile_queries  # noqa: F401
 import scip_spark.functions.similarity_queries  # noqa: F401
 import scip_spark.functions.sketch_queries  # noqa: F401
 import scip_spark.functions.tensor_queries  # noqa: F401
@@ -25,4 +26,4 @@ import scip_spark.functions.text_queries  # noqa: F401
 # import time, where the driver (and tests) will see it immediately
 from scip_spark.queries import REGISTRY as _R
 
-assert len(_R) >= 114, f"query registry shrank: {len(_R)} entries"
+assert len(_R) >= 116, f"query registry shrank: {len(_R)} entries"

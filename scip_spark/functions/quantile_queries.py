@@ -1,0 +1,147 @@
+"""Oracle-paired queries for the mergeable bottom-k quantile sketch.
+
+Because the sketch is a deterministic function of the data (md5 row
+hashes), DuckDB reproduces the identical sample — the approximation
+itself is hash-checked, which no randomized quantile sketch
+(KLL/t-digest/GK) permits. See functions/quantiles.py for the design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scip_spark.functions.quantiles import (
+    QS_K,
+    qsketch,
+    qsketch_merge,
+    qsketch_quantile,
+    qsketch_values,
+)
+from scip_spark.queries import register, tbl
+
+# DuckDB fragments built from the same constants as the Spark side
+_H_ORD = "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)"
+_H_DOC = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+def _q_el(q: float) -> str:
+    return f"vals[CAST(greatest(1, ceil({q} * len(vals))) AS BIGINT)]"
+
+
+def _prices_sql(k: int = QS_K) -> str:
+    return f"""
+    WITH base AS (
+      SELECT o_orderpriority, {_H_ORD} AS h,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    sk AS (
+      SELECT o_orderpriority,
+             list_sort(list_transform(
+               list_slice(list_sort(list({{'h': h, 'v': v}})), 1, {k}),
+               x -> x.v)) AS vals
+      FROM base GROUP BY o_orderpriority
+    ),
+    est AS (
+      SELECT o_orderpriority, CAST(len(vals) AS BIGINT) AS m,
+             {_q_el(0.25)} AS est_p25, {_q_el(0.5)} AS est_p50,
+             {_q_el(0.75)} AS est_p75, {_q_el(0.95)} AS est_p95
+      FROM sk
+    )
+    SELECT e.o_orderpriority, e.m, e.est_p25, e.est_p50, e.est_p75, e.est_p95,
+           CAST(SUM(CASE WHEN b.v <= e.est_p50 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS p50_rank_frac
+    FROM est e JOIN base b USING (o_orderpriority)
+    GROUP BY e.o_orderpriority, e.m, e.est_p25, e.est_p50, e.est_p75, e.est_p95
+    """
+
+
+@register(
+    "quantile_sketch_prices",
+    _prices_sql(),
+    doc="mergeable bottom-k quantile sketch (k=256 md5-sampled rows per "
+    "group) over order prices: p25/p50/p75/p95 estimates are "
+    "deterministic, so the approximation itself is oracle-verified; "
+    "p50_rank_frac re-ranks the median estimate against the full data "
+    "(~0.5 ± 1/sqrt(k)) — the scale path for percentiles that neither "
+    "global-sorts nor buffers a group in aggregation state",
+)
+def quantile_sketch_prices(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        "o_orderpriority", F.col("o_orderkey"), cents.alias("v")
+    )
+    sk = qsketch(base, "v", "o_orderkey", group="o_orderpriority")
+    est = sk.select(
+        "o_orderpriority",
+        F.size("qsk").cast("long").alias("m"),
+        qsketch_values("qsk").alias("vals"),
+    ).select(
+        "o_orderpriority",
+        "m",
+        qsketch_quantile("vals", 0.25).alias("est_p25"),
+        qsketch_quantile("vals", 0.5).alias("est_p50"),
+        qsketch_quantile("vals", 0.75).alias("est_p75"),
+        qsketch_quantile("vals", 0.95).alias("est_p95"),
+    )
+    # rank-check the median estimate against the full relation: the
+    # estimate table is one row per group — broadcast, no shuffle of
+    # the fact side beyond the final per-group aggregation
+    joined = base.join(F.broadcast(est), "o_orderpriority")
+    return joined.groupBy(
+        "o_orderpriority", "m", "est_p25", "est_p50", "est_p75", "est_p95"
+    ).agg(
+        (
+            F.sum(F.when(F.col("v") <= F.col("est_p50"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("p50_rank_frac")
+    )
+
+
+def _rollup_sql(k: int = QS_K) -> str:
+    return f"""
+    WITH base AS (
+      SELECT lang, {_H_DOC} AS h, n_chars AS v FROM documents
+    ),
+    sk AS (
+      SELECT list_sort(list_transform(
+               list_slice(list_sort(list({{'h': h, 'v': v}})), 1, {k}),
+               x -> x.v)) AS vals
+      FROM base
+    )
+    SELECT CAST(len(vals) AS BIGINT) AS m,
+           {_q_el(0.5)} AS est_p50, {_q_el(0.9)} AS est_p90,
+           TRUE AS merged_equals_direct
+    FROM sk
+    """
+
+
+@register(
+    "quantile_sketch_rollup",
+    _rollup_sql(),
+    doc="quantile-sketch mergeability: per-language sketches folded "
+    "through the bottom-k semilattice must equal the sketch built "
+    "directly over the whole corpus (merged_equals_direct is computed, "
+    "not assumed, on the Spark side) — the partition → executor → "
+    "global rollup a 100 TB percentile job runs",
+)
+def quantile_sketch_rollup(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    per_lang = qsketch(docs, "n_chars", "doc_id", group="lang")
+    empty = F.array().cast(per_lang.schema["qsk"].dataType)
+    merged = per_lang.groupBy().agg(
+        F.aggregate(
+            F.collect_list("qsk"), empty, lambda acc, s: qsketch_merge(acc, s)
+        ).alias("mqsk")
+    )
+    direct = qsketch(docs, "n_chars", "doc_id", group=None)
+    both = merged.crossJoin(F.broadcast(direct))
+    return both.select(
+        F.size("mqsk").cast("long").alias("m"),
+        qsketch_quantile(qsketch_values("mqsk"), 0.5).alias("est_p50"),
+        qsketch_quantile(qsketch_values("mqsk"), 0.9).alias("est_p90"),
+        (F.col("mqsk") == F.col("qsk")).alias("merged_equals_direct"),
+    )

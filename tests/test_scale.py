@@ -599,3 +599,66 @@ def test_connected_components_uses_reliable_checkpoint_when_dir_set(spark, tmp_p
         # localCheckpoint fallback ($-named Scala setter needs getattr)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.empty())
         assert sc.getCheckpointDir() is None
+
+
+def test_qsketch_quantile_accuracy_and_mergeability(spark):
+    """Bottom-k sample quantiles land within the O(1/sqrt(k)) rank
+    band, and per-group sketches merged through the semilattice equal
+    the sketch built directly over the union (bit-identical)."""
+    from scip_spark.functions.quantiles import (
+        qsketch,
+        qsketch_merge,
+        qsketch_quantile,
+        qsketch_values,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    direct = qsketch(orders, "v", "o_orderkey", group=None, k=256)
+    per_g = qsketch(orders, "v", "o_orderkey", group="g", k=256)
+    empty = F.array().cast(per_g.schema["qsk"].dataType)
+    merged = (
+        per_g.groupBy()
+        .agg(
+            F.aggregate(
+                F.collect_list("qsk"), empty, lambda a, s: qsketch_merge(a, s, 256)
+            ).alias("qsk")
+        )
+        .collect()[0]
+        .qsk
+    )
+    assert merged == direct.collect()[0].qsk
+
+    est = direct.select(
+        qsketch_quantile(qsketch_values("qsk"), 0.5).alias("p50")
+    ).collect()[0].p50
+    n = orders.count()
+    true_rank = orders.filter(F.col("v") <= est).count() / n
+    # 4 standard errors of the sample median rank at k=256
+    assert abs(true_rank - 0.5) < 4 * 0.5 / 16
+
+
+def test_qsketch_small_group_is_exact(spark):
+    """Groups smaller than k keep every row — the sketch quantile is
+    the exact discrete quantile."""
+    from scip_spark.functions.quantiles import (
+        qsketch,
+        qsketch_quantile,
+        qsketch_values,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 12)], "id long, v long"
+    )
+    sk = qsketch(df, "v", "id", group=None, k=256)
+    got = sk.select(
+        F.size("qsk").alias("m"),
+        qsketch_quantile(qsketch_values("qsk"), 0.5).alias("p50"),
+        qsketch_quantile(qsketch_values("qsk"), 1.0).alias("p100"),
+    ).collect()[0]
+    assert got.m == 11
+    assert got.p50 == 60  # ceil(0.5*11)=6th of 10..110
+    assert got.p100 == 110
