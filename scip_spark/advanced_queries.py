@@ -892,3 +892,93 @@ def order_seasonality(spark, sf_dir):
         ma.cast("double").alias("ma7"),
         (F.col("revenue") - ma).cast(T.DecimalType(18, 6)).cast("double").alias("residual"),
     ).orderBy("day")
+
+
+@register(
+    "attribution_touchpoints",
+    """
+    WITH w AS (
+      SELECT event_type,
+             first_value(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+             lag(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+      FROM events
+    )
+    SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) AS conversions
+    FROM w
+    WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+    GROUP BY first_touch, last_touch
+    """,
+    doc="marketing attribution: each purchase credited to the user's "
+    "first-ever touchpoint and the immediately preceding one — one "
+    "user-partitioned window pass (first_value + lag share the sort), "
+    "then a tiny type x type aggregation; per-user state is O(1)",
+)
+def attribution_touchpoints(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    touched = ev.select(
+        "event_type",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.lag("event_type").over(w).alias("last_touch"),
+    )
+    return (
+        touched.filter(
+            (F.col("event_type") == "purchase") & F.col("last_touch").isNotNull()
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count("*").cast("long").alias("conversions"))
+    )
+
+
+@register(
+    "revenue_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT month, median(rev) AS med FROM daily GROUP BY month
+    ),
+    dev AS (
+      SELECT daily.day, daily.month, daily.rev, med.med,
+             abs(daily.rev - med.med) AS adev
+      FROM daily JOIN med USING (month)
+    ),
+    mad AS (
+      SELECT month, median(adev) AS mad FROM dev GROUP BY month
+    )
+    SELECT dev.day, dev.rev, dev.med, mad.mad
+    FROM dev JOIN mad USING (month)
+    WHERE abs(dev.rev - dev.med) > 3 * 1.4826 * mad.mad
+    """,
+    doc="robust anomaly detection: days whose revenue deviates from the "
+    "month's median by >3 scaled MADs; medians run over the per-day "
+    "relation (calendar-bounded, not data-scale) so the exact "
+    "percentile aggregate's buffered state stays O(31) per month",
+)
+def revenue_anomaly_days(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    med = daily.groupBy("month").agg(F.percentile("rev", 0.5).alias("med"))
+    dev = daily.join(med, "month").withColumn("adev", F.abs(F.col("rev") - F.col("med")))
+    mad = dev.groupBy("month").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(mad, "month")
+        .filter(F.abs(F.col("rev") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        .select("day", "rev", "med", "mad")
+    )

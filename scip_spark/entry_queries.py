@@ -8,6 +8,7 @@ import scip_spark.sql_queries  # noqa: F401  SQL-API entry point queries
 import scip_spark.governance_queries  # noqa: F401  SCD2, pseudonymization
 import scip_spark.stats_queries  # noqa: F401  higher moments, MAD
 import scip_spark.tpch_queries  # noqa: F401  outer joins, IN/NOT-IN, HAVING
+import scip_spark.ops_queries  # noqa: F401  FK audit, skew profile, winsorize
 
 # Extended registries (each module registers into queries.REGISTRY on
 # import). Imports are NOT guarded: a broken module must fail loudly,
@@ -26,4 +27,4 @@ import scip_spark.functions.text_queries  # noqa: F401
 # import time, where the driver (and tests) will see it immediately
 from scip_spark.queries import REGISTRY as _R
 
-assert len(_R) >= 116, f"query registry shrank: {len(_R)} entries"
+assert len(_R) >= 122, f"query registry shrank: {len(_R)} entries"

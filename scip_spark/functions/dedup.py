@@ -356,3 +356,82 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_
             ).alias("jaccard"),
         )
     )
+
+
+def token_chunks(
+    docs: DataFrame, chunk: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Non-overlapping ``chunk``-token windows per document:
+    (id, idx, chunk_text, h) with h = 48-bit md5 prefix of the chunk.
+
+    The chunk list is built per-row inside the scan projection
+    (tokenize → slice) — zero shuffle; only posexplode widens the
+    relation. The analogue of line-splitting in a web-corpus pipeline
+    (this corpus has no newlines, so the unit is a fixed token window).
+    """
+    ts = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(ts) / F.lit(float(chunk))).cast("int")
+    chunks = F.when(F.size(ts) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(ts, i * chunk + 1, chunk), " "),
+        )
+    )
+    from scip_spark.functions.sketches import kmv_hash
+
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("idx", "chunk_text")
+    ).withColumn("h", kmv_hash("chunk_text"))
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    chunk: int = 4,
+    max_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove chunks that appear in more than ``max_docs`` distinct
+    documents (boilerplate: headers, navigation, license blocks) and
+    reassemble each document from its kept chunks, in order.
+
+    The C4/RefinedWeb "line dedup" pass re-expressed relationally:
+    chunk frequency is a (h, id)-distinct two-phase aggregation on
+    16-byte hashes — chunk TEXT never shuffles for counting; the
+    boilerplate set joins back by hash equi-join (AQE broadcasts it
+    when small, which at production scale it is — frequency > T decays
+    as 1/T); reassembly is one groupBy(id) with collect_list of
+    (idx, chunk) structs, bounded by document length. Docs whose every
+    chunk is boilerplate still emit a row (md5 of '').
+    """
+    ch = token_chunks(docs, chunk=chunk, text_col=text_col, id_col=id_col)
+    freq = ch.groupBy("h").agg(F.count_distinct(id_col).alias("ndocs"))
+    hot = freq.filter(F.col("ndocs") > max_docs).select(
+        "h", F.lit(True).alias("is_boiler")
+    )
+    marked = ch.join(hot, "h", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("idx"), F.col("chunk_text"))
+    )  # null when boiler -> collect_list skips it
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("is_boiler"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("ks"),
+        )
+        .select(
+            id_col,
+            "n_kept",
+            "n_removed",
+            F.md5(
+                F.array_join(F.transform("ks", lambda x: x["chunk_text"]), " ")
+            ).alias("clean_md5"),
+        )
+    )

@@ -346,3 +346,55 @@ def dedup_connected_components(spark, sf_dir):
 
     pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
     return connected_components(pairs)
+
+
+def _boilerplate_sql(chunk: int = 4, max_docs: int = 2) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, u.i AS idx,
+             array_to_string(
+               list_slice(ts, u.i * {chunk} + 1, u.i * {chunk} + {chunk}), ' ') AS chunk_text
+      FROM tok,
+           unnest(range(0, CAST(ceil(len(ts) / {float(chunk)}) AS BIGINT))) AS u(i)
+    ),
+    hashed AS (
+      SELECT doc_id, idx, chunk_text,
+             CAST(('0x' || substr(md5(chunk_text), 1, 12)) AS BIGINT) AS h
+      FROM ch
+    ),
+    freq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM hashed GROUP BY h
+    ),
+    marked AS (
+      SELECT hashed.doc_id, hashed.idx, hashed.chunk_text,
+             freq.ndocs > {max_docs} AS is_boiler
+      FROM hashed JOIN freq USING (h)
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(
+             array_to_string(
+               list(chunk_text ORDER BY idx) FILTER (WHERE NOT is_boiler), ' '),
+             '')) AS clean_md5
+    FROM marked GROUP BY doc_id
+    """
+
+
+@register(
+    "boilerplate_chunk_scrub",
+    _boilerplate_sql(),
+    doc="C4/RefinedWeb-style boilerplate removal: 4-token chunks that "
+    "appear in >2 distinct documents are scrubbed and each document is "
+    "reassembled from its kept chunks in order (clean_md5 pins the "
+    "reassembled text); chunk counting shuffles only 16-byte hashes",
+)
+def boilerplate_chunk_scrub(spark, sf_dir):
+    from scip_spark.functions.dedup import boilerplate_scrub
+
+    return boilerplate_scrub(tbl(spark, sf_dir, "documents"), chunk=4, max_docs=2)

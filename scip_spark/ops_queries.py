@@ -1,0 +1,198 @@
+"""Operational data-quality queries: referential-integrity audit,
+key-skew profiling, and exact-percentile winsorization.
+
+These are the checks a 100 TB ingest runs before (and while) the
+analytical pipeline trusts the data: orphaned foreign keys break
+joins silently, a skewed key distribution predicts shuffle stragglers
+(the input to the salting decision in functions/scale.py), and
+winsorization needs exact global percentiles without a global sort —
+reusing the distributed rank machinery of functions/ranking.py.
+
+The reference validates inputs per-record only (@check guards,
+reference src/scip/utils/util.py); cross-relation audits are part of
+the engine's training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scip_spark.queries import register, tbl
+
+# (label, child table, child key, parent table, parent key) — every FK
+# edge of the synthetic TPC-H-ish schema
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{label}' AS relationship,
+               CAST((SELECT COUNT(*) FROM {child} c
+                     LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p
+                       ON c.{ck} = p.k
+                     WHERE p.k IS NULL) AS BIGINT) AS orphan_rows,
+               CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS child_rows
+        """
+        for (label, child, ck, parent, pk) in _FK_EDGES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "fk_integrity_audit",
+    _fk_sql(),
+    doc="referential-integrity audit across every FK edge of the "
+    "schema: orphan counts via left-anti joins (each shuffles only the "
+    "key column; small dimension sides broadcast under AQE) — the "
+    "pre-flight a pipeline runs before trusting its joins",
+)
+def fk_integrity_audit(spark, sf_dir):
+    out = None
+    for label, child, ck, parent, pk in _FK_EDGES:
+        c = tbl(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = tbl(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count("*").cast("long").alias("orphan_rows")
+        )
+        total = c.agg(F.count("*").cast("long").alias("child_rows"))
+        row = (
+            orphans.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(label).alias("relationship"), "orphan_rows", "child_rows"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_SKEW_KEYS = [
+    ("events.user_id", "events", "user_id"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+]
+
+
+def _skew_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{label}' AS key, CAST(SUM(f) AS BIGINT) AS total_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(f) AS BIGINT) AS max_freq,
+               CAST(MAX(f) AS DOUBLE) / SUM(f) AS top_share,
+               CAST(SUM(f) AS DOUBLE) / COUNT(*) AS avg_freq
+        FROM (SELECT COUNT(*) AS f FROM {table} GROUP BY {col})
+        """
+        for (label, table, col) in _SKEW_KEYS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "key_skew_profile",
+    _skew_sql(),
+    doc="shuffle-key skew diagnostics: per-key frequency distribution "
+    "reduced to max/avg/top-share — the measurement that decides "
+    "whether a join key needs salting (functions/scale.py) before the "
+    "100 TB run; one partial+final aggregation per key, rows never "
+    "shuffle twice",
+)
+def key_skew_profile(spark, sf_dir):
+    out = None
+    for label, table, col in _SKEW_KEYS:
+        per_key = (
+            tbl(spark, sf_dir, table).groupBy(col).agg(F.count("*").alias("f"))
+        )
+        row = per_key.agg(
+            F.lit(label).alias("key"),
+            F.sum("f").cast("long").alias("total_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("f").cast("long").alias("max_freq"),
+            (F.max("f").cast("double") / F.sum("f")).alias("top_share"),
+            (F.sum("f").cast("double") / F.count("*")).alias("avg_freq"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "winsorized_pricing",
+    """
+    WITH li AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_returnflag
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+      FROM li
+    ),
+    cuts AS (
+      SELECT MIN(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT) THEN v END) AS lo,
+             MIN(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS hi
+      FROM ranked
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(least(greatest(v, cuts.lo), cuts.hi)) AS BIGINT)
+             AS sum_winsorized_cents,
+           CAST(SUM(CASE WHEN v < cuts.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(SUM(CASE WHEN v > cuts.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           CAST(cuts.lo AS BIGINT) AS lo_cut, CAST(cuts.hi AS BIGINT) AS hi_cut
+    FROM li, cuts
+    GROUP BY l_returnflag, cuts.lo, cuts.hi
+    """,
+    doc="winsorization at exact global p01/p99: cut values located by "
+    "the distributed rank machinery (functions/ranking.py — quantile "
+    "bucketing + partitioned windows, no global sort, no partition-less "
+    "window), broadcast back, then one clipped aggregation; the oracle "
+    "computes the same ranks with DuckDB's single-node window",
+)
+def winsorized_pricing(spark, sf_dir):
+    from scip_spark.functions.ranking import exact_rank_row
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        # unique per (order, line): l_linenumber is 1..7
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+        "l_returnflag",
+    )
+    cut_rows = exact_rank_row(
+        li.select("v", "tb"),
+        "v",
+        "tb",
+        "rn = CAST(ceil(0.01 * n) AS BIGINT) OR rn = CAST(ceil(0.99 * n) AS BIGINT)",
+    )
+    cuts = cut_rows.agg(
+        F.min("v").cast("long").alias("lo"), F.max("v").cast("long").alias("hi")
+    )
+    clipped = li.crossJoin(F.broadcast(cuts))
+    return clipped.groupBy("l_returnflag", "lo", "hi").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.least(F.greatest("v", "lo"), "hi"))
+        .cast("long")
+        .alias("sum_winsorized_cents"),
+        F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_hi"),
+    ).select(
+        "l_returnflag",
+        "n",
+        "sum_winsorized_cents",
+        "n_clip_lo",
+        "n_clip_hi",
+        F.col("lo").alias("lo_cut"),
+        F.col("hi").alias("hi_cut"),
+    )

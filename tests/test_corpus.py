@@ -171,3 +171,52 @@ def test_chunk_tokens_no_shuffle(spark):
         chunk_tokens(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_boilerplate_scrub_removes_shared_chunks(spark):
+    """A chunk repeated across >max_docs docs is scrubbed everywhere;
+    unique chunks survive and reassemble in original order."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.dedup import boilerplate_scrub
+
+    boiler = "all rights reserved legal"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta"),
+        (3, f"{boiler} iota kappa lamda mu"),
+        (4, "nu xi omicron pi rho sigma tau upsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_scrub(docs, chunk=4, max_docs=2).collect()
+    }
+    assert len(out) == 4
+    # the shared 4-token chunk is removed from all three carriers
+    for d in (1, 2, 3):
+        assert out[d].n_removed == 1 and out[d].n_kept == 1
+    # untouched doc keeps both its chunks
+    assert out[4].n_removed == 0 and out[4].n_kept == 2
+    import hashlib
+
+    assert out[1].clean_md5 == hashlib.md5(b"alpha beta gamma delta").hexdigest()
+    assert (
+        out[4].clean_md5
+        == hashlib.md5(b"nu xi omicron pi rho sigma tau upsilon").hexdigest()
+    )
+
+
+def test_boilerplate_scrub_fully_scrubbed_doc_emits_row(spark):
+    """A doc whose every chunk is boilerplate still emits (md5(''))."""
+    import hashlib
+
+    from scip_spark.functions.dedup import boilerplate_scrub
+
+    rows = [(i, "same four token chunk") for i in range(1, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_scrub(docs, chunk=4, max_docs=2).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_kept == 0 and r.n_removed == 1
+        assert r.clean_md5 == hashlib.md5(b"").hexdigest()
