@@ -194,3 +194,88 @@ def exact_rank_row(
         df, order, tiebreak, out_col="rn", n_buckets=n_buckets, total_col="n"
     )
     return ranked.filter(F.expr(rank_expr))
+
+
+def exact_values_at_fracs(
+    df: DataFrame,
+    value,
+    fracs: list[float],
+    n_ranges: int = 64,
+    max_local: int = 65536,
+    max_iter: int = 40,
+) -> dict[float, int]:
+    """Exact value at rank ceil(frac * n) for each frac — distributed
+    selection (Blum et al. / Hoare's find generalized): iteratively
+    count rows per equal-width value range, keep the range containing
+    the target rank, repeat. Integer-valued columns only.
+
+    Each pass is one scan + a 1-row/``n_ranges``-row aggregate; driver
+    state is O(n_ranges); passes are O(log(range width)) — at 100 TB
+    that's ~3-6 cheap count scans per cut instead of ranking the whole
+    relation (with_global_rank) or buffering a group (exact
+    percentile UDAF). Equal-width splitting converges on any
+    distribution: a range of identical values collapses to lo == hi.
+
+    Returns {frac: value}. ``value`` must be non-null integral.
+    """
+    v = _col(value)
+    d = df.select(v.cast("long").alias("__sv")).persist()
+    try:
+        n = d.count()
+        if n == 0:
+            return {}
+        import math
+
+        out: dict[float, int] = {}
+        for frac in fracs:
+            target = max(1, math.ceil(frac * n))
+            cur = d
+            offset = 0  # rows strictly below current [lo, hi] range
+            row = cur.agg(F.min("__sv").alias("lo"), F.max("__sv").alias("hi")).collect()[0]
+            lo, hi = row.lo, row.hi
+            for _ in range(max_iter):
+                if lo == hi:
+                    out[frac] = lo
+                    break
+                width = hi - lo + 1
+                cnt = cur.filter(
+                    (F.col("__sv") >= lo) & (F.col("__sv") <= hi)
+                ).count()
+                if cnt <= max_local:
+                    vals = sorted(
+                        r["__sv"]
+                        for r in cur.filter(
+                            (F.col("__sv") >= lo) & (F.col("__sv") <= hi)
+                        ).collect()
+                    )
+                    out[frac] = vals[target - offset - 1]
+                    break
+                # one scan: count per equal-width sub-range. Integer
+                # bucket arithmetic throughout so the per-bucket value
+                # range below is exact (no float-boundary drift);
+                # (v - lo) * n_ranges stays well under 2^63 for any
+                # 48-bit-ish value domain (cents, counts, ids)
+                b = F.expr(f"((__sv - {lo}) * {n_ranges}) DIV {width}")
+                counts = (
+                    cur.filter((F.col("__sv") >= lo) & (F.col("__sv") <= hi))
+                    .groupBy(b.alias("b"))
+                    .agg(F.count("*").alias("c"))
+                    .collect()
+                )
+                acc = offset
+                for rb in sorted(counts, key=lambda r: r.b):
+                    if acc + rb.c >= target:
+                        # bucket b holds v with (v-lo)*R DIV w == b,
+                        # i.e. v-lo in [ceil(b*w/R), ceil((b+1)*w/R)-1]
+                        lo2 = lo + (rb.b * width + n_ranges - 1) // n_ranges
+                        hi2 = lo + ((rb.b + 1) * width + n_ranges - 1) // n_ranges - 1
+                        lo, hi = max(lo, lo2), min(hi, hi2)
+                        offset = acc
+                        break
+                    acc += rb.c
+            else:  # pragma: no cover — max_iter exhausted (can't happen:
+                # the range halves every pass)
+                raise RuntimeError("selection did not converge")
+        return out
+    finally:
+        d.unpersist()

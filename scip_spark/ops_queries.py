@@ -152,30 +152,23 @@ def key_skew_profile(spark, sf_dir):
     GROUP BY l_returnflag, cuts.lo, cuts.hi
     """,
     doc="winsorization at exact global p01/p99: cut values located by "
-    "the distributed rank machinery (functions/ranking.py — quantile "
-    "bucketing + partitioned windows, no global sort, no partition-less "
-    "window), broadcast back, then one clipped aggregation; the oracle "
-    "computes the same ranks with DuckDB's single-node window",
+    "distributed selection (functions/ranking.py exact_values_at_fracs "
+    "— O(log) equal-width count passes, O(64) driver state, no global "
+    "sort or window), broadcast back, then one clipped aggregation; "
+    "the oracle computes the same ranks with DuckDB's single-node "
+    "window",
 )
 def winsorized_pricing(spark, sf_dir):
-    from scip_spark.functions.ranking import exact_rank_row
+    from scip_spark.functions.ranking import exact_values_at_fracs
 
     li = tbl(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
-        # unique per (order, line): l_linenumber is 1..7
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
         "l_returnflag",
     )
-    cut_rows = exact_rank_row(
-        li.select("v", "tb"),
-        "v",
-        "tb",
-        "rn = CAST(ceil(0.01 * n) AS BIGINT) OR rn = CAST(ceil(0.99 * n) AS BIGINT)",
+    cut = exact_values_at_fracs(li, "v", [0.01, 0.99])
+    clipped = li.withColumn("lo", F.lit(cut[0.01]).cast("long")).withColumn(
+        "hi", F.lit(cut[0.99]).cast("long")
     )
-    cuts = cut_rows.agg(
-        F.min("v").cast("long").alias("lo"), F.max("v").cast("long").alias("hi")
-    )
-    clipped = li.crossJoin(F.broadcast(cuts))
     return clipped.groupBy("l_returnflag", "lo", "hi").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.least(F.greatest("v", "lo"), "hi"))

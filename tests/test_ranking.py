@@ -87,3 +87,26 @@ def test_no_partitionless_window_in_plan(spark):
             spec = line.split("windowspecdefinition(", 1)[1]
             first_arg = spec.split(",", 1)[0]
             assert " ASC" not in first_arg and " DESC" not in first_arg, line
+
+
+def test_exact_values_at_fracs_matches_sorted_rank(spark):
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.ranking import exact_values_at_fracs
+
+    df = spark.range(1, 1001).select((F.col("id") * 3).alias("v"))
+    got = exact_values_at_fracs(df, "v", [0.01, 0.5, 0.99], max_local=50)
+    # value at rank ceil(f*1000) of 3..3000
+    assert got == {0.01: 30, 0.5: 1500, 0.99: 2970}
+
+
+def test_exact_values_at_fracs_duplicates_and_negatives(spark):
+    from scip_spark.functions.ranking import exact_values_at_fracs
+
+    rows = [(-5,)] * 100 + [(2,)] * 300 + [(9,)] * 600
+    df = spark.createDataFrame(rows, "v long")
+    got = exact_values_at_fracs(df, "v", [0.05, 0.1, 0.4, 0.41, 1.0], max_local=10)
+    assert got == {0.05: -5, 0.1: -5, 0.4: 2, 0.41: 9, 1.0: 9}
+
+    const = spark.createDataFrame([(7,)] * 500, "v long")
+    assert exact_values_at_fracs(const, "v", [0.5], max_local=10)[0.5] == 7

@@ -33,12 +33,18 @@ from scip_spark.session import get_spark  # noqa: E402
 
 
 def replicate(spark, sf_dir: str, n: int, out: str) -> str:
+    """N× copies of documents, events and orders with re-keyed entity
+    ids. Events/orders scale by ADDING users/customers (per-entity
+    history length stays constant) — the realistic growth direction,
+    and the one that must NOT blow up a per-user window or a per-group
+    aggregation state."""
     if os.path.isdir(out):
         shutil.rmtree(out)
+    copies = F.broadcast(spark.range(n).select(F.col("id").alias("rep")))
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    copies = spark.range(n).select(F.col("id").alias("rep"))
-    big = (
-        docs.crossJoin(F.broadcast(copies))
+    (
+        docs.crossJoin(copies)
         .select(
             (F.col("doc_id") * n + F.col("rep")).alias("doc_id"),
             "text",
@@ -47,13 +53,52 @@ def replicate(spark, sf_dir: str, n: int, out: str) -> str:
             "n_chars",
         )
         .repartition(32)
+        .write.parquet(f"{out}/documents.parquet")
     )
-    big.write.parquet(f"{out}/documents.parquet")
+
+    from scip_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") * n + F.col("rep")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * n + F.col("rep")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.parquet(f"{out}/events.parquet")
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        orders.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") * n + F.col("rep")).alias("o_orderkey"),
+            (F.col("o_custkey") * n + F.col("rep")).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .repartition(32)
+        .write.parquet(f"{out}/orders.parquet")
+    )
     return out
 
 
 OPS = ["dedup_minhash_signatures", "dedup_simhash", "quality_repetition",
-       "text_quality", "corpus_clean", "dedup_lsh_pairs", "corpus_chunk_windows"]
+       "text_quality", "corpus_clean", "dedup_lsh_pairs", "corpus_chunk_windows",
+       "boilerplate_chunk_scrub", "quantile_sketch_prices",
+       # window-analytics family (events/orders also replicated): these
+       # were the round-4 "weak" global-window offenders — post-rewrite
+       # they must scale like the map-side ops
+       "sessionize_events", "funnel_conversion", "rfm_segmentation",
+       "running_sum_per_customer", "time_to_conversion",
+       "attribution_touchpoints"]
 
 
 def time_op(spark, fn, sf_dir: str) -> float:
@@ -80,9 +125,9 @@ def main() -> None:
     dirs = {1: sf_dir}
     for n in factors:
         big_dir = replicate(spark, sf_dir, n, f"/tmp/scale_probe_x{n}")
-        # the probe dir only has documents; point other tables at base
+        # replicated: documents/events/orders; other tables symlink base
         for t in ["region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "embeddings"]:
+                  "lineitem", "embeddings"]:
             src = f"{sf_dir}/{t}.parquet"
             dst = f"{big_dir}/{t}.parquet"
             if os.path.exists(src) and not os.path.exists(dst):
@@ -95,7 +140,8 @@ def main() -> None:
     lines = [
         "# SCALE_PROBE — wall time vs corpus size (fixed local[32])",
         "",
-        "documents sf0.1 replicated N× with re-keyed doc_ids; best-of-2,",
+        "documents/events/orders sf0.1 replicated N× with re-keyed entity",
+        "ids (more users/customers, constant per-entity history); best-of-2,",
         "noop sink. rN = time(N×)/time(1×): rN ≈ N means data-bound and",
         "linear — the plan shape that survives a cluster scale-out; a",
         "super-linear rN flags a shuffle/skew that would dominate at",
