@@ -837,12 +837,24 @@ def rfm_segmentation(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
     )
     # DESC orderings become negated ascending numeric keys; custkey is
-    # the unique tiebreak, matching the oracle's NTILE ORDER BY exactly
+    # the unique tiebreak, matching the oracle's NTILE ORDER BY exactly.
+    # base is persisted: with_ntile's rank construction evaluates its
+    # input several times (bounds sketch, local window, bucket counts),
+    # and CHAINING three of them would compound into ~10 re-scans of
+    # the orders aggregation. Instead each score ranks the cached
+    # per-customer relation independently and the three results join
+    # back on the customer key (same hash partitioning all three ways).
+    base = base.persist()
     scored = with_ntile(
         base, 4, -F.unix_date(F.col("last_order").cast("date")), "o_custkey", "r_score"
+    ).select("o_custkey", "monetary", "r_score")
+    f_sc = with_ntile(base, 4, -F.col("frequency"), "o_custkey", "f_score").select(
+        "o_custkey", "f_score"
     )
-    scored = with_ntile(scored, 4, -F.col("frequency"), "o_custkey", "f_score")
-    scored = with_ntile(scored, 4, -F.col("monetary"), "o_custkey", "m_score")
+    m_sc = with_ntile(base, 4, -F.col("monetary"), "o_custkey", "m_score").select(
+        "o_custkey", "m_score"
+    )
+    scored = scored.join(f_sc, "o_custkey").join(m_sc, "o_custkey")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

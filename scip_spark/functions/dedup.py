@@ -395,16 +395,28 @@ def boilerplate_scrub(
     documents (boilerplate: headers, navigation, license blocks) and
     reassemble each document from its kept chunks, in order.
 
-    The C4/RefinedWeb "line dedup" pass re-expressed relationally:
-    chunk frequency is a (h, id)-distinct two-phase aggregation on
-    16-byte hashes — chunk TEXT never shuffles for counting; the
-    boilerplate set joins back by hash equi-join (AQE broadcasts it
-    when small, which at production scale it is — frequency > T decays
-    as 1/T); reassembly is one groupBy(id) with collect_list of
-    (idx, chunk) structs, bounded by document length. Docs whose every
+    The C4/RefinedWeb "line dedup" pass re-expressed relationally, with
+    document TEXT kept out of every shuffle:
+
+    1. chunk frequency: a (h, id)-distinct two-phase aggregation over
+       the exploded (id, idx, h) projection — 16-byte hashes only;
+    2. per-doc boiler flags: the exploded hash relation left-joins the
+       boilerplate set (equi-join on h; AQE broadcasts it when small,
+       which at production scale it is — frequency > T decays as 1/T)
+       and folds back to one boolean array per doc, ordered by idx —
+       a groupBy(id) of (idx, bool) pairs, bounded by doc length;
+    3. reassembly: the flag arrays join the ORIGINAL docs relation on
+       id and the kept chunks are re-derived from the text in the
+       final projection.
+
+    Text therefore crosses the wire once (the id-keyed flag join)
+    instead of twice (explode→count→join→regroup would shuffle chunk
+    text through both the join and the regroup). Docs whose every
     chunk is boilerplate still emit a row (md5 of '').
     """
-    ch = token_chunks(docs, chunk=chunk, text_col=text_col, id_col=id_col)
+    ch = token_chunks(docs, chunk=chunk, text_col=text_col, id_col=id_col).select(
+        id_col, "idx", "h"
+    )  # chunk text pruned before any exchange
     freq = ch.groupBy("h").agg(F.count_distinct(id_col).alias("ndocs"))
     hot = freq.filter(F.col("ndocs") > max_docs).select(
         "h", F.lit(True).alias("is_boiler")
@@ -412,26 +424,36 @@ def boilerplate_scrub(
     marked = ch.join(hot, "h", "left").withColumn(
         "is_boiler", F.coalesce("is_boiler", F.lit(False))
     )
-    kept_struct = F.when(
-        ~F.col("is_boiler"), F.struct(F.col("idx"), F.col("chunk_text"))
-    )  # null when boiler -> collect_list skips it
-    return (
-        marked.groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_removed"),
-            F.sum(F.when(F.col("is_boiler"), 0).otherwise(1))
-            .cast("long")
-            .alias("n_kept"),
-            F.array_sort(F.collect_list(kept_struct)).alias("ks"),
+    flags = marked.groupBy(id_col).agg(
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("is_boiler"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_kept"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "is_boiler"))),
+            lambda x: x["is_boiler"],
+        ).alias("boiler_by_idx"),
+    )
+    # re-derive the chunk list from text (same pure projection as
+    # token_chunks) and keep chunks whose flag is false, in order
+    ts = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(ts) / F.lit(float(chunk))).cast("int")
+    chunks = F.when(F.size(ts) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(ts, i * chunk + 1, chunk), " "),
         )
-        .select(
-            id_col,
-            "n_kept",
-            "n_removed",
-            F.md5(
-                F.array_join(F.transform("ks", lambda x: x["chunk_text"]), " ")
-            ).alias("clean_md5"),
-        )
+    )
+    rejoined = docs.select(id_col, chunks.alias("__bp_chunks")).join(flags, id_col)
+    kept = F.filter(
+        F.col("__bp_chunks"),
+        lambda c, i: ~F.element_at(F.col("boiler_by_idx"), i + 1),
+    )
+    return rejoined.select(
+        id_col,
+        "n_kept",
+        "n_removed",
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )

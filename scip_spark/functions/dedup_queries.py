@@ -398,3 +398,64 @@ def boilerplate_chunk_scrub(spark, sf_dir):
     from scip_spark.functions.dedup import boilerplate_scrub
 
     return boilerplate_scrub(tbl(spark, sf_dir, "documents"), chunk=4, max_docs=2)
+
+
+@register(
+    "dedup_cluster_sizes",
+    f"""
+    SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+      FROM ({_cc_sql()})
+      GROUP BY component
+    )
+    GROUP BY csize
+    """,
+    doc="duplicate-cluster size histogram from the connected "
+    "components of the LSH pair graph — the dedup-rate report a "
+    "corpus pipeline emits (how much of the corpus collapses, and "
+    "into how many clusters); two tiny aggregations over the CC "
+    "output, singleton docs (no candidate pair) excluded by "
+    "construction",
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    from scip_spark.functions.dedup import connected_components
+
+    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").cast("long").alias("csize"))
+        .groupBy("csize")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+    )
+
+
+@register(
+    "dedup_triangle_count",
+    f"""
+    WITH e AS (SELECT id_a AS a, id_b AS b FROM ({_lsh_pairs_sql()}))
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="triangle count over the canonical (a<b) LSH candidate-pair "
+    "graph - the cluster-density signal (many triangles = tight "
+    "near-dup cliques, few = chains/false positives). Edge-join "
+    "triangle enumeration: each triangle i<j<k counted once via "
+    "(i,j)x(j,k) semi-matched against (i,k); edges are the bounded "
+    "LSH candidate set, and the two equi-joins shuffle only id pairs",
+)
+def dedup_triangle_count(spark, sf_dir):
+    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(
+        e, (e["a"] == wedges["x"]) & (e["b"] == wedges["z"])
+    ).agg(F.count("*").cast("long").alias("n_triangles"))
+    n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(tri))

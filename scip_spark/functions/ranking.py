@@ -84,9 +84,12 @@ def with_global_rank(
         .withColumn("__gr_td", _col(tiebreak).cast("double"))
     )
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # accuracy only shapes bucket BALANCE, never rank correctness: any
+    # boundary placement yields exact ranks. 1000 keeps the GK sketch
+    # cheap; worst-case imbalance ~n/1000 per bucket is immaterial
     bounds = d.agg(
-        F.percentile_approx("__gr_vd", probs, 10000).alias("__gr_vbs"),
-        F.percentile_approx("__gr_td", probs, 10000).alias("__gr_tbs"),
+        F.percentile_approx("__gr_vd", probs, 1000).alias("__gr_vbs"),
+        F.percentile_approx("__gr_td", probs, 1000).alias("__gr_tbs"),
     )
     d = (
         d.crossJoin(F.broadcast(bounds))

@@ -282,3 +282,114 @@ def corpus_clean(spark, sf_dir):
         )
         .select("doc_id", "fp", "n_copies", "n_tokens")
     )
+
+
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql(k: int = 20) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    contrib_cols = " + ".join(
+        f"coalesce(SUM(CASE WHEN token = '{t}' THEN contrib END), 0)"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(len(ts)) AS sum_dl FROM d),
+    tf AS (
+      SELECT doc_id, u.t AS token,
+             CAST(COUNT(*) AS BIGINT) AS tf, ANY_VALUE(len(ts)) AS dl
+      FROM d, unnest(ts) AS u(t)
+      WHERE u.t IN ({terms})
+      GROUP BY doc_id, u.t
+    ),
+    dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY token),
+    c AS (
+      -- every literal cast to DOUBLE: DuckDB otherwise parses 2.2 as
+      -- DECIMAL and computes tf*2.2 EXACTLY, where Spark's double
+      -- product rounds — a 1-ulp drift that breaks the value hash
+      SELECT tf.doc_id, tf.token,
+             round(ln(1 + ((SELECT n FROM stats) - dfc + CAST(0.5 AS DOUBLE))
+                          / (dfc + CAST(0.5 AS DOUBLE))), 6)
+             * (tf.tf * CAST(2.2 AS DOUBLE))
+             / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+                * (1 - CAST({_BM25_B} AS DOUBLE) + CAST({_BM25_B} AS DOUBLE) * tf.dl
+                / (CAST((SELECT sum_dl FROM stats) AS DOUBLE)
+                   / (SELECT n FROM stats)))) AS contrib
+      FROM tf JOIN dfq USING (token)
+    )
+    SELECT doc_id, {contrib_cols} AS score
+    FROM c GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@register(
+    "bm25_topk",
+    _bm25_sql(),
+    doc="BM25 retrieval (k1=1.2, b=0.75) for a fixed query over the "
+    "corpus: term stats are two tiny broadcast relations, per-doc "
+    "scores sum pivoted per-term contributions in fixed expression "
+    "order (engine-exact doubles; idf rounded at 1e-6 to absorb the "
+    "cross-engine ln ulp), top-k is a TakeOrdered — the sparse "
+    "retrieval path of a training-data pipeline",
+)
+def bm25_topk(spark, sf_dir, k: int = 20):
+    from scip_spark.functions.text import tokens as tok_col
+
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tok_col("text").alias("ts"))
+    stats = d.agg(
+        F.count("*").alias("n"), F.sum(F.size("ts")).alias("sum_dl")
+    )
+    tf = (
+        d.select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("token"))
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfq = tf.groupBy("token").agg(F.count("*").cast("long").alias("dfc"))
+    c = (
+        tf.join(F.broadcast(dfq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+                ),
+                6,
+            )
+            * (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (
+                    1
+                    - _BM25_B
+                    + _BM25_B
+                    * F.col("dl")
+                    / (F.col("sum_dl").cast("double") / F.col("n"))
+                )
+            ),
+        )
+    )
+    score = None
+    for t in _BM25_TERMS:
+        piece = F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.col("contrib"))), F.lit(0.0)
+        )
+        score = piece if score is None else score + piece
+    return (
+        c.groupBy("doc_id")
+        .agg(score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )

@@ -421,3 +421,51 @@ def test_watermark_bounds_state_at_scale(spark, tmp_path):
     # the scale property: live state never approached the month's full
     # window count — the watermark evicts as it advances
     assert peak_state < 0.5 * total_windows, (peak_state, total_windows)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Cross-micro-batch exact dedup: duplicate content split across
+    files (one file per trigger) must still collapse to one survivor
+    per fingerprint, equal to the batch dropDuplicates result."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.text import fingerprint
+    from scip_spark.streaming.dedup import exact_dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(40)
+        .select(
+            "doc_id",
+            "text",
+            # base offset: epoch-0 event time sits exactly ON the initial
+            # watermark and is dropped as late - start in 2001 instead
+            F.timestamp_micros((F.col("doc_id") + 1_000_000_000) * 1_000_000).alias("ts"),
+        )
+    )
+    # duplicates land in a SECOND file => a later micro-batch; the
+    # dedup state must carry across batches to drop them
+    dupes = docs.limit(15).withColumn("doc_id", F.col("doc_id") + 10_000)
+    src = str(tmp_path / "dedup_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    dupes.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = exact_dedup_stream(stream, watermark="10 hours")
+    run_to_memory(out.select("fp"), "dedup_stream_out")
+    got = sorted(
+        r.fp for r in spark.sql("select fp from dedup_stream_out").collect()
+    )
+    both = docs.unionByName(dupes)
+    want = sorted(
+        r.fp
+        for r in both.withColumn("fp", fingerprint(F.col("text")))
+        .dropDuplicates(["fp"])
+        .select("fp")
+        .collect()
+    )
+    assert got == want and 0 < len(want) <= 40
