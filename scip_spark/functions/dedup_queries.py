@@ -459,3 +459,58 @@ def dedup_triangle_count(spark, sf_dir):
     ).agg(F.count("*").cast("long").alias("n_triangles"))
     n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
     return n_edges.crossJoin(F.broadcast(tri))
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    old AS (SELECT fp FROM fp WHERE doc_id % 3 <> 0),
+    new AS (SELECT doc_id, fp FROM fp WHERE doc_id % 3 = 0),
+    fresh AS (
+      SELECT n.doc_id, n.fp FROM new n
+      WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = n.fp)
+    ),
+    admitted AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM fresh GROUP BY fp
+    )
+    SELECT CAST((SELECT COUNT(*) FROM new) AS BIGINT) AS n_incoming,
+           CAST((SELECT COUNT(*) FROM new) - (SELECT COUNT(*) FROM fresh)
+                AS BIGINT) AS n_dup_vs_corpus,
+           CAST((SELECT COUNT(*) FROM fresh) - (SELECT COUNT(*) FROM admitted)
+                AS BIGINT) AS n_dup_within_batch,
+           CAST((SELECT COUNT(*) FROM admitted) AS BIGINT) AS n_admitted
+    """,
+    doc="incremental corpus dedup (the daily-crawl path): an incoming "
+    "batch is exact-deduped against the existing corpus with a "
+    "left-anti semi-join on 16-byte fingerprints (corpus text never "
+    "moves), then first-wins within the batch — the batch analogue of "
+    "streaming/dedup.py, sized so only fingerprints shuffle",
+)
+def dedup_incremental(spark, sf_dir):
+    from scip_spark.functions.text import fingerprint
+
+    docs = tbl(spark, sf_dir, "documents").withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+    old = docs.filter(F.col("doc_id") % 3 != 0).select("fp")
+    new = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "fp")
+    fresh = new.join(old, "fp", "left_anti")
+    admitted = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    n_new = new.agg(F.count("*").cast("long").alias("n_incoming"))
+    n_fresh = fresh.agg(F.count("*").cast("long").alias("nf"))
+    n_adm = admitted.agg(F.count("*").cast("long").alias("n_admitted"))
+    return (
+        n_new.crossJoin(F.broadcast(n_fresh))
+        .crossJoin(F.broadcast(n_adm))
+        .select(
+            "n_incoming",
+            (F.col("n_incoming") - F.col("nf")).alias("n_dup_vs_corpus"),
+            (F.col("nf") - F.col("n_admitted")).alias("n_dup_within_batch"),
+            "n_admitted",
+        )
+    )

@@ -145,3 +145,56 @@ def quantile_sketch_rollup(spark, sf_dir):
         qsketch_quantile(qsketch_values("mqsk"), 0.9).alias("est_p90"),
         (F.col("mqsk") == F.col("qsk")).alias("merged_equals_direct"),
     )
+
+
+def _bins_sql(k: int = QS_K) -> str:
+    deciles = [i / 10 for i in range(1, 10)]
+    cut_list = ", ".join(_q_el(q) for q in deciles)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_H_DOC} AS h, n_chars AS v FROM documents
+    ),
+    sk AS (
+      SELECT list_sort(list_transform(
+               list_slice(list_sort(list({{'h': h, 'v': v}})), 1, {k}),
+               x -> x.v)) AS vals
+      FROM base
+    ),
+    cuts AS (SELECT [{cut_list}] AS cs FROM sk)
+    SELECT len(list_filter(cuts.cs, x -> x <= d.n_chars)) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM documents d, cuts
+    GROUP BY 1
+    """
+
+
+@register(
+    "quality_quantile_bins",
+    _bins_sql(),
+    doc="curriculum binning: every document assigned a decile bin by "
+    "comparing its length against the 9 sketch-estimated decile cuts "
+    "(one tiny broadcast array) — the production pattern for "
+    "quality-bucketed sampling at 100 TB where exact per-decile "
+    "boundaries would need a global sort; bins and their stats are "
+    "oracle-verified because the sketch is deterministic",
+)
+def quality_quantile_bins(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    sk = qsketch(docs, "n_chars", "doc_id", group=None)
+    cuts = sk.select(
+        F.array(
+            *[
+                qsketch_quantile(qsketch_values("qsk"), i / 10)
+                for i in range(1, 10)
+            ]
+        ).alias("cs")
+    )
+    binned = docs.crossJoin(F.broadcast(cuts)).withColumn(
+        "bin",
+        F.size(F.filter(F.col("cs"), lambda x: x <= F.col("n_chars"))).cast("long"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+    )

@@ -293,3 +293,91 @@ def pii_scrub_customers(spark, sf_dir):
         .alias("digits_redacted"),
         F.regexp_replace(name, "[0-9]+", "<ID>").alias("name_tokenized"),
     )
+
+
+@register(
+    "cdc_apply_merge",
+    """
+    WITH old AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+             CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS price
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    merged AS (
+      SELECT coalesce(c.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN c.op = 'delete' THEN NULL
+                  WHEN c.op = 'upsert' THEN c.price
+                  ELSE o.price END AS price,
+             CASE WHEN c.op = 'delete' THEN 'deleted'
+                  WHEN c.op = 'upsert' AND o.o_orderkey IS NULL THEN 'inserted'
+                  WHEN c.op = 'upsert' THEN 'updated'
+                  ELSE 'kept' END AS outcome
+      FROM old o FULL OUTER JOIN changes c USING (o_orderkey)
+    )
+    SELECT CAST(SUM(CASE WHEN outcome <> 'deleted' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rows,
+           CAST(SUM(CASE WHEN outcome <> 'deleted' THEN price END) AS DOUBLE)
+             AS total_price,
+           CAST(SUM(CASE WHEN outcome = 'inserted' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted,
+           CAST(SUM(CASE WHEN outcome = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated,
+           CAST(SUM(CASE WHEN outcome = 'deleted' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted
+    FROM merged
+    """,
+    doc="MERGE semantics (the companion to snapshot_diff_orders): a "
+    "changeset of upserts+deletes applied to a snapshot in ONE "
+    "key-partitioned full-outer join — changeset wins, deletes drop, "
+    "inserts surface; the decimal-exact post-merge rollup is what an "
+    "incremental 100 TB table-maintenance job verifies against",
+)
+def cdc_apply_merge(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    dec = T.DecimalType(18, 2)
+    orders = tbl(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").cast(dec).alias("price")
+    )
+    changes = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        (F.col("o_totalprice").cast(dec) + 10).alias("cprice"),
+    )
+    merged = old.join(changes, "o_orderkey", "full_outer").select(
+        F.when(F.col("op") == "delete", F.lit(None).cast(dec))
+        .when(F.col("op") == "upsert", F.col("cprice"))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        F.when(F.col("op") == "delete", "deleted")
+        .when((F.col("op") == "upsert") & F.col("price").isNull(), "inserted")
+        .when(F.col("op") == "upsert", "updated")
+        .otherwise("kept")
+        .alias("outcome"),
+    )
+    return merged.agg(
+        F.sum(F.when(F.col("outcome") != "deleted", 1).otherwise(0))
+        .cast("long")
+        .alias("n_rows"),
+        F.sum(F.when(F.col("outcome") != "deleted", F.col("price")))
+        .cast("double")
+        .alias("total_price"),
+        F.sum(F.when(F.col("outcome") == "inserted", 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+        F.sum(F.when(F.col("outcome") == "updated", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(F.when(F.col("outcome") == "deleted", 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted"),
+    )
