@@ -180,3 +180,126 @@ def approx_percentile_prices(spark, sf_dir):
             ok(0.99, "p99").alias("p99_ok"),
         )
     )
+
+
+@register(
+    "regression_trend_by_priority",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM s
+    """,
+    doc="distributed OLS trend per group: slope/intercept of daily "
+    "revenue vs epoch day from five EXACT integer/decimal sums (one "
+    "partial+final aggregation — the closed-form normal equations, no "
+    "iterative solver), with one final double division per output so "
+    "the floats are engine-exact; built-in regr_slope would accumulate "
+    "doubles in partial-aggregation order and drift",
+)
+def regression_trend_by_priority(spark, sf_dir):
+    dec38 = T.DecimalType(38, 0)
+    orders = tbl(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("x"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    s = daily.groupBy("o_orderpriority").agg(
+        F.count("*").cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )
+
+
+@register(
+    "correlation_pricing",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(round(l_quantity * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM base GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+    FROM s
+    """,
+    doc="Pearson correlation from six exact decimal sums (map-side "
+    "combinable, order-independent) with IEEE-correctly-rounded sqrt "
+    "and one final division — engine-exact where built-in corr()'s "
+    "double accumulation is partial-order-dependent; the per-group "
+    "feature-correlation profile of a tabular training pipeline",
+)
+def correlation_pricing(spark, sf_dir):
+    dec38 = T.DecimalType(38, 0)
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x").cast(dec38) * F.col("y")).cast(dec38).alias("sxy"),
+        F.sum(F.col("x").cast(dec38) * F.col("x")).cast(dec38).alias("sxx"),
+        F.sum(F.col("y").cast(dec38) * F.col("y")).cast(dec38).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (num / (denx * deny)).alias("pearson_r"),
+    )
