@@ -229,3 +229,37 @@ def test_no_partitionless_window_in_registry(spark):
         if n:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_bm25_term_stats_broadcast(spark):
+    """BM25's df/idf and corpus stats are tiny relations: both must
+    reach the per-doc scoring via broadcast, never a shuffle of the
+    token relation against them."""
+    plan = formatted_plan(spark, "bm25_topk")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorize_has_no_window_or_sort(spark):
+    """Winsorization locates its exact cuts via distributed selection -
+    the final plan (cuts already resolved to literals) is scan ->
+    aggregate with no Window and no global Sort."""
+    plan = formatted_plan(spark, "winsorized_pricing")
+    assert "Window" not in plan and "Sort " not in plan
+    # the clip aggregation is one partial+final pair over one scan
+    # (each scan node contributes exactly one Location: line)
+    assert plan.count("Location:") == 1
+
+
+def test_boilerplate_scrub_text_shuffles_once(spark):
+    """The scrub's counting/flagging branches carry only hashes; the
+    document text column may appear in at most one Exchange (the
+    id-keyed flag join)."""
+    import re
+
+    plan = formatted_plan(spark, "boilerplate_chunk_scrub")
+    # formatted plans list per-node Output: count Exchange nodes whose
+    # argument list mentions the text column
+    exchanges = re.findall(r"\(\d+\) Exchange\n(?:.*\n){0,4}", plan)
+    with_text = [e for e in exchanges if "text" in e]
+    assert len(with_text) <= 1, plan
