@@ -49,3 +49,31 @@ def test_empty_corpus_and_similarity_ops(spark):
     assert chunk_tokens(docs).count() == 0
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert embedding_near_dup(emb).count() == 0
+
+
+def test_empty_inputs_round5_ops(spark):
+    """Quantile sketch, distributed rank/selection, and boilerplate
+    scrub must survive relations a filter emptied."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.dedup import boilerplate_scrub
+    from scip_spark.functions.quantiles import qsketch
+    from scip_spark.functions.ranking import (
+        exact_values_at_fracs,
+        with_global_rank,
+        with_ntile,
+    )
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert boilerplate_scrub(docs).count() == 0
+
+    empty_vals = spark.createDataFrame([], "k long, v long")
+    assert qsketch(empty_vals, "v", "k", group=None).count() in (0, 1)
+    # a 1-row result must carry an empty sketch
+    for r in qsketch(empty_vals, "v", "k", group=None).collect():
+        assert r.qsk == []
+    assert exact_values_at_fracs(empty_vals, "v", [0.5]) == {}
+    assert with_global_rank(empty_vals, "v", "k").count() == 0
+    assert with_ntile(empty_vals, 4, "v", "k", "t").count() == 0
