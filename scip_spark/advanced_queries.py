@@ -994,3 +994,43 @@ def revenue_anomaly_days(spark, sf_dir):
         .filter(F.abs(F.col("rev") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
         .select("day", "rev", "med", "mad")
     )
+
+
+@register(
+    "moving_median_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, rev,
+           median(rev) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7
+    FROM daily ORDER BY 1
+    """,
+    doc="7-day rolling exact median of daily revenue: Spark has no "
+    "windowed median, so the frame is materialized per row with a "
+    "collect_list window (bounded at 7 elements — frame size, not "
+    "data size) and reduced in-expression; the oracle uses DuckDB's "
+    "native windowed median. The window runs over the per-day "
+    "relation — calendar-bounded, so the partition-less frame is "
+    "whitelisted like order_seasonality",
+)
+def moving_median_revenue(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    frame = F.array_sort(F.collect_list("rev").over(w))
+    m = F.size(frame)
+    lo = F.element_at(frame, ((m + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (m / 2 + 1).cast("int"))
+    med = (lo + hi).cast("double") / 2
+    return daily.select("day", "rev", med.alias("med7")).orderBy("day")

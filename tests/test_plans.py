@@ -189,6 +189,7 @@ def test_quality_repetition_no_explode_no_agg(spark):
 _BOUNDED_GLOBAL_WINDOWS = {
     # per-day daily revenue relation (~|distinct order dates| rows)
     "order_seasonality",
+    "moving_median_revenue",
     # per-(lang,source) domain totals (bounded domain cardinality)
     "token_budget_by_domain",
     # pack_shards / chunk pack: exclusive prefix over the n_buckets-row
