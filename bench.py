@@ -107,9 +107,11 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
 
-    # best-of-2: the box hosting local[32] is shared, and a single GC
-    # or neighbour burst can triple one query's wall time; the min of
-    # two runs reports the plan's actual cost
+    # min-of-N: the box hosting local[32] is shared, and a single GC or
+    # neighbour burst can triple one query's wall time. Every query gets
+    # two timed passes; the EXTRA_PASS watchlist (queries that showed
+    # >10% cross-round drift with unchanged code) gets a third. The min
+    # reports the plan's actual cost
     timings: dict[str, float] = {}
     for rnd in range(3):
         for name in HEADLINE:

@@ -358,6 +358,21 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_
     )
 
 
+def _chunk_array(text_col: str, chunk: int) -> Column:
+    """Per-row array of non-overlapping ``chunk``-token windows — the
+    ONE chunking expression, shared by token_chunks (flag derivation)
+    and boilerplate_scrub's reassembly so the two can never diverge
+    (flags are applied positionally to these chunks)."""
+    ts = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(ts) / F.lit(float(chunk))).cast("int")
+    return F.when(F.size(ts) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(ts, i * chunk + 1, chunk), " "),
+        )
+    )
+
+
 def token_chunks(
     docs: DataFrame, chunk: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -369,18 +384,10 @@ def token_chunks(
     relation. The analogue of line-splitting in a web-corpus pipeline
     (this corpus has no newlines, so the unit is a fixed token window).
     """
-    ts = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(ts) / F.lit(float(chunk))).cast("int")
-    chunks = F.when(F.size(ts) <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(ts, i * chunk + 1, chunk), " "),
-        )
-    )
     from scip_spark.functions.sketches import kmv_hash
 
     return docs.select(
-        F.col(id_col), F.posexplode(chunks).alias("idx", "chunk_text")
+        F.col(id_col), F.posexplode(_chunk_array(text_col, chunk)).alias("idx", "chunk_text")
     ).withColumn("h", kmv_hash("chunk_text"))
 
 
@@ -411,8 +418,9 @@ def boilerplate_scrub(
 
     Text therefore crosses the wire once (the id-keyed flag join)
     instead of twice (explode→count→join→regroup would shuffle chunk
-    text through both the join and the regroup). Docs whose every
-    chunk is boilerplate still emit a row (md5 of '').
+    text through both the join and the regroup). Every input doc emits
+    a row: fully-boilerplate docs as (0 kept, md5('')), and zero-token
+    docs (no chunks at all) likewise via the left join.
     """
     ch = token_chunks(docs, chunk=chunk, text_col=text_col, id_col=id_col).select(
         id_col, "idx", "h"
@@ -436,24 +444,21 @@ def boilerplate_scrub(
             lambda x: x["is_boiler"],
         ).alias("boiler_by_idx"),
     )
-    # re-derive the chunk list from text (same pure projection as
-    # token_chunks) and keep chunks whose flag is false, in order
-    ts = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(ts) / F.lit(float(chunk))).cast("int")
-    chunks = F.when(F.size(ts) <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(ts, i * chunk + 1, chunk), " "),
-        )
-    )
-    rejoined = docs.select(id_col, chunks.alias("__bp_chunks")).join(flags, id_col)
+    # re-derive the chunk list from text (the SAME _chunk_array
+    # expression the flags were computed from) and keep chunks whose
+    # flag is false, in order. LEFT join: a zero-token doc has no
+    # exploded rows and therefore no flags row — it must still emit
+    # (0 kept, 0 removed, md5('')) rather than vanish.
+    rejoined = docs.select(
+        id_col, _chunk_array(text_col, chunk).alias("__bp_chunks")
+    ).join(flags, id_col, "left")
     kept = F.filter(
         F.col("__bp_chunks"),
         lambda c, i: ~F.element_at(F.col("boiler_by_idx"), i + 1),
     )
     return rejoined.select(
         id_col,
-        "n_kept",
-        "n_removed",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )

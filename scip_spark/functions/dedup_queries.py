@@ -374,15 +374,21 @@ def _boilerplate_sql(chunk: int = 4, max_docs: int = 2) -> str:
       SELECT hashed.doc_id, hashed.idx, hashed.chunk_text,
              freq.ndocs > {max_docs} AS is_boiler
       FROM hashed JOIN freq USING (h)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             md5(coalesce(
+               array_to_string(
+                 list(chunk_text ORDER BY idx) FILTER (WHERE NOT is_boiler), ' '),
+               '')) AS clean_md5
+      FROM marked GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-           md5(coalesce(
-             array_to_string(
-               list(chunk_text ORDER BY idx) FILTER (WHERE NOT is_boiler), ' '),
-             '')) AS clean_md5
-    FROM marked GROUP BY doc_id
+    SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.n_removed, 0) AS n_removed,
+           coalesce(a.clean_md5, md5('')) AS clean_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
 

@@ -40,7 +40,8 @@ def _prices_sql(k: int = QS_K) -> str:
              list_sort(list_transform(
                list_slice(list_sort(list({{'h': h, 'v': v}})), 1, {k}),
                x -> x.v)) AS vals
-      FROM base GROUP BY o_orderpriority
+      FROM (SELECT DISTINCT o_orderpriority, h, v FROM base)
+      GROUP BY o_orderpriority
     ),
     est AS (
       SELECT o_orderpriority, CAST(len(vals) AS BIGINT) AS m,
@@ -110,7 +111,7 @@ def _rollup_sql(k: int = QS_K) -> str:
       SELECT list_sort(list_transform(
                list_slice(list_sort(list({{'h': h, 'v': v}})), 1, {k}),
                x -> x.v)) AS vals
-      FROM base
+      FROM (SELECT DISTINCT h, v FROM base)
     )
     SELECT CAST(len(vals) AS BIGINT) AS m,
            {_q_el(0.5)} AS est_p50, {_q_el(0.9)} AS est_p90,
@@ -158,7 +159,7 @@ def _bins_sql(k: int = QS_K) -> str:
       SELECT list_sort(list_transform(
                list_slice(list_sort(list({{'h': h, 'v': v}})), 1, {k}),
                x -> x.v)) AS vals
-      FROM base
+      FROM (SELECT DISTINCT h, v FROM base)
     ),
     cuts AS (SELECT [{cut_list}] AS cs FROM sk)
     SELECT len(list_filter(cuts.cs, x -> x <= d.n_chars)) AS bin,

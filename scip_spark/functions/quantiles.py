@@ -86,9 +86,25 @@ def qsketch(
         cols.insert(0, F.col(group))
     d = df.select(*cols).withColumn("__qs_b", F.pmod("__qs_h", F.lit(n_buckets)))
     part = ([group] if group is not None else []) + ["__qs_b"]
-    # __qs_h is md5 of a unique row key — unique, so the order is total
-    w = W.partitionBy(*part).orderBy("__qs_h")
-    kept = d.withColumn("__qs_rn", F.row_number().over(w)).filter(
+    # order by (h, v), not h alone: the 48-bit hash WILL collide at
+    # ~16M rowkeys (birthday bound), and a tie at the k boundary would
+    # otherwise keep an arbitrary row per execution — breaking both
+    # determinism and merged==direct. (h, v) matches the struct sort
+    # order used by the merge and the DuckDB oracle. Exact duplicate
+    # (h, v) pairs (hash collision AND equal value) are dropped BEFORE
+    # the bottom-k cut: the merge semilattice (array_union) dedups
+    # anyway, so pre-dropping keeps the sketch identical whether built
+    # directly or via partials, and identical to the list_distinct
+    # oracle. Same lag trick as a DISTINCT but reusing the window's
+    # exchange+sort — no extra shuffle.
+    w = W.partitionBy(*part).orderBy("__qs_h", "__qs_v")
+    is_dup = (F.lag("__qs_h").over(w) == F.col("__qs_h")) & (
+        F.lag("__qs_v").over(w) == F.col("__qs_v")
+    )
+    dedup = d.withColumn("__qs_dup", F.coalesce(is_dup, F.lit(False))).filter(
+        ~F.col("__qs_dup")
+    )
+    kept = dedup.withColumn("__qs_rn", F.row_number().over(w)).filter(
         F.col("__qs_rn") <= k
     )
     partials = kept.groupBy(*part).agg(

@@ -38,6 +38,18 @@ key column) and both columns non-null — the (ORDER BY v, tiebreak)
 order is total, so ranks are engine-exact and match a DuckDB
 ROW_NUMBER/NTILE oracle bit-for-bit.
 
+Parallelism bound, stated honestly: the DATA always flows through
+full-width (value, sub-bucket) partitions, but the exclusive-prefix
+stage over the counts relation runs ``n_buckets`` concurrent tasks,
+each sorting ~|distinct (value, sub)| / n_buckets count rows. Ties
+compress that relation (a billion-row tie group is <= n_buckets
+rows), so it only grows with distinct ORDER VALUES. For near-unique
+order keys at extreme scale, raise ``n_buckets`` (the percentile
+probe and the n_buckets^2-pair broadcast theta join grow with it —
+n_buckets=1024 is still trivially broadcastable) or pre-quantize the
+order key; count rows are 3 longs each, so even 10^9 distinct values
+at n_buckets=1024 is ~10^6 rows per offset task.
+
 Replaces the reference's single-node sorted quantile/rank primitives
 (numpy sort semantics, reference src/scip/features/intensity.py) with a
 cluster-safe construction.
@@ -224,7 +236,13 @@ def exact_values_at_fracs(
     v = _col(value)
     d = df.select(v.cast("long").alias("__sv")).persist()
     try:
-        n = d.count()
+        # one pass for n/min/max, shared by every frac
+        row = d.agg(
+            F.count("*").alias("n"),
+            F.min("__sv").alias("lo"),
+            F.max("__sv").alias("hi"),
+        ).collect()[0]
+        n = row.n
         if n == 0:
             return {}
         import math
@@ -232,35 +250,33 @@ def exact_values_at_fracs(
         out: dict[float, int] = {}
         for frac in fracs:
             target = max(1, math.ceil(frac * n))
-            cur = d
             offset = 0  # rows strictly below current [lo, hi] range
-            row = cur.agg(F.min("__sv").alias("lo"), F.max("__sv").alias("hi")).collect()[0]
+            cnt = n  # rows inside current [lo, hi]
             lo, hi = row.lo, row.hi
             for _ in range(max_iter):
                 if lo == hi:
                     out[frac] = lo
                     break
-                width = hi - lo + 1
-                cnt = cur.filter(
-                    (F.col("__sv") >= lo) & (F.col("__sv") <= hi)
-                ).count()
                 if cnt <= max_local:
                     vals = sorted(
                         r["__sv"]
-                        for r in cur.filter(
+                        for r in d.filter(
                             (F.col("__sv") >= lo) & (F.col("__sv") <= hi)
                         ).collect()
                     )
                     out[frac] = vals[target - offset - 1]
                     break
-                # one scan: count per equal-width sub-range. Integer
-                # bucket arithmetic throughout so the per-bucket value
-                # range below is exact (no float-boundary drift);
-                # (v - lo) * n_ranges stays well under 2^63 for any
-                # 48-bit-ish value domain (cents, counts, ids)
-                b = F.expr(f"((__sv - {lo}) * {n_ranges}) DIV {width}")
+                # one scan: count per equal-width sub-range (the range
+                # total falls out as the sum — no separate count pass).
+                # Integer bucket arithmetic throughout so the
+                # per-bucket value range below is exact (no
+                # float-boundary drift); (v - lo) * n_ranges stays well
+                # under 2^63 for any 48-bit-ish value domain (cents,
+                # counts, ids)
+                width = hi - lo + 1
+                b = F.expr(f"((__sv - ({lo})) * {n_ranges}) DIV {width}")
                 counts = (
-                    cur.filter((F.col("__sv") >= lo) & (F.col("__sv") <= hi))
+                    d.filter((F.col("__sv") >= lo) & (F.col("__sv") <= hi))
                     .groupBy(b.alias("b"))
                     .agg(F.count("*").alias("c"))
                     .collect()
@@ -274,6 +290,7 @@ def exact_values_at_fracs(
                         hi2 = lo + ((rb.b + 1) * width + n_ranges - 1) // n_ranges - 1
                         lo, hi = max(lo, lo2), min(hi, hi2)
                         offset = acc
+                        cnt = rb.c
                         break
                     acc += rb.c
             else:  # pragma: no cover — max_iter exhausted (can't happen:

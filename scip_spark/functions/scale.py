@@ -141,10 +141,15 @@ def compact_parquet(
 
     A ``key=value`` partitioned layout is PRESERVED: partition columns
     are re-derived from the directory names and the rewrite goes
-    through ``repartition(part_cols)`` + ``partitionBy`` — each
-    partition key lands in one task, so each leaf dir compacts to one
-    file. Unpartitioned input uses ``coalesce()`` (merges input splits,
-    no wide shuffle).
+    through ``repartition`` on (part_cols + salt) + ``partitionBy``.
+    The salt honors ``target_file_bytes`` on average: with
+    files-per-key = max(1, round(n_out / n_keys)), a hot leaf splits
+    into several writer tasks instead of one straggler producing one
+    giant file. Sizing is average-based (per-key bytes aren't probed),
+    so a single key that dominates the table still compacts to ~its
+    share of n_out files, not to target_file_bytes exactly.
+    Unpartitioned input uses ``coalesce()`` (merges input splits, no
+    wide shuffle).
 
     Returns {files_before, files_after, bytes}. Use zorder_write when
     the goal is clustering rather than file-count hygiene.
@@ -181,9 +186,15 @@ def compact_parquet(
     df = spark.read.parquet(path)
     part_cols = _partition_cols(path)
     if part_cols:
-        df.repartition(*[F.col(c) for c in part_cols]).write.mode(
-            "overwrite"
-        ).partitionBy(*part_cols).parquet(tmp)
+        n_keys = df.select(*part_cols).distinct().count()
+        per_key = max(1, round(n_out / max(n_keys, 1)))
+        salt = F.pmod(F.xxhash64(*[c for c in df.columns]), F.lit(per_key))
+        # explicit partition count: an expression-only repartition is
+        # AQE-coalescible, which would collapse the salt back into one
+        # writer task and defeat the per-key sizing
+        df.repartition(
+            n_out, *([F.col(c) for c in part_cols] + [salt])
+        ).write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
     else:
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     back = f"{path.rstrip('/')}.__precompact__"

@@ -220,3 +220,19 @@ def test_boilerplate_scrub_fully_scrubbed_doc_emits_row(spark):
     for r in out:
         assert r.n_kept == 0 and r.n_removed == 1
         assert r.clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_boilerplate_scrub_zero_token_doc_still_emits(spark):
+    """A doc with no tokens has no chunks, hence no flag rows — the
+    left join must still surface it as (0, 0, md5(''))."""
+    import hashlib
+
+    from scip_spark.functions.dedup import boilerplate_scrub
+
+    rows = [(1, "alpha beta gamma delta"), (2, "   "), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_scrub(docs, chunk=4, max_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (2, 3):
+        assert out[d].n_kept == 0 and out[d].n_removed == 0
+        assert out[d].clean_md5 == hashlib.md5(b"").hexdigest()

@@ -662,3 +662,21 @@ def test_qsketch_small_group_is_exact(spark):
     assert got.m == 11
     assert got.p50 == 60  # ceil(0.5*11)=6th of 10..110
     assert got.p100 == 110
+
+
+def test_compact_parquet_partitioned_honors_target_bytes(spark, tmp_path):
+    """With a small byte target, a hot partition key must split into
+    multiple output files (the salt path) instead of one straggler
+    file per key."""
+    import glob
+
+    from scip_spark.functions.scale import compact_parquet
+
+    d = str(tmp_path / "hotkey")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+        "grp", F.lit(0)
+    )  # one hot key holds ~all bytes
+    li.repartition(16).write.partitionBy("grp").parquet(d)
+    compact_parquet(spark, d, target_file_bytes=64 * 1024)
+    files = glob.glob(f"{d}/grp=0/*.parquet") + glob.glob(f"{d}/grp=0/part-*")
+    assert len(set(files)) > 1, files
