@@ -247,3 +247,43 @@ def kmeans_embeddings(spark, sf_dir):
     return agg.select(
         "n_assigned", "k_ok", F.lit(bool(inertia_ok)).alias("inertia_ok")
     )
+
+
+@register(
+    "ann_pq_topk",
+    """
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="product-quantization ANN (per-subspace codebooks, byte codes, "
+    "ADC lookup-table scoring in pure column algebra, exact re-rank of "
+    "the shortlist) — the memory-resident billion-vector index path; "
+    "verified via the same oracle-checkable invariant as IVF: "
+    "recall@5 vs Spark-exact brute force must clear 0.6 (re-rank "
+    "makes PQ tighter than raw IVF)",
+)
+def ann_pq_topk(spark, sf_dir):
+    """One row (n_queries, recall_ok): pq_topk's hits joined against
+    exact brute-force top-5 (see ann_ivf_topk for the pattern — the
+    codebook-dependent rankings themselves are not SQL-reproducible,
+    the recall floor is)."""
+    from scip_spark.functions.similarity import pq_fit, pq_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cb = pq_fit(emb, m=8, ksub=64)
+    approx = pq_topk(q, emb, cb, k=5, rerank=200).select("q_id", "c_id")
+    exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
+    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            (
+                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.6
+            ).alias("recall_ok"),
+        )
+    )

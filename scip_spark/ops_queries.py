@@ -189,3 +189,68 @@ def winsorized_pricing(spark, sf_dir):
         F.col("lo").alias("lo_cut"),
         F.col("hi").alias("hi_cut"),
     )
+
+
+@register(
+    "entity_resolution_customers",
+    """
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk FROM customer
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM c a JOIN c b
+        ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    undirected AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    cc(node_id, component) AS (
+      SELECT src, src FROM undirected
+      UNION
+      SELECT u.dst, cc.component
+      FROM cc JOIN undirected u ON cc.node_id = u.src
+    ),
+    comp AS (SELECT node_id, MIN(component) AS component FROM cc GROUP BY node_id),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS csize FROM comp GROUP BY component
+    )
+    SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY csize
+    """,
+    doc="entity resolution: blocking (7-digit name prefix bounds every "
+    "block at ~100 rows, so the pairwise stage is O(blocks * B^2) with "
+    "B fixed - never all-pairs), edit-distance <= 1 match "
+    "(levenshtein is integer-deterministic on both engines), and "
+    "duplicate-cluster formation via the same iterative "
+    "connected-components used for document dedup; output is the "
+    "cluster-size histogram an MDM pipeline reports",
+)
+def entity_resolution_customers(spark, sf_dir):
+    from scip_spark.functions.dedup import connected_components
+
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 10, 7).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na"), "blk"
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("nb"), "blk"
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.levenshtein("na", "nb") <= 1)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").cast("long").alias("csize"))
+        .groupBy("csize")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+    )

@@ -187,3 +187,37 @@ def test_kmeans_recovers_planted_clusters(spark):
     )
     assert purity > 0.9, purity
     assert hist[-1] <= hist[0] * 1.001 + 1e-9
+
+
+def test_pq_topk_recall_and_code_shape(spark):
+    """PQ+re-rank recall@5 vs exact brute force clears the invariant
+    floor with margin, codes are m small ints, and a second build is
+    bit-identical (seeded sample + deterministic Lloyd)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = pq_fit(emb, m=4, ksub=16)
+    assert cb.shape == (4, 16, 16)
+    cb2 = pq_fit(emb, m=4, ksub=16)
+    assert np.array_equal(cb, cb2)
+
+    codes = pq_encode(emb, cb).select("pq_codes").limit(20).collect()
+    for r in codes:
+        assert len(r.pq_codes) == 4
+        assert all(0 <= c < 16 for c in r.pq_codes)
+
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = {
+        (r.q_id, r.c_id) for r in pq_topk(q, emb, cb, k=5, rerank=50).collect()
+    }
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, emb, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
