@@ -287,3 +287,75 @@ def ann_pq_topk(spark, sf_dir):
             ).alias("recall_ok"),
         )
     )
+
+
+def _semantic_keep_sql() -> str:
+    bands = ", ".join(
+        f'CAST({_band_bucket_sql("embedding::DOUBLE[]", b)} AS BIGINT) AS b{b}'
+        for b in range(_NEAR_DUP_BANDS)
+    )
+    band_eq = " OR ".join(f"a.b{b} = b.b{b}" for b in range(_NEAR_DUP_BANDS))
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, {bands} FROM embeddings
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_DOT.format(a='a.emb', b='b.emb')}
+                 / ({_NORM.format(a='a.emb')} * {_NORM.format(a='b.emb')}) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({band_eq})
+      ) WHERE sim >= {_NEAR_DUP_TAU}
+    ),
+    undirected AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    cc(node_id, component) AS (
+      SELECT src, src FROM undirected
+      UNION
+      SELECT u.dst, cc.component FROM cc JOIN undirected u ON cc.node_id = u.src
+    ),
+    comp AS (SELECT node_id, MIN(component) AS component FROM cc GROUP BY node_id)
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN node_id <> component THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST((SELECT COUNT(*) FROM embeddings)
+                - SUM(CASE WHEN node_id <> component THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM comp
+    """
+
+
+@register(
+    "dedup_semantic_keep",
+    _semantic_keep_sql(),
+    doc="end-to-end semantic dedup: banded sign-LSH candidate pairs -> "
+    "exact cosine verify -> connected components -> keep the minimum "
+    "id per cluster; emits the (total, clusters, dropped, kept) "
+    "accounting a corpus-curation run reports. Composition of the "
+    "scale-safe pieces: equi-joined buckets (never all-pairs), "
+    "checkpointed CC, min-per-cluster keep rule",
+)
+def dedup_semantic_keep(spark, sf_dir):
+    from scip_spark.functions.dedup import connected_components
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(
+        emb, threshold=_NEAR_DUP_TAU, n_bands=_NEAR_DUP_BANDS
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    n_total = emb.agg(F.count("*").cast("long").alias("n_total"))
+    stats = comp.agg(
+        F.count_distinct("component").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("node_id") != F.col("component"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    return n_total.crossJoin(F.broadcast(stats)).select(
+        "n_total",
+        "n_clusters",
+        "n_dropped",
+        (F.col("n_total") - F.col("n_dropped")).alias("n_kept"),
+    )
