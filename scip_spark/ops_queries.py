@@ -254,3 +254,117 @@ def entity_resolution_customers(spark, sf_dir):
         .groupBy("csize")
         .agg(F.count("*").cast("long").alias("n_clusters"))
     )
+
+
+@register(
+    "numeric_profile_lineitem",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem
+    ),
+    mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n FROM v)
+    SELECT CAST(least(((v.x - mm.lo) * 10) // (mm.hi - mm.lo + 1), 9) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(v.x) AS BIGINT) AS bucket_min,
+           CAST(MAX(v.x) AS BIGINT) AS bucket_max,
+           CAST(SUM(v.x) AS DOUBLE) / COUNT(*) AS bucket_mean
+    FROM v, mm
+    GROUP BY 1
+    """,
+    doc="numeric distribution profiling: 10-bucket equi-width histogram "
+    "of price cents with per-bucket min/max/mean — two passes (one "
+    "1-row min/max aggregate broadcast, one bucketed aggregation), "
+    "exact integer bucket arithmetic; the profile pass a data-quality "
+    "monitor runs per column per day",
+)
+def numeric_profile_lineitem(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x")
+    )
+    mm = li.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
+    )
+    # exact integer bucket arithmetic ((x-lo)*10 and the width are
+    # longs) — a float divide-then-cast could drift at bucket edges
+    b = F.least(
+        F.expr("((x - lo) * 10) DIV (hi - lo + 1)"), F.lit(9).cast("long")
+    )
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("x").cast("long").alias("bucket_min"),
+            F.max("x").cast("long").alias("bucket_max"),
+            (F.sum("x").cast("double") / F.count("*")).alias("bucket_mean"),
+        )
+    )
+
+
+_PROFILE_COLS = [
+    ("c_name", "string"),
+    ("c_mktsegment", "string"),
+    ("c_acctbal", "numeric"),
+    ("c_nationkey", "numeric"),
+]
+
+
+def _col_profile_sql() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "string":
+            parts.append(f"""
+            SELECT '{col}' AS col,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_null,
+                   CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+                   CAST(SUM(length({col})) AS DOUBLE) / COUNT({col}) AS avg_len
+            FROM customer
+            """)
+        else:
+            parts.append(f"""
+            SELECT '{col}' AS col,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_null,
+                   CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE)
+                     / COUNT({col}) / 100 AS avg_len
+            FROM customer
+            """)
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "column_profile_customer",
+    _col_profile_sql(),
+    doc="per-column completeness/cardinality profiling (null count, "
+    "distinct count, mean length-or-value) over the customer "
+    "dimension — one aggregation per column, decimal-exact means; "
+    "the schema-drift tripwire that runs before every ingest promotes",
+)
+def column_profile_customer(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    out = None
+    for col, kind in _PROFILE_COLS:
+        if kind == "string":
+            metric = F.sum(F.length(col)).cast("double") / F.count(col)
+        else:
+            metric = (
+                F.sum(F.round(F.col(col) * 100).cast("long")).cast("double")
+                / F.count(col)
+                / 100
+            )
+        row = cust.agg(
+            F.lit(col).alias("col"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.count_distinct(col).cast("long").alias("n_distinct"),
+            metric.alias("avg_len"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
