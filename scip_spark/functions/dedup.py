@@ -178,12 +178,15 @@ def lsh_candidate_pairs(
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Union-find over candidate pairs as iterative label propagation:
     every node starts as its own component; each round joins the
-    current labels across edges and keeps the minimum. Converges in
-    O(log n) rounds for typical dup clusters (chains of length L need
-    ~log L doubling rounds since labels propagate transitively through
-    the min-aggregation). The reference has no grouping-of-duplicates
-    operator at all; this is the standard Spark CC loop (GraphFrames'
-    algorithm reduced to DataFrames).
+    current labels across edges and keeps the minimum. The min label
+    advances ONE hop per round, so convergence takes O(graph diameter)
+    rounds — dup clusters are near-cliques (diameter 2-3), so the
+    default bound is generous, but a pathological chain longer than
+    ``max_iter`` is REFUSED loudly (RuntimeError) rather than returning
+    silently-unconverged labels that would disagree with the
+    fully-converged recursive-CTE oracle. The reference has no
+    grouping-of-duplicates operator at all; this is the standard Spark
+    CC loop (GraphFrames' algorithm reduced to DataFrames).
 
     ``pairs``: (id_a, id_b). Returns (node_id, component) where
     component = min node id in the cluster.
@@ -255,6 +258,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iter} rounds (graph diameter exceeds max_iter) — "
+            f"raise max_iter"
+        )
     # the returned labels stay cached (the caller consumes them next);
     # edges are only needed if lineage recomputes
     edges.unpersist()

@@ -312,15 +312,14 @@ def sample_with_replacement(spark, sf_dir):
     )
 
 
-def _cc_sql() -> str:
-    return f"""
-    WITH RECURSIVE sigs AS ({_minhash_sql()}),
-    buckets AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, band_{i} AS digest FROM sigs" for i in range(N_BANDS))}),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM buckets a JOIN buckets b
-        ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
-    ),
+# Shared recursive-CTE scaffold: given a `pairs` CTE (id_a, id_b)
+# already defined in the enclosing WITH RECURSIVE, yields the
+# undirected/cc/comp chain mirroring functions/dedup.py
+# connected_components (min-label propagation, fully converged).
+# Factored once so every CC-backed oracle (dedup_connected_components,
+# dedup_cluster_sizes, entity_resolution_customers,
+# dedup_semantic_keep) stays semantically identical.
+CC_FROM_PAIRS = """
     undirected AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs
@@ -330,8 +329,24 @@ def _cc_sql() -> str:
       UNION
       SELECT u.dst, cc.component
       FROM cc JOIN undirected u ON cc.node_id = u.src
+    ),
+    comp AS (
+      SELECT node_id, MIN(component) AS component FROM cc GROUP BY node_id
     )
-    SELECT node_id, MIN(component) AS component FROM cc GROUP BY node_id
+"""
+
+
+def _cc_sql() -> str:
+    return f"""
+    WITH RECURSIVE sigs AS ({_minhash_sql()}),
+    buckets AS ({" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, band_{i} AS digest FROM sigs" for i in range(N_BANDS))}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
+    ),
+    {CC_FROM_PAIRS}
+    SELECT node_id, component FROM comp
     """
 
 

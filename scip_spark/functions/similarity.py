@@ -222,6 +222,36 @@ def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id", emb_col: str = 
     return df.withColumn("ivf_list", assign(F.col(emb_col)))
 
 
+def _seeded_sample_matrix(
+    df: DataFrame, min_rows: int, emb_col: str = "embedding", who: str = "sample"
+):
+    """Deterministic training sample shared by ivf_centroids and
+    pq_fit: seeded Bernoulli sample (count + per-partition sampling —
+    no global sort), capped at 2048, sorted driver-side by vec_id.
+
+    Determinism caveat (applies to every consumer): ``limit(2048)``
+    truncates whichever sampled rows arrive first, so WHICH rows
+    survive depends on the file/partition layout — stable for a fixed
+    layout (rerun, retry), not across a re-layout of the table. The
+    driver-side sort then fixes the ordering within the surviving set.
+    If the seeded sample under-shoots ``min_rows``, retry with the
+    full relation before giving up."""
+    n = df.count()
+    frac = min(1.0, (4 * 2048) / max(n, 1))
+    base = df.select("vec_id", emb_col)
+    rows = (
+        base.sample(withReplacement=False, fraction=frac, seed=42)
+        .limit(2048)
+        .collect()
+    )
+    if len(rows) < min_rows:
+        rows = base.limit(2048).collect()
+    if len(rows) < min_rows:
+        raise ValueError(f"{who}: need at least {min_rows} rows, got {len(rows)}")
+    rows.sort(key=lambda r: r[0])
+    return np.asarray([r[1] for r in rows], dtype=np.float64)
+
+
 def ivf_centroids(df: DataFrame, k: int = 16, emb_col: str = "embedding", iters: int = 3):
     """Deterministic k-means-lite: a seeded Bernoulli sample of the
     corpus (NO global sort — a count + per-partition sampling, both
@@ -236,22 +266,7 @@ def ivf_centroids(df: DataFrame, k: int = 16, emb_col: str = "embedding", iters:
     then fixes the ordering within the surviving set. If the seeded
     sample under-shoots ``k`` rows, retry with the full relation before
     giving up."""
-    n = df.count()
-    frac = min(1.0, (4 * 2048) / max(n, 1))
-    base = df.select("vec_id", emb_col)
-    rows = (
-        base.sample(withReplacement=False, fraction=frac, seed=42)
-        .limit(2048)
-        .collect()
-    )
-    if len(rows) < k:
-        rows = base.limit(2048).collect()
-    if len(rows) < k:
-        raise ValueError(
-            f"ivf_centroids: need at least k={k} rows to seed, got {len(rows)}"
-        )
-    rows.sort(key=lambda r: r[0])
-    sample = np.asarray([r[1] for r in rows], dtype=np.float64)
+    sample = _seeded_sample_matrix(df, min_rows=k, emb_col=emb_col, who="ivf_centroids")
     cents = sample[:k].copy()
     for _ in range(iters):
         sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
@@ -448,16 +463,7 @@ def pq_fit(df, m: int = 4, ksub: int = 16, emb_col: str = "embedding", iters: in
     Scale story: a PQ index stores m one-byte codes per vector instead
     of 4*dim float bytes (64x smaller at dim=64/m=4), which is what
     makes billion-vector ANN memory-resident."""
-    n = df.count()
-    frac = min(1.0, (4 * 2048) / max(n, 1))
-    base = df.select("vec_id", emb_col)
-    rows = base.sample(withReplacement=False, fraction=frac, seed=42).limit(2048).collect()
-    if len(rows) < ksub:
-        rows = base.limit(2048).collect()
-    if len(rows) < ksub:
-        raise ValueError(f"pq_fit: need >= ksub={ksub} rows, got {len(rows)}")
-    rows.sort(key=lambda r: r[0])
-    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    X = _seeded_sample_matrix(df, min_rows=ksub, emb_col=emb_col, who="pq_fit")
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     dim = X.shape[1]
     if dim % m:
@@ -533,12 +539,13 @@ def pq_topk(
         )  # flat (m*ksub,) — entry j*ksub+c = dot(q_j, cb[j][c])
         tables.append((r[0], [float(x) for x in tab]))
     spark = queries.sparkSession
-    qtab = spark.createDataFrame(tables, f"q_id long, tab array<double>")
+    qtab = spark.createDataFrame(tables, "q_id long, tab array<double>")
 
+    # the approx stage carries ONLY (c_id, m byte codes): the raw
+    # vectors stay in the source table until the shortlist join below
+    # — this is what makes the scoring scan/shuffle ~codes-sized
     enc = pq_encode(candidates, cb, id_col, emb_col).select(
-        F.col(id_col).alias("c_id"),
-        F.col(emb_col).cast("array<double>").alias("c_emb"),
-        "pq_codes",
+        F.col(id_col).alias("c_id"), "pq_codes"
     )
     approx = (
         enc.crossJoin(F.broadcast(qtab))
@@ -557,14 +564,21 @@ def pq_topk(
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("approx_sim"), F.asc("c_id"))
-    shortlist = approx.withColumn("arank", F.row_number().over(w)).filter(
-        F.col("arank") <= rerank
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("q_id", "c_id")
     )
     qemb = queries.select(
         F.col(id_col).alias("q_id"), F.col(emb_col).cast("array<double>").alias("q_emb")
     )
-    exact = shortlist.join(F.broadcast(qemb), "q_id").select(
-        "q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim")
+    cemb = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(emb_col).cast("array<double>").alias("c_emb")
+    )
+    exact = (
+        shortlist.join(cemb, "c_id")  # rerank*|queries| rows fetch vectors
+        .join(F.broadcast(qemb), "q_id")
+        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
     )
     w2 = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
     return (

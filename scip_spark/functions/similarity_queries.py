@@ -13,6 +13,7 @@ from scip_spark.functions.similarity import (
     lsh_topk,
     plane_weights,
 )
+from scip_spark.functions.dedup_queries import CC_FROM_PAIRS
 from scip_spark.queries import register, tbl
 
 _DOT = (
@@ -307,16 +308,7 @@ def _semantic_keep_sql() -> str:
         FROM v a JOIN v b ON a.vec_id < b.vec_id AND ({band_eq})
       ) WHERE sim >= {_NEAR_DUP_TAU}
     ),
-    undirected AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    cc(node_id, component) AS (
-      SELECT src, src FROM undirected
-      UNION
-      SELECT u.dst, cc.component FROM cc JOIN undirected u ON cc.node_id = u.src
-    ),
-    comp AS (SELECT node_id, MIN(component) AS component FROM cc GROUP BY node_id)
+    {CC_FROM_PAIRS}
     SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_total,
            CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
            CAST(SUM(CASE WHEN node_id <> component THEN 1 ELSE 0 END) AS BIGINT)

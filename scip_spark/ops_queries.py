@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from scip_spark.functions.dedup_queries import CC_FROM_PAIRS
 from scip_spark.queries import register, tbl
 
 # (label, child table, child key, parent table, parent key) — every FK
@@ -193,7 +194,7 @@ def winsorized_pricing(spark, sf_dir):
 
 @register(
     "entity_resolution_customers",
-    """
+    f"""
     WITH RECURSIVE c AS (
       SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk FROM customer
     ),
@@ -203,17 +204,7 @@ def winsorized_pricing(spark, sf_dir):
         ON a.blk = b.blk AND a.c_custkey < b.c_custkey
        AND levenshtein(a.c_name, b.c_name) <= 1
     ),
-    undirected AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    cc(node_id, component) AS (
-      SELECT src, src FROM undirected
-      UNION
-      SELECT u.dst, cc.component
-      FROM cc JOIN undirected u ON cc.node_id = u.src
-    ),
-    comp AS (SELECT node_id, MIN(component) AS component FROM cc GROUP BY node_id),
+    {CC_FROM_PAIRS},
     sizes AS (
       SELECT component, CAST(COUNT(*) AS BIGINT) AS csize FROM comp GROUP BY component
     )
@@ -262,7 +253,7 @@ def entity_resolution_customers(spark, sf_dir):
     WITH v AS (
       SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem
     ),
-    mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n FROM v)
+    mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v)
     SELECT CAST(least(((v.x - mm.lo) * 10) // (mm.hi - mm.lo + 1), 9) AS BIGINT)
              AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -282,9 +273,7 @@ def numeric_profile_lineitem(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("x")
     )
-    mm = li.agg(
-        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
-    )
+    mm = li.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     # exact integer bucket arithmetic ((x-lo)*10 and the width are
     # longs) — a float divide-then-cast could drift at bucket edges
     b = F.least(

@@ -194,14 +194,8 @@ def test_pq_topk_recall_and_code_shape(spark):
     floor with margin, codes are m small ints, and a second build is
     bit-identical (seeded sample + deterministic Lloyd)."""
     import numpy as np
-    from pyspark.sql import functions as F
 
-    from scip_spark.functions.similarity import (
-        brute_force_topk,
-        pq_encode,
-        pq_fit,
-        pq_topk,
-    )
+    from scip_spark.functions.similarity import pq_encode, pq_fit, pq_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cb = pq_fit(emb, m=4, ksub=16)
