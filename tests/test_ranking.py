@@ -110,3 +110,33 @@ def test_exact_values_at_fracs_duplicates_and_negatives(spark):
 
     const = spark.createDataFrame([(7,)] * 500, "v long")
     assert exact_values_at_fracs(const, "v", [0.5], max_local=10)[0.5] == 7
+
+
+def test_exact_values_at_fracs_random_multisets(spark):
+    """Randomized cross-check: the distributed selection must return
+    the value at rank ceil(f*n) of the sorted multiset for arbitrary
+    duplicated/negative/clustered data (driver-side ground truth).
+    Deterministic seed; many shapes in one Spark session for speed."""
+    import math
+
+    rng = random.Random(1234)
+    from scip_spark.functions.ranking import exact_values_at_fracs
+
+    for trial in range(8):
+        n = rng.randint(1, 400)
+        style = trial % 4
+        if style == 0:
+            vals = [rng.randint(-50, 50) for _ in range(n)]
+        elif style == 1:
+            vals = [rng.choice([7, 7, 7, -2, 1000]) for _ in range(n)]
+        elif style == 2:
+            vals = [rng.randint(0, 3) * 10**9 for _ in range(n)]
+        else:
+            vals = [trial] * n
+        fracs = sorted({rng.random() for _ in range(3)} | {0.5, 1.0})
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = exact_values_at_fracs(df, "v", fracs, max_local=16, n_ranges=4)
+        s = sorted(vals)
+        for f in fracs:
+            want = s[max(1, math.ceil(f * n)) - 1]
+            assert got[f] == want, (trial, f, n, got[f], want)
