@@ -27,4 +27,4 @@ import scip_spark.functions.text_queries  # noqa: F401
 # import time, where the driver (and tests) will see it immediately
 from scip_spark.queries import REGISTRY as _R
 
-assert len(_R) >= 136, f"query registry shrank: {len(_R)} entries"
+assert len(_R) >= 137, f"query registry shrank: {len(_R)} entries"

@@ -586,3 +586,104 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "sim")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector layout (FAISS IVFPQ,
+    Jégou et al. 2011) — a coarse k-means partitioner prunes the scan
+    to ``nprobe`` inverted lists, PQ byte codes score the survivors
+    via ADC table lookups, and the shortlist re-ranks exactly.
+
+    This variant encodes the raw (normalized) vector rather than the
+    residual (x - centroid): recall is a little lower than
+    residual-PQ at equal bits, but the codebooks stay list-independent
+    (one codebook set for the whole corpus — simpler rollout, codes
+    survive list reassignment). The scan-side relation carries
+    (c_id, ivf_list, m byte codes) only; raw vectors are fetched once
+    for the rerank join.
+    """
+    cb = np.asarray(codebooks)
+    m, ksub, dsub = cb.shape
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    bq = queries.sparkSession.sparkContext.broadcast(cn)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(emb: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        order = np.argsort(-(M @ bq.value.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    # per-query ADC tables, driver-built (queries are the small side)
+    qrows = queries.select(id_col, emb_col).collect()
+    tables = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        tab = np.concatenate(
+            [cb[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+        tables.append((r[0], [float(x) for x in tab]))
+    spark = queries.sparkSession
+    qtab = spark.createDataFrame(tables, "q_id long, tab array<double>")
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), probes(F.col(emb_col)).alias("pl"))
+        .join(qtab, "q_id")
+        .select("q_id", "tab", F.explode("pl").alias("ivf_list"))
+    )
+
+    enc = pq_encode(
+        ivf_assign(candidates, centroids, id_col, emb_col), cb, id_col, emb_col
+    ).select(F.col(id_col).alias("c_id"), "ivf_list", "pq_codes")
+    approx = (
+        enc.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "approx_sim",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("tab"),
+                    (j * ksub + F.element_at(F.col("pq_codes"), j + 1) + 1).cast("int"),
+                ),
+            ),
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.max("approx_sim").alias("approx_sim"))  # dedupe multi-probe hits
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("approx_sim"), F.asc("c_id"))
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("q_id", "c_id")
+    )
+    qemb = queries.select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).cast("array<double>").alias("q_emb")
+    )
+    cemb = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(emb_col).cast("array<double>").alias("c_emb")
+    )
+    exact = (
+        shortlist.join(cemb, "c_id")
+        .join(F.broadcast(qemb), "q_id")
+        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "sim")
+    )

@@ -351,3 +351,42 @@ def dedup_semantic_keep(spark, sf_dir):
         "n_dropped",
         (F.col("n_total") - F.col("n_dropped")).alias("n_kept"),
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    """
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="IVF-PQ (coarse k-means lists prune the scan to nprobe "
+    "inverted lists; PQ byte codes ADC-score the survivors; exact "
+    "re-rank of the shortlist) — the FAISS-style production layout "
+    "for billion-vector search; recall@5 vs exact brute force must "
+    "clear 0.5 (probing trades a little recall for reading ~nprobe/K "
+    "of the corpus)",
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    from scip_spark.functions.similarity import ivf_centroids, ivfpq_topk, pq_fit
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb, k=8)
+    cb = pq_fit(emb, m=8, ksub=64)
+    approx = ivfpq_topk(q, emb, cents, cb, k=5, nprobe=4, rerank=100).select(
+        "q_id", "c_id"
+    )
+    exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
+    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            (
+                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.5
+            ).alias("recall_ok"),
+        )
+    )

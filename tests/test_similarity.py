@@ -215,3 +215,26 @@ def test_pq_topk_recall_and_code_shape(spark):
     exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, emb, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_ivfpq_topk_recall(spark):
+    """IVF-PQ (coarse lists + byte codes + exact re-rank) clears the
+    registry invariant's recall floor with margin at the test scale."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb, k=8)
+    cb = pq_fit(emb, m=8, ksub=64)
+    approx = {
+        (r.q_id, r.c_id)
+        for r in ivfpq_topk(q, emb, cents, cb, k=5, nprobe=4, rerank=100).collect()
+    }
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, emb, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
