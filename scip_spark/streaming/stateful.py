@@ -123,3 +123,65 @@ def user_profiles_tws(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+ATTR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("first_touch", T.StringType()),
+        T.StructField("last_touch", T.StringType()),
+    ]
+)
+
+ATTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_touch", T.StringType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def _update_attribution(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming first/last-touch attribution: per-user state is TWO
+    strings (the user's first-ever event type and the most recent
+    type) — O(1) regardless of history length. Each purchase emits one
+    attribution row with the state as of the preceding event.
+
+    Rows inside a batch are sorted by (ts, event_id); across batches
+    correctness relies on per-user event-time monotonicity of the
+    source (an ordered log / kafka partition per user) — same contract
+    as the batch window's ORDER BY."""
+    first_touch, last_type = (state.get if state.exists else (None, None))
+    out_ids, out_first, out_last = [], [], []
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        # a group's batch rows can arrive as several Arrow chunks in
+        # arbitrary order — sort the UNION, not each chunk
+        merged = pd.concat(chunks, ignore_index=True)
+        for row in merged.sort_values(["ts", "event_id"]).itertuples():
+            if row.event_type == "purchase" and last_type is not None:
+                out_ids.append(int(row.event_id))
+                out_first.append(first_touch)
+                out_last.append(last_type)
+            if first_touch is None:
+                first_touch = row.event_type
+            last_type = row.event_type
+    state.update((first_touch, last_type))
+    yield pd.DataFrame(
+        {"event_id": out_ids, "first_touch": out_first, "last_touch": out_last}
+    )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """events stream → one row per purchase with first/last-touch
+    credit — the streaming twin of the batch
+    ``attribution_touchpoints`` window query."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_attribution,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -469,3 +469,50 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and 0 < len(want) <= 40
+
+
+def test_streaming_attribution_matches_batch_window(spark, tmp_path):
+    """Stateful streaming attribution (O(1) per-user state) must emit
+    exactly the batch window query's per-purchase credits, including
+    conversions whose touchpoints span micro-batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.streaming.stateful import attribution_stream
+
+    ev = load_events(spark, SF).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    # split by time: early events in file 1, late in file 2 — a
+    # purchase in batch 2 may owe its first/last touch to batch 1
+    cut = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).collect()[0][0]
+    src = str(tmp_path / "attr_stream")
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_memory(attribution_stream(stream), "attr_out")
+    got = {
+        (r.event_id, r.first_touch, r.last_touch)
+        for r in spark.sql("select * from attr_out").collect()
+    }
+
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.first("event_type").over(w).alias("first_touch"),
+            F.lag("event_type").over(w).alias("last_touch"),
+        )
+        .filter((F.col("event_type") == "purchase") & F.col("last_touch").isNotNull())
+    )
+    want = {
+        (r.event_id, r.first_touch, r.last_touch) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
