@@ -516,3 +516,44 @@ def test_streaming_attribution_matches_batch_window(spark, tmp_path):
         (r.event_id, r.first_touch, r.last_touch) for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_quantile_sketch_merge_matches_batch(spark, tmp_path):
+    """The bottom-k quantile sketch is a merge semilattice, so a
+    streaming ingest can fold one partial sketch per micro-batch into
+    a running sketch that is BIT-IDENTICAL to the batch-built one —
+    the streaming-percentiles story without any stateful operator."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.quantiles import qsketch, qsketch_merge
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "qsk_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    running: list = []  # the accumulated sketch across micro-batches
+
+    def fold_batch(batch_df, _bid):
+        part = qsketch(batch_df, "n_chars", "doc_id", group=None).collect()
+        if not part:
+            return
+        incoming = part[0].qsk
+        if not running:
+            running.append(incoming)
+        else:
+            merged_df = spark.createDataFrame(
+                [(running[0], incoming)],
+                "a array<struct<h:bigint,v:bigint>>, b array<struct<h:bigint,v:bigint>>",
+            ).select(qsketch_merge("a", "b").alias("m"))
+            running[0] = merged_df.collect()[0].m
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(fold_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    direct = qsketch(docs, "n_chars", "doc_id", group=None).collect()[0].qsk
+    assert [tuple(x) for x in running[0]] == [tuple(x) for x in direct]
