@@ -472,3 +472,94 @@ def boilerplate_scrub(
         F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )
+
+
+def setsim_prefix_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    AllPairs/PPJoin family) — the deterministic complement to the
+    probabilistic MinHash/LSH path: every pair with token-set Jaccard
+    >= ``threshold`` is returned, with its exact similarity, and no
+    all-pairs product is ever formed.
+
+    Scale design (each step is a partitioned equi-join / groupBy):
+
+    1. Distinct tokens per doc; per-doc set size (one groupBy on id).
+    2. Global document frequency per token (groupBy on token; partial
+       aggregation map-side, the relation is vocabulary-sized).
+    3. Order each doc's tokens rarest-first by (df, token) — a window
+       PARTITIONED BY doc id (never global). A pair with Jaccard >= t
+       must share a token within the first ``n - ceil(t*n) + 1`` tokens
+       of both docs under ANY common total order (prefix-filter
+       theorem); we keep ``n - floor(t*n) + 1`` — one token longer — so
+       float rounding of ``t*n`` can only lengthen the prefix, never
+       break completeness.
+    4. Candidates = equi-join of the PREFIX relations on token with
+       ``id_a < id_b`` plus the length filter ``min >= t*max - 1e-9``
+       (Jaccard >= t forces ``min(|A|,|B|) >= t*max(|A|,|B|)``; the
+       epsilon only over-includes — the verify stage is exact).
+       Rarest-first ordering keeps stopwords out of prefixes, so
+       bucket sizes stay small; residual hot buckets are plain
+       equi-join skew AQE can split.
+    5. Exact verify on the candidate set only: intersection counts via
+       a token equi-join scoped to candidate ids, Jaccard as ONE double
+       division of exact longs — bit-identical in any engine.
+    """
+    eps = 1e-9
+    tok = docs.select(
+        F.col(id_col).alias("sid"), F.explode(tokens(text_col)).alias("token")
+    ).distinct()
+    sizes = tok.groupBy("sid").agg(F.count("*").alias("n_tok"))
+    df_tok = tok.groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window as W
+
+    ranked = (
+        tok.join(df_tok, "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("sid").orderBy("df", "token")),
+        )
+        .join(sizes, "sid")
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_tok") - F.floor(F.lit(threshold) * F.col("n_tok")) + 1
+    ).select("sid", "token", "n_tok")
+    a = prefix.select(
+        F.col("sid").alias("id_a"), "token", F.col("n_tok").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("sid").alias("id_b"), "token", F.col("n_tok").alias("n_b")
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(eps)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("sid").alias("id_a"), "token")
+    tb = tok.select(F.col("sid").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_tok").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

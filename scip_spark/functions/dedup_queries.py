@@ -535,3 +535,38 @@ def dedup_incremental(spark, sf_dir):
             "n_admitted",
         )
     )
+
+
+@register(
+    "dedup_setsim_join",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS sid, t.token
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents) d,
+           UNNEST(d.toks) AS t(token)
+    ),
+    sizes AS (SELECT sid, COUNT(*) AS n_tok FROM tok GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.sid < b.sid
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.sid
+    JOIN sizes sb ON i.id_b = sb.sid
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter)
+          >= CAST(0.95 AS DOUBLE)
+    """,
+    doc="EXACT Jaccard-threshold self-join via prefix filtering "
+    "(AllPairs family) — deterministic complement to MinHash/LSH; the "
+    "oracle skips the (result-preserving) prefix pruning and verifies "
+    "the full shared-token pair set",
+)
+def dedup_setsim_join(spark, sf_dir):
+    return dedup.setsim_prefix_join(
+        tbl(spark, sf_dir, "documents"), threshold=0.95
+    )

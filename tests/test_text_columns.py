@@ -73,3 +73,60 @@ def test_simhash_closed_form_matches_table(spark):
     )
     table = simhash_table(docs).toPandas().set_index("doc_id").sort_index()
     assert (closed["s"] == table["simhash"]).all()
+
+
+def test_setsim_prefix_join_matches_bruteforce(spark):
+    """Prefix filtering must be COMPLETE: the pruned join returns exactly
+    the brute-force Jaccard>=t pair set, with exact similarities."""
+    from itertools import combinations
+
+    from scip_spark.functions.dedup import setsim_prefix_join
+
+    corpus = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over a lazy dog",       # near-dup of 1
+        3: "quick brown fox jumps over the lazy dog the",     # same set as 1
+        4: "entirely different words compose this sentence",
+        5: "entirely different words compose this sentence too",
+        6: "short text",
+        7: "short text",                                       # exact dup of 6
+        8: "unrelated singleton content here",
+    }
+    t = 0.6
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim_prefix_join(docs, threshold=t).collect()
+    }
+    sets = {k: set(v.split()) for k, v in corpus.items()}
+    want = {}
+    for a, b in combinations(sorted(corpus), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = inter / union
+        if j >= t:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert got[pair] == j  # one exact-int division — bit-identical
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (6, 7) in got and got[(6, 7)] == 1.0
+
+
+def test_setsim_prefix_join_prunes_vs_allpairs(spark):
+    """On a corpus with two disjoint vocabularies the candidate join must
+    not touch cross-vocabulary pairs (prefix tokens never collide)."""
+    from scip_spark.functions.dedup import setsim_prefix_join
+
+    rows = [(i, f"alpha{i % 3} beta{i % 3} gamma{i % 3} delta{i % 3}") for i in range(20)]
+    rows += [(100 + i, f"zeta{i % 3} eta{i % 3} theta{i % 3} iota{i % 3}") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = setsim_prefix_join(docs, threshold=0.9).collect()
+    for r in out:
+        assert (r.id_a < 100) == (r.id_b < 100)
+        assert r.jaccard == 1.0
+    # per side, docs with equal i%3 share identical token sets: cliques
+    # of sizes 7/7/6 -> C(7,2)+C(7,2)+C(6,2) = 57 pairs per side
+    assert len(out) == 2 * (21 + 21 + 15)
