@@ -1061,3 +1061,73 @@ def moving_median_revenue(spark, sf_dir):
     hi = F.element_at(frame, (m / 2 + 1).cast("int"))
     med = (lo + hi).cast("double") / 2
     return daily.select("day", "rev", med.alias("med7")).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Interval self-overlap via per-key sweep — the classic interval-overlap
+# detection WITHOUT a self-join: sorted by start within each key, order i
+# overlaps an EARLIER order iff start_i <= running max(end) over preceding
+# rows, and overlaps a LATER order iff the next start (the minimum start
+# among followers, since rows are start-sorted) is <= end_i. Both are
+# single partitioned-window passes; the oracle proves the sweep equals
+# the quadratic EXISTS self-join. Per-customer partitions keep every
+# window bounded at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "interval_overlap_orders",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 30 AS e
+      FROM orders
+    ),
+    flagged AS (
+      SELECT a.o_custkey, a.o_orderkey,
+             EXISTS (
+               SELECT 1 FROM iv b
+               WHERE b.o_custkey = a.o_custkey
+                 AND b.o_orderkey <> a.o_orderkey
+                 AND b.s <= a.e AND a.s <= b.e
+             ) AS has_overlap
+      FROM iv a
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN has_overlap THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlapping
+    FROM flagged
+    GROUP BY o_custkey
+    """,
+    doc="per-key interval self-overlap sweep (running-max-end + next-start) "
+    "== quadratic EXISTS oracle; 30-day fulfillment windows per order",
+)
+def interval_overlap_orders(spark, sf_dir):
+    iv = tbl(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("e"),
+    )
+    flagged = interval_self_overlap(iv, "custkey", "s", "e", "o_orderkey")
+    return flagged.groupBy("custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("has_overlap"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overlapping"),
+    )
+
+
+def interval_self_overlap(iv, key_col, start_col, end_col, id_col):
+    """Flag every interval that overlaps (closed-interval semantics)
+    ANOTHER interval of the same key, in one partitioned window pass.
+    Sorted by start within the key: an interval overlaps an EARLIER one
+    iff its start <= running max(end) over preceding rows (the running
+    max, not lag — a long interval may dominate several short followers);
+    it overlaps a LATER one iff the next row's start (= min start among
+    followers, rows are start-sorted) is <= its end. Equal starts are
+    handled by the same tests. Adds boolean ``has_overlap``."""
+    w = W.partitionBy(key_col).orderBy(start_col, id_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(W.unboundedPreceding, -1))
+    next_start = F.lead(start_col).over(w)
+    has = (F.col(start_col) <= prev_max_end) | (next_start <= F.col(end_col))
+    return iv.withColumn("has_overlap", F.coalesce(has, F.lit(False)))

@@ -110,3 +110,43 @@ def test_snapshot_diff_classes(spark):
     assert chg_bad.count() == 0
     assert out.filter("change_type = 'changed' AND new_price - old_price != 10").count() == 0
     out.unpersist()
+
+
+def test_interval_self_overlap_sweep_equals_bruteforce(spark):
+    """The one-pass sweep must agree with quadratic pair checking on
+    planted shapes: chains, nesting, a long interval dominating several
+    short followers (running max, not lag), equal starts, singletons."""
+    from itertools import combinations
+
+    from scip_spark.advanced_queries import interval_self_overlap
+
+    rows = [
+        # key, id, start, end
+        ("chain", 1, 0, 30), ("chain", 2, 10, 40), ("chain", 3, 100, 130),
+        ("nested", 1, 0, 30), ("nested", 2, 5, 35), ("nested", 3, 200, 230),
+        ("single", 1, 0, 30),
+        ("tie", 1, 0, 30), ("tie", 2, 0, 5),
+        # long first interval dominates; immediate predecessor of C ends
+        # before C starts -> lag(end) would miss the overlap, max must not
+        ("dominate", 1, 0, 100), ("dominate", 2, 1, 2), ("dominate", 3, 50, 60),
+        ("disjoint", 1, 0, 10), ("disjoint", 2, 20, 30), ("disjoint", 3, 40, 50),
+        # touching endpoints: closed intervals DO overlap at the boundary
+        ("touch", 1, 0, 10), ("touch", 2, 10, 20),
+    ]
+    df = spark.createDataFrame(rows, ["k", "id", "s", "e"])
+    got = {
+        (r.k, r.id): r.has_overlap
+        for r in interval_self_overlap(df, "k", "s", "e", "id").collect()
+    }
+    by_key: dict = {}
+    for k, i, s, e in rows:
+        by_key.setdefault(k, []).append((i, s, e))
+    want = {}
+    for k, ivs in by_key.items():
+        for i, s, e in ivs:
+            want[(k, i)] = any(
+                s <= e2 and s2 <= e for j, s2, e2 in ivs if j != i
+            )
+    assert got == want
+    assert want[("dominate", 3)] is True  # the running-max case
+    assert want[("touch", 1)] is True
