@@ -1001,18 +1001,29 @@ def attribution_touchpoints(spark, sf_dir):
     "percentile aggregate's buffered state stays O(31) per month",
 )
 def revenue_anomaly_days(spark, sf_dir):
-    orders = tbl(spark, sf_dir, "orders")
-    daily = (
-        orders.groupBy(
-            F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day"),
-            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("rev")
-        )
+    return revenue_anomaly_finisher(
+        daily_revenue(tbl(spark, sf_dir, "orders"))
     )
+
+
+def daily_revenue(orders):
+    """Per-day integer-cent revenue with its month key. The groupBy is a
+    plain streaming-compatible aggregation (partial sums merge across
+    micro-batches), so the same expression serves batch and a file
+    stream — the streaming twin test proves stream==batch."""
+    return orders.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+
+
+def revenue_anomaly_finisher(daily):
+    """Month-median/MAD outlier filter over the per-day relation
+    (calendar-bounded — exact percentile state is O(31) per month)."""
     med = daily.groupBy("month").agg(F.percentile("rev", 0.5).alias("med"))
     dev = daily.join(med, "month").withColumn("adev", F.abs(F.col("rev") - F.col("med")))
     mad = dev.groupBy("month").agg(F.percentile("adev", 0.5).alias("mad"))

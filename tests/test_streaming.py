@@ -557,3 +557,48 @@ def test_streaming_quantile_sketch_merge_matches_batch(spark, tmp_path):
 
     direct = qsketch(docs, "n_chars", "doc_id", group=None).collect()[0].qsk
     assert [tuple(x) for x in running[0]] == [tuple(x) for x in direct]
+
+
+def test_streaming_revenue_anomaly_matches_batch(spark, tmp_path):
+    """Streaming pre-agg + batch finisher == the batch anomaly query.
+    Daily revenue runs as a streaming aggregation over an orders file
+    stream (integer-cent partial sums merge across micro-batches in
+    complete mode); the month-median/MAD finisher then runs on the
+    streamed daily table and must reproduce revenue_anomaly_days
+    row-for-row — the streaming-warehouse pattern of a continuously
+    maintained pre-aggregate with a cheap batch finisher on top."""
+    from scip_spark.advanced_queries import (
+        daily_revenue,
+        revenue_anomaly_days,
+        revenue_anomaly_finisher,
+    )
+
+    src = str(tmp_path / "orders_stream")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(orders.schema).parquet(src)
+    run_to_memory(daily_revenue(stream), "daily_rev_stream", mode="complete")
+    # re-root the memory view as a fresh local relation: the finisher
+    # self-joins the daily relation, and MemoryPlan views expose the
+    # same attribute ids on both sides (internal Conflicting-attributes
+    # error) — in production the pre-aggregate would land in parquet
+    mem = spark.table("daily_rev_stream")
+    daily = spark.createDataFrame(mem.toPandas(), schema=mem.schema)
+
+    got = {
+        (r.day, r.rev, r.med, r.mad)
+        for r in revenue_anomaly_finisher(daily).collect()
+    }
+    want = {
+        (r.day, r.rev, r.med, r.mad)
+        for r in revenue_anomaly_days(spark, SF).collect()
+    }
+    assert got == want
+    # the streamed pre-aggregate itself must equal the batch daily relation
+    batch_daily = {
+        (r.day, r.month, r.rev)
+        for r in daily_revenue(spark.read.parquet(f"{SF}/orders.parquet")).collect()
+    }
+    stream_daily = {(r.day, r.month, r.rev) for r in daily.collect()}
+    assert stream_daily == batch_daily and len(batch_daily) > 0
