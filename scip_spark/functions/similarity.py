@@ -687,3 +687,175 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "sim")
     )
+
+
+def pq_fit_residual(df, centroids, m: int = 4, ksub: int = 16, emb_col: str = "embedding", iters: int = 8):
+    """Residual product-quantization codebooks (FAISS IVFPQ default,
+    Jégou et al. 2011 §IV): quantize r = x_norm - centroid(list)
+    instead of x_norm itself. Residuals concentrate near the origin
+    with far less structure than raw vectors, so the same bit budget
+    buys a tighter reconstruction — higher recall at equal bits than
+    the list-independent variant (``pq_fit``), at the cost of coupling
+    the codes to the coarse partitioner (reassigning a vector to a new
+    list requires re-encoding it). Same training path as pq_fit: the
+    deterministic seeded sample, driver-side Lloyd per subspace.
+
+    Returns ``(codebooks, anchors)``: anchors[k] is the mean of the
+    NORMALIZED sample vectors assigned to list k — the least-squares
+    center of the list in the normalized space the codes live in. The
+    unit-normalized coarse centroid is a worse anchor (it sits on the
+    unit shell, off the list's center of mass, inflating residual
+    norms); assignment still uses the coarse centroids, so the IVF
+    partitioning is unchanged."""
+    X = _seeded_sample_matrix(df, min_rows=ksub, emb_col=emb_col, who="pq_fit_residual")
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    assign = np.argmax(X @ cn.T, axis=1)
+    anchors = cn.copy()
+    for k_ in range(len(cn)):
+        mem = X[assign == k_]
+        if len(mem):
+            anchors[k_] = mem.mean(axis=0)
+    R = X - anchors[assign]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit_residual: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        Rj = R[:, j * dsub : (j + 1) * dsub]
+        cents = Rj[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((Rj[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            for cix in range(ksub):
+                mem = Rj[a == cix]
+                if len(mem):
+                    cents[cix] = mem.mean(0)
+        codebooks[j] = cents
+    return codebooks, anchors
+
+
+def pq_encode_residual(
+    df, codebooks, anchors, id_col: str = "vec_id", emb_col: str = "embedding"
+):
+    """Attach ``pq_codes`` for the RESIDUAL r = x_norm - anchor of the
+    row's ``ivf_list`` (column must exist — callers run ``ivf_assign``
+    first). One numpy pass per Arrow batch; assignment and encoding
+    share the normalized vector."""
+    cb = np.asarray(codebooks)
+    cn = np.asarray(anchors, dtype=np.float64)
+    bcb = df.sparkSession.sparkContext.broadcast(cb)
+    bcn = df.sparkSession.sparkContext.broadcast(cn)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(emb: pd.Series, lst: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        R = M - bcn.value[lst.to_numpy()]
+        m, ksub, dsub = bcb.value.shape
+        out = np.zeros((len(R), m), dtype=np.int32)
+        for j in range(m):
+            Rj = R[:, j * dsub : (j + 1) * dsub]
+            d2 = ((Rj[:, None, :] - bcb.value[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return df.withColumn("pq_codes", enc(F.col(emb_col), F.col("ivf_list")))
+
+
+def ivfpq_residual_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids,
+    codebooks,
+    anchors,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Residual-encoding IVF-PQ: sim(q, x) decomposes as
+    q . anchor(list) + q . r_hat — a per-(query, list) BASE constant
+    plus the usual ADC table lookups over the (list-shared, residual)
+    codebooks. The probe relation therefore carries (q_id, ivf_list,
+    base, tab) — still tiny and broadcast — and the scan-side relation
+    is (c_id, ivf_list, m byte codes), identical to the raw-encoding
+    layout. Everything after the lookup (dedupe across probes,
+    shortlist window, exact re-rank) is shared with ivfpq_topk."""
+    cb = np.asarray(codebooks)
+    m, ksub, dsub = cb.shape
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    an = np.asarray(anchors, dtype=np.float64)
+    spark = queries.sparkSession
+
+    # driver-side per-query probe lists + per-(query, probe) ADC tables
+    # (queries are the small side by construction). Probing ranks lists
+    # by the COARSE centroid (the partitioner); the base term uses the
+    # list's residual ANCHOR (what the codes are relative to).
+    qrows = queries.select(id_col, emb_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        sims = qv @ cn.T
+        bases = qv @ an.T
+        tab = np.concatenate(
+            [cb[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+        for lst in np.argsort(-sims)[:nprobe]:
+            probe_rows.append(
+                (r[0], int(lst), float(bases[lst]), [float(x) for x in tab])
+            )
+    q = spark.createDataFrame(
+        probe_rows, "q_id long, ivf_list int, base double, tab array<double>"
+    )
+
+    enc = pq_encode_residual(
+        ivf_assign(candidates, centroids, id_col, emb_col), cb, an, id_col, emb_col
+    ).select(F.col(id_col).alias("c_id"), "ivf_list", "pq_codes")
+    approx = (
+        enc.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "approx_sim",
+            F.col("base")
+            + F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("tab"),
+                    (j * ksub + F.element_at(F.col("pq_codes"), j + 1) + 1).cast("int"),
+                ),
+            ),
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.max("approx_sim").alias("approx_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("approx_sim"), F.asc("c_id"))
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("q_id", "c_id")
+    )
+    qemb = queries.select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).cast("array<double>").alias("q_emb")
+    )
+    cemb = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(emb_col).cast("array<double>").alias("c_emb")
+    )
+    exact = (
+        shortlist.join(cemb, "c_id")
+        .join(F.broadcast(qemb), "q_id")
+        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "sim")
+    )

@@ -390,3 +390,46 @@ def ann_ivfpq_topk(spark, sf_dir):
             ).alias("recall_ok"),
         )
     )
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    """
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="residual-encoding IVF-PQ (codes quantize x - centroid; ADC = "
+    "per-(query,list) base dot + table lookups) — tighter reconstruction "
+    "than raw-encoding at equal bits; recall@5 vs exact brute force "
+    "must clear 0.5 (same invariant family as ann_ivfpq_topk)",
+)
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    from scip_spark.functions.similarity import (
+        ivf_centroids,
+        ivfpq_residual_topk,
+        pq_fit_residual,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb, k=8)
+    cb, anchors = pq_fit_residual(emb, cents, m=8, ksub=64)
+    approx = ivfpq_residual_topk(
+        q, emb, cents, cb, anchors, k=5, nprobe=4, rerank=100
+    ).select(
+        "q_id", "c_id"
+    )
+    exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
+    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            (
+                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.5
+            ).alias("recall_ok"),
+        )
+    )

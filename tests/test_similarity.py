@@ -238,3 +238,74 @@ def test_ivfpq_topk_recall(spark):
     }
     exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, emb, k=5).collect()}
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_ivfpq_residual_recall_at_least_raw(spark):
+    """Residual encoding must clear the same recall floor as raw
+    IVF-PQ and, BEFORE the exact re-rank equalizes them, approximate
+    the true similarity more tightly (the point of encoding
+    x - centroid: residuals have less structure per bit)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_residual_topk,
+        pq_encode,
+        pq_encode_residual,
+        pq_fit,
+        pq_fit_residual,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb, k=8)
+    cb_res, anchors = pq_fit_residual(emb, cents, m=8, ksub=64)
+    approx = {
+        (r.q_id, r.c_id)
+        for r in ivfpq_residual_topk(
+            q, emb, cents, cb_res, anchors, k=5, nprobe=4, rerank=100
+        ).collect()
+    }
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(q, emb, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
+
+    # reconstruction-error comparison at equal bits, on a sample
+    cb_raw = pq_fit(emb, m=8, ksub=64)
+    sample = ivf_assign(emb.filter(F.col("vec_id") < 200), cents)
+    raw_codes = {r.vec_id: r.pq_codes for r in pq_encode(sample, cb_raw).collect()}
+    res_rows = pq_encode_residual(sample, cb_res, anchors).collect()
+    cn = np.asarray(anchors, dtype=np.float64)
+    m, ksub, dsub = cb_res.shape
+    err_raw = err_res = 0.0
+    for r in res_rows:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        x = x / np.linalg.norm(x)
+        rec_raw = np.concatenate([cb_raw[j][raw_codes[r.vec_id][j]] for j in range(m)])
+        rec_res = cn[r.ivf_list] + np.concatenate(
+            [cb_res[j][r.pq_codes[j]] for j in range(m)]
+        )
+        err_raw += float(((x - rec_raw) ** 2).sum())
+        err_res += float(((x - rec_res) ** 2).sum())
+    assert err_res < err_raw, (err_res, err_raw)
+
+
+def test_pq_residual_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.similarity import (
+        ivf_centroids,
+        ivfpq_residual_topk,
+        pq_fit_residual,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_centroids(emb, k=8)
+    cb, an = pq_fit_residual(emb, cents, m=4, ksub=16)
+    cb2, an2 = pq_fit_residual(emb, cents, m=4, ksub=16)
+    assert (cb == cb2).all() and (an == an2).all()
+    a = sorted(map(tuple, ivfpq_residual_topk(q, emb, cents, cb, an, k=5).collect()))
+    b = sorted(map(tuple, ivfpq_residual_topk(q, emb, cents, cb, an, k=5).collect()))
+    assert a == b
