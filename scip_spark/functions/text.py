@@ -87,3 +87,30 @@ def fingerprint(text: Column | str) -> Column:
     whitespace-collapsed text — the exact-dedup key."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def phrase_match_positions(text, phrase: str):
+    """1-based token positions where ``phrase`` (a whitespace-split
+    token sequence) starts an exact consecutive match. Pure per-row
+    column algebra — matching a phrase against a corpus is ONE
+    embarrassingly parallel scan with zero shuffle; a positional
+    inverted index only pays for itself when many probes amortize the
+    index build, which a 100 TB single-probe scan does not."""
+    words = phrase.split()
+    toks = tokens(text)
+    n = len(words)
+    # candidate start positions 1..len-n+1; F.sequence(1, 0) would
+    # DESCEND ([1, 0] — and element_at(toks, 0) raises), so docs shorter
+    # than the phrase get an explicit empty array
+    seq = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.filter(seq, lambda i: _phrase_at(toks, i, words))
+
+
+def _phrase_at(toks, i, words):
+    cond = None
+    for off, w in enumerate(words):
+        c = F.element_at(toks, i + off) == w
+        cond = c if cond is None else cond & c
+    return cond

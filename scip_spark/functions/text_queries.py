@@ -393,3 +393,53 @@ def bm25_topk(spark, sf_dir, k: int = 20):
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
     )
+
+
+_PHRASE = "slow hash batch"
+_PHRASE_WORDS = _PHRASE.split()
+_PHRASE_N = len(_PHRASE_WORDS)
+_PHRASE_PRED = " AND ".join(
+    f"toks[i + {off}] = '{w}'" for off, w in enumerate(_PHRASE_WORDS)
+)
+
+
+@register(
+    "phrase_search_docs",
+    f"""
+    WITH tokenized AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             list_filter(
+               CASE WHEN len(toks) >= {_PHRASE_N}
+                    THEN generate_series(1, len(toks) - {_PHRASE_N - 1})
+                    ELSE [] END,
+               i -> {_PHRASE_PRED}
+             ) AS pos
+      FROM tokenized
+    )
+    SELECT doc_id,
+           CAST(len(pos) AS BIGINT) AS n_matches,
+           CAST(pos[1] AS BIGINT) AS first_pos
+    FROM hits WHERE len(pos) > 0
+    """,
+    doc="exact consecutive-phrase search as ONE zero-shuffle corpus "
+    "scan (per-row positional match in column algebra) — the Spark-"
+    "first plan for a single probe; the oracle replays the identical "
+    "position predicate in DuckDB",
+)
+def phrase_search_docs(spark, sf_dir):
+    from scip_spark.functions.text import phrase_match_positions
+
+    docs = tbl(spark, sf_dir, "documents")
+    pos = phrase_match_positions("text", _PHRASE)
+    return (
+        docs.select("doc_id", pos.alias("pos"))
+        .filter(F.size("pos") > 0)
+        .select(
+            "doc_id",
+            F.size("pos").cast("long").alias("n_matches"),
+            F.element_at("pos", 1).cast("long").alias("first_pos"),
+        )
+    )

@@ -130,3 +130,24 @@ def test_setsim_prefix_join_prunes_vs_allpairs(spark):
     # per side, docs with equal i%3 share identical token sets: cliques
     # of sizes 7/7/6 -> C(7,2)+C(7,2)+C(6,2) = 57 pairs per side
     assert len(out) == 2 * (21 + 21 + 15)
+
+
+def test_phrase_match_positions(spark):
+    from scip_spark.functions.text import phrase_match_positions
+
+    rows = [
+        (1, "a b c a b c a b"),       # "a b c" at 1 and 4
+        (2, "a b"),                    # shorter than phrase
+        (3, "x a b c y"),              # at 2
+        (4, "a a b c c"),              # at 2
+        (5, ""),                       # empty
+        (6, "a b x a b c"),            # at 4 (partial prefix earlier)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.pos
+        for r in df.select(
+            "doc_id", phrase_match_positions("text", "a b c").alias("pos")
+        ).collect()
+    }
+    assert got == {1: [1, 4], 2: [], 3: [2], 4: [2], 5: [], 6: [4]}
