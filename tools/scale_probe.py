@@ -98,7 +98,9 @@ OPS = ["dedup_minhash_signatures", "dedup_simhash", "quality_repetition",
        # they must scale like the map-side ops
        "sessionize_events", "funnel_conversion", "rfm_segmentation",
        "running_sum_per_customer", "time_to_conversion",
-       "attribution_touchpoints"]
+       "attribution_touchpoints",
+       # round-5 additions: both map-side/partitioned constructions
+       "phrase_search_docs", "interval_overlap_orders"]
 
 
 def time_op(spark, fn, sf_dir: str) -> float:
