@@ -859,3 +859,71 @@ def ivfpq_residual_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "sim")
     )
+
+
+def opq_fit(df, m: int = 4, ksub: int = 16, emb_col: str = "embedding", iters: int = 10):
+    """Optimized Product Quantization (Ge et al., CVPR 2013): learn an
+    ORTHOGONAL rotation R that redistributes variance across the m
+    subspaces before quantizing, by alternating
+      (1) PQ codebook fit + encode in the rotated space, and
+      (2) the orthogonal-Procrustes update R = U V^T from the SVD of
+          X^T X_hat (the rotation best aligning data to its current
+          reconstruction).
+    Rotation preserves dot products, so cosine ADC needs only the
+    rotated query. Driver-side on the deterministic seeded sample —
+    same cost envelope as pq_fit; returns (R, codebooks).
+
+    The alternation minimizes one objective (||XR - reconstruction||^2)
+    in both steps, so sample reconstruction error is monotone
+    non-increasing and, starting from R = I with the same Lloyd
+    schedule, never worse than unrotated PQ (asserted in tests)."""
+    X = _seeded_sample_matrix(df, min_rows=ksub, emb_col=emb_col, who="opq_fit")
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"opq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    R = np.eye(dim)
+
+    def fit_encode(Y):
+        cbs = np.zeros((m, ksub, dsub))
+        rec = np.zeros_like(Y)
+        for j in range(m):
+            Yj = Y[:, j * dsub : (j + 1) * dsub]
+            cents = Yj[:ksub].copy()
+            for _ in range(4):
+                d2 = ((Yj[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                a = np.argmin(d2, axis=1)
+                for cix in range(ksub):
+                    mem = Yj[a == cix]
+                    if len(mem):
+                        cents[cix] = mem.mean(0)
+            d2 = ((Yj[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            cbs[j] = cents
+            rec[:, j * dsub : (j + 1) * dsub] = cents[a]
+        return cbs, rec
+
+    codebooks, rec = fit_encode(X @ R)
+    for _ in range(iters):
+        # Procrustes: argmin_R ||X R - rec||_F over orthogonal R
+        U, _s, Vt = np.linalg.svd(X.T @ rec)
+        R = U @ Vt
+        codebooks, rec = fit_encode(X @ R)
+    return R, codebooks
+
+
+def opq_rotate(df, R, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Attach ``emb_rot`` = normalized(emb) @ R — one numpy matmul per
+    Arrow batch. Orthogonal R preserves norms and dot products, so
+    downstream exact re-ranks on ``emb_rot`` equal those on ``emb``."""
+    bR = df.sparkSession.sparkContext.broadcast(np.asarray(R, dtype=np.float64))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def rot(emb: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Y = M @ bR.value
+        return pd.Series([row.tolist() for row in Y])
+
+    return df.withColumn("emb_rot", rot(F.col(emb_col)))

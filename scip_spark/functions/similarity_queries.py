@@ -433,3 +433,42 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
             ).alias("recall_ok"),
         )
     )
+
+
+@register(
+    "ann_opq_topk",
+    """
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="OPQ ANN (learned orthogonal rotation balances variance across "
+    "PQ subspaces before encoding — Ge et al. 2013; rotation preserves "
+    "dot products so ADC and the exact re-rank run in rotated space "
+    "unchanged); recall@5 vs exact brute force must clear 0.6",
+)
+def ann_opq_topk(spark, sf_dir):
+    from scip_spark.functions.similarity import opq_fit, opq_rotate, pq_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    R, cb = opq_fit(emb, m=8, ksub=64)
+    rotated = opq_rotate(emb, R).select(
+        "vec_id", F.col("emb_rot").alias("embedding")
+    )
+    q = rotated.filter(F.col("vec_id") < 10)
+    approx = pq_topk(q, rotated, cb, k=5, rerank=200).select("q_id", "c_id")
+    exact = brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    ).select("q_id", "c_id")
+    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            (
+                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.6
+            ).alias("recall_ok"),
+        )
+    )

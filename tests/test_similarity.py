@@ -309,3 +309,52 @@ def test_pq_residual_deterministic(spark):
     a = sorted(map(tuple, ivfpq_residual_topk(q, emb, cents, cb, an, k=5).collect()))
     b = sorted(map(tuple, ivfpq_residual_topk(q, emb, cents, cb, an, k=5).collect()))
     assert a == b
+
+
+def test_opq_rotation_reduces_reconstruction_error(spark):
+    """OPQ with R=I init and the same Lloyd schedule must not lose to
+    plain PQ on sample reconstruction error, must keep R orthogonal,
+    and the rotation must preserve pairwise dot products."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.similarity import (
+        _seeded_sample_matrix,
+        opq_fit,
+        opq_rotate,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    m, ksub = 8, 64
+    R, cb = opq_fit(emb, m=m, ksub=ksub)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+
+    X = _seeded_sample_matrix(emb, min_rows=ksub, who="test")
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    dsub = dim // m
+
+    def recon_err(Y, cbs):
+        err = 0.0
+        for j in range(m):
+            Yj = Y[:, j * dsub : (j + 1) * dsub]
+            d2 = ((Yj[:, None, :] - cbs[j][None, :, :]) ** 2).sum(-1)
+            err += d2.min(axis=1).sum()
+        return err
+
+    # plain PQ trained with the same 4-iteration Lloyd schedule = the
+    # OPQ objective at R=I before any rotation update
+    R0, cb0 = opq_fit(emb, m=m, ksub=ksub, iters=0)
+    assert np.allclose(R0, np.eye(dim))
+    assert recon_err(X @ R, cb) <= recon_err(X, cb0) + 1e-9
+
+    rot = opq_rotate(emb.filter(F.col("vec_id") < 30), R)
+    rows = rot.select("vec_id", "embedding", "emb_rot").collect()
+    V = {r.vec_id: (np.asarray(r.embedding, dtype=np.float64), np.asarray(r.emb_rot)) for r in rows}
+    ids = sorted(V)[:10]
+    for i in ids[:3]:
+        for j in ids[3:6]:
+            a, ar = V[i]
+            b, br = V[j]
+            an, bn = a / np.linalg.norm(a), b / np.linalg.norm(b)
+            assert abs(float(an @ bn) - float(ar @ br)) < 1e-9
