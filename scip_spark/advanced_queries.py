@@ -1142,3 +1142,77 @@ def interval_self_overlap(iv, key_col, start_col, end_col, id_col):
     next_start = F.lead(start_col).over(w)
     has = (F.col(start_col) <= prev_max_end) | (next_start <= F.col(end_col))
     return iv.withColumn("has_overlap", F.coalesce(has, F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# Frequent-itemset mining (market basket): pair support + lift with
+# apriori pruning — an item in a frequent PAIR must itself be frequent,
+# so the self-join runs over the pruned item relation only. The classic
+# scale shape: item counts (one groupBy), broadcast the frequent-item
+# filter, per-order self-join on the pruned baskets, pair groupBy.
+# Baskets are small (items per order), so the self-join is
+# |order| x basket^2, never |items|^2. The oracle runs the unpruned
+# quadratic construction — apriori pruning is result-preserving.
+# ---------------------------------------------------------------------------
+@register(
+    "frequent_item_pairs",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM basket),
+    item_cnt AS (SELECT item, COUNT(*) AS cnt FROM basket GROUP BY item),
+    pair_cnt AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b, p.support,
+           CAST(p.support * n.n AS DOUBLE) / (ca.cnt * cb.cnt) AS lift
+    FROM pair_cnt p
+    JOIN item_cnt ca ON p.item_a = ca.item
+    JOIN item_cnt cb ON p.item_b = cb.item
+    CROSS JOIN n_orders n
+    WHERE p.support >= 2
+    """,
+    doc="market-basket frequent pairs with lift; apriori-pruned "
+    "per-basket self-join (never an items^2 product) == unpruned "
+    "quadratic oracle",
+)
+def frequent_item_pairs(spark, sf_dir):
+    minsup = 2
+    basket = (
+        tbl(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    item_cnt = basket.groupBy("item").agg(F.count("*").alias("cnt"))
+    frequent = item_cnt.filter(F.col("cnt") >= minsup).select("item", "cnt")
+    # apriori prune: only items that could appear in a >= minsup pair
+    pruned = basket.join(F.broadcast(frequent.select("item")), "item")
+    a = pruned.select("okey", F.col("item").alias("item_a"))
+    b = pruned.select("okey", F.col("item").alias("item_b"))
+    pair_cnt = (
+        a.join(b, "okey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+    n_orders = basket.agg(F.countDistinct("okey").alias("n"))
+    ca = frequent.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    cb = frequent.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair_cnt.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            (
+                (F.col("support") * F.col("n")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+    )
