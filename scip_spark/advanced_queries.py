@@ -1216,3 +1216,116 @@ def frequent_item_pairs(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-filling: a complete monthly spine per customer
+# (first..last active month), zero-filled where no orders landed. The
+# spine is GENERATED per key (sequence + explode — map-side after one
+# min/max aggregation), never scanned or cross-joined against a global
+# calendar; the left join back to actuals shuffles on the same
+# (custkey, month) key the aggregation produced.
+# ---------------------------------------------------------------------------
+@register(
+    "gapfill_monthly_revenue",
+    """
+    WITH monthly AS (
+      SELECT o_custkey AS custkey,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT o_custkey AS custkey,
+             date_trunc('month', MIN(o_orderdate)) AS m0,
+             date_trunc('month', MAX(o_orderdate)) AS m1
+      FROM orders GROUP BY 1
+    ),
+    spine AS (
+      SELECT custkey, strftime(m.m, '%Y-%m') AS month
+      FROM spans, UNNEST(generate_series(CAST(m0 AS DATE), CAST(m1 AS DATE),
+                                         INTERVAL 1 MONTH)) AS m(m)
+    )
+    SELECT s.custkey, s.month,
+           COALESCE(mo.rev_cents, 0) AS rev_cents,
+           mo.rev_cents IS NULL AS filled
+    FROM spine s LEFT JOIN monthly mo
+      ON s.custkey = mo.custkey AND s.month = mo.month
+    """,
+    doc="per-key calendar gap-fill: generated monthly spine "
+    "(first..last active month per customer) left-joined to actuals, "
+    "zero-filled — spine explode is map-side, no global calendar join",
+)
+def gapfill_monthly_revenue(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    spans = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("m0"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("m1"),
+    )
+    spine = spans.select(
+        "custkey",
+        F.explode(
+            F.sequence("m0", "m1", F.expr("INTERVAL 1 MONTH"))
+        ).alias("m"),
+    ).select("custkey", F.date_format("m", "yyyy-MM").alias("month"))
+    return spine.join(monthly, ["custkey", "month"], "left").select(
+        "custkey",
+        "month",
+        F.coalesce("rev_cents", F.lit(0)).cast("long").alias("rev_cents"),
+        F.col("rev_cents").isNull().alias("filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis: the most common initial event-type sequences (first 5
+# events per user). One user-partitioned window pass (bounded per-user
+# state), then a path-string aggregation over the per-user relation.
+# ---------------------------------------------------------------------------
+@register(
+    "top_event_paths",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+    doc="top initial event paths (first 5 events per user) — "
+    "user-partitioned window + path aggregation; deterministic "
+    "(n desc, path) tie-break on the top-k",
+)
+def top_event_paths(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
