@@ -319,3 +319,58 @@ def heavy_hitter_tokens(spark, sf_dir):
         .select("token", "n", F.lit(True).alias("in_sketch_topk"))
         .orderBy(F.desc("n"), "token")
     )
+
+
+@register(
+    "join_size_estimate",
+    """
+    WITH oc AS (
+      SELECT o_orderkey AS k, COUNT(*) AS co FROM orders GROUP BY 1
+    ),
+    lc AS (
+      SELECT l_orderkey AS k, COUNT(*) AS cl FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+      SELECT oc.k, oc.co * lc.cl AS prod,
+             CAST(('0x' || substr(md5('joinsz-v1|' || CAST(oc.k AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 16 AS bucket
+      FROM oc JOIN lc USING (k)
+    )
+    SELECT CAST(SUM(prod) AS BIGINT) AS exact_size,
+           CAST(16 * SUM(CASE WHEN bucket = 0 THEN prod ELSE 0 END) AS BIGINT)
+             AS estimated_size,
+           abs(CAST(16 * SUM(CASE WHEN bucket = 0 THEN prod ELSE 0 END) AS DOUBLE)
+               / SUM(prod) - 1) < 0.2 AS within_20pct
+    FROM joined
+    """,
+    doc="join-cardinality estimation by deterministic 1/16 key sampling "
+    "over the per-key count relations (the sketch an optimizer would "
+    "consult before picking a join strategy) — exact size, estimate, "
+    "and the accuracy invariant in one pass; md5 sampling reproduces "
+    "bit-exactly in both engines",
+)
+def join_size_estimate(spark, sf_dir):
+    from scip_spark.functions.corpus import hash_bucket
+
+    oc = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("co"))
+    )
+    lc = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("cl"))
+    )
+    joined = oc.join(lc, "k").select(
+        (F.col("co") * F.col("cl")).alias("prod"),
+        hash_bucket(F.col("k"), "joinsz-v1", 16).alias("bucket"),
+    )
+    sampled = F.sum(F.when(F.col("bucket") == 0, F.col("prod")).otherwise(0))
+    return joined.agg(
+        F.sum("prod").cast("long").alias("exact_size"),
+        (16 * sampled).cast("long").alias("estimated_size"),
+        (
+            F.abs((16 * sampled).cast("double") / F.sum("prod") - 1) < 0.2
+        ).alias("within_20pct"),
+    )
