@@ -10,6 +10,7 @@ engine-specific — those are covered by accuracy-bound pytest tests
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from scip_spark.functions.sketches import (
     KMV_K,
@@ -373,4 +374,71 @@ def join_size_estimate(spark, sf_dir):
         (
             F.abs((16 * sampled).cast("double") / F.sum("prod") - 1) < 0.2
         ).alias("within_20pct"),
+    )
+
+
+@register(
+    "sliding_distinct_users",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ev),
+    x AS (
+      SELECT d.day AS end_day, COUNT(DISTINCT e.user_id) AS n_exact
+      FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1
+    )
+    SELECT strftime(end_day, '%Y-%m-%d') AS end_day,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM x
+    """,
+    doc="sliding 7-day distinct users via MERGEABLE HLL day-partials: "
+    "one pass over events builds a sketch per day, a calendar-range "
+    "window union (rangeBetween on epoch-day — gap-safe) merges 7 "
+    "partials per window end. The 100 TB shape: the data is scanned "
+    "once; every window reuses the same partials, where exact sliding "
+    "COUNT(DISTINCT) would rescan each event into 7 windows. The "
+    "estimate must sit within max(5%, 5) of the exact count (lgK=12 "
+    "=> 3 sigma ~ 4.9%); the exact side (and the window-end day set) "
+    "is hash-checked against the oracle",
+)
+def sliding_distinct_users(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    # exact sliding distinct: each event covers window-ends day..day+6;
+    # explode (bounded 7x) and count distinct per end. Ends beyond the
+    # data span are dropped by the inner join below.
+    ends = ev.select(
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("end_day"),
+        "user_id",
+    )
+    exact = ends.groupBy("end_day").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    # mergeable path: day partials once, calendar-range window union.
+    # The days relation is calendar-bounded (not data-scale), so the
+    # single-ordering window is over a tiny relation — same class as
+    # order_seasonality's whitelisted per-day window.
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk")
+    )
+    di = daily.withColumn("d", F.datediff("day", F.lit("1970-01-01").cast("date")))
+    w = W.orderBy("d").rangeBetween(-6, 0)
+    est = di.withColumn(
+        "n_est",
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True)).over(w)),
+    ).select(F.col("day").alias("end_day"), "n_est")
+    return (
+        exact.join(est, "end_day")
+        .select(
+            F.date_format("end_day", "yyyy-MM-dd").alias("end_day"),
+            "n_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_exact"))
+                <= F.greatest(0.05 * F.col("n_exact"), F.lit(5.0))
+            ).alias("approx_ok"),
+        )
     )

@@ -196,6 +196,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # bucket-totals relation (corpus.py:167) — bounded by construction
     "corpus_pack_shards",
     "corpus_chunk_pack",
+    # HLL day-partial merge: calendar-range window over the per-day
+    # sketch relation (calendar-bounded, not data-scale)
+    "sliding_distinct_users",
 }
 
 
