@@ -927,3 +927,53 @@ def opq_rotate(df, R, id_col: str = "vec_id", emb_col: str = "embedding"):
         return pd.Series([row.tolist() for row in Y])
 
     return df.withColumn("emb_rot", rot(F.col(emb_col)))
+
+
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007): each QUERY also probes
+    the ``n_planes`` Hamming-1 neighbor buckets (one sign bit flipped —
+    the buckets a near-neighbor most likely fell into when one
+    projection landed on the wrong side). Probing multiplies only the
+    tiny broadcast query relation by (1 + n_planes); the corpus is
+    still hashed ONCE into single buckets — recall rises without more
+    tables or corpus passes. Candidate hits reached through several
+    probes dedupe via max() before the per-query top-k."""
+    from pyspark.sql.window import Window as W
+
+    base = lsh_bucket(F.col(emb_col).cast("array<double>"), n_planes, dim)
+    probes = F.array(
+        base, *[base.bitwiseXOR(F.lit(2**j)) for j in range(n_planes)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).cast("array<double>").alias("q_emb"),
+        F.explode(probes).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).cast("array<double>").alias("c_emb"),
+        lsh_bucket(F.col(emb_col).cast("array<double>"), n_planes, dim).alias(
+            "bucket"
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
+        .groupBy("q_id", "c_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "sim")
+    )

@@ -472,3 +472,51 @@ def ann_opq_topk(spark, sf_dir):
             ).alias("recall_ok"),
         )
     )
+
+
+def _multiprobe_sql(n_planes: int = 8) -> str:
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {2**j})" for j in range(n_planes)]
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             CAST({_bucket_sql('embedding::DOUBLE[]')} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, emb AS q_emb, p.b AS bucket
+      FROM v, UNNEST([{probe_list}]) AS p(b)
+      WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             MAX({_DOT.format(a='q.q_emb', b='c.emb')}
+               / ({_NORM.format(a='q.q_emb')} * {_NORM.format(a='c.emb')})) AS sim
+      FROM probes q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+      GROUP BY q.q_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, rank, sim FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    _multiprobe_sql(),
+    doc="multi-probe LSH top-k (Lv et al. 2007): queries probe their "
+    "bucket plus every Hamming-1 neighbor (one sign bit flipped) — "
+    "recall rises with NO extra corpus hashing or tables; the "
+    "deterministic construction (md5 hyperplanes, xor probes, "
+    "sim-desc/c_id tie-break) is replicated in DuckDB for an exact "
+    "hash check",
+)
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    from scip_spark.functions.similarity import lsh_multiprobe_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)

