@@ -520,3 +520,71 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
 
     emb = tbl(spark, sf_dir, "embeddings")
     return lsh_multiprobe_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+_FXP = 2**40  # fixed-point grid: double*2^40 floor'd — exact in any engine
+
+
+@register(
+    "embedding_centroid_drift",
+    f"""
+    WITH q AS (
+      SELECT label, u.i AS dim,
+             CAST(floor(embedding[u.i] * {_FXP}) AS BIGINT) AS fx
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(fx) AS DOUBLE) / (COUNT(*) * {_FXP}) AS c
+      FROM q GROUP BY label, dim
+    ),
+    v AS (
+      SELECT label, list(c ORDER BY dim) AS emb FROM cent GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           {{dot}} / ({{na}} * {{nb}}) AS centroid_cosine
+    FROM v a JOIN v b ON a.label < b.label
+    """.format(
+        dot="list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), (x, y) -> x + y)",
+        na="sqrt(list_reduce(list_transform(a.emb, x -> x * x), (x, y) -> x + y))",
+        nb="sqrt(list_reduce(list_transform(b.emb, x -> x * x), (x, y) -> x + y))",
+    ),
+    doc="per-label embedding centroids + pairwise centroid cosine — "
+    "the drift/separation matrix a curation pipeline monitors per "
+    "source. Dimension sums ride the FIXED-POINT bigint grid "
+    "(floor(x*2^40) — decimal casts of raw doubles round half-up in "
+    "Spark but half-even in DuckDB, so integer exactness is the only "
+    "engine-neutral route); the shuffle carries labels x dims "
+    "partials, never vectors",
+)
+def embedding_centroid_drift(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x") * _FXP).cast("long").alias("fx"),
+    )
+    cent = q.groupBy("label", "dim").agg(
+        (F.sum("fx").cast("double") / (F.count("*") * F.lit(_FXP))).alias("c")
+    )
+    v = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("emb")
+    )
+    a = v.select(F.col("label").alias("label_a"), F.col("emb").alias("ea"))
+    b = v.select(F.col("label").alias("label_b"), F.col("emb").alias("eb"))
+    from scip_spark.functions.similarity import cosine
+
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            cosine(F.col("ea"), F.col("eb")).alias("centroid_cosine"),
+        )
+    )
