@@ -602,3 +602,48 @@ def test_streaming_revenue_anomaly_matches_batch(spark, tmp_path):
     }
     stream_daily = {(r.day, r.month, r.rev) for r in daily.collect()}
     assert stream_daily == batch_daily and len(batch_daily) > 0
+
+
+def test_streaming_gapfill_matches_batch(spark, tmp_path):
+    """The monthly pre-aggregate behind gapfill_monthly_revenue is
+    streaming-compatible (integer-cent partial sums); the spine
+    generation + left join finisher over the streamed table must equal
+    the batch query exactly."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.advanced_queries import gapfill_monthly_revenue
+
+    src = str(tmp_path / "orders_stream_gf")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(orders.schema).parquet(src)
+    monthly_stream = stream.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    run_to_memory(monthly_stream, "monthly_rev_stream", mode="complete")
+    mem = spark.table("monthly_rev_stream")
+    monthly = spark.createDataFrame(mem.toPandas(), schema=mem.schema)
+
+    spans = monthly.groupBy("custkey").agg(
+        F.min(F.to_date(F.concat("month", F.lit("-01")))).alias("m0"),
+        F.max(F.to_date(F.concat("month", F.lit("-01")))).alias("m1"),
+    )
+    spine = spans.select(
+        "custkey",
+        F.explode(F.sequence("m0", "m1", F.expr("INTERVAL 1 MONTH"))).alias("m"),
+    ).select("custkey", F.date_format("m", "yyyy-MM").alias("month"))
+    finished = spine.join(monthly, ["custkey", "month"], "left").select(
+        "custkey",
+        "month",
+        F.coalesce("rev_cents", F.lit(0)).cast("long").alias("rev_cents"),
+        F.col("rev_cents").isNull().alias("filled"),
+    )
+    got = {tuple(r) for r in finished.collect()}
+    want = {tuple(r) for r in gapfill_monthly_revenue(spark, SF).collect()}
+    assert got == want and len(want) > 0
