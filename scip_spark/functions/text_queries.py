@@ -443,3 +443,58 @@ def phrase_search_docs(spark, sf_dir):
             F.element_at("pos", 1).cast("long").alias("first_pos"),
         )
     )
+
+
+_FH_SLOTS = 16
+_FH_BUCKET = (
+    "CAST(('0x' || substr(md5('fh-v1|' || t), 1, 12)) AS BIGINT) % " + str(_FH_SLOTS)
+)
+
+
+@register(
+    "feature_hash_docs",
+    f"""
+    WITH tokenized AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    )
+    SELECT doc_id, s.slot AS slot,
+           CAST(len(list_filter(toks, t -> {_FH_BUCKET} = s.slot)) AS BIGINT) AS tf
+    FROM tokenized, UNNEST(generate_series(0, {_FH_SLOTS - 1})) AS s(slot)
+    """,
+    doc="feature hashing (hashing-trick vectorization): md5-slotted "
+    f"{_FH_SLOTS}-bin term-frequency vector per document, computed "
+    "per-row in column algebra (zero shuffle — the fixed-width slot "
+    "loop replaces an explode+groupBy) and emitted slot-wise; the "
+    "md5 slot function reproduces bit-exactly in DuckDB",
+)
+def feature_hash_docs(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    from scip_spark.functions.text import tokens
+
+    def slot_of(t):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fh-v1|"), t)), 1, 12), 16, 10
+            ).cast("long")
+            % _FH_SLOTS
+        )
+
+    # one md5 per token: pin the slot array behind a lambda scope
+    # (transform over a singleton) so the 16-slot counting loop reads
+    # precomputed slots instead of re-hashing every token per slot
+    slot_arr = F.transform(tokens("text"), slot_of)
+    vec = F.element_at(
+        F.transform(
+            F.array(slot_arr),
+            lambda slots: F.transform(
+                F.sequence(F.lit(0), F.lit(_FH_SLOTS - 1)),
+                lambda s: F.size(
+                    F.filter(slots, lambda x: x == s.cast("long"))
+                ).cast("long"),
+            ),
+        ),
+        1,
+    )
+    return docs.select(
+        "doc_id", F.posexplode(vec).alias("slot", "tf")
+    ).select("doc_id", F.col("slot").cast("long").alias("slot"), "tf")

@@ -381,3 +381,51 @@ def cdc_apply_merge(spark, sf_dir):
         .cast("long")
         .alias("n_deleted"),
     )
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH q AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment AS sensitive
+      FROM customer
+    ),
+    g AS (
+      SELECT nation, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS grp_n,
+             CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_distinct
+      FROM q GROUP BY nation, bal_band
+    )
+    SELECT nation, bal_band, grp_n, l_distinct,
+           l_distinct >= 3 AS l_diverse
+    FROM g
+    """,
+    doc="l-diversity audit on top of k-anonymity: for each "
+    "quasi-identifier group (nation x account-balance band), the "
+    "number of DISTINCT sensitive values (market segment) — groups "
+    "below l=3 are re-identification risks even when k-anonymous "
+    "(homogeneity attack). One groupBy pass; the quasi-group relation "
+    "is bounded by quasi-key cardinality, not data size",
+)
+def l_diversity_audit(spark, sf_dir):
+    q = tbl(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    return (
+        q.groupBy("nation", "bal_band")
+        .agg(
+            F.count("*").cast("long").alias("grp_n"),
+            F.count_distinct("sensitive").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "nation",
+            "bal_band",
+            "grp_n",
+            "l_distinct",
+            (F.col("l_distinct") >= 3).alias("l_diverse"),
+        )
+    )
