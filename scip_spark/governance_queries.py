@@ -429,3 +429,114 @@ def l_diversity_audit(spark, sf_dir):
             (F.col("l_distinct") >= 3).alias("l_diverse"),
         )
     )
+
+
+@register(
+    "pit_join_lineitem_scd2",
+    """
+    WITH dim AS (
+      SELECT o_custkey AS custkey,
+             ROW_NUMBER() OVER w AS version,
+             CAST(o_orderdate AS DATE) AS valid_from
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    probe AS (
+      SELECT DISTINCT l.l_orderkey, l.l_linenumber,
+             CAST(l.l_shipdate AS DATE) AS d, o.o_custkey AS custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    matched AS (
+      SELECT p.l_orderkey, p.l_linenumber, p.d, dim.version, dim.valid_from,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.l_orderkey, p.l_linenumber, p.d
+               ORDER BY dim.valid_from DESC NULLS LAST, dim.version DESC NULLS LAST
+             ) AS rn
+      FROM probe p
+      LEFT JOIN dim ON dim.custkey = p.custkey AND dim.valid_from <= p.d
+    )
+    SELECT l_orderkey, l_linenumber, strftime(d, '%Y-%m-%d') AS ship_day,
+           CAST(version AS BIGINT) AS version,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from
+    FROM matched WHERE rn = 1
+    """,
+    doc="point-in-time (as-of) join of a fact stream against the SCD2 "
+    "dimension history: which customer order-version was current when "
+    "each lineitem SHIPPED. Scalable form = ONE union sweep per "
+    "dimension key (dim rows and probe rows interleaved by date, "
+    "version carried forward) — never the probe x versions "
+    "theta-join the oracle runs. Probes are DISTINCT "
+    "(orderkey, linenumber, ship-day) tuples — the synthetic lineitem "
+    "repeats line numbers — and a probe shipping before the "
+    "customer's first version carries NULL (left semantics)",
+)
+def pit_join_lineitem_scd2(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    w = W.partitionBy("custkey").orderBy("valid_from", "version")
+    dim = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("valid_from"),
+        "o_orderkey",
+    ).select(
+        "custkey",
+        "valid_from",
+        F.row_number()
+        .over(W.partitionBy("custkey").orderBy("valid_from", "o_orderkey"))
+        .cast("long")
+        .alias("version"),
+    )
+    probe = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.to_date("l_shipdate").alias("d"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .distinct()
+    )
+    # union sweep: dim rows sort BEFORE probes on the same date (kind 0
+    # vs 1: valid_from <= d is inclusive), versions ascending so the
+    # carried value is the max version effective at each probe date
+    dim_u = dim.select(
+        "custkey",
+        F.col("valid_from").alias("d"),
+        F.lit(0).alias("kind"),
+        F.col("version").alias("tb"),
+        "version",
+        "valid_from",
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+    )
+    probe_u = probe.select(
+        "custkey",
+        "d",
+        F.lit(1).alias("kind"),
+        (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).cast("long").alias("tb"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("date").alias("valid_from"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sweep = W.partitionBy("custkey").orderBy("d", "kind", "tb").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    carried = dim_u.unionByName(probe_u).select(
+        "kind",
+        "l_orderkey",
+        "l_linenumber",
+        "d",
+        F.last("version", ignorenulls=True).over(sweep).alias("version"),
+        F.last("valid_from", ignorenulls=True).over(sweep).alias("vf"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.date_format("d", "yyyy-MM-dd").alias("ship_day"),
+        "version",
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+    )
