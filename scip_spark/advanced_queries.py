@@ -1329,3 +1329,127 @@ def top_event_paths(spark, sf_dir):
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: deterministic hash assignment (the same
+# md5-bucket primitive as corpus split_assign), per-variant funnel
+# conversion, and the two-proportion z statistic. Entirely
+# aggregation-shaped: one events scan -> per-user flags -> two-row
+# variant rollup; z's arithmetic is a fixed-order mul/div/sqrt chain
+# (IEEE sqrt is correctly rounded), so DuckDB reproduces it bit-exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "ab_test_conversion",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('ab-v1|' || CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 2 AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1
+    ),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM u GROUP BY variant
+    ),
+    s AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM v
+    )
+    SELECT n0, c0, n1, c1,
+           (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+           / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)) AS z_stat
+    FROM s
+    """,
+    doc="A/B experiment readout: md5-hash variant assignment, per-user "
+    "conversion (>= 15 purchases — every synthetic user buys at least "
+    "once, so plain did-purchase saturates at p=1 and the z "
+    "denominator vanishes), two-proportion z statistic in a "
+    "fixed-order mul/div/sqrt chain (engine-exact)",
+)
+def ab_test_conversion(spark, sf_dir):
+    from scip_spark.functions.corpus import hash_bucket
+
+    ev = tbl(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        hash_bucket(F.col("user_id"), "ab-v1", 2).alias("variant"), "converted"
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    s = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(
+        pp * (1 - pp)
+        * (F.lit(1).cast("double") / F.col("n0") + F.lit(1).cast("double") / F.col("n1"))
+    )
+    return s.select("n0", "c0", "n1", "c1", z.alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Rate-based bot detection: users with a burst of > N events inside any
+# rolling 60-second window. A RANGE frame over epoch-seconds partitioned
+# by user — per-user state is the 60 s frame, bounded at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "bot_burst_users",
+    """
+    WITH e AS (
+      SELECT user_id, epoch(ts) AS sec FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 59 PRECEDING AND CURRENT ROW
+             ) AS burst
+      FROM e
+    )
+    SELECT user_id,
+           CAST(MAX(burst) AS BIGINT) AS max_burst,
+           MAX(burst) >= 5 AS flagged
+    FROM w GROUP BY user_id
+    """,
+    doc="rate-limit/bot detection: max events inside any rolling "
+    "60-second window per user (range frame over epoch seconds; "
+    "user-partitioned, bounded state)",
+)
+def bot_burst_users(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    e = ev.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-59, W.currentRow)
+    )
+    return (
+        e.withColumn("burst", F.count("*").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("burst").cast("long").alias("max_burst"),
+            (F.max("burst") >= 5).alias("flagged"),
+        )
+    )
