@@ -498,3 +498,49 @@ def feature_hash_docs(spark, sf_dir):
     return docs.select(
         "doc_id", F.posexplode(vec).alias("slot", "tf")
     ).select("doc_id", F.col("slot").cast("long").alias("slot"), "tf")
+
+
+@register(
+    "vocab_novelty_by_batch",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id // 100 AS batch, t.token
+      FROM (SELECT doc_id, {_sql_tokens()} AS toks FROM documents) d,
+           UNNEST(d.toks) AS t(token)
+    ),
+    first_seen AS (
+      SELECT token, MIN(batch) AS first_batch FROM tok GROUP BY token
+    )
+    SELECT t.batch,
+           CAST(COUNT(DISTINCT t.token) AS BIGINT) AS n_tokens_seen,
+           CAST(SUM(CASE WHEN f.first_batch = t.batch THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new_tokens
+    FROM tok t JOIN first_seen f ON t.token = f.token
+    GROUP BY t.batch
+    """,
+    doc="vocabulary growth curve: per ingestion batch (doc_id DIV "
+    "100), distinct tokens seen and tokens appearing for the FIRST "
+    "time — the novelty signal a crawl-dedup pipeline monitors for "
+    "saturation; two token-keyed aggregations, no data-scale windows",
+)
+def vocab_novelty_by_batch(spark, sf_dir):
+    from scip_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.expr("doc_id DIV 100").alias("batch"),
+        F.explode(tokens("text")).alias("token"),
+    ).distinct()
+    first_seen = tok.groupBy("token").agg(F.min("batch").alias("first_batch"))
+    return (
+        tok.join(first_seen, "token")
+        .groupBy("batch")
+        .agg(
+            F.count_distinct("token").cast("long").alias("n_tokens_seen"),
+            F.sum(
+                F.when(F.col("first_batch") == F.col("batch"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new_tokens"),
+        )
+    )
