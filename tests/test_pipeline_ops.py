@@ -199,3 +199,31 @@ def test_cellpose_null_pixels_pass_through(spark):
     out = segment_cellpose(df, model_loader=_make_fake_loader()).toPandas()
     assert len(out) == 1
     assert out.iloc[0]["mask"] is None or pd.isna(out.iloc[0]["mask"])
+
+
+def test_observe_metrics_match_aggregate(spark):
+    """DataFrame.observe collects pipeline health metrics as a side
+    effect of the ACTION (one pass — no second scan), and must agree
+    with the explicit aggregate. The at-scale pattern: every production
+    write carries row-count/null-count/sum observations for free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    obs = Observation("health")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("int")).alias("n_null"),
+        F.sum("id").alias("id_sum"),
+    )
+    out = observed.filter(F.col("id") % 2 == 0).count()  # the action
+    assert out == 500
+    got = obs.get
+    # observe sees the PRE-filter relation (it hangs off the scan)
+    assert got["n_rows"] == 1000
+    assert got["n_null"] == 100
+    assert got["id_sum"] == 999 * 1000 // 2

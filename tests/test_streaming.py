@@ -647,3 +647,40 @@ def test_streaming_gapfill_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in finished.collect()}
     want = {tuple(r) for r in gapfill_monthly_revenue(spark, SF).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
+    """Token frequencies maintained by a streaming aggregation (partial
+    counts merge across micro-batches) must land on the same top-5
+    heavy hitters as the batch profile query — a continuously
+    maintained frequency table is the streaming form of the
+    heavy-hitter sketch pass."""
+    from pyspark.sql import functions as F
+
+    import scip_spark.entry_queries  # noqa: F401 — populate REGISTRY
+    from scip_spark.functions.text import tokens
+    from scip_spark.queries import REGISTRY
+
+    src = str(tmp_path / "docs_hh")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    counts = (
+        stream.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    run_to_memory(counts, "hh_stream", mode="complete")
+    top5 = [
+        (r.token, r.n)
+        for r in spark.table("hh_stream")
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(5)
+        .collect()
+    ]
+    want = [
+        (r.token, r.n)
+        for r in REGISTRY["heavy_hitter_tokens"].fn(spark, SF).collect()
+    ]
+    assert top5 == want and len(top5) == 5
