@@ -18,7 +18,13 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     kernels) over a small file otherwise run on one task — a 7 MB
     parquet of documents is one 128 MB-split partition but minutes of
     md5 work. At real scale inputs already carry enough partitions and
-    this is a no-op, so the 100 TB path never pays the shuffle."""
+    this is a no-op, so the 100 TB path never pays the shuffle.
+
+    Streaming DataFrames pass through untouched: partition inspection
+    is illegal pre-start, and a stream's parallelism is governed by the
+    source (maxFilesPerTrigger etc.), not a static repartition."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -684,3 +684,52 @@ def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
         for r in REGISTRY["heavy_hitter_tokens"].fn(spark, SF).collect()
     ]
     assert top5 == want and len(top5) == 5
+
+
+def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
+    """The vector-store / dedup-index ingestion path: LSH buckets,
+    MinHash signatures and SimHash are all PER-ROW zero-shuffle
+    expressions, so they run unchanged on a stream (append mode, no
+    state) — a continuously maintained index equals the batch build
+    row-for-row. This is the payoff of the projection-boundary design:
+    stateless per-row operators stream for free."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.dedup import minhash_table, simhash_table
+    from scip_spark.functions.similarity import lsh_bucket
+
+    # embeddings → LSH bucket index
+    esrc = str(tmp_path / "emb_stream")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.repartition(3).write.mode("overwrite").parquet(esrc)
+    estream = spark.readStream.schema(emb.schema).parquet(esrc)
+    bucketed = estream.select(
+        "vec_id",
+        lsh_bucket(F.col("embedding").cast("array<double>")).alias("bucket"),
+    )
+    run_to_memory(bucketed, "lsh_index_stream", mode="append")
+    got_b = {
+        (r.vec_id, r.bucket) for r in spark.table("lsh_index_stream").collect()
+    }
+    want_b = {
+        (r.vec_id, r.bucket)
+        for r in emb.select(
+            "vec_id",
+            lsh_bucket(F.col("embedding").cast("array<double>")).alias("bucket"),
+        ).collect()
+    }
+    assert got_b == want_b and len(want_b) > 0
+
+    # documents → MinHash + SimHash index
+    dsrc = str(tmp_path / "docs_idx_stream")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(dsrc)
+    dstream = spark.readStream.schema(docs.schema).parquet(dsrc)
+    run_to_memory(minhash_table(dstream), "mh_index_stream", mode="append")
+    run_to_memory(simhash_table(dstream), "sh_index_stream", mode="append")
+    got_mh = {tuple(r) for r in spark.table("mh_index_stream").collect()}
+    want_mh = {tuple(r) for r in minhash_table(docs).collect()}
+    assert got_mh == want_mh
+    got_sh = {tuple(r) for r in spark.table("sh_index_stream").collect()}
+    want_sh = {tuple(r) for r in simhash_table(docs).collect()}
+    assert got_sh == want_sh
