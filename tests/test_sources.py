@@ -244,3 +244,47 @@ def test_jsonl_roundtrip_and_corrupt_rescue(spark, tmp_path):
     stats = corrupt_stats(back2).collect()[0]
     assert stats.n_corrupt == 2
     assert stats.n_rows == docs.count() + 2
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet parts: a directory whose files
+    carry different (overlapping) schemas reads as the merged union
+    with nulls for absent columns — the contract an append-only lake
+    relies on when a column is added mid-history."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.parquet(d + "/p1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "score"]).write.parquet(
+        d + "/p2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(d + "/p1", d + "/p2")
+    assert set(merged.columns) == {"id", "x", "score"}
+    rows = {r.id: (r.x, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_stream_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """maxFilesPerTrigger bounds micro-batch ingest (the backpressure
+    knob for file streams): 4 input files at 1 file/trigger must take
+    >= 4 micro-batches and still deliver every row exactly once."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "paced")
+    spark.range(40).withColumn("p", F.col("id") % 4).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema("id long, p long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paced_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 4
+    got = sorted(r.id for r in spark.table("paced_out").collect())
+    assert got == list(range(40))

@@ -70,3 +70,24 @@ def test_python_udtf_lateral_join(spark):
         for i in range(max(len(t) - 4, 0))
     }
     assert {(r.doc_id, r.pos, r.shingle) for r in rows} == want and len(want) > 0
+
+
+def test_pandas_on_spark_api_surface(spark):
+    """pyspark.pandas (the pandas API on Spark) runs against the same
+    session and must agree with the SQL aggregate — the third user
+    entry point (DataFrame, SQL, pandas API) the engine exposes."""
+    import pyspark.pandas as ps
+    from pyspark.sql import functions as F
+
+    sdf = spark.range(100).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") * 2).alias("v")
+    )
+    psdf = sdf.pandas_api()
+    got = psdf.groupby("g")["v"].sum().sort_index().to_dict()
+    want = {
+        r.g: r.s
+        for r in sdf.groupBy("g").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == want
+    # roundtrip back to a Spark DataFrame
+    assert psdf.to_spark().count() == 100
