@@ -77,3 +77,34 @@ def test_empty_inputs_round5_ops(spark):
     assert exact_values_at_fracs(empty_vals, "v", [0.5]) == {}
     assert with_global_rank(empty_vals, "v", "k").count() == 0
     assert with_ntile(empty_vals, 4, "v", "k", "t").count() == 0
+
+
+def test_empty_inputs_second_session_ops(spark):
+    """Round-5 second-session operators on empty relations."""
+    from scip_spark.advanced_queries import interval_self_overlap
+    from scip_spark.functions.dedup import setsim_prefix_join
+    from scip_spark.functions.text import phrase_match_positions
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert setsim_prefix_join(docs, threshold=0.8).count() == 0
+    assert (
+        docs.select(phrase_match_positions("text", "a b c").alias("p")).count() == 0
+    )
+    iv = spark.createDataFrame([], "k long, id long, s long, e long")
+    assert interval_self_overlap(iv, "k", "s", "e", "id").count() == 0
+
+    # zero-token documents through setsim and phrase matching
+    blank = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real tokens here")],
+        ["doc_id", "text"],
+    )
+    assert setsim_prefix_join(blank, threshold=0.5).count() == 0
+    got = {
+        r.doc_id: r.p
+        for r in blank.select(
+            "doc_id", phrase_match_positions("text", "real tokens").alias("p")
+        ).collect()
+    }
+    assert got == {1: [], 2: [], 3: [1]}
