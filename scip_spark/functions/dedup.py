@@ -586,3 +586,70 @@ def setsim_prefix_join(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC set-containment self-join: directed pairs (a, b),
+    a != b, with |A∩B| / |A| >= threshold — the copy-paste-inclusion
+    detector. Symmetric Jaccard's length filter (min >= t*max) MISSES a
+    short document pasted into a long one; containment is the right
+    semantics for sub-document duplication.
+
+    Prefix filter (exact): if containment >= t then A has at most
+    n_a - ceil(t*n_a) tokens outside B, so among A's
+    ``n_a - floor(t*n_a) + 1`` rarest tokens (floor: one longer than
+    needed, float-rounding-safe) at least one is in B. Only A is
+    prefix-pruned — the matching token can sit anywhere in B, so B
+    contributes its full posting list (the inverted index); rarest-first
+    ordering keeps A-prefix tokens low-df, which bounds candidates by
+    the POSTING LENGTH OF RARE TOKENS, not corpus size. Length filter:
+    inter <= n_b forces n_b >= t*n_a. Exact verify on candidates only.
+    At threshold 1.0 the A-prefix is a single token (its rarest)."""
+    eps = 1e-9
+    tok = docs.select(
+        F.col(id_col).alias("sid"), F.explode(tokens(text_col)).alias("token")
+    ).distinct()
+    sizes = tok.groupBy("sid").agg(F.count("*").alias("n_tok"))
+    df_tok = tok.groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window as W
+
+    ranked = (
+        tok.join(df_tok, "token")
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("sid").orderBy("df", "token"))
+        )
+        .join(sizes, "sid")
+    )
+    a = ranked.filter(
+        F.col("rn") <= F.col("n_tok") - F.floor(F.lit(threshold) * F.col("n_tok")) + 1
+    ).select(F.col("sid").alias("id_a"), "token", F.col("n_tok").alias("n_a"))
+    b = tok.join(sizes, "sid").select(
+        F.col("sid").alias("id_b"), "token", F.col("n_tok").alias("n_b")
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("sid").alias("id_a"), "token")
+    tb = tok.select(F.col("sid").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_tok").alias("n_a"))
+    cont = F.col("n_inter").cast("double") / F.col("n_a")
+    return (
+        inter.join(sa, "id_a")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

@@ -570,3 +570,36 @@ def dedup_setsim_join(spark, sf_dir):
     return dedup.setsim_prefix_join(
         tbl(spark, sf_dir, "documents"), threshold=0.95
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS sid, t.token
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents) d,
+           UNNEST(d.toks) AS t(token)
+    ),
+    sizes AS (SELECT sid, COUNT(*) AS n_tok FROM tok GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.sid <> b.sid
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / sa.n_tok AS containment
+    FROM inter i JOIN sizes sa ON i.id_a = sa.sid
+    WHERE CAST(n_inter AS DOUBLE) / sa.n_tok >= CAST(1.0 AS DOUBLE)
+    """,
+    doc="asymmetric containment self-join (|A∩B|/|A| = 1: A's token "
+    "set fully inside B) — the copy-paste-inclusion case symmetric "
+    "Jaccard's length filter misses; A prefix-pruned to its single "
+    "rarest token, B contributes full postings; oracle = unpruned "
+    "shared-token pair set",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    return dedup.containment_join(
+        tbl(spark, sf_dir, "documents"), threshold=1.0
+    )

@@ -151,3 +151,39 @@ def test_phrase_match_positions(spark):
         ).collect()
     }
     assert got == {1: [1, 4], 2: [], 3: [2], 4: [2], 5: [], 6: [4]}
+
+
+def test_containment_join_matches_bruteforce(spark):
+    """Asymmetric containment: A-prefix pruning must keep exactly the
+    brute-force pairs — including a SHORT doc inside a LONG one, the
+    case symmetric Jaccard's length filter rejects."""
+    from itertools import permutations
+
+    from scip_spark.functions.dedup import containment_join
+
+    corpus = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma",                      # fully inside 1
+        3: "alpha beta gamma delta extra",          # 4/5 inside 1
+        4: "unrelated words entirely different",
+        5: "alpha beta gamma",                      # dup of 2 (mutual)
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], ["doc_id", "text"]
+    )
+    t = 0.8
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_join(docs, threshold=t).collect()
+    }
+    sets = {k: set(v.split()) for k, v in corpus.items()}
+    want = {}
+    for a, b in permutations(sorted(corpus), 2):
+        c = len(sets[a] & sets[b]) / len(sets[a])
+        if c >= t:
+            want[(a, b)] = c
+    assert got == want
+    assert (2, 1) in got and got[(2, 1)] == 1.0   # short inside long
+    assert (1, 2) not in got                       # asymmetric
+    assert (2, 5) in got and (5, 2) in got         # mutual duplicates
+    assert (3, 1) in got and got[(3, 1)] == 0.8
