@@ -544,3 +544,33 @@ def vocab_novelty_by_batch(spark, sf_dir):
             .alias("n_new_tokens"),
         )
     )
+
+
+@register(
+    "model_quality_scores",
+    """
+    SELECT doc_id,
+           CAST(((length(text) * 31
+                  + len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) * 7)
+                 % 1000) AS DOUBLE) / 1000.0 AS model_score,
+           ((length(text) * 31
+             + len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) * 7)
+            % 1000) / 1000.0 >= CAST(0.5 AS DOUBLE) AS keep
+    FROM documents
+    """,
+    doc="model-based quality filtering: batched mapInPandas scoring "
+    "with a per-worker model cache (the classifier/LLM-judge seam — "
+    "injectable model, CellPose-style); the default deterministic "
+    "reference scorer is closed-form so the oracle replicates it "
+    "bit-exactly, proving the batching/schema path end-to-end",
+)
+def model_quality_scores(spark, sf_dir):
+    from scip_spark.functions.scoring import score_documents
+
+    docs = tbl(spark, sf_dir, "documents")
+    scored = score_documents(docs)
+    return scored.select(
+        "doc_id",
+        "model_score",
+        (F.col("model_score") >= 0.5).alias("keep"),
+    )

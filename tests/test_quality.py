@@ -89,3 +89,37 @@ def test_repetition_fracs_bounded_on_corpus(spark):
 def test_contamination_plan_broadcasts_benchmark(spark):
     plan = contamination_ngram(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_score_documents_injectable_model_and_cache(spark):
+    """The scoring seam: a custom model factory is called at most once
+    per python worker (cached), batching covers every row exactly once,
+    and scores land row-aligned."""
+    from scip_spark.functions.scoring import score_documents
+
+    rows = [(i, f"doc number {i} " + "pad " * (i % 7)) for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def factory():
+        def model(texts):
+            return [float(len(t)) for t in texts]
+
+        return model
+
+    out = score_documents(
+        docs, model_factory=factory, model_name="len-model", batch_size=8
+    )
+    got = {r.doc_id: r.model_score for r in out.collect()}
+    want = {i: float(len(t)) for i, t in rows}
+    assert got == want
+
+
+def test_score_documents_null_text(spark):
+    from scip_spark.functions.scoring import score_documents
+
+    docs = spark.createDataFrame([(1, None), (2, "ab")], ["doc_id", "text"])
+    got = {r.doc_id: r.model_score for r in score_documents(
+        docs, model_factory=lambda: (lambda ts: [float(len(t)) for t in ts]),
+        model_name="len-model-2",
+    ).collect()}
+    assert got == {1: 0.0, 2: 2.0}  # null text scores as empty, never crashes
