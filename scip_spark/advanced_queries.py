@@ -1453,3 +1453,40 @@ def bot_burst_users(spark, sf_dir):
             (F.max("burst") >= 5).alias("flagged"),
         )
     )
+
+
+@register(
+    "audio_window_plan",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CAST(n_chars AS DOUBLE) / 100 AS dur
+      FROM documents
+    ),
+    w AS (
+      SELECT media_id, dur,
+             CASE WHEN dur > 0
+                  THEN greatest(CAST(ceil((dur - 5.0) / 5.0) AS INT) + 1, 1)
+                  ELSE 0 END AS n_win
+      FROM media
+    )
+    SELECT media_id,
+           CAST(u.i AS INT) AS window_idx,
+           u.i * 5.0 AS start_s,
+           least(u.i * 5.0 + 5.0, dur) AS end_s
+    FROM w, UNNEST(generate_series(0, n_win - 1)) AS u(i)
+    WHERE n_win > 0
+    """,
+    doc="multimodal segmentation plan: fixed 5 s training windows per "
+    "audio/video item from duration metadata (synthesized here as "
+    "n_chars/100 s) — the window plan FEEDS the decoder, so it runs "
+    "decode-free as a zero-shuffle explode",
+)
+def audio_window_plan(spark, sf_dir):
+    from scip_spark.functions.multimodal import audio_windows
+
+    media = tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars").cast("double") / 100).alias("meta_duration_s"),
+    )
+    return audio_windows(media, window_s=5.0, stride_s=5.0)

@@ -99,3 +99,45 @@ def frame_sample(df: DataFrame, every_s: float = 1.0) -> DataFrame:
     return df.withColumn(
         "frame_ts", F.explode(F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_s))
     )
+
+
+def audio_windows(
+    media: DataFrame,
+    window_s: float = 5.0,
+    stride_s: float = 5.0,
+    duration_col: str = "meta_duration_s",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Fixed-duration training windows over audio/video items from
+    their DURATION METADATA — the segmentation plan a speech/AV
+    pipeline computes before any decode (windows feed the decoder, not
+    the other way round). Pure column algebra: a per-row sequence of
+    window starts exploded to (id, window_idx, start_s, end_s), end
+    clipped to the item duration, zero-duration items dropped. Zero
+    shuffle at any corpus size."""
+    n_win = F.when(
+        F.col(duration_col) > 0,
+        F.greatest(
+            F.ceil((F.col(duration_col) - window_s) / stride_s).cast("int") + 1,
+            F.lit(1),
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        media.withColumn("__aw_n", n_win)
+        .filter(F.col("__aw_n") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.sequence(F.lit(0), F.col("__aw_n") - 1)).alias(
+                "window_idx", "__aw_i"
+            ),
+            F.col(duration_col),
+        )
+        .select(
+            id_col,
+            "window_idx",
+            (F.col("window_idx") * stride_s).alias("start_s"),
+            F.least(
+                F.col("window_idx") * stride_s + window_s, F.col(duration_col)
+            ).alias("end_s"),
+        )
+    )

@@ -236,3 +236,31 @@ def test_boilerplate_scrub_zero_token_doc_still_emits(spark):
     for d in (2, 3):
         assert out[d].n_kept == 0 and out[d].n_removed == 0
         assert out[d].clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_audio_windows_edges(spark):
+    """Window plan edge cases: exact multiple, sub-window item, zero
+    duration, stride < window (overlap)."""
+    from scip_spark.functions.multimodal import audio_windows
+
+    media = spark.createDataFrame(
+        [(1, 10.0), (2, 3.0), (3, 0.0), (4, 12.5)],
+        ["media_id", "meta_duration_s"],
+    )
+    got = {
+        (r.media_id, r.window_idx): (r.start_s, r.end_s)
+        for r in audio_windows(media, window_s=5.0, stride_s=5.0).collect()
+    }
+    assert got == {
+        (1, 0): (0.0, 5.0), (1, 1): (5.0, 10.0),
+        (2, 0): (0.0, 3.0),
+        (4, 0): (0.0, 5.0), (4, 1): (5.0, 10.0), (4, 2): (10.0, 12.5),
+    }
+    # overlapping windows: stride 2.5 over 10 s -> starts 0,2.5,5,7.5(partial? (10-5)/2.5+1=3 -> 0,2.5,5)
+    ov = audio_windows(
+        spark.createDataFrame([(1, 10.0)], ["media_id", "meta_duration_s"]),
+        window_s=5.0, stride_s=2.5,
+    ).collect()
+    assert [(r.start_s, r.end_s) for r in sorted(ov, key=lambda r: r.window_idx)] == [
+        (0.0, 5.0), (2.5, 7.5), (5.0, 10.0)
+    ]
