@@ -1418,7 +1418,7 @@ def ab_test_conversion(spark, sf_dir):
     "bot_burst_users",
     """
     WITH e AS (
-      SELECT user_id, epoch(ts) AS sec FROM events
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
     ),
     w AS (
       SELECT user_id,
@@ -1435,7 +1435,10 @@ def ab_test_conversion(spark, sf_dir):
     """,
     doc="rate-limit/bot detection: max events inside any rolling "
     "60-second window per user (range frame over epoch seconds; "
-    "user-partitioned, bounded state)",
+    "user-partitioned, bounded state). Both engines floor ts to WHOLE "
+    "seconds — Spark's unix_timestamp truncates, DuckDB's epoch() "
+    "keeps fractional seconds, and a range frame over mismatched "
+    "grids would disagree on boundary events",
 )
 def bot_burst_users(spark, sf_dir):
     ev = tbl(spark, sf_dir, "events")
