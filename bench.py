@@ -57,6 +57,11 @@ HEADLINE = [
     "winsorized_pricing",
     "phrase_search_docs",
     "interval_overlap_orders",
+    "model_quality_scores",
+    "gapfill_monthly_revenue",
+    "frequent_item_pairs",
+    "sliding_distinct_users",
+    "pit_join_lineitem_scd2",
 ]
 
 # queries that showed >10% round-over-round drift with unchanged code
