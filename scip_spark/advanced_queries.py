@@ -1136,12 +1136,22 @@ def interval_self_overlap(iv, key_col, start_col, end_col, id_col):
     max, not lag — a long interval may dominate several short followers);
     it overlaps a LATER one iff the next row's start (= min start among
     followers, rows are start-sorted) is <= its end. Equal starts are
-    handled by the same tests. Adds boolean ``has_overlap``."""
+    handled by the same tests. Adds boolean ``has_overlap``.
+
+    Degenerate rows (end < start = an empty interval) overlap NOTHING
+    under the closed-interval definition (b.s <= b.e fails inside
+    a.s <= b.e AND b.s <= a.e for every partner) — they are excluded
+    from the sweep and emitted with has_overlap = false, matching the
+    quadratic EXISTS oracle."""
+    valid = F.col(end_col) >= F.col(start_col)
+    iv_ok = iv.filter(valid)
     w = W.partitionBy(key_col).orderBy(start_col, id_col)
     prev_max_end = F.max(end_col).over(w.rowsBetween(W.unboundedPreceding, -1))
     next_start = F.lead(start_col).over(w)
     has = (F.col(start_col) <= prev_max_end) | (next_start <= F.col(end_col))
-    return iv.withColumn("has_overlap", F.coalesce(has, F.lit(False)))
+    flagged = iv_ok.withColumn("has_overlap", F.coalesce(has, F.lit(False)))
+    degenerate = iv.filter(~valid).withColumn("has_overlap", F.lit(False))
+    return flagged.unionByName(degenerate)
 
 
 # ---------------------------------------------------------------------------

@@ -116,10 +116,17 @@ def with_global_rank(
     # task would not fit a task's memory (~1e10 distinct at the
     # defaults). Ranks are EXACT at any fan (asserted by tests that run
     # fan=1 and fan=8 against the same single-partition oracle).
+    if fan < 1:
+        raise ValueError(f"with_global_rank: fan must be >= 1, got {fan}")
+    if n_buckets < 2:
+        raise ValueError(
+            f"with_global_rank: n_buckets must be >= 2, got {n_buckets} "
+            "(the coarse probe needs at least one boundary)"
+        )
     nf = n_buckets * fan
     probs = [i / nf for i in range(1, nf)]
     # accuracy only shapes bucket BALANCE, never rank correctness: any
-    # boundary placement yields exact ranks. 4*nf keeps adjacent GK
+    # boundary placement yields exact ranks. 2*nf keeps adjacent GK
     # boundaries mostly distinct; collisions just merge fine buckets
     bounds = d.agg(
         F.percentile_approx("__gr_vd", probs, max(1000, 2 * nf)).alias("__gr_vbs"),

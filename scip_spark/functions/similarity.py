@@ -453,6 +453,38 @@ def kmeans_fit(
     return cents, assigned.drop("e"), inertia_hist
 
 
+def _shortlist_and_rerank(
+    approx, queries, candidates, k, rerank, id_col="vec_id", emb_col="embedding"
+):
+    """Shared PQ-family tail: take the top ``rerank`` candidates per
+    query by ``approx_sim`` (deterministic c_id tie-break), fetch raw
+    vectors for the shortlist ONLY (one keyed join — the scan stage
+    never carries vectors), re-rank by exact cosine, keep top ``k``."""
+    w = W.partitionBy("q_id").orderBy(F.desc("approx_sim"), F.asc("c_id"))
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= rerank)
+        .select("q_id", "c_id")
+    )
+    qemb = queries.select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).cast("array<double>").alias("q_emb")
+    )
+    cemb = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(emb_col).cast("array<double>").alias("c_emb")
+    )
+    exact = (
+        shortlist.join(cemb, "c_id")
+        .join(F.broadcast(qemb), "q_id")
+        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "sim")
+    )
+
+
 def pq_fit(df, m: int = 4, ksub: int = 16, emb_col: str = "embedding", iters: int = 8):
     """Product-quantization codebooks (Jégou et al. 2011): split the
     (L2-normalized) vector into ``m`` subvectors and run an L2 Lloyd
@@ -563,29 +595,7 @@ def pq_topk(
             ),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("approx_sim"), F.asc("c_id"))
-    shortlist = (
-        approx.withColumn("arank", F.row_number().over(w))
-        .filter(F.col("arank") <= rerank)
-        .select("q_id", "c_id")
-    )
-    qemb = queries.select(
-        F.col(id_col).alias("q_id"), F.col(emb_col).cast("array<double>").alias("q_emb")
-    )
-    cemb = candidates.select(
-        F.col(id_col).alias("c_id"), F.col(emb_col).cast("array<double>").alias("c_emb")
-    )
-    exact = (
-        shortlist.join(cemb, "c_id")  # rerank*|queries| rows fetch vectors
-        .join(F.broadcast(qemb), "q_id")
-        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
-    )
-    w2 = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "rank", "sim")
-    )
+    return _shortlist_and_rerank(approx, queries, candidates, k, rerank, id_col, emb_col)
 
 
 def ivfpq_topk(
@@ -664,29 +674,7 @@ def ivfpq_topk(
         .groupBy("q_id", "c_id")
         .agg(F.max("approx_sim").alias("approx_sim"))  # dedupe multi-probe hits
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("approx_sim"), F.asc("c_id"))
-    shortlist = (
-        approx.withColumn("arank", F.row_number().over(w))
-        .filter(F.col("arank") <= rerank)
-        .select("q_id", "c_id")
-    )
-    qemb = queries.select(
-        F.col(id_col).alias("q_id"), F.col(emb_col).cast("array<double>").alias("q_emb")
-    )
-    cemb = candidates.select(
-        F.col(id_col).alias("c_id"), F.col(emb_col).cast("array<double>").alias("c_emb")
-    )
-    exact = (
-        shortlist.join(cemb, "c_id")
-        .join(F.broadcast(qemb), "q_id")
-        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
-    )
-    w2 = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "rank", "sim")
-    )
+    return _shortlist_and_rerank(approx, queries, candidates, k, rerank, id_col, emb_col)
 
 
 def pq_fit_residual(df, centroids, m: int = 4, ksub: int = 16, emb_col: str = "embedding", iters: int = 8):
@@ -737,9 +725,7 @@ def pq_fit_residual(df, centroids, m: int = 4, ksub: int = 16, emb_col: str = "e
     return codebooks, anchors
 
 
-def pq_encode_residual(
-    df, codebooks, anchors, id_col: str = "vec_id", emb_col: str = "embedding"
-):
+def pq_encode_residual(df, codebooks, anchors, emb_col: str = "embedding"):
     """Attach ``pq_codes`` for the RESIDUAL r = x_norm - anchor of the
     row's ``ivf_list`` (column must exist — callers run ``ivf_assign``
     first). One numpy pass per Arrow batch; assignment and encoding
@@ -815,7 +801,7 @@ def ivfpq_residual_topk(
     )
 
     enc = pq_encode_residual(
-        ivf_assign(candidates, centroids, id_col, emb_col), cb, an, id_col, emb_col
+        ivf_assign(candidates, centroids, id_col, emb_col), cb, an, emb_col
     ).select(F.col(id_col).alias("c_id"), "ivf_list", "pq_codes")
     approx = (
         enc.join(F.broadcast(q), "ivf_list")
@@ -836,29 +822,7 @@ def ivfpq_residual_topk(
         .groupBy("q_id", "c_id")
         .agg(F.max("approx_sim").alias("approx_sim"))
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("approx_sim"), F.asc("c_id"))
-    shortlist = (
-        approx.withColumn("arank", F.row_number().over(w))
-        .filter(F.col("arank") <= rerank)
-        .select("q_id", "c_id")
-    )
-    qemb = queries.select(
-        F.col(id_col).alias("q_id"), F.col(emb_col).cast("array<double>").alias("q_emb")
-    )
-    cemb = candidates.select(
-        F.col(id_col).alias("c_id"), F.col(emb_col).cast("array<double>").alias("c_emb")
-    )
-    exact = (
-        shortlist.join(cemb, "c_id")
-        .join(F.broadcast(qemb), "q_id")
-        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"))
-    )
-    w2 = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "rank", "sim")
-    )
+    return _shortlist_and_rerank(approx, queries, candidates, k, rerank, id_col, emb_col)
 
 
 def opq_fit(df, m: int = 4, ksub: int = 16, emb_col: str = "embedding", iters: int = 10):
@@ -885,12 +849,17 @@ def opq_fit(df, m: int = 4, ksub: int = 16, emb_col: str = "embedding", iters: i
     dsub = dim // m
     R = np.eye(dim)
 
-    def fit_encode(Y):
+    def fit_encode(Y, init=None):
+        # warm-start Lloyd from the previous codebooks: each alternation
+        # step (codebook refit, then Procrustes) is then an exact or
+        # descending move on the SAME objective ||Y - rec||^2, which is
+        # what makes the monotone / never-worse-than-PQ guarantee an
+        # algorithmic property rather than a data-dependent accident
         cbs = np.zeros((m, ksub, dsub))
         rec = np.zeros_like(Y)
         for j in range(m):
             Yj = Y[:, j * dsub : (j + 1) * dsub]
-            cents = Yj[:ksub].copy()
+            cents = (init[j].copy() if init is not None else Yj[:ksub].copy())
             for _ in range(4):
                 d2 = ((Yj[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
                 a = np.argmin(d2, axis=1)
@@ -909,7 +878,7 @@ def opq_fit(df, m: int = 4, ksub: int = 16, emb_col: str = "embedding", iters: i
         # Procrustes: argmin_R ||X R - rec||_F over orthogonal R
         U, _s, Vt = np.linalg.svd(X.T @ rec)
         R = U @ Vt
-        codebooks, rec = fit_encode(X @ R)
+        codebooks, rec = fit_encode(X @ R, init=codebooks)
     return R, codebooks
 
 

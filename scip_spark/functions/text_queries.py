@@ -550,11 +550,13 @@ def vocab_novelty_by_batch(spark, sf_dir):
     "model_quality_scores",
     """
     SELECT doc_id,
-           CAST(((length(text) * 31
-                  + len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) * 7)
+           CAST(((length(COALESCE(text, '')) * 31
+                  + len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                                    x -> x <> '')) * 7)
                  % 1000) AS DOUBLE) / 1000.0 AS model_score,
-           ((length(text) * 31
-             + len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) * 7)
+           ((length(COALESCE(text, '')) * 31
+             + len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                               x -> x <> '')) * 7)
             % 1000) / 1000.0 >= CAST(0.5 AS DOUBLE) AS keep
     FROM documents
     """,

@@ -132,6 +132,9 @@ def test_interval_self_overlap_sweep_equals_bruteforce(spark):
         ("disjoint", 1, 0, 10), ("disjoint", 2, 20, 30), ("disjoint", 3, 40, 50),
         # touching endpoints: closed intervals DO overlap at the boundary
         ("touch", 1, 0, 10), ("touch", 2, 10, 20),
+        # degenerate (end < start) = empty interval: overlaps NOTHING,
+        # and must not poison its neighbors' running max
+        ("degen", 1, 0, 10), ("degen", 2, 5, -1), ("degen", 3, 8, 20),
     ]
     df = spark.createDataFrame(rows, ["k", "id", "s", "e"])
     got = {
@@ -147,6 +150,8 @@ def test_interval_self_overlap_sweep_equals_bruteforce(spark):
             want[(k, i)] = any(
                 s <= e2 and s2 <= e for j, s2, e2 in ivs if j != i
             )
+    assert want[("degen", 2)] is False  # the empty interval itself
+    assert want[("degen", 1)] is True and want[("degen", 3)] is True
     assert got == want
     assert want[("dominate", 3)] is True  # the running-max case
     assert want[("touch", 1)] is True
