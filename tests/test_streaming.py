@@ -733,3 +733,52 @@ def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
     got_sh = {tuple(r) for r in spark.table("sh_index_stream").collect()}
     want_sh = {tuple(r) for r in simhash_table(docs).collect()}
     assert got_sh == want_sh
+
+
+def test_streaming_ab_test_matches_batch(spark, tmp_path):
+    """The A/B readout's per-user conversion state is a streaming
+    aggregation (purchase counts merge across micro-batches); the
+    variant rollup + z statistic finisher over the streamed state must
+    equal the batch query bit-for-bit."""
+    import scip_spark.entry_queries  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.corpus import hash_bucket
+    from scip_spark.queries import REGISTRY, load_events
+
+    src = str(tmp_path / "events_ab")
+    ev = load_events(spark, SF)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    per_user = stream.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np")
+    )
+    run_to_memory(per_user, "ab_user_stream", mode="complete")
+    mem = spark.table("ab_user_stream")
+    u = spark.createDataFrame(mem.toPandas(), schema=mem.schema).select(
+        hash_bucket(F.col("user_id"), "ab-v1", 2).alias("variant"),
+        (F.col("np") >= 15).cast("int").alias("converted"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    s = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(
+        pp * (1 - pp)
+        * (F.lit(1).cast("double") / F.col("n0") + F.lit(1).cast("double") / F.col("n1"))
+    )
+    got = s.select("n0", "c0", "n1", "c1", z.alias("z_stat")).collect()[0]
+    want = REGISTRY["ab_test_conversion"].fn(spark, SF).collect()[0]
+    assert tuple(got) == tuple(want)
