@@ -1503,3 +1503,36 @@ def audio_window_plan(spark, sf_dir):
         (F.col("n_chars").cast("double") / 100).alias("meta_duration_s"),
     )
     return audio_windows(media, window_s=5.0, stride_s=5.0)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4's binary semi-structured
+# type): parse_json ONCE into a variant, then typed path extraction —
+# the shredded layout that replaces per-field get_json_object re-parses
+# (json_extract_events covers the string-path twin). DuckDB's JSON
+# extraction oracles the same values.
+# ---------------------------------------------------------------------------
+@register(
+    "variant_extract_events",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(props->>'$.k') AS BIGINT) AS k_present
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="VARIANT semi-structured extraction (Spark 4 parse_json + "
+    "try_variant_get typed paths — one parse per row, not one per "
+    "field); DuckDB JSON-path oracle",
+)
+def variant_extract_events(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type", F.try_variant_get(F.col("p"), "$.k", "bigint").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("k_sum"),
+        F.count("k").cast("long").alias("k_present"),
+    )

@@ -267,3 +267,24 @@ def test_boilerplate_scrub_text_shuffles_once(spark):
     exchanges = re.findall(r"\(\d+\) Exchange\n(?:.*\n){0,4}", plan)
     with_text = [e for e in exchanges if "text" in e]
     assert len(with_text) <= 1, plan
+
+
+def test_join_hints_control_strategy(spark):
+    """SQL join hints steer the physical strategy: BROADCAST forces a
+    BroadcastHashJoin even on the big side, MERGE forces SortMergeJoin
+    even under the auto-broadcast threshold — the operator-level
+    control a tuned 100 TB job reaches for when statistics mislead."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust.createOrReplaceTempView("hint_cust")
+    orders.createOrReplaceTempView("hint_orders")
+    bcast = spark.sql(
+        """SELECT /*+ BROADCAST(hint_orders) */ c_custkey, o_orderkey
+           FROM hint_cust JOIN hint_orders ON c_custkey = o_custkey"""
+    )
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    merge = spark.sql(
+        """SELECT /*+ MERGE(hint_orders) */ c_custkey, o_orderkey
+           FROM hint_cust JOIN hint_orders ON c_custkey = o_custkey"""
+    )
+    assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
