@@ -576,3 +576,72 @@ def model_quality_scores(spark, sf_dir):
         "model_score",
         (F.col("model_score") >= 0.5).alias("keep"),
     )
+
+
+_RRF_K = 60
+
+
+def _hybrid_sql() -> str:
+    from scip_spark.functions.similarity_queries import _DOT, _NORM
+
+    dot = _DOT.format(a="c.emb", b="q.qe")
+    nc = _NORM.format(a="c.emb")
+    nq = _NORM.format(a="q.qe")
+    return f"""
+    WITH sparse AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_s
+      FROM ({_bm25_sql(20)})
+    ),
+    dense AS (
+      SELECT c_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, c_id) AS rank_d
+      FROM (
+        SELECT c.vec_id AS c_id, {dot} / ({nq} * {nc}) AS sim
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) c,
+             (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE c.vec_id <> 0
+        ORDER BY sim DESC, c_id LIMIT 20
+      )
+    )
+    SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+           COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + s.rank_s), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + d.rank_d), 0) AS rrf
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    _hybrid_sql(),
+    doc="hybrid retrieval: BM25 top-20 (sparse) + exact-cosine top-20 "
+    "against doc 0's embedding (dense, doc_id aligned with vec_id in "
+    "the synthetic tables) fused by reciprocal-rank fusion "
+    "1/(60+rank) — the modern two-tower retrieval pattern; every "
+    "rank is integer and the fusion is a fixed-order double chain, "
+    "so the oracle reproduces it bit-exactly",
+)
+def hybrid_search_rrf(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from scip_spark.functions.similarity import brute_force_topk
+
+    sparse = bm25_topk(spark, sf_dir, k=20).withColumn(
+        "rank_s",
+        F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))),
+    ).select("doc_id", "rank_s")
+    emb = tbl(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(F.col("c_id").alias("doc_id"), F.col("rank").alias("rank_d"))
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1).cast("double") / (_RRF_K + F.col("rank_s")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1).cast("double") / (_RRF_K + F.col("rank_d")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

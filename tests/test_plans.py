@@ -199,6 +199,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # HLL day-partial merge: calendar-range window over the per-day
     # sketch relation (calendar-bounded, not data-scale)
     "sliding_distinct_users",
+    # RRF rank over the 20-row post-LIMIT BM25 result (bounded by k)
+    "hybrid_search_rrf",
 }
 
 

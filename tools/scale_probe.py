@@ -99,8 +99,10 @@ OPS = ["dedup_minhash_signatures", "dedup_simhash", "quality_repetition",
        "sessionize_events", "funnel_conversion", "rfm_segmentation",
        "running_sum_per_customer", "time_to_conversion",
        "attribution_touchpoints",
-       # round-5 additions: both map-side/partitioned constructions
-       "phrase_search_docs", "interval_overlap_orders"]
+       # round-5 additions: map-side/partitioned constructions
+       "phrase_search_docs", "interval_overlap_orders",
+       "model_quality_scores", "feature_hash_docs", "ab_test_conversion",
+       "vocab_novelty_by_batch"]
 
 
 def time_op(spark, fn, sf_dir: str) -> float:
