@@ -603,3 +603,102 @@ def dedup_containment_pairs(spark, sf_dir):
     return dedup.containment_join(
         tbl(spark, sf_dir, "documents"), threshold=1.0
     )
+
+
+@register(
+    "contrastive_negatives",
+    f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    probes AS (
+      SELECT d.doc_id AS anchor, u.j AS probe_idx,
+             (d.doc_id
+              + CAST(('0x' || substr(md5('cneg-v1|' || CAST(d.doc_id AS VARCHAR)
+                                          || '|' || CAST(u.j AS VARCHAR)), 1, 12))
+                     AS BIGINT) % (n.n - 1) + 1) % n.n AS cand
+      FROM documents d, n, UNNEST(generate_series(0, 7)) AS u(j)
+    ),
+    valid AS (
+      SELECT p.anchor, p.probe_idx, p.cand
+      FROM probes p JOIN documents c ON c.doc_id = p.cand
+    ),
+    pairs AS ({_lsh_pairs_sql()}),
+    survivors AS (
+      SELECT v.anchor, v.probe_idx, v.cand
+      FROM valid v
+      LEFT JOIN pairs pr
+        ON pr.id_a = least(v.anchor, v.cand)
+       AND pr.id_b = greatest(v.anchor, v.cand)
+      WHERE pr.id_a IS NULL
+    )
+    SELECT anchor, cand AS negative_id, CAST(probe_idx AS INT) AS probe_idx
+    FROM (
+      SELECT anchor, cand, probe_idx,
+             ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY probe_idx) AS rn
+      FROM survivors
+    ) WHERE rn <= 4
+    """,
+    doc="contrastive negative sampling: 8 deterministic arithmetic "
+    "probes per anchor ((id + md5-step) mod N — no all-pairs, no "
+    "global shuffle beyond the near-dup anti-join), MinHash-LSH "
+    "candidate pairs excluded so near-duplicates never become "
+    "negatives, first 4 survivors kept per anchor — the batch-negative "
+    "construction a contrastive-embedding trainer consumes",
+)
+def contrastive_negatives(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    docs = tbl(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").cast("long").alias("n"))
+    js = F.broadcast(
+        docs.sparkSession.range(8).select(F.col("id").cast("int").alias("probe_idx"))
+    )
+    step = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("cneg-v1"),
+                        F.col("doc_id").cast("string"),
+                        F.col("probe_idx").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("n") - 1)
+        + 1
+    )
+    probes = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(js)
+        .select(
+            F.col("doc_id").alias("anchor"),
+            "probe_idx",
+            ((F.col("doc_id") + step) % F.col("n")).alias("cand"),
+        )
+    )
+    valid = probes.join(
+        docs.select(F.col("doc_id").alias("cand")), "cand"
+    )
+    pairs = dedup.lsh_candidate_pairs(docs).select(
+        F.col("id_a").alias("p_a"), F.col("id_b").alias("p_b")
+    )
+    survivors = valid.join(
+        pairs,
+        (F.least("anchor", "cand") == F.col("p_a"))
+        & (F.greatest("anchor", "cand") == F.col("p_b")),
+        "left_anti",
+    )
+    w = W.partitionBy("anchor").orderBy("probe_idx")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select(
+            "anchor", F.col("cand").alias("negative_id"), F.col("probe_idx").cast("int").alias("probe_idx")
+        )
+    )
