@@ -645,3 +645,46 @@ def hybrid_search_rrf(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "bigram_merge_candidates",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i] AS left_tok, t[i + 1] AS right_tok
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    )
+    SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bigrams
+    GROUP BY left_tok, right_tok
+    ORDER BY n DESC, left_tok, right_tok
+    LIMIT 10
+    """,
+    doc="BPE-style merge-candidate statistics: the most frequent "
+    "ADJACENT token pairs across the corpus — the counting step of one "
+    "tokenizer-training merge iteration (word-level granularity), as a "
+    "zero-join explode + one aggregation with a deterministic "
+    "(n desc, pair) top-k",
+)
+def bigram_merge_candidates(spark, sf_dir):
+    from scip_spark.functions.dedup import shingles
+
+    docs = tbl(spark, sf_dir, "documents")
+    bi = docs.select(F.explode(shingles("text", 2)).alias("bg")).select(
+        F.split("bg", " ").alias("p")
+    )
+    return (
+        bi.select(
+            F.element_at("p", 1).alias("left_tok"),
+            F.element_at("p", 2).alias("right_tok"),
+        )
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("left_tok"), F.asc("right_tok"))
+        .limit(10)
+    )
