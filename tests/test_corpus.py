@@ -264,3 +264,69 @@ def test_audio_windows_edges(spark):
     assert [(r.start_s, r.end_s) for r in sorted(ov, key=lambda r: r.window_idx)] == [
         (0.0, 5.0), (2.5, 7.5), (5.0, 10.0)
     ]
+
+
+def _reference_bpe(word_freqs, n_merges):
+    """Pure-Python BPE (Sennrich 2016) over a word-frequency dict —
+    the single-node truth the distributed trainer must reproduce."""
+    END = "</w>"
+    table = {w: (list(w) + [END], f) for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for seq, f in table.values():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        top = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if top[1] < 2:
+            break
+        (l, r), _n = top
+        merges.append((l, r))
+        for w, (seq, f) in table.items():
+            res, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            table[w] = (res, f)
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer (one corpus scan + iterations over the
+    compressed word table) must learn the exact merge list the
+    single-node reference derives, including tie-breaks."""
+    from scip_spark.functions.bpe import bpe_encode, bpe_train, word_freq_table
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    wf = {
+        r.w: r.freq for r in word_freq_table(docs).collect()
+    }
+    want = _reference_bpe(wf, n_merges=8)
+    got = bpe_train(docs, n_merges=8)
+    assert got == want and len(got) == 8
+    # the learned merges actually compress: frequent word becomes 1 unit
+    enc = bpe_encode("newest", got)
+    assert len(enc) < len("newest") + 1
+
+
+def test_bpe_train_stops_when_no_pair_repeats(spark):
+    from scip_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, "ab cd ef")], ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=20)
+    # every pair occurs once; min-support 2 stops the loop immediately
+    assert merges == []
