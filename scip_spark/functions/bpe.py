@@ -75,10 +75,16 @@ def bpe_train(
 
     Per iteration: one groupBy over the word table's adjacent symbol
     pairs (freq-weighted), a 1-row driver collect for the argmax, and a
-    map-side re-encode. The word table is persisted and replaced each
-    round (bounded lineage via the re-persist)."""
-    cur = word_freq_table(docs, text_col).persist()
-    cur.count()
+    map-side re-encode. Each round's table is localCheckpoint'ed:
+    persist alone would leave a one-UDF-per-merge logical plan growing
+    without bound (30k merges = 30k nested projections), and losing a
+    cached block would recompute the whole chain from the corpus scan.
+    localCheckpoint truncates the plan; its fault-tolerance trade-off
+    (non-recomputable on executor loss) is acceptable for the
+    vocabulary-sized table — set a checkpoint dir and swap to
+    checkpoint() for cluster-grade fault tolerance (same note as
+    dedup.connected_components)."""
+    cur = word_freq_table(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):
@@ -109,8 +115,7 @@ def bpe_train(
             merges.append((left, right))
             nxt = cur.withColumn(
                 "seq", _merge_seq_udf(left, right)(F.col("seq"))
-            ).persist()
-            nxt.count()
+            ).localCheckpoint()
             cur.unpersist()
             cur = nxt
     finally:

@@ -623,12 +623,15 @@ def dedup_containment_pairs(spark, sf_dir):
     ),
     pairs AS ({_lsh_pairs_sql()}),
     survivors AS (
-      SELECT v.anchor, v.probe_idx, v.cand
+      -- dedupe probe collisions on the same candidate (two md5 steps
+      -- can land on one id): keep the earliest probe per (anchor, cand)
+      SELECT v.anchor, MIN(v.probe_idx) AS probe_idx, v.cand
       FROM valid v
       LEFT JOIN pairs pr
         ON pr.id_a = least(v.anchor, v.cand)
        AND pr.id_b = greatest(v.anchor, v.cand)
       WHERE pr.id_a IS NULL
+      GROUP BY v.anchor, v.cand
     )
     SELECT anchor, cand AS negative_id, CAST(probe_idx AS INT) AS probe_idx
     FROM (
@@ -641,7 +644,8 @@ def dedup_containment_pairs(spark, sf_dir):
     "probes per anchor ((id + md5-step) mod N — no all-pairs, no "
     "global shuffle beyond the near-dup anti-join), MinHash-LSH "
     "candidate pairs excluded so near-duplicates never become "
-    "negatives, first 4 survivors kept per anchor — the batch-negative "
+    "negatives, probe collisions deduped, first 4 DISTINCT survivors "
+    "kept per anchor — the batch-negative "
     "construction a contrastive-embedding trainer consumes",
 )
 def contrastive_negatives(spark, sf_dir):
@@ -688,11 +692,16 @@ def contrastive_negatives(spark, sf_dir):
     pairs = dedup.lsh_candidate_pairs(docs).select(
         F.col("id_a").alias("p_a"), F.col("id_b").alias("p_b")
     )
-    survivors = valid.join(
-        pairs,
-        (F.least("anchor", "cand") == F.col("p_a"))
-        & (F.greatest("anchor", "cand") == F.col("p_b")),
-        "left_anti",
+    survivors = (
+        valid.join(
+            pairs,
+            (F.least("anchor", "cand") == F.col("p_a"))
+            & (F.greatest("anchor", "cand") == F.col("p_b")),
+            "left_anti",
+        )
+        # two probes can collide on one candidate — keep the earliest
+        .groupBy("anchor", "cand")
+        .agg(F.min("probe_idx").alias("probe_idx"))
     )
     w = W.partitionBy("anchor").orderBy("probe_idx")
     return (
