@@ -688,3 +688,55 @@ def bigram_merge_candidates(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("left_tok"), F.asc("right_tok"))
         .limit(10)
     )
+
+
+@register(
+    "bpe_compression",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT u.t AS word, COUNT(*) AS freq
+      FROM toks, UNNEST(toks.t) AS u(t) GROUP BY u.t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(SUM(freq * (length(word) + 1)) AS BIGINT) AS units_before,
+           TRUE AS compresses
+    FROM w
+    """,
+    doc="BPE end-to-end: train 8 merges on the word-frequency table "
+    "(driver-looped like kmeans_embeddings — each merge is one groupBy "
+    "over the VOCAB-sized table, the corpus is scanned once), then "
+    "measure corpus token units before/after encoding. n_docs and the "
+    "exact pre-merge unit count are hash-checked; the compression "
+    "invariant (after < before, guaranteed when any merge was learned) "
+    "is the oracle-checkable witness for the data-dependent merge list",
+)
+def bpe_compression(spark, sf_dir):
+    from scip_spark.functions.bpe import bpe_encode, bpe_train, word_freq_table
+
+    docs = tbl(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    wf = word_freq_table(docs)
+    bm = spark.sparkContext.broadcast(merges)
+    import pandas as pd
+
+    # pandas UDF over the VOCAB-sized word table (not the corpus)
+    @F.pandas_udf("int")
+    def enc_len(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: len(bpe_encode(w, bm.value)))
+
+    agg = wf.agg(
+        F.sum(F.col("freq") * (F.length("w") + 1)).cast("long").alias("units_before"),
+        F.sum(F.col("freq") * enc_len("w")).cast("long").alias("units_after"),
+    )
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return agg.crossJoin(F.broadcast(n_docs)).select(
+        "n_docs",
+        "units_before",
+        (
+            (F.col("units_after") < F.col("units_before")) | (F.lit(len(merges)) == 0)
+        ).alias("compresses"),
+    )
