@@ -7,6 +7,7 @@ cannot drift.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from scip_spark.functions.text import (
@@ -721,7 +722,6 @@ def bpe_compression(spark, sf_dir):
     merges = bpe_train(docs, n_merges=8)
     wf = word_freq_table(docs)
     bm = spark.sparkContext.broadcast(merges)
-    import pandas as pd
 
     # pandas UDF over the VOCAB-sized word table (not the corpus)
     @F.pandas_udf("int")
