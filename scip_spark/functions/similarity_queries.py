@@ -588,3 +588,31 @@ def embedding_centroid_drift(spark, sf_dir):
             cosine(F.col("ea"), F.col("eb")).alias("centroid_cosine"),
         )
     )
+
+
+@register(
+    "embedding_doc_consistency",
+    """
+    SELECT d.lang, e.label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+    doc="cross-modal dataset diagnostic: the documents x embeddings "
+    "agreement matrix (language vs embedding cluster label, joined on "
+    "the shared id) — the sanity check a multimodal pipeline runs "
+    "before training on paired data; one key-partitioned join + "
+    "bounded-cardinality rollup",
+)
+def embedding_doc_consistency(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    e = tbl(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
