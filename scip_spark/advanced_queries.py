@@ -1536,3 +1536,96 @@ def variant_extract_events(spark, sf_dir):
         F.sum("k").cast("long").alias("k_sum"),
         F.count("k").cast("long").alias("k_present"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential change detection: one-sided CUSUM over the daily-revenue
+# series. The recurrence S_t = max(0, S_{t-1} + (x_t - target)) cannot
+# be windowed — it is a true sequential scan — but the DAILY relation is
+# calendar-bounded, so folding it as ONE in-memory array (the
+# moving_median / order_seasonality class) is exact and cheap at any
+# corpus size. All arithmetic is integer cents: the fold is
+# bit-identical in any engine.
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_revenue_shift",
+    """
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(rev) // COUNT(*) AS BIGINT) AS target FROM daily
+    ),
+    series AS (
+      SELECT list(day ORDER BY day) AS days, list(rev ORDER BY day) AS revs
+      FROM daily
+    ),
+    folded AS (
+      -- seed the fold with [0] so the FIRST day is clamped like every
+      -- other step (S_1 = max(0, 0 + x_1 - target)); s0[1] is the seed
+      SELECT days,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT)],
+                            list_transform(revs, x -> [x - t.target])),
+               (acc, x) -> list_append(acc, greatest(CAST(0 AS BIGINT),
+                                                     acc[-1] + x[1]))
+             ) AS s0
+      FROM series, t
+    )
+    SELECT days[u.i] AS day,
+           CAST(s0[u.i + 1] AS BIGINT) AS cusum,
+           s0[u.i + 1] > 20 * t.target AS shifted
+    FROM folded, t, UNNEST(generate_series(1, len(days))) AS u(i)
+    """,
+    doc="one-sided CUSUM change detection over daily revenue (exact "
+    "integer-cent recurrence folded over the calendar-bounded series; "
+    "target = integer mean, alarm at 20x target) — sequential scans "
+    "that resist windowing run as per-group array folds",
+)
+def cusum_revenue_shift(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    t = daily.agg(
+        F.expr("CAST(sum(rev) DIV count(*) AS BIGINT)").alias("target")
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("sr")
+    )
+    folded = series.crossJoin(F.broadcast(t)).select(
+        F.col("sr"),
+        "target",
+        F.aggregate(
+            "sr",
+            F.array().cast("array<bigint>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.coalesce(
+                            F.try_element_at(acc, F.lit(-1)),
+                            F.lit(0).cast("bigint"),
+                        )
+                        + (x["rev"] - F.col("target")),
+                    )
+                ),
+            ),
+        ).alias("s"),
+    )
+    return folded.select(
+        "target",
+        F.posexplode(F.col("sr")).alias("i0", "dr"),
+        F.col("s"),
+    ).select(
+        F.col("dr.day").alias("day"),
+        F.element_at("s", F.col("i0") + 1).alias("cusum"),
+        (F.element_at("s", F.col("i0") + 1) > 20 * F.col("target")).alias("shifted"),
+    )
