@@ -711,3 +711,56 @@ def contrastive_negatives(spark, sf_dir):
             "anchor", F.col("cand").alias("negative_id"), F.col("probe_idx").cast("int").alias("probe_idx")
         )
     )
+
+
+def _split_case(key: str) -> str:
+    from scip_spark.functions.corpus_queries import _BUCKET
+
+    b = _BUCKET.format(seed="split-v1", key=key)
+    return (
+        f"CASE WHEN {b} < 9800 THEN 'train' "
+        f"WHEN {b} < 9900 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+    WITH pairs AS ({_lsh_pairs_sql()}),
+    assigned AS (
+      SELECT p.id_a, p.id_b,
+             {_split_case('p.id_a')} AS split_a,
+             {_split_case('p.id_b')} AS split_b
+      FROM pairs p
+    )
+    SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_leaking
+    FROM assigned
+    WHERE split_a <> split_b
+    GROUP BY split_a, split_b
+    """
+
+
+@register(
+    "split_leakage_pairs",
+    _split_leakage_sql(),
+    doc="train/test leakage audit: MinHash-LSH near-duplicate pairs "
+    "whose members landed in DIFFERENT splits — eval contamination the "
+    "hash split cannot prevent (near-dups hash independently). The "
+    "pair relation is the existing bounded LSH candidate set; split "
+    "assignment is the same pure md5 bucket as corpus_split_assign, "
+    "so no extra scan or shuffle beyond the pair join",
+)
+def split_leakage_pairs(spark, sf_dir):
+    from scip_spark.functions.corpus import split_assign
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    splits = split_assign(docs).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("long").alias("n_leaking"))
+    )
