@@ -782,3 +782,37 @@ def test_streaming_ab_test_matches_batch(spark, tmp_path):
     got = s.select("n0", "c0", "n1", "c1", z.alias("z_stat")).collect()[0]
     want = REGISTRY["ab_test_conversion"].fn(spark, SF).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_streaming_hll_partials_match_batch(spark, tmp_path):
+    """HLL sketches are mergeable binaries: per-micro-batch partial
+    sketches written by a stream, merged with hll_union_agg, must
+    estimate exactly what one batch-built sketch estimates — the
+    streaming form of distinct-count maintenance (same proof shape as
+    the quantile-sketch rollup twin)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ev_hll")
+    ev = load_events(spark, SF).select("user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id long").parquet(src)
+    partials = stream.select(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk")
+    )
+    # one partial row per micro-batch (update mode on a global agg
+    # re-emits; use foreachBatch-free complete mode and take the final)
+    run_to_memory(partials, "hll_partial_stream", mode="complete")
+    merged = (
+        spark.table("hll_partial_stream")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("n"))
+        .collect()[0]["n"]
+    )
+    batch = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert merged == batch
+    exact = ev.distinct().count()
+    assert abs(merged - exact) <= max(0.05 * exact, 5)
