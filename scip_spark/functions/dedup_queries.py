@@ -764,3 +764,42 @@ def split_leakage_pairs(spark, sf_dir):
         .groupBy("split_a", "split_b")
         .agg(F.count("*").cast("long").alias("n_leaking"))
     )
+
+
+def _scurve_sql() -> str:
+    r = _ROWS_PER_BAND
+    b = N_BANDS
+    # p(s) = 1 - (1 - s^r)^b expanded as pure multiplication chains —
+    # no pow(), whose last-ulp differs across libm implementations
+    s_pow_r = " * ".join(["(u.i / CAST(10 AS DOUBLE))"] * r)
+    one_minus = f"(1 - {s_pow_r})"
+    p = f"1 - {' * '.join([one_minus] * b)}"
+    return f"""
+    SELECT CAST(u.i AS INT) AS s_tenths,
+           {p} AS p_collide
+    FROM UNNEST(generate_series(0, 10)) AS u(i)
+    """
+
+
+@register(
+    "lsh_scurve_design",
+    _scurve_sql(),
+    doc=f"the LSH S-curve for this index's parameters (b={N_BANDS} "
+    f"bands x r={_ROWS_PER_BAND} rows): P(candidate | jaccard s) = "
+    "1-(1-s^r)^b on a 0.1 grid — the table that justifies the "
+    "(bands, rows) choice before building a 100 TB index; expanded as "
+    "multiplication chains so both engines compute identical doubles",
+)
+def lsh_scurve_design(spark, sf_dir):
+    r = _ROWS_PER_BAND
+    b = N_BANDS
+    grid = spark.range(0, 11).select(F.col("id").cast("int").alias("s_tenths"))
+    s = F.col("s_tenths") / F.lit(10).cast("double")
+    s_pow_r = s
+    for _ in range(r - 1):
+        s_pow_r = s_pow_r * s
+    one_minus = 1 - s_pow_r
+    miss = one_minus
+    for _ in range(b - 1):
+        miss = miss * one_minus
+    return grid.select("s_tenths", (1 - miss).alias("p_collide"))
