@@ -39,38 +39,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Union of queries any past driver CORRECTNESS run has verified green
-# (r01 ∪ r02 ∪ r03 ∪ r04), MINUS the ones rewritten in round 5 that
-# need driver re-verification: rfm_segmentation and time_to_conversion
-# (de-globalized onto functions/ranking.py's distributed rank) plus the
-# two samplers (sample_exact_k / sample_with_replacement — now
-# deterministic seeded-hash constructions with real DuckDB oracles, no
-# longer rows-only). Listing checked queries LAST rotates the driver's
-# 50-query budget onto the unverified ones. Refresh with each round's
-# green rows.
+# (r01 ∪ r02 ∪ r03 ∪ r04 ∪ r05): 160 of the 169 registry entries.
+# Listing checked queries LAST rotates the driver's 50-query budget onto
+# the 9 never-driver-checked ones (bigram_merge_candidates, bm25_topk,
+# bpe_compression, feature_hash_docs, hybrid_search_rrf,
+# model_quality_scores, phrase_search_docs, sliding_distinct_users,
+# vocab_novelty_by_batch). Refresh with each round's green rows.
 _DRIVER_CHECKED = {
-    "ann_ivf_topk", "ann_lsh_buckets", "ann_lsh_topk",
-    "approx_percentile_prices", "array_functions", "asof_join_events",
-    "cohort_retention", "conditional_aggregation", "contamination_ngram",
+    "ab_test_conversion", "ann_ivf_topk", "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk", "ann_lsh_buckets", "ann_lsh_multiprobe_topk",
+    "ann_lsh_topk", "ann_opq_topk", "ann_pq_topk", "approx_percentile_prices",
+    "array_functions", "asof_join_events", "attribution_touchpoints",
+    "audio_window_plan", "boilerplate_chunk_scrub", "bot_burst_users",
+    "cdc_apply_merge", "cohort_retention", "column_profile_customer",
+    "conditional_aggregation", "contamination_ngram", "contrastive_negatives",
     "corpus_chunk_pack", "corpus_chunk_windows", "corpus_clean",
     "corpus_hash_sample", "corpus_lang_quota", "corpus_mixture_upsample",
-    "corpus_pack_shards", "corpus_split_assign",
-    "correlated_scalar_subquery", "cosine_topk",
-    "cube_returnflag_linestatus", "datetime_functions",
-    "dedup_connected_components", "dedup_embedding_cosine", "dedup_exact",
+    "corpus_pack_shards", "corpus_split_assign", "correlated_scalar_subquery",
+    "correlation_pricing", "cosine_topk", "cube_returnflag_linestatus",
+    "cusum_revenue_shift", "datetime_functions", "dedup_cluster_sizes",
+    "dedup_connected_components", "dedup_containment_pairs",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_incremental",
     "dedup_lsh_pairs", "dedup_lsh_pairs_skew", "dedup_minhash_signatures",
-    "dedup_ngram_jaccard", "dedup_simhash", "distinct_groups",
-    "doc_fingerprint", "embedding_stats", "event_transition_matrix",
-    "explode_tokens", "full_outer_join_balance", "funnel_conversion",
+    "dedup_ngram_jaccard", "dedup_semantic_keep", "dedup_setsim_join",
+    "dedup_simhash", "dedup_triangle_count", "distinct_groups",
+    "doc_fingerprint", "embedding_centroid_drift",
+    "embedding_doc_consistency", "embedding_stats",
+    "entity_resolution_customers", "event_transition_matrix",
+    "explode_tokens", "fk_integrity_audit", "frequent_item_pairs",
+    "full_outer_join_balance", "funnel_conversion", "gapfill_monthly_revenue",
     "global_stats", "group_minmax_normalize", "grouping_sets_revenue",
     "heavy_hitter_tokens", "higher_moments_by_flag", "hll_distinct_users",
-    "json_extract_events", "keyed_branch_concat", "kmeans_embeddings",
+    "interval_overlap_orders", "join_size_estimate", "json_extract_events",
+    "key_skew_profile", "keyed_branch_concat", "kmeans_embeddings",
     "kmv_difference_estimate", "kmv_distinct_by_priority",
-    "kmv_intersection_estimate", "kmv_union_estimate", "lang_id_heuristic",
+    "kmv_intersection_estimate", "kmv_union_estimate", "l_diversity_audit",
+    "lang_id_heuristic", "lateral_topk_orders", "lsh_scurve_design",
     "mad_by_flag", "map_explode_props", "masked_extent_by_group",
     "math_functions", "mean_tensor_by_group", "median_price_by_flag",
-    "merge_upsert_emulation", "monthly_order_rollup", "multimodal_meta",
-    "order_gaps_ntile", "order_seasonality", "pagerank_suppliers",
-    "pii_scrub_customers", "pivot_channels", "pseudonymize_events",
+    "merge_upsert_emulation", "monthly_order_rollup", "moving_median_revenue",
+    "multimodal_meta", "numeric_profile_lineitem", "order_gaps_ntile",
+    "order_seasonality", "pagerank_suppliers", "pii_scrub_customers",
+    "pit_join_lineitem_scd2", "pivot_channels", "pseudonymize_events",
     "q10_returned_items", "q11_important_stock", "q12_priority_shipping",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_parts_supplier", "q17_small_quantity_avg",
@@ -79,15 +89,20 @@ _DRIVER_CHECKED = {
     "q22_global_sales_opportunity", "q2_min_cost_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "quality_repetition",
-    "range_join_quantity_bands", "rollup_order_date",
-    "running_sum_per_customer", "salted_token_counts",
+    "q9_product_type_profit", "quality_quantile_bins", "quality_repetition",
+    "quantile_sketch_prices", "quantile_sketch_rollup",
+    "range_join_quantity_bands", "recursive_order_streaks",
+    "regression_trend_by_priority", "revenue_anomaly_days",
+    "rfm_segmentation", "rollup_order_date", "running_sum_per_customer",
+    "salted_token_counts", "sample_exact_k", "sample_with_replacement",
     "scd2_customer_orders", "semi_anti_join", "sessionize_events",
     "set_ops_customers", "sliding_window_events", "snapshot_diff_orders",
-    "soft_delete_filter", "string_functions_part", "table_checksum",
-    "text_quality", "tf_idf", "token_budget_by_domain", "token_count_bpe",
+    "soft_delete_filter", "split_leakage_pairs", "string_functions_part",
+    "table_checksum", "text_quality", "tf_idf", "time_to_conversion",
+    "token_budget_by_domain", "token_count_bpe", "top_event_paths",
     "topk_per_group", "tumbling_window_events", "union_sources",
-    "unpivot_part_metrics", "zorder_key_lineitem",
+    "unpivot_part_metrics", "variant_extract_events", "winsorized_pricing",
+    "zorder_key_lineitem",
 }
 
 
