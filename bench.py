@@ -62,10 +62,19 @@ HEADLINE = [
     "frequent_item_pairs",
     "sliding_distinct_users",
     "pit_join_lineitem_scd2",
+    "imaging_pipeline_e2e",
 ]
 
+# heavyweight end-to-end pipelines: one timed pass only (their runtime
+# dwarfs the box's noise band, and a second 100-s pass would double the
+# whole bench for nothing)
+SINGLE_PASS = {
+    "imaging_pipeline_e2e",
+}
+
 # queries that showed >10% round-over-round drift with unchanged code
-# (BENCH_r04 vs r02): one extra timed pass — min-of-3 — to separate
+# (BENCH_r04 vs r02), plus the five heaviest headline queries (r5 wall
+# ranking), get one extra timed pass — min-of-3 — to separate
 # shared-box noise from a real plan regression
 EXTRA_PASS = {
     "mean_tensor_by_group",
@@ -74,6 +83,11 @@ EXTRA_PASS = {
     "corpus_pack_shards",
     "group_minmax_normalize",
     "ann_lsh_buckets",
+    # five heaviest (BENCH_r05): noise on these moves the total most
+    "dedup_lsh_pairs_skew",
+    "boilerplate_chunk_scrub",
+    "frequent_item_pairs",
+    "quantile_sketch_prices",
 }
 
 
@@ -126,6 +140,8 @@ def main() -> None:
             if spec is None or name in errors:
                 continue
             if rnd == 2 and name not in EXTRA_PASS:
+                continue
+            if rnd >= 1 and name in SINGLE_PASS:
                 continue
             t0 = time.time()
             try:

@@ -22,6 +22,7 @@ import scip_spark.functions.similarity_queries  # noqa: F401
 import scip_spark.functions.sketch_queries  # noqa: F401
 import scip_spark.functions.tensor_queries  # noqa: F401
 import scip_spark.functions.text_queries  # noqa: F401
+import scip_spark.plans.imaging_bench  # noqa: F401  e2e tensor pipeline
 
 # registry floor: catches an accidentally-deleted registration at
 # import time, where the driver (and tests) will see it immediately

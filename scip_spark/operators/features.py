@@ -127,6 +127,12 @@ def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int 
     diff = i - j
     per_angle: list[list[float]] = []
     for dy, dx in [(0, d), (d, d), (d, 0), (d, -d)]:
+        if h - abs(dy) <= 0 or w - abs(dx) <= 0:
+            # crop smaller than the co-occurrence offset: no valid pairs
+            # at this angle (negative slice extents would otherwise
+            # produce shape-mismatched views)
+            per_angle.append([0.0] * 6)
+            continue
         glcm = np.zeros((levels + 1, levels + 1), dtype=np.float64)
         y0, y1 = max(0, -dy), min(h, h - dy)
         x0, x1 = max(0, -dx), min(w, w - dx)

@@ -1,0 +1,88 @@
+"""Imaging-pipeline bench query: synthetic source determinism, the
+narrow-crop GLCM regression, and a small end-to-end run of the exact
+config the headline entry uses."""
+
+import numpy as np
+
+from scip_spark.plans.imaging_bench import (
+    NCHANNELS,
+    PIPELINE_CONFIG,
+    _synth_batch,
+    synthetic_images,
+)
+
+
+def test_synth_batch_deterministic():
+    a = _synth_batch(np.array([3, 17]))
+    b = _synth_batch(np.array([17, 3]))
+    # same id → bit-identical frame, independent of batch composition
+    np.testing.assert_array_equal(
+        np.asarray(a.loc[a.object_number == 17, "pixels"].iloc[0]),
+        np.asarray(b.loc[b.object_number == 17, "pixels"].iloc[0]),
+    )
+    assert a.loc[0, "pixels_shape"] == [3, 32, 32]
+
+
+def test_synthetic_images_distributed(spark):
+    df = synthetic_images(spark, 40, partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    pdf = df.toPandas()
+    assert len(pdf) == 40
+    assert set(pdf.group) == {"g0", "g1", "g2", "g3"}
+    # regeneration is bit-identical (pure function of the id range)
+    pdf2 = synthetic_images(spark, 40, partitions=2).toPandas()
+    m1 = pdf.sort_values("object_number").pixels.map(lambda p: float(np.sum(p)))
+    m2 = pdf2.sort_values("object_number").pixels.map(lambda p: float(np.sum(p)))
+    np.testing.assert_array_equal(m1.to_numpy(), m2.to_numpy())
+
+
+def test_glcm_narrow_crop_no_crash():
+    """Regression: a segmented crop narrower than the co-occurrence
+    distance (here 3 px wide vs d=5) produced negative slice extents and
+    a shape-mismatch ValueError before the abs-extent guard."""
+    from scip_spark.operators.features import _glcm_features
+
+    ch = np.arange(27, dtype=np.float32).reshape(9, 3)
+    mask = np.ones((9, 3), dtype=bool)
+    out = _glcm_features(ch, mask, 5)
+    assert len(out) == 12
+    assert all(np.isfinite(v) for v in out)
+    # d=3 has valid vertical pairs on a 9×3 crop — nonzero features
+    out3 = _glcm_features(ch, mask, 3)
+    assert len(out3) == 12
+
+
+def test_imaging_pipeline_small_e2e(spark):
+    """The headline config end-to-end on 24 images: two branches joined
+    on the record key, all five families non-null for kept objects, and
+    a deterministic group rollup."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.plans.pipeline import build
+
+    cfg = dict(PIPELINE_CONFIG)
+    cfg["feature_extraction"] = {
+        "nchannels": NCHANNELS,
+        "families": ["bbox", "intensity", "raw", "shape", "texture"],
+    }
+    feats = build(synthetic_images(spark, 24, partitions=4), cfg)
+    assert any(c.startswith("feat_otsu_") for c in feats.columns)
+    assert any(c.startswith("feat_li_") for c in feats.columns)
+    out = feats.groupBy("group").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("feat_otsu_intensity_mean_mask_c0") * (1 << 20)).cast("long")).alias(
+            "s"
+        ),
+    )
+    r1 = {r["group"]: (r["n"], r["s"]) for r in out.collect()}
+    assert sum(n for n, _ in r1.values()) >= 24  # ≥1 object per image
+    # rerun: bit-identical rollup (whole path deterministic)
+    feats2 = build(synthetic_images(spark, 24, partitions=3), cfg)
+    out2 = feats2.groupBy("group").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("feat_otsu_intensity_mean_mask_c0") * (1 << 20)).cast("long")).alias(
+            "s"
+        ),
+    )
+    r2 = {r["group"]: (r["n"], r["s"]) for r in out2.collect()}
+    assert r1 == r2
