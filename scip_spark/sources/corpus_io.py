@@ -61,6 +61,28 @@ def read_jsonl_corpus(
     )
 
 
+def read_jsonl_corpus_stream(
+    spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA, **options
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl_corpus`: the same permissive
+    schema-explicit parse over a FILE STREAM (``readStream.json``), so a
+    continuously-landing crawl directory ingests incrementally with the
+    corrupt-record quarantine intact. Extra ``options`` reach the file
+    source — pass ``maxFilesPerTrigger=N`` to bound micro-batch size;
+    parity with the batch reader is asserted in tests/test_streaming.py."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
 def corrupt_stats(df: DataFrame, probe_col: str = "doc_id") -> DataFrame:
     """(n_rows, n_corrupt, n_with_id) of a permissive JSONL read — the
     ingest health check gating a pipeline run. ``probe_col`` must be a

@@ -185,3 +185,106 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming bot-burst detection (twin of the batch ``bot_burst_users``
+# range-frame query): per-user max event count in any rolling 60 s window
+# ---------------------------------------------------------------------------
+
+BURST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("max_burst", T.LongType()),
+        T.StructField("flagged", T.BooleanType()),
+    ]
+)
+
+#: per-user state: event counts per epoch-second inside the watermark
+#: horizon, plus the running burst maximum. Bounded: ≤ 60 s of seconds
+#: per user once the watermark advances (plus the allowed lateness).
+BURST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("secs", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("max_burst", T.LongType()),
+    ]
+)
+
+BURST_WINDOW_S = 60
+BURST_THRESHOLD = 5
+
+
+def _update_burst(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Merge the batch's per-second event counts into the buffer, then
+    recompute the burst for EVERY retained anchor second (order- and
+    batch-boundary-insensitive), and prune seconds below
+    ``watermark − 59``.
+
+    Pruning is provably lossless under watermark semantics: a window
+    contribution (anchor a, member m, m ∈ [a−59, a]) is only missed if
+    m was pruned before a arrived — but m is pruned only once
+    wm − 59 > m, i.e. wm > a, and an arrival of a after that point is
+    behind the watermark and dropped by the engine anyway. So per-batch
+    full recompute over the retained buffer + monotone max equals the
+    batch range-frame answer on the non-late stream.
+    """
+    import numpy as np
+
+    (user_id,) = key
+    if state.exists:
+        secs, counts, best = state.get
+        bucket = dict(zip(secs, counts))
+    else:
+        bucket, best = {}, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        vc = pdf["sec"].value_counts()
+        for s, c in vc.items():
+            bucket[int(s)] = bucket.get(int(s), 0) + int(c)
+    if bucket:
+        arr = np.array(sorted(bucket), dtype=np.int64)
+        cnt = np.array([bucket[s] for s in arr], dtype=np.int64)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        # burst at anchor a = events in [a-59, a] (inclusive range frame)
+        lo = np.searchsorted(arr, arr - (BURST_WINDOW_S - 1), side="left")
+        hi = np.arange(1, len(arr) + 1)
+        best = max(best, int((csum[hi] - csum[lo]).max()))
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        keep = arr >= wm_sec - (BURST_WINDOW_S - 1)
+        arr, cnt = arr[keep], cnt[keep]
+        state.update((arr.tolist(), cnt.tolist(), best))
+    else:
+        state.update(([], [], best))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "max_burst": [best],
+            "flagged": [best >= BURST_THRESHOLD],
+        }
+    )
+
+
+def burst_users(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """events stream → continuously-updated per-user
+    ``(max_burst, flagged)`` rows — the streaming twin of the batch
+    ``bot_burst_users`` query (max events in any rolling 60 s window).
+
+    The event-time watermark both drops late rows and bounds the state
+    buffer: each user holds at most ``60 s + delay`` worth of per-second
+    counts, so state is O(users), never O(events)."""
+    from pyspark.sql import functions as F
+
+    keyed = events.withWatermark("ts", delay).select(
+        "user_id", "ts", F.unix_timestamp("ts").alias("sec")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _update_burst,
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

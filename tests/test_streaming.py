@@ -816,3 +816,153 @@ def test_streaming_hll_partials_match_batch(spark, tmp_path):
     assert merged == batch
     exact = ev.distinct().count()
     assert abs(merged - exact) <= max(0.05 * exact, 5)
+
+
+def test_streaming_bot_burst_matches_batch(spark, tmp_path):
+    """Streaming twin of ``bot_burst_users``: the per-user rolling-60 s
+    burst maximum maintained by ``applyInPandasWithState`` with
+    watermark-pruned per-second state must equal the batch range-frame
+    answer — including windows whose members straddle a micro-batch /
+    run boundary. Two runs against one checkpoint so the committed
+    watermark actually advances and the pruning path executes."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from scip_spark.streaming.stateful import burst_users
+    from scip_spark.streaming.windows import EVENTS_SCHEMA
+
+    d = str(tmp_path / "burst_events")
+    ck = str(tmp_path / "burst_ck")
+
+    ev = load_events(spark, SF)
+    med = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    base = datetime.datetime(2024, 1, 31, 0, 0, 0)  # after every real event
+
+    def synth(eid, sec_off, uid):
+        return Row(
+            event_id=eid,
+            ts=base + datetime.timedelta(seconds=sec_off),
+            user_id=uid,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    # user 900001: 6-event burst within 30 s, entirely in run 1
+    burst1 = [synth(10_000 + i, i * 5, 900001) for i in range(6)]
+    # user 900002: 3+4 events inside one 60 s window, SPLIT across the
+    # two runs — the cross-boundary merge the state buffer must get right
+    burst2a = [synth(20_000 + i, 100 + i * 10, 900002) for i in range(3)]
+    burst2b = [synth(20_010 + i, 130 + i * 8, 900002) for i in range(4)]
+
+    early = ev.filter(F.col("ts") <= F.lit(med)).collect() + burst1 + burst2a
+    late = ev.filter(F.col("ts") > F.lit(med)).collect() + burst2b
+    emitted: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+        q = (
+            burst_users(stream, delay="10 minutes")
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _id: emitted.extend(bdf.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(early, EVENTS_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    spark.createDataFrame(late, EVENTS_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+
+    got: dict = {}
+    for r in emitted:  # max_burst is monotone across emissions
+        cur = got.get(r.user_id, (0, False))
+        got[r.user_id] = max(cur, (r.max_burst, r.flagged))
+
+    allev = spark.createDataFrame(early + late, EVENTS_SCHEMA)
+    e = allev.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    w = W.partitionBy("user_id").orderBy("sec").rangeBetween(-59, W.currentRow)
+    want = {
+        r.user_id: (r.max_burst, r.flagged)
+        for r in e.withColumn("burst", F.count("*").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("burst").cast("long").alias("max_burst"),
+            (F.max("burst") >= 5).alias("flagged"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert want[900001] == (6, True)
+    assert want[900002][1] is True  # split burst still flagged
+
+
+def test_streaming_jsonl_ingest_quarantine_matches_batch(spark, tmp_path):
+    """S-ingest parity: the JSONL corpus reader run as a FILE STREAM
+    (readStream.json, one file per micro-batch) must land exactly the
+    batch reader's rows — clean rows identical, and every injected
+    corrupt line quarantined in ``_corrupt_record`` rather than
+    dropped or fatal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scip_spark.sources.corpus_io import (
+        read_jsonl_corpus,
+        read_jsonl_corpus_stream,
+    )
+    from scip_spark.streaming.windows import run_to_memory
+
+    d = str(tmp_path / "jsonl_corpus")
+    os.makedirs(d)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").orderBy("doc_id")
+    lines = [
+        r.j
+        for r in docs.select(
+            F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias("j")
+        ).collect()
+    ]
+    corrupt = ['{"doc_id": 1, "text": "trunca', "not json at all", '{"doc_id": }']
+    third = len(lines) // 3
+    chunks = [
+        lines[:third] + corrupt[:1],
+        lines[third : 2 * third] + corrupt[1:],
+        lines[2 * third :],
+    ]
+    for i, chunk in enumerate(chunks):
+        with open(os.path.join(d, f"part-{i}.jsonl"), "w") as f:
+            f.write("\n".join(chunk) + "\n")
+
+    batch = read_jsonl_corpus(spark, d)
+    want_clean = {
+        (r.doc_id, r.n_chars)
+        for r in batch.filter("_corrupt_record IS NULL").collect()
+    }
+    want_bad = sorted(
+        r._corrupt_record
+        for r in batch.filter("_corrupt_record IS NOT NULL").collect()
+    )
+    assert len(want_bad) == 3 and len(want_clean) == len(lines)
+
+    stream = read_jsonl_corpus_stream(spark, d, maxFilesPerTrigger=1)
+    run_to_memory(stream, "jsonl_stream")
+    mem = spark.table("jsonl_stream")
+    got_clean = {
+        (r.doc_id, r.n_chars)
+        for r in mem.filter("_corrupt_record IS NULL").collect()
+    }
+    got_bad = sorted(
+        r._corrupt_record
+        for r in mem.filter("_corrupt_record IS NOT NULL").collect()
+    )
+    assert got_clean == want_clean
+    assert got_bad == want_bad
