@@ -45,49 +45,114 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return words.select("w", "freq", seq.alias("seq"))
 
 
-def _merge_seq_udf(left: str, right: str):
-    merged = left + right
+def _merge_seq_udf(batch_merges: list[tuple[str, str]]):
+    """One vectorized pandas UDF applying a ROUND of merges in order —
+    each merge is the standard left-to-right non-overlapping scan, run
+    sequentially per word, so a multi-merge round is byte-identical to
+    applying the merges one Spark job at a time."""
+    merges = list(batch_merges)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def merge(seqs: pd.Series) -> pd.Series:
         out = []
         for seq in seqs:
-            res = []
-            i = 0
-            n = len(seq)
-            while i < n:
-                if i + 1 < n and seq[i] == left and seq[i + 1] == right:
-                    res.append(merged)
-                    i += 2
-                else:
-                    res.append(seq[i])
-                    i += 1
-            out.append(res)
+            cur = list(seq)
+            for left, right in merges:
+                res = []
+                i = 0
+                n = len(cur)
+                while i < n:
+                    if i + 1 < n and cur[i] == left and cur[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(cur[i])
+                        i += 1
+                cur = res
+            out.append(cur)
         return pd.Series(out)
 
     return merge
 
 
-def bpe_train(
-    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
-) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merges; returns the ordered merge list.
+def _select_independent(rows, touched_cap: int, max_take: int):
+    """Greedy prefix of the sequential argmax order that is PROVABLY the
+    same sequence sequential training would emit, using only this
+    round's counts.
 
-    Per iteration: one groupBy over the word table's adjacent symbol
-    pairs (freq-weighted), a 1-row driver collect for the argmax, and a
-    map-side re-encode. Each round's table is localCheckpoint'ed:
-    persist alone would leave a one-UDF-per-merge logical plan growing
-    without bound (30k merges = 30k nested projections), and losing a
-    cached block would recompute the whole chain from the corpus scan.
-    localCheckpoint truncates the plan; its fault-tolerance trade-off
-    (non-recomputable on executor loss) is acceptable for the
+    ``rows`` is the collected top-K candidate list sorted by
+    (count desc, left asc, right asc) — the sequential tie-break order.
+    Selection invariants:
+
+    - symbols of a selected pair are disjoint from all previously
+      selected pairs' symbols, so earlier merges in the round cannot
+      create or destroy occurrences of it (a merge (A,B)→AB only
+      touches pairs with A on the right edge or B on the left edge);
+    - its count strictly exceeds ``cap``, the largest count of any pair
+      that DOES touch a selected symbol — including the uncollected
+      tail bound — because a merge (A,B) can create new pairs (X,AB) /
+      (AB,Y) with counts bounded by count(X,A) / count(B,Y), and a new
+      pair with an equal count could win the lexicographic tie-break.
+
+    Under those two rules, after applying the selected prefix the
+    sequential argmax is exactly the next selected pair, by induction.
+    The threat check scans the WHOLE collected list (not just earlier
+    rows): an overlapping pair with an EQUAL count sorts after the
+    candidate on the lexicographic tie-break yet still bounds a new
+    pair that could win that tie-break.
+    """
+    items = [(r["n"], r["left"], r["right"]) for r in rows]
+    selected: list[tuple[str, str]] = []
+    touched: set[str] = set()
+    for n, left, right in items:
+        if left in touched or right in touched:
+            continue
+        if selected:
+            threat = touched_cap  # ≥ every count outside the collected top-K
+            for n2, l2, r2 in items:
+                if (l2, r2) != (left, right) and (l2, r2) not in selected and (
+                    l2 in touched or r2 in touched
+                ):
+                    threat = max(threat, n2)
+            if n <= threat:
+                break  # threat only grows and counts only shrink
+        selected.append((left, right))
+        touched.update((left, right))
+        if len(selected) >= max_take:
+            break
+    return selected
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text", batch: int = 8
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges; returns the ordered merge list —
+    byte-identical to the sequential Sennrich algorithm for ANY
+    ``batch`` (equivalence proof in :func:`_select_independent`;
+    pytest-pinned against the sequential reference).
+
+    Per ROUND (not per merge): one groupBy over the word table's
+    adjacent symbol pairs (freq-weighted), a top-K driver collect, a
+    greedy independent-prefix selection of up to ``batch`` merges whose
+    sequential equivalence is provable from this round's counts alone,
+    and ONE map-side re-encode applying the whole prefix. Vocab-scale
+    training is therefore O(n_merges / batch_effective) Spark jobs; the
+    worst case (every argmax overlaps the next) degrades gracefully to
+    the exact sequential 1-merge-per-job loop.
+
+    Each round's table is localCheckpoint'ed: persist alone would leave
+    a one-UDF-per-round logical plan growing without bound, and losing
+    a cached block would recompute the whole chain from the corpus
+    scan. localCheckpoint truncates the plan; its fault-tolerance
+    trade-off (non-recomputable on executor loss) is acceptable for the
     vocabulary-sized table — set a checkpoint dir and swap to
     checkpoint() for cluster-grade fault tolerance (same note as
     dedup.connected_components)."""
     cur = word_freq_table(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
+    top_k = max(64, 8 * batch)
     try:
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
             pairs = (
                 cur.select(
                     "freq",
@@ -106,15 +171,20 @@ def bpe_train(
             )
             top = (
                 pairs.orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
-                .limit(1)
+                .limit(top_k)
                 .collect()
             )
-            if not top or top[0]["n"] < 2:
+            top = [r for r in top if r["n"] >= 2]
+            if not top:
                 break
-            left, right = top[0]["left"], top[0]["right"]
-            merges.append((left, right))
+            # counts below the collected horizon are ≤ the K-th count;
+            # if the list is shorter than K the tail bound is vacuous
+            tail_cap = top[-1]["n"] if len(top) == top_k else 0
+            room = n_merges - len(merges)
+            chosen = _select_independent(top, tail_cap, min(batch, room))
+            merges.extend(chosen)
             nxt = cur.withColumn(
-                "seq", _merge_seq_udf(left, right)(F.col("seq"))
+                "seq", _merge_seq_udf(chosen)(F.col("seq"))
             ).localCheckpoint()
             cur.unpersist()
             cur = nxt

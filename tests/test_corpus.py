@@ -330,3 +330,32 @@ def test_bpe_train_stops_when_no_pair_repeats(spark):
     merges = bpe_train(docs, n_merges=20)
     # every pair occurs once; min-support 2 stops the loop immediately
     assert merges == []
+
+
+def test_bpe_batched_rounds_match_sequential(spark):
+    """Round-batched training (greedy independent-prefix selection) must
+    emit the exact sequential merge list on a corpus engineered to hold
+    ≥2 independent argmaxes per round ('lo'+'w' vs 'ne'+'st' families
+    share no symbols), AND on a corpus engineered so consecutive
+    argmaxes overlap (forcing the batch to degrade to 1 merge/round)."""
+    from scip_spark.functions.bpe import bpe_train, word_freq_table
+
+    texts = [
+        "low low low low low low lowest lowest",
+        "newest newest newest newest newest fewest fewest",
+        "wider wider ride ride ride",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    wf = {r.w: r.freq for r in word_freq_table(docs).collect()}
+    want = _reference_bpe(wf, n_merges=10)
+    for b in (2, 4, 16):
+        assert bpe_train(docs, n_merges=10, batch=b) == want, f"batch={b}"
+
+    # chain corpus: each merge's product feeds the next argmax
+    # (a+a→aa, aa+aa→aaaa, ...) — every round may only take one merge
+    chain = spark.createDataFrame([(0, "aaaaaaaa aaaaaaaa aaaaaaaa")], ["doc_id", "text"])
+    cwf = {r.w: r.freq for r in word_freq_table(chain).collect()}
+    cwant = _reference_bpe(cwf, n_merges=4)
+    assert bpe_train(chain, n_merges=4, batch=8) == cwant
