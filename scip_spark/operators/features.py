@@ -203,12 +203,26 @@ def _record_features(
         cm_any = np.ones(a.shape[1:], bool)
     if "bbox" in families:
         out += [float(v) for v in (bbox if bbox is not None else [0, 0, 0, 0])]
+    # Per-channel masks are very often bit-identical to the combined
+    # mask (a single segmentation broadcast across channels — the
+    # reference's own default). Detect that once and reuse the
+    # mask-dependent computations (edge erosion, regionprops, GLCM)
+    # instead of recomputing them per view: byte-identical results,
+    # ~2× fewer mask kernels on the common path.
+    def _mask_of(c):
+        return m[c] if m is not None else np.ones(a.shape[1:], bool)
+
+    same_as_cm = [
+        m is not None and cm_any.shape == m[c].shape and np.array_equal(m[c], cm_any)
+        for c in range(nchannels)
+    ] if m is not None else [False] * nchannels
+
     if "intensity" in families:
         # combined-mask edge is channel-independent: compute once
         cm_edge = cm_any ^ K.erode_footprint(cm_any, K.disk(6))
         for c in range(nchannels):
             chan = a[c]
-            mask_c = m[c] if m is not None else np.ones_like(chan, bool)
+            mask_c = _mask_of(c)
             bg_c = float(bg[c]) if bg is not None else 0.0
             cbg_c = float(cbg[c]) if cbg is not None else 0.0
             rows: dict[str, list[float]] = {}
@@ -218,7 +232,9 @@ def _record_features(
                 mp = chan[mask_c]
                 rows["mask"] = _stats11(mp)
                 rows["bgcorr"] = _stats11(mp - bg_c)
-                edge = mask_c ^ K.erode_footprint(mask_c, K.disk(6))
+                edge = cm_edge if same_as_cm[c] else (
+                    mask_c ^ K.erode_footprint(mask_c, K.disk(6))
+                )
                 if edge.any():
                     ep = chan[edge]
                     rows["edge"] = _stats11(ep)
@@ -230,16 +246,28 @@ def _record_features(
                 rows["mask"] = rows["bgcorr"] = ZERO11
                 rows["edge"] = rows["bgcorr_edge"] = ZERO11
             # views 5-8: combined mask (intensity.py:147-162)
-            cp = chan[cm_any]
-            rows["combined"] = _stats11(cp)
-            rows["combined_bgcorr"] = _stats11(cp - cbg_c)
-            if cm_edge.any():
-                cep = chan[cm_edge]
-                rows["combined_edge"] = _stats11(cep)
-                rows["combined_bgcorr_edge"] = _stats11(cep - cbg_c)
+            if same_as_cm[c] and mask_c.any():
+                rows["combined"] = rows["mask"]
+                rows["combined_bgcorr"] = (
+                    rows["bgcorr"] if cbg_c == bg_c else _stats11(chan[cm_any] - cbg_c)
+                )
+                rows["combined_edge"] = rows["edge"]
+                rows["combined_bgcorr_edge"] = (
+                    rows["bgcorr_edge"]
+                    if cbg_c == bg_c
+                    else (_stats11(chan[cm_edge] - cbg_c) if cm_edge.any() else ZERO11)
+                )
             else:
-                rows["combined_edge"] = ZERO11
-                rows["combined_bgcorr_edge"] = ZERO11
+                cp = chan[cm_any]
+                rows["combined"] = _stats11(cp)
+                rows["combined_bgcorr"] = _stats11(cp - cbg_c)
+                if cm_edge.any():
+                    cep = chan[cm_edge]
+                    rows["combined_edge"] = _stats11(cep)
+                    rows["combined_bgcorr_edge"] = _stats11(cep - cbg_c)
+                else:
+                    rows["combined_edge"] = ZERO11
+                    rows["combined_bgcorr_edge"] = ZERO11
             for v in INTENSITY_VIEWS:
                 out += rows[v]
     if "raw" in families:
@@ -247,16 +275,28 @@ def _record_features(
             out += _stats11(a[c])
     if "shape" in families:
         # combined row first, then one row per channel (shape.py:143-148)
-        out += _shape_row(cm_any)
+        shape_cm = _shape_row(cm_any)
+        out += shape_cm
+        chan_shape_cache: list[tuple[np.ndarray, list[float]]] = []
         for c in range(nchannels):
-            mask_c = m[c] if m is not None else np.ones(a.shape[1:], bool)
-            out += _shape_row(mask_c)
+            mask_c = _mask_of(c)
+            if same_as_cm[c]:
+                out += shape_cm
+                continue
+            hit = next(
+                (r for mc, r in chan_shape_cache if np.array_equal(mc, mask_c)), None
+            )
+            if hit is None:
+                hit = _shape_row(mask_c)
+                chan_shape_cache.append((mask_c, hit))
+            out += hit
     if "texture" in families:
         for c in range(nchannels):
             chan = a[c]
-            mask_c = m[c] if m is not None else np.ones_like(chan, bool)
-            out += _texture_row(chan, mask_c)
-            out += _texture_row(chan, cm_any)
+            mask_c = _mask_of(c)
+            trow = _texture_row(chan, mask_c)
+            out += trow
+            out += trow if same_as_cm[c] else _texture_row(chan, cm_any)
     return out
 
 

@@ -61,7 +61,7 @@ def mean_images(df: DataFrame, key: str = "group", median_size: int = 3,
                 yield pd.DataFrame(
                     {
                         key: list(rows),
-                        "sum_flat": [v[0].ravel().tolist() for v in rows.values()],
+                        "sum_flat": [v[0].ravel() for v in rows.values()],
                         "shape": [list(v[0].shape) for v in rows.values()],
                         "n": [v[1] for v in rows.values()],
                     }
@@ -77,7 +77,7 @@ def mean_images(df: DataFrame, key: str = "group", median_size: int = 3,
         return pd.DataFrame(
             {
                 key: [pdf[key].iloc[0]],
-                "sum_flat": [total.ravel().tolist()],
+                "sum_flat": [total.ravel()],
                 "shape": [list(total.shape)],
                 "n": [n],
             }

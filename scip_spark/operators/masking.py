@@ -291,7 +291,7 @@ def apply_mask(df: DataFrame, combined_indices: list[int] | None = None) -> Data
             cm = np.zeros(m.shape[1:], dtype=bool)
             for c in idx:
                 cm |= m[c]
-            combined.append(cm.ravel().tolist())
+            combined.append(cm.ravel())
             if a is not None:
                 bg = []
                 for c in range(m.shape[0]):

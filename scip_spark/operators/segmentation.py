@@ -78,7 +78,7 @@ def segment_labels(df: DataFrame, backend: str = "watershed", parent_channel: in
                     lab = K.watershed(-dist, markers, mask=fg)
             sep = _separate_labels(lab)
             full = np.broadcast_to(sep, a.shape).copy()
-            masks.append(full.ravel().tolist())
+            masks.append(full.ravel())
             shapes.append(list(a.shape))
         pdf = pdf.copy()
         pdf["mask"] = pd.Series(masks, dtype=object).values
@@ -196,7 +196,7 @@ def segment_cellpose(
                 for ci, o in children:
                     stack[ci] = _assign_children(par, np.asarray(o[k]))
                 sep = np.stack([_separate_labels(stack[c]) for c in range(a.shape[0])])
-                masks[i] = sep.ravel().tolist()
+                masks[i] = sep.ravel()
                 shapes[i] = list(a.shape)
         pdf = pdf.copy()
         pdf["mask"] = pd.Series(masks, dtype=object).values
@@ -219,7 +219,7 @@ def mask_subtract(df: DataFrame, target: int, left: int, right: int) -> DataFram
                 continue
             m = m.copy()
             m[target] = m[left] & ~m[right]
-            out.append(m.ravel().tolist())
+            out.append(m.ravel())
         pdf = pdf.copy()
         pdf["mask"] = pd.Series(out, dtype=object).values
         return pdf
@@ -252,11 +252,11 @@ def to_events(df: DataFrame, parent_channel: int = 0, group_keys: list[str] | No
                     comp[minr:maxr, minc:maxc], crop_px.shape
                 ).copy()
                 row = {c: base[c] for c in pdf.columns}
-                row["pixels"] = crop_px.ravel().tolist()
+                row["pixels"] = crop_px.ravel()
                 row["pixels_shape"] = list(crop_px.shape)
-                row["mask"] = crop_m.ravel().tolist()
+                row["mask"] = crop_m.ravel()
                 row["mask_shape"] = list(crop_m.shape)
-                row["combined_mask"] = comp[minr:maxr, minc:maxc].ravel().tolist()
+                row["combined_mask"] = comp[minr:maxr, minc:maxc].ravel()
                 row["background"] = [0.0] * crop_px.shape[0]
                 row["combined_background"] = [0.0] * crop_px.shape[0]
                 row["bbox"] = [int(minr), int(minc), int(maxr), int(maxc)]

@@ -72,7 +72,7 @@ def _synth_batch(ids: np.ndarray) -> pd.DataFrame:
                 "group": f"g{int(i) % NGROUPS}",
                 "object_number": int(i),
                 "id": 0,
-                "pixels": px.ravel().tolist(),
+                "pixels": px.ravel(),
                 "pixels_shape": [NCHANNELS, SIDE, SIDE],
             }
         )

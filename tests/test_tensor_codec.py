@@ -93,9 +93,11 @@ def test_binary_layout_roundtrip_through_spark(spark):
     )
 
 
-def test_binary_codec_is_faster_to_encode():
-    """The reason the binary layout exists: encoding must beat the
-    list codec by a wide margin (no per-element Python objects)."""
+def test_ndarray_encode_avoids_per_element_objects():
+    """Both codecs must avoid per-element Python objects: the array
+    codec now keeps ndarray elements (Arrow converts a primitive
+    ndarray in one buffer copy), so encoding must beat an explicit
+    ``.tolist()`` materialization by a wide margin."""
     import time
 
     import numpy as np
@@ -103,11 +105,20 @@ def test_binary_codec_is_faster_to_encode():
     from scip_spark.schema import encode_series, encode_series_bin
 
     rng = np.random.default_rng(0)
-    arrays = [rng.random((3, 64, 64)).astype(np.float32) for _ in range(50)]
+    arrays = [rng.random((3, 64, 64)).astype(np.float32) for _ in range(200)]
+
     t0 = time.time()
-    encode_series(arrays)
-    t_list = time.time() - t0
+    flats, _ = encode_series(arrays)
+    t_nd = time.time() - t0
+    assert all(isinstance(v, np.ndarray) for v in flats)  # no tolist regression
+
     t0 = time.time()
     encode_series_bin(arrays)
     t_bin = time.time() - t0
-    assert t_bin * 5 < t_list, (t_bin, t_list)
+
+    t0 = time.time()
+    [a.ravel().tolist() for a in arrays]
+    t_list = time.time() - t0
+
+    assert t_nd * 3 < t_list, (t_nd, t_list)
+    assert t_bin * 3 < t_list, (t_bin, t_list)
