@@ -1593,6 +1593,15 @@ def cusum_revenue_shift(spark, sf_dir):
         .cast("long")
         .alias("rev")
     )
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily):
+    """CUSUM finisher over a ``(day, rev_cents)`` relation. Split out so
+    the streaming twin can feed the SAME fold from a streamed per-day
+    pre-aggregate: integer-cent partial sums merge associatively across
+    micro-batches, so stream+finisher == batch bit-for-bit
+    (tests/test_streaming.py::test_streaming_cusum_matches_batch)."""
     t = daily.agg(
         F.expr("CAST(sum(rev) DIV count(*) AS BIGINT)").alias("target")
     )

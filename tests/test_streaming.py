@@ -966,3 +966,41 @@ def test_streaming_jsonl_ingest_quarantine_matches_batch(spark, tmp_path):
     )
     assert got_clean == want_clean
     assert got_bad == want_bad
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """CUSUM maintenance: the per-day integer-cent revenue sums are a
+    streaming aggregation (partials merge associatively across
+    micro-batches); feeding the streamed daily relation through the
+    SAME fold finisher (cusum_from_daily) must reproduce the batch
+    change-point query bit-for-bit."""
+    import scip_spark.entry_queries  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from scip_spark.advanced_queries import cusum_from_daily
+    from scip_spark.queries import REGISTRY
+
+    src = str(tmp_path / "orders_cusum")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(orders.schema).parquet(src)
+    daily = stream.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    run_to_memory(daily, "cusum_daily_stream", mode="complete")
+    mem = spark.table("cusum_daily_stream")
+    streamed_daily = spark.createDataFrame(mem.toPandas(), schema=mem.schema)
+    got = {
+        r.day: (r.cusum, r.shifted)
+        for r in cusum_from_daily(streamed_daily).collect()
+    }
+    want = {
+        r.day: (r.cusum, r.shifted)
+        for r in REGISTRY["cusum_revenue_shift"].fn(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
