@@ -86,3 +86,18 @@ def test_imaging_pipeline_small_e2e(spark):
     )
     r2 = {r["group"]: (r["n"], r["s"]) for r in out2.collect()}
     assert r1 == r2
+
+
+def test_glcm_finite_on_arbitrary_crop_shapes():
+    """Property: GLCM features are finite 12-vectors for ANY crop
+    geometry a segmenter can produce — including 1×1, 1×N, N×1 and
+    crops smaller than either co-occurrence distance."""
+    from scip_spark.operators.features import _glcm_features
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (1, 7), (7, 1), (2, 2), (3, 9), (9, 3), (4, 6), (6, 4), (12, 2)]:
+        ch = rng.random((h, w)).astype(np.float32) * 50
+        mask = rng.random((h, w)) > 0.3
+        for d in (3, 5):
+            out = _glcm_features(ch, mask, d)
+            assert len(out) == 12 and all(np.isfinite(v) for v in out), (h, w, d)
