@@ -296,6 +296,11 @@ def main() -> None:
     img = REGISTRY["imaging_pipeline_e2e"].fn
     img_dirs = {1: "/root/testdata/sf0.001", 10: "/root/testdata/sf0.01",
                 100: "/root/testdata/sf0.1"}
+    # warm the codegen/Arrow paths once: the tensor pipeline's first
+    # run pays Janino + Python-worker startup, which at 100 images
+    # dwarfs the data cost and produces a bogus r10 < 1
+    img(spark, img_dirs[1]).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
     it = {}
     for n, d in img_dirs.items():
         t0 = time.time()
