@@ -227,3 +227,19 @@ def test_observe_metrics_match_aggregate(spark):
     assert got["n_rows"] == 1000
     assert got["n_null"] == 100
     assert got["id_sum"] == 999 * 1000 // 2
+
+
+def test_population_filter_persists_summed_relation(spark, full_events_df, partial_events_df):
+    """The filter's second pass must read the materialized summed
+    relation, not recompute the upstream tensor stages (Catalyst cannot
+    prune columns into the add_filter_sum mapInPandas, so an
+    unpersisted plan evaluates the whole upstream twice)."""
+    out = population_filter(full_events_df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    # and the opt-out really opts out (different input frame: the cache
+    # manager substitutes ANY canonically-equal plan, so reusing the
+    # same input would hit the relation persisted above)
+    out2 = population_filter(partial_events_df, persist=False)
+    plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan2
