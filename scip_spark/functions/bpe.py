@@ -75,7 +75,7 @@ def _merge_seq_udf(batch_merges: list[tuple[str, str]]):
     return merge
 
 
-def _select_independent(rows, touched_cap: int, max_take: int):
+def _select_independent(rows, touched_cap: int, max_take: int, known_symbols=()):
     """Greedy prefix of the sequential argmax order that is PROVABLY the
     same sequence sequential training would emit, using only this
     round's counts.
@@ -100,10 +100,33 @@ def _select_independent(rows, touched_cap: int, max_take: int):
     rows): an overlapping pair with an EQUAL count sorts after the
     candidate on the lexicographic tie-break yet still bounds a new
     pair that could win that tie-break.
+
+    Symbol-collision guard: if a selected pair's concatenation
+    ``left + right`` is ALREADY a live symbol (``known_symbols`` = the
+    exact symbol vocabulary: initial characters plus every merge
+    product so far, maintained by the caller), the batch ends at that
+    pair. An existing symbol S == left+right means pairs (X, S) touch
+    neither ``left`` nor ``right``, so the threat scan never bounds
+    them — and after the merge their occurrences combine with the
+    freshly created (X, left+right) pairs, so the combined count can
+    exceed any later selection's count. The colliding merge itself is
+    still provably next (the proof for it only relies on EARLIER
+    selections, which are collision-free); everything after it is not,
+    so we stop and let the next round re-count. The guard also covers
+    two in-batch selections producing the same string via different
+    decompositions ((A,BC) and (AB,C) are symbol-disjoint yet both
+    yield \"ABC\"), because the caller's vocabulary plus this batch's
+    own products are checked together.
     """
     items = [(r["n"], r["left"], r["right"]) for r in rows]
     selected: list[tuple[str, str]] = []
     touched: set[str] = set()
+    # defensive union: any symbol appearing in a candidate pair is live
+    # by construction, even if the caller's vocabulary missed it
+    known = set(known_symbols)
+    for _n, l, r in items:
+        known.add(l)
+        known.add(r)
     for n, left, right in items:
         if left in touched or right in touched:
             continue
@@ -118,6 +141,10 @@ def _select_independent(rows, touched_cap: int, max_take: int):
                 break  # threat only grows and counts only shrink
         selected.append((left, right))
         touched.update((left, right))
+        merged = left + right
+        if merged in known:
+            break  # collision: later threat scans can't bound pairs on it
+        known.add(merged)
         if len(selected) >= max_take:
             break
     return selected
@@ -150,6 +177,16 @@ def bpe_train(
     dedup.connected_components)."""
     cur = word_freq_table(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
+    # Exact live symbol vocabulary, maintained driver-side for the
+    # collision guard in _select_independent: initial characters (one
+    # tiny distinct over the vocabulary-sized word table) plus every
+    # merge product. Merges only ever ADD symbols, so this never
+    # under-approximates; a symbol whose occurrences later vanish only
+    # makes the guard conservatively end a batch early.
+    known_symbols = {
+        r["s"]
+        for r in cur.select(F.explode("seq").alias("s")).distinct().collect()
+    }
     top_k = max(64, 8 * batch)
     try:
         while len(merges) < n_merges:
@@ -181,8 +218,11 @@ def bpe_train(
             # if the list is shorter than K the tail bound is vacuous
             tail_cap = top[-1]["n"] if len(top) == top_k else 0
             room = n_merges - len(merges)
-            chosen = _select_independent(top, tail_cap, min(batch, room))
+            chosen = _select_independent(
+                top, tail_cap, min(batch, room), known_symbols
+            )
             merges.extend(chosen)
+            known_symbols.update(l + r for l, r in chosen)
             nxt = cur.withColumn(
                 "seq", _merge_seq_udf(chosen)(F.col("seq"))
             ).localCheckpoint()

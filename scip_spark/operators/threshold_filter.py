@@ -43,17 +43,25 @@ def add_filter_sum(df: DataFrame, channel: int = 0) -> DataFrame:
 
 
 def population_filter(
-    df: DataFrame, channel: int = 0, persist: bool = True
+    df: DataFrame, channel: int = 0, persist: bool = True, caches=None
 ) -> DataFrame:
     """Soft-delete records whose filter_sum falls below the 5th
     percentile of a normal fit. Row count is preserved. Eager: the
     stats pass runs on call (see module docstring for the persist
-    rationale)."""
+    rationale).
+
+    The persisted summed relation must outlive this call (the caller's
+    terminal action reads it), so it cannot be unpersisted here; pass
+    ``caches`` (any object with ``add(df)``, e.g.
+    ``plans.pipeline.BuildCaches``) to take ownership and release it
+    after the action — otherwise it lives until session end."""
     with_sum = add_filter_sum(df, channel)
     if persist:
         from pyspark.storagelevel import StorageLevel
 
         with_sum = with_sum.persist(StorageLevel.MEMORY_AND_DISK)
+        if caches is not None:
+            caches.add(with_sum)
     row = with_sum.agg(
         F.avg("filter_sum").alias("mu"), F.stddev_pop("filter_sum").alias("sigma")
     ).collect()[0]

@@ -117,6 +117,10 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1).rstrip(".")) if m else 0.001
 
 
+#: previous invocation's persisted relations, released on the next call
+_last_caches = None
+
+
 @register(
     "imaging_pipeline_e2e",
     None,  # tensor-valued pipeline — rows-only driver check (see module doc)
@@ -126,7 +130,7 @@ def _sf_of(sf_dir: str) -> float:
     "all five feature families → per-group rollup.",
 )
 def imaging_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scip_spark.plans.pipeline import build
+    from scip_spark.plans.pipeline import BuildCaches, build
 
     n = max(100, int(round(_sf_of(sf_dir) * IMAGES_PER_SF)))
     cfg = dict(PIPELINE_CONFIG)
@@ -134,7 +138,15 @@ def imaging_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nchannels": NCHANNELS,
         "families": ["bbox", "intensity", "raw", "shape", "texture"],
     }
-    feats = build(synthetic_images(spark, n), cfg)
+    # this run's persisted relations (fan-out cache + per-branch filter
+    # relation) are consumed by the CALLER's action, so they can't be
+    # released here — but the previous invocation's can. Bounds repeated
+    # invocations to one run's cache footprint instead of accumulating.
+    global _last_caches
+    if _last_caches is not None:
+        _last_caches.unpersist()
+    _last_caches = BuildCaches()
+    feats = build(synthetic_images(spark, n), cfg, caches=_last_caches)
 
     # roll the wide two-branch feature frame up to one row per group:
     # object counts + grid-quantized feature sums (floor(x·2^20) is exact

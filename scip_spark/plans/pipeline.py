@@ -39,7 +39,35 @@ STAGES = [
 ]
 
 
-def build(df: DataFrame, config: dict[str, Any]) -> DataFrame | dict[str, DataFrame]:
+class BuildCaches:
+    """Ownership handle for the DataFrames ``build`` persists.
+
+    The fan-out cache and the population filter's summed relation must
+    outlive ``build`` (the caller's terminal action consumes them), so
+    they cannot be unpersisted inside the builder; without a handle
+    each pipeline build leaks one cached relation per mask branch for
+    the session lifetime. Pass an instance to ``build`` and call
+    :meth:`unpersist` once the terminal action (write/collect) has run.
+    """
+
+    def __init__(self) -> None:
+        self.frames: list[DataFrame] = []
+
+    def add(self, frame: DataFrame) -> DataFrame:
+        self.frames.append(frame)
+        return frame
+
+    def unpersist(self, blocking: bool = False) -> None:
+        while self.frames:
+            try:
+                self.frames.pop().unpersist(blocking)
+            except Exception:  # noqa: BLE001 — session may be stopped
+                pass
+
+
+def build(
+    df: DataFrame, config: dict[str, Any], caches: BuildCaches | None = None
+) -> DataFrame | dict[str, DataFrame]:
     """Compose the stage operators per config. Returns one feature
     DataFrame, or a dict of branch frames when multiple mask methods
     are configured without a join key.
@@ -80,6 +108,8 @@ def build(df: DataFrame, config: dict[str, Any]) -> DataFrame | dict[str, DataFr
         branches = {"raw": df}
     else:
         df = df.cache()  # J6 fan-out: one upstream, N mask branches
+        if caches is not None:
+            caches.add(df)
         branches = {
             m: M.apply_mask(M.get_mask(df, m, **mask_cfg.get("kwargs", {})))
             for m in methods
@@ -89,7 +119,7 @@ def build(df: DataFrame, config: dict[str, Any]) -> DataFrame | dict[str, DataFr
     for name, branch in branches.items():
         b = branch
         if "filter" in cfg:
-            b = population_filter(b, **cfg["filter"])
+            b = population_filter(b, caches=caches, **cfg["filter"])
         if "normalization" in cfg:
             b = quantile_normalization(b, **cfg["normalization"])
         if "feature_extraction" in cfg:

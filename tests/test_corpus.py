@@ -359,3 +359,72 @@ def test_bpe_batched_rounds_match_sequential(spark):
     cwf = {r.w: r.freq for r in word_freq_table(chain).collect()}
     cwant = _reference_bpe(cwf, n_merges=4)
     assert bpe_train(chain, n_merges=4, batch=8) == cwant
+
+
+def test_bpe_batch_stops_at_symbol_collision():
+    """If a selected merge's product string already exists as a symbol
+    (reachable via a different decomposition), later selections in the
+    batch are unsound: pairs containing that symbol touch neither side
+    of the merge, so the threat scan never bounds them, and after the
+    merge their occurrences combine with the freshly created pairs.
+    The guard must end the batch AT the colliding merge.
+
+    Concrete counterexample the unguarded selection gets wrong:
+    rows (a,b)=100, (c,d)=60, (x,ab)=55 with symbol "ab" live. The old
+    code selected (c,d) second (nothing in the list touches {a,b}),
+    but sequentially, merging (a,b) can push (x,"ab") to
+    55 + count(x,a) > 60 — so (c,d) is NOT the next sequential merge."""
+    from scip_spark.functions.bpe import _select_independent
+
+    rows = [
+        {"n": 100, "left": "a", "right": "b"},
+        {"n": 60, "left": "c", "right": "d"},
+        {"n": 55, "left": "x", "right": "ab"},
+    ]
+    known = {"a", "b", "c", "d", "x", "ab", "</w>"}
+    assert _select_independent(rows, 0, 8, known) == [("a", "b")]
+    # the guard is defensive: "ab" is live by virtue of appearing in a
+    # candidate pair, so the batch stops even if the caller's
+    # vocabulary omitted it
+    assert _select_independent(rows, 0, 8, known - {"ab"}) == [("a", "b")]
+    # genuinely collision-free variant: both independent pairs batch
+    clean = [
+        {"n": 100, "left": "a", "right": "b"},
+        {"n": 60, "left": "c", "right": "d"},
+        {"n": 55, "left": "x", "right": "e"},
+    ]
+    assert _select_independent(clean, 0, 8, {"a", "b", "c", "d", "x", "e"}) == [
+        ("a", "b"),
+        ("c", "d"),
+        ("x", "e"),
+    ]
+    # two in-batch products colliding with each other: (p,qr) then
+    # (pq,r) are symbol-disjoint yet both produce "pqr" — batch must
+    # end at the second product even though no pre-existing symbol
+    # matches (first product joins the known set mid-batch)
+    rows2 = [
+        {"n": 100, "left": "p", "right": "qr"},
+        {"n": 60, "left": "pq", "right": "r"},
+    ]
+    assert _select_independent(rows2, 0, 8, {"p", "qr", "pq", "r"}) == [
+        ("p", "qr"),
+        ("pq", "r"),
+    ]
+
+
+def test_bpe_batched_matches_reference_on_collision_heavy_corpora(spark):
+    """Single-letter run corpora maximize same-string-different-
+    decomposition collisions ((a,aa) vs (aa,a) → \"aaa\", …); batched
+    training must still emit the byte-exact sequential merge list."""
+    from scip_spark.functions.bpe import bpe_train, word_freq_table
+
+    corpora = [
+        "aaaa aaa aaa aa aa aa a",
+        "aaaaaa aaaaa aaaa aaa aa aaaaaa aaa",
+        "aaab aab aaab ab aaab bba bba abb aaab",
+    ]
+    for text in corpora:
+        docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        wf = {r.w: r.freq for r in word_freq_table(docs).collect()}
+        want = _reference_bpe(wf, n_merges=6)
+        assert bpe_train(docs, n_merges=6, batch=8) == want, text

@@ -46,6 +46,38 @@ def test_multi_branch_keyed_join(full_events_df):
     assert any(c.startswith("feat_otsu_") for c in out.columns)
 
 
+def test_build_caches_handle_releases_persisted_relations(spark, full_events_df):
+    """build() persists the mask fan-out upstream and (per branch) the
+    population filter's summed relation; those must outlive build for
+    the caller's action, so a BuildCaches handle takes ownership and
+    releases every block afterwards — without it each pipeline build
+    leaks cached relations for the session lifetime (ADVICE r6)."""
+    from scip_spark.plans.pipeline import BuildCaches
+
+    spark.catalog.clearCache()
+    caches = BuildCaches()
+    out = build(
+        full_events_df,
+        {
+            "mask": {"methods": ["circle", "otsu"]},
+            "filter": {"channel": 0},
+            "feature_extraction": {"nchannels": 3, "families": ["intensity"]},
+        },
+        caches=caches,
+    )
+    # fan-out cache + one summed relation per mask branch
+    assert len(caches.frames) == 3
+    assert len(out.toPandas()) == 10  # terminal action consumes the caches
+
+    def n_cached_blocks():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    assert n_cached_blocks() > 0
+    caches.unpersist(blocking=True)
+    assert n_cached_blocks() == 0
+    assert caches.frames == []
+
+
 def test_duplicate_branch_determinism_via_builder(full_events_df):
     """Two identical mask branches must agree column-for-column (the
     reference's duplicate-branch oracle, test_main.py:52, without

@@ -40,8 +40,6 @@ def replicate(spark, sf_dir: str, n: int, out: str) -> str:
     aggregation state."""
     if os.path.isdir(out):
         shutil.rmtree(out)
-    if os.path.isdir(f"{out}_setsim"):
-        shutil.rmtree(f"{out}_setsim")
     copies = F.broadcast(spark.range(n).select(F.col("id").alias("rep")))
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -255,6 +253,21 @@ def main() -> None:
         f"| op | {header} | {ratio_hdr} |",
         "|" + "---|" * (1 + len(scales) + len(factors)),
     ]
+
+    def flush_md() -> None:
+        # incremental: a late failure (e.g. a missing imaging dir) must
+        # not discard the hours of completed probe rows above it
+        with open("SCALE_PROBE.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def row(name: str, cells: dict, ratios: dict) -> str:
+        # pad to the full scale/ratio column count so single-factor
+        # sections stay aligned under a multi-factor header
+        c = " | ".join(cells.get(n, "—") for n in scales)
+        r = " | ".join(ratios.get(n, "—") for n in factors)
+        return f"| {name} | {c} | {r} |"
+
+    flush_md()
     for name in OPS:
         fn = REGISTRY[name].fn
         times = {}
@@ -263,11 +276,12 @@ def main() -> None:
             times[n] = time_op(spark, fn, dirs[n])
             print(f"probe {name} @{n}x = {times[n]:.2f}s",
                   file=sys.stderr, flush=True)
-        cells = " | ".join(f"{times[n]:.2f}" for n in scales)
-        ratios = " | ".join(
-            f"{times[n] / max(times[1], 1e-9):.1f}" for n in factors
-        )
-        lines.append(f"| {name} | {cells} | {ratios} |")
+        lines.append(row(
+            name,
+            {n: f"{times[n]:.2f}" for n in scales},
+            {n: f"{times[n] / max(times[1], 1e-9):.1f}" for n in factors},
+        ))
+        flush_md()
 
     # exact set-similarity joins: perturbed replica, reduced factor,
     # single pass (runtime dwarfs the noise band; ~linear means
@@ -282,38 +296,46 @@ def main() -> None:
         t1 = time_op(spark, fn, sf_dir, passes=1)
         print(f"probe {name} @{ss}x (perturbed) ...", file=sys.stderr, flush=True)
         tn = time_op(spark, fn, ss_dir, passes=1)
-        pad = " | ".join(["—"] * (len(scales) - 2)) if len(scales) > 2 else ""
-        pad = (pad + " | ") if pad else ""
-        lines.append(
-            f"| {name} (perturbed docs, probed at {ss}×) | {t1:.2f} | "
-            f"{pad}{tn:.2f} ({ss}×) | r{ss}={tn / max(t1, 1e-9):.1f} |"
-        )
+        lines.append(row(
+            f"{name} (perturbed docs, probed at {ss}×)",
+            {1: f"{t1:.2f}", factors[-1]: f"{tn:.2f} ({ss}×)"},
+            {factors[-1]: f"r{ss}={tn / max(t1, 1e-9):.1f}"},
+        ))
+        flush_md()
 
     # imaging pipeline: scaled by IMAGE COUNT, not table replication —
     # the sf dirs already encode 100/1k/10k synthetic images (the query
     # derives n from the dir name). Single timed pass: the 100× run is
     # ~100 s, far outside the noise band.
     img = REGISTRY["imaging_pipeline_e2e"].fn
-    img_dirs = {1: "/root/testdata/sf0.001", 10: "/root/testdata/sf0.01",
-                100: "/root/testdata/sf0.1"}
-    # warm the codegen/Arrow paths once: the tensor pipeline's first
-    # run pays Janino + Python-worker startup, which at 100 images
-    # dwarfs the data cost and produces a bogus r10 < 1
-    img(spark, img_dirs[1]).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    it = {}
-    for n, d in img_dirs.items():
-        t0 = time.time()
-        img(spark, d).write.format("noop").mode("overwrite").save()
-        it[n] = time.time() - t0
-        spark.catalog.clearCache()  # the mask fan-out caches its upstream
-    name = f"imaging_pipeline_e2e (image count; 10×={it[10]:.2f}s, r10={it[10]/it[1]:.1f})"
-    cells = " | ".join(f"{it[n]:.2f}" for n in (1, 100))
-    lines.append(f"| {name} | {cells} | {it[100]/it[1]:.1f} |")
-    out = "\n".join(lines) + "\n"
-    with open("SCALE_PROBE.md", "w") as f:
-        f.write(out)
-    print(out)
+    base = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    img_dirs = {1: os.path.join(base, "sf0.001"),
+                10: os.path.join(base, "sf0.01"),
+                100: os.path.join(base, "sf0.1")}
+    missing = [d for d in img_dirs.values() if not os.path.isdir(d)]
+    if missing:
+        print(f"skip imaging probe: missing sibling sf dirs {missing}",
+              file=sys.stderr, flush=True)
+    else:
+        # warm the codegen/Arrow paths once: the tensor pipeline's first
+        # run pays Janino + Python-worker startup, which at 100 images
+        # dwarfs the data cost and produces a bogus r10 < 1
+        img(spark, img_dirs[1]).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        it = {}
+        for n, d in img_dirs.items():
+            t0 = time.time()
+            img(spark, d).write.format("noop").mode("overwrite").save()
+            it[n] = time.time() - t0
+            spark.catalog.clearCache()  # the mask fan-out caches its upstream
+        lines.append(row(
+            f"imaging_pipeline_e2e (image count; 10×={it[10]:.2f}s, "
+            f"r10={it[10]/it[1]:.1f})",
+            {1: f"{it[1]:.2f}", factors[-1]: f"{it[100]:.2f} (100×)"},
+            {factors[-1]: f"r100={it[100]/it[1]:.1f}"},
+        ))
+    flush_md()
+    print("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
