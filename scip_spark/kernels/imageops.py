@@ -527,12 +527,19 @@ def _convex_hull(points: np.ndarray) -> np.ndarray:
     if len(pts) <= 2:
         return pts
 
-    def half(iterable):
-        hull: list[np.ndarray] = []
-        for p in iterable:
+    # plain-float tuples: numpy scalar indexing inside the chain loop
+    # costs ~100 ns per subscript and dominated the whole shape-feature
+    # family before this (profiled: 8 ms/region → ~0.5 ms)
+    tups = [tuple(p) for p in pts.tolist()]
+
+    def half(seq):
+        hull: list[tuple] = []
+        for p in seq:
+            py, px = p
             while len(hull) >= 2:
-                o, a = hull[-2], hull[-1]
-                cross = (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0])
+                oy, ox = hull[-2]
+                ay, ax = hull[-1]
+                cross = (ay - oy) * (px - ox) - (ax - ox) * (py - oy)
                 if cross <= 0:
                     hull.pop()
                 else:
@@ -540,23 +547,35 @@ def _convex_hull(points: np.ndarray) -> np.ndarray:
             hull.append(p)
         return hull
 
-    lower = half(pts)
-    upper = half(pts[::-1])
+    lower = half(tups)
+    upper = half(tups[::-1])
     return np.asarray(lower[:-1] + upper[:-1])
 
 
-def convex_mask(m: np.ndarray) -> np.ndarray:
+def _hull_cloud(m: np.ndarray) -> np.ndarray:
+    """Half-pixel-offset point cloud of the mask's BORDER pixels.
+
+    Identical hull to the all-pixels cloud: an interior pixel (all four
+    4-neighbours foreground) has each of its edge midpoints equal to
+    the midpoint of a segment between two midpoints contributed by
+    those foreground neighbours, hence never an extreme point."""
+    p = np.pad(m, 1)
+    interior = m & p[:-2, 1:-1] & p[2:, 1:-1] & p[1:-1, :-2] & p[1:-1, 2:]
+    ys, xs = np.nonzero(m & ~interior)
+    base = np.stack([ys, xs], axis=1).astype(np.float64)
+    offs = np.array([[0.5, 0.0], [-0.5, 0.0], [0.0, 0.5], [0.0, -0.5]])
+    return (base[:, None, :] + offs[None, :, :]).reshape(-1, 2)
+
+
+def convex_mask(m: np.ndarray, hull: np.ndarray | None = None) -> np.ndarray:
     """Pixels whose centers lie inside the convex hull of the mask's
     half-pixel-offset point cloud (the published convex_hull_image
     approach: each foreground pixel contributes its 4 edge midpoints so
     single-pixel-wide shapes still hull correctly)."""
-    ys, xs = np.nonzero(m)
-    if ys.size == 0:
+    if not m.any():
         return np.zeros_like(m)
-    base = np.stack([ys, xs], axis=1).astype(np.float64)
-    offs = np.array([[0.5, 0.0], [-0.5, 0.0], [0.0, 0.5], [0.0, -0.5]])
-    cloud = (base[:, None, :] + offs[None, :, :]).reshape(-1, 2)
-    hull = _convex_hull(cloud)
+    if hull is None:
+        hull = _convex_hull(_hull_cloud(m))
     if len(hull) <= 2:
         return m.copy()
     h, w = m.shape
@@ -578,15 +597,12 @@ def convex_mask(m: np.ndarray) -> np.ndarray:
     return inside
 
 
-def _feret_diameter_max(m: np.ndarray) -> float:
+def _feret_diameter_max(m: np.ndarray, hull: np.ndarray | None = None) -> float:
     """Max pairwise distance over convex-hull vertices of the
     half-offset point cloud (rotating-calipers upper bound is
     unnecessary: hulls here have tens of vertices)."""
-    ys, xs = np.nonzero(m)
-    base = np.stack([ys, xs], axis=1).astype(np.float64)
-    offs = np.array([[0.5, 0.0], [-0.5, 0.0], [0.0, 0.5], [0.0, -0.5]])
-    cloud = (base[:, None, :] + offs[None, :, :]).reshape(-1, 2)
-    hull = _convex_hull(cloud)
+    if hull is None:
+        hull = _convex_hull(_hull_cloud(m))
     d = hull[:, None, :] - hull[None, :, :]
     return float(np.sqrt((d**2).sum(-1)).max())
 
@@ -731,7 +747,8 @@ def regionprops_full(labels: np.ndarray) -> list[dict]:
             else 0.0
         )
 
-        hull_mask = convex_mask(m)
+        hull = _convex_hull(_hull_cloud(m))  # shared: convex_mask + feret
+        hull_mask = convex_mask(m, hull=hull)
         convex_area = float(hull_mask.sum())
         filled_area = float(fill_holes(m).sum())
         bbox_area = float((maxr - minr) * (maxc - minc))
@@ -743,7 +760,7 @@ def regionprops_full(labels: np.ndarray) -> list[dict]:
                 ecc,
                 float(np.sqrt(4.0 * area / np.pi)),
                 _euler_number(m),
-                _feret_diameter_max(m),
+                _feret_diameter_max(m, hull=hull),
                 filled_area,
                 float(major),
                 float(minor),

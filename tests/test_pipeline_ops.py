@@ -243,3 +243,42 @@ def test_population_filter_persists_summed_relation(spark, full_events_df, parti
     out2 = population_filter(partial_events_df, persist=False)
     plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" not in plan2
+
+
+def test_map_stage_fusion(spark, full_events_df):
+    """Adjacent map_events stages must fuse into ONE mapInPandas node
+    (each unfused hop ships the full tensor relation JVM↔Python — the
+    tensor chain is transfer-bound without fusion), results must be
+    identical to the unfused chain, and a persisted intermediate must
+    break fusion (the cache is the materialization point)."""
+    import scip_spark.operators as OPS
+    from scip_spark.operators.masking import apply_mask, get_mask
+    from scip_spark.operators.threshold_filter import add_filter_sum
+
+    def n_map_nodes(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("MapInPandas")
+
+    chain = add_filter_sum(apply_mask(get_mask(full_events_df, "circle")))
+    assert n_map_nodes(chain) == 1
+
+    # identical output to the unfused chain
+    OPS.FUSE_STAGES = False
+    try:
+        unfused = add_filter_sum(apply_mask(get_mask(full_events_df, "circle")))
+        assert n_map_nodes(unfused) == 3
+        a = chain.select("object_number", "filter_sum").toPandas()
+        b = unfused.select("object_number", "filter_sum").toPandas()
+    finally:
+        OPS.FUSE_STAGES = True
+    a = a.sort_values("object_number").reset_index(drop=True)
+    b = b.sort_values("object_number").reset_index(drop=True)
+    assert a.equals(b)
+
+    # a persisted intermediate is a fusion barrier
+    masked = get_mask(full_events_df, "circle").cache()
+    try:
+        barrier = apply_mask(masked)
+        assert n_map_nodes(barrier) == 2
+    finally:
+        masked.unpersist()
