@@ -58,11 +58,35 @@ def record_extents(df: DataFrame, key: str = "group") -> DataFrame:
 
 
 def group_extents(df: DataFrame, key: str = "group") -> DataFrame:
-    """Two-level aggregation: record extents → group extents."""
-    return (
-        record_extents(df, key)
-        .groupBy(key, "channel")
-        .agg(F.min("cmin").alias("gmin"), F.max("cmax").alias("gmax"))
+    """Two-level aggregation: record extents → group extents.
+
+    Fast path: when the frame carries precomputed ``ch_min``/``ch_max``
+    columns (emitted by ``threshold_filter.add_filter_sum(...,
+    with_extents=True)`` while the tensors were already decoded), the
+    record pass is pure Catalyst — posexplode + groupBy, no Python, no
+    tensor decode. Null array == record without pixels (explode drops
+    it), null element == channel whose mask selects nothing (filtered)
+    — exactly ``record_extents``'s skip semantics."""
+    if "ch_min" in df.columns and "ch_max" in df.columns:
+        rec = (
+            df.select(
+                key,
+                F.posexplode(F.arrays_zip("ch_min", "ch_max")).alias(
+                    "channel", "mm"
+                ),
+            )
+            .select(
+                key,
+                "channel",
+                F.col("mm.ch_min").alias("cmin"),
+                F.col("mm.ch_max").alias("cmax"),
+            )
+            .where(F.col("cmin").isNotNull())
+        )
+    else:
+        rec = record_extents(df, key)
+    return rec.groupBy(key, "channel").agg(
+        F.min("cmin").alias("gmin"), F.max("cmax").alias("gmax")
     )
 
 
@@ -72,6 +96,8 @@ def quantile_normalization(df: DataFrame, key: str = "group") -> DataFrame:
     lut: dict[tuple, tuple[float, float]] = {
         (r[key], r["channel"]): (r["gmin"], r["gmax"]) for r in extents
     }
+
+    drop_cols = [c for c in ("ch_min", "ch_max") if c in df.columns]
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
@@ -90,6 +116,14 @@ def quantile_normalization(df: DataFrame, key: str = "group") -> DataFrame:
         pdf = pdf.copy()
         pdf["pixels"] = flat.values
         pdf["pixels_shape"] = shape.values
-        return pdf
+        # precomputed extents describe PRE-normalization pixels; drop
+        # them here (not via .drop(), which would break stage fusion
+        # with a projection between this map and the next)
+        return pdf.drop(columns=drop_cols) if drop_cols else pdf
 
+    if drop_cols:
+        out_schema = T.StructType(
+            [f for f in df.schema.fields if f.name not in drop_cols]
+        )
+        return map_events(df, batch, out_schema)
     return map_events(df, batch)

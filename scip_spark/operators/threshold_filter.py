@@ -31,19 +31,70 @@ from scip_spark.queries import PHI_95
 from scip_spark.schema import decode_series
 
 
-def add_filter_sum(df: DataFrame, channel: int = 0) -> DataFrame:
+def add_filter_sum(
+    df: DataFrame, channel: int = 0, with_extents: bool = False
+) -> DataFrame:
+    """Adds ``filter_sum``; with ``with_extents`` also emits per-record
+    per-channel masked min/max (``ch_min``/``ch_max`` array<double>,
+    null element = channel whose mask selects nothing, null array =
+    record without pixels). The extents are byte-identical to what
+    ``normalization.record_extents`` would compute, but piggyback on a
+    pass that already has the tensors decoded — so a downstream
+    ``group_extents`` becomes a pure-JVM aggregation instead of another
+    full decode pass over the persisted tensor relation."""
+
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
         sums = [None if a is None else float(a[channel].sum()) for a in pixels]
         pdf = pdf.copy()
         pdf["filter_sum"] = pd.Series(sums, dtype=object).values
+        if with_extents:
+            masks = decode_series(pdf["mask"], pdf["mask_shape"], dtype=bool)
+            mins, maxs = [], []
+            for a, m in zip(pixels, masks):
+                if a is None:
+                    mins.append(None)
+                    maxs.append(None)
+                    continue
+                mn: list[float | None] = []
+                mx: list[float | None] = []
+                for c in range(a.shape[0]):
+                    if m is None:
+                        vals = a[c]
+                    elif m[c].any():
+                        vals = a[c][m[c]]
+                    else:  # masked channel selecting nothing: no extent
+                        mn.append(None)
+                        mx.append(None)
+                        continue
+                    mn.append(float(vals.min()))
+                    mx.append(float(vals.max()))
+                mins.append(mn)
+                maxs.append(mx)
+            pdf["ch_min"] = pd.Series(mins, dtype=object).values
+            pdf["ch_max"] = pd.Series(maxs, dtype=object).values
         return pdf
 
-    return map_events(df, batch)
+    if not with_extents:
+        return map_events(df, batch)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("ch_min", T.ArrayType(T.DoubleType()), True),
+            T.StructField("ch_max", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    return map_events(df, batch, schema)
 
 
 def population_filter(
-    df: DataFrame, channel: int = 0, persist: bool = True, caches=None
+    df: DataFrame,
+    channel: int = 0,
+    persist: bool = True,
+    caches=None,
+    with_extents: bool = False,
 ) -> DataFrame:
     """Soft-delete records whose filter_sum falls below the 5th
     percentile of a normal fit. Row count is preserved. Eager: the
@@ -55,7 +106,7 @@ def population_filter(
     ``caches`` (any object with ``add(df)``, e.g.
     ``plans.pipeline.BuildCaches``) to take ownership and release it
     after the action — otherwise it lives until session end."""
-    with_sum = add_filter_sum(df, channel)
+    with_sum = add_filter_sum(df, channel, with_extents=with_extents)
     if persist:
         from pyspark.storagelevel import StorageLevel
 
@@ -70,9 +121,16 @@ def population_filter(
         # empty input (or all-null pixels): nothing to soft-delete
         return with_sum
     keep = F.col("filter_sum") > F.lit(mu - PHI_95 * (sigma or 0.0))
-    return (
+    out = (
         with_sum.withColumn("pixels", F.when(keep, F.col("pixels")))
         .withColumn("pixels_shape", F.when(keep, F.col("pixels_shape")))
         .withColumn("mask", F.when(keep, F.col("mask")))
         .withColumn("mask_shape", F.when(keep, F.col("mask_shape")))
     )
+    if with_extents:
+        # soft-deleted records must contribute nothing to downstream
+        # extents (their pixels are nulled; mirror that here)
+        out = out.withColumn("ch_min", F.when(keep, F.col("ch_min"))).withColumn(
+            "ch_max", F.when(keep, F.col("ch_max"))
+        )
+    return out

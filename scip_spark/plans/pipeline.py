@@ -119,7 +119,12 @@ def build(
     for name, branch in branches.items():
         b = branch
         if "filter" in cfg:
-            b = population_filter(b, caches=caches, **cfg["filter"])
+            fkw = dict(cfg["filter"])
+            # when normalization follows, precompute per-record extents
+            # in the filter's (already-decoded) pass: group_extents then
+            # needs no second tensor decode over the persisted relation
+            fkw.setdefault("with_extents", "normalization" in cfg)
+            b = population_filter(b, caches=caches, **fkw)
         if "normalization" in cfg:
             b = quantile_normalization(b, **cfg["normalization"])
         if "feature_extraction" in cfg:

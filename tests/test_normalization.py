@@ -51,3 +51,44 @@ def test_empty_channel_mask_skipped(spark):
     rows = group_extents(df).collect()
     assert len(rows) == 1
     assert rows[0].gmin == 50.0 and rows[0].gmax == 50.0  # record b ignored
+
+
+def test_precomputed_extents_match_decode_path(spark, partial_events_df):
+    """group_extents' pure-JVM fast path over ch_min/ch_max (emitted by
+    add_filter_sum(with_extents=True)) must reproduce the decode path
+    exactly — including empty-mask-channel skips and soft-deleted rows
+    contributing nothing."""
+    from scip_spark.operators.threshold_filter import (
+        add_filter_sum,
+        population_filter,
+    )
+
+    summed = add_filter_sum(partial_events_df, with_extents=True)
+    assert "ch_min" in summed.columns
+    fast = {
+        (r.group, r.channel): (r.gmin, r.gmax)
+        for r in group_extents(summed).collect()
+    }
+    slow = {
+        (r.group, r.channel): (r.gmin, r.gmax)
+        for r in group_extents(summed.drop("ch_min", "ch_max")).collect()
+    }
+    assert fast == slow and len(fast) > 0
+    assert all(v == (22.0, 77.0) for v in fast.values())
+
+    # soft-deleted rows contribute nothing on either path (this fixture
+    # has identical filter_sums → σ=0 → the filter drops every record)
+    filtered = population_filter(partial_events_df, with_extents=True)
+    assert group_extents(filtered).collect() == []
+    assert group_extents(filtered.drop("ch_min", "ch_max")).collect() == []
+
+    # end-to-end: normalization over the extent-carrying frame drops the
+    # (stale, pre-normalization) extent columns from its output
+    normed = quantile_normalization(filtered)
+    assert "ch_min" not in normed.columns and "ch_max" not in normed.columns
+    out = normed.toPandas()
+    for _, r in out.iterrows():
+        if r.pixels is None:
+            continue
+        a = decode_tensor(r.pixels, r.pixels_shape)
+        assert a.min() >= 0.0 and a.max() <= 1.0
