@@ -55,6 +55,14 @@ def test_build_caches_handle_releases_persisted_relations(spark, full_events_df)
     from scip_spark.plans.pipeline import BuildCaches
 
     spark.catalog.clearCache()
+
+    def n_cached_blocks():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    # earlier tests' localCheckpoint blocks are NOT in the relation
+    # cache (clearCache can't drop them) and are GC'd at arbitrary
+    # times — assert relative to this baseline, not absolute zero
+    baseline = n_cached_blocks()
     caches = BuildCaches()
     out = build(
         full_events_df,
@@ -69,12 +77,10 @@ def test_build_caches_handle_releases_persisted_relations(spark, full_events_df)
     assert len(caches.frames) == 3
     assert len(out.toPandas()) == 10  # terminal action consumes the caches
 
-    def n_cached_blocks():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-
-    assert n_cached_blocks() > 0
+    # ≥3 = ours (strays can only add here, and can only SHRINK below)
+    assert n_cached_blocks() >= 3
     caches.unpersist(blocking=True)
-    assert n_cached_blocks() == 0
+    assert n_cached_blocks() <= baseline
     assert caches.frames == []
 
 
