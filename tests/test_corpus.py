@@ -428,3 +428,72 @@ def test_bpe_batched_matches_reference_on_collision_heavy_corpora(spark):
         wf = {r.w: r.freq for r in word_freq_table(docs).collect()}
         want = _reference_bpe(wf, n_merges=6)
         assert bpe_train(docs, n_merges=6, batch=8) == want, text
+
+
+def _batched_bpe_sim(word_freqs, n_merges, batch=8, top_k=None):
+    """Driver-side mirror of bpe_train's per-round logic (pair count →
+    top-K with tail cap → _select_independent with the live symbol
+    vocabulary → apply the whole prefix) so the batching math can be
+    property-tested without Spark in the loop."""
+    from scip_spark.functions.bpe import _select_independent
+
+    END = "</w>"
+    top_k = top_k or max(64, 8 * batch)
+    table = {w: (list(w) + [END], f) for w, f in word_freqs.items()}
+    known = {s for seq, _ in table.values() for s in seq}
+    merges = []
+    while len(merges) < n_merges:
+        counts = {}
+        for seq, f in table.values():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        top = [
+            {"n": n, "left": l, "right": r}
+            for (l, r), n in top[:top_k]
+            if n >= 2
+        ]
+        if not top:
+            break
+        tail_cap = top[-1]["n"] if len(top) == top_k else 0
+        room = n_merges - len(merges)
+        chosen = _select_independent(top, tail_cap, min(batch, room), known)
+        if not chosen:
+            break
+        merges.extend(chosen)
+        known.update(l + r for l, r in chosen)
+        for w, (seq, f) in table.items():
+            for l, r in chosen:
+                res, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(seq[i])
+                        i += 1
+                seq = res
+            table[w] = (seq, f)
+    return merges
+
+
+def test_bpe_batching_property():
+    """Property: for RANDOM word-frequency tables over a tiny alphabet
+    (maximal collision pressure: products like 'aa'+'a' vs 'a'+'aa'
+    constantly coincide), the batched selection emits the byte-exact
+    sequential merge list — at full horizon AND at a tiny top-K horizon
+    (exercising the tail-cap bound)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=7)
+    tables = st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(tables, st.integers(1, 8))
+    def check(wf, batch):
+        want = _reference_bpe(wf, n_merges=8)
+        assert _batched_bpe_sim(wf, 8, batch=batch) == want
+        assert _batched_bpe_sim(wf, 8, batch=batch, top_k=3) == want
+
+    check()
