@@ -53,7 +53,7 @@ def test_empty_channel_mask_skipped(spark):
     assert rows[0].gmin == 50.0 and rows[0].gmax == 50.0  # record b ignored
 
 
-def test_precomputed_extents_match_decode_path(spark, partial_events_df):
+def test_precomputed_extents_match_decode_path(spark, partial_events_df, full_events_df):
     """group_extents' pure-JVM fast path over ch_min/ch_max (emitted by
     add_filter_sum(with_extents=True)) must reproduce the decode path
     exactly — including empty-mask-channel skips and soft-deleted rows
@@ -75,6 +75,22 @@ def test_precomputed_extents_match_decode_path(spark, partial_events_df):
     }
     assert fast == slow and len(fast) > 0
     assert all(v == (22.0, 77.0) for v in fast.values())
+
+    # maskless records (mask column null) contribute FULL-pixel extents
+    # on both paths
+    summed_full = add_filter_sum(full_events_df, with_extents=True)
+    fast_full = {
+        (r.group, r.channel): (r.gmin, r.gmax)
+        for r in group_extents(summed_full).collect()
+    }
+    slow_full = {
+        (r.group, r.channel): (r.gmin, r.gmax)
+        for r in group_extents(
+            summed_full.drop("ch_min", "ch_max")
+        ).collect()
+    }
+    assert fast_full == slow_full
+    assert all(v == (0.0, 99.0) for v in fast_full.values())
 
     # soft-deleted rows contribute nothing on either path (this fixture
     # has identical filter_sums → σ=0 → the filter drops every record)
