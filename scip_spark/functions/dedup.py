@@ -474,11 +474,144 @@ def boilerplate_scrub(
     )
 
 
+BITMASK_VOCAB_CAP = 4096  # <= 64 longs of mask per doc
+
+
+def _small_vocab(tok: DataFrame, cap: int):
+    """Collect the corpus vocabulary with document frequencies IFF it
+    has at most ``cap`` distinct tokens; else None. The collect is
+    bounded (``limit(cap + 1)``) so the driver never holds more than
+    cap+1 rows no matter the corpus — the one extra aggregation pass
+    over the token relation is what buys the bitmask verify below.
+    Bits are assigned in sorted-token order, so the mapping is a pure
+    function of the vocabulary set (deterministic across runs)."""
+    if cap <= 0:
+        return None
+    rows = (
+        tok.groupBy("token").agg(F.count("*").alias("df"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap or not rows:  # empty: general path is already O(0)
+        return None
+    vocab = sorted((r["token"], r["df"]) for r in rows)
+    return [(t, d, i) for i, (t, d) in enumerate(vocab)]
+
+
+def _mask_relation(tok_bits: DataFrame, n_words: int) -> DataFrame:
+    """(sid, n_tok, mask: array<long>[n_words]) from (sid, bit) rows.
+    Two groupBys, both keyed by doc id (the second input is at most
+    n_words rows per doc) — this replaces the |candidates| × |doc|
+    exploded verify join with an O(n_words) popcount per candidate."""
+    words = tok_bits.groupBy(
+        "sid", (F.col("bit") / 64).cast("int").alias("w")
+    ).agg(
+        # pyspark's shiftleft() only takes a literal shift — use SQL
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit % 64)")).alias("wv"),
+        F.count("*").alias("cnt"),
+    )
+    return words.groupBy("sid").agg(
+        F.sum("cnt").alias("n_tok"),
+        F.map_from_entries(F.collect_list(F.struct("w", "wv"))).alias("m"),
+    ).select(
+        "sid",
+        "n_tok",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            # element_at on a MAP is lookup by key (the word index)
+            lambda i: F.coalesce(F.element_at("m", i), F.lit(0).cast("long")),
+        ).alias("mask"),
+    )
+
+
+def _mask_inter(a: Column, b: Column) -> Column:
+    """|A ∩ B| as sum of per-word popcounts of AND — exact, pure
+    whole-stage-codegen column algebra, no explode."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _setsim_bitmask(spark, tok: DataFrame, vocab, threshold: float,
+                    eps: float) -> DataFrame:
+    """Small-vocabulary fast path for :func:`setsim_prefix_join`.
+
+    Same prefix-filter candidate generation (rarest-first order by
+    (df, token) — identical to the general path, so the completeness
+    argument carries over verbatim); the exact verify is
+    popcount-of-AND over packed long masks. n_tok comes from a COUNT
+    window sharing the row_number window's exchange, so the fast path
+    has no sizes join at all."""
+    from pyspark.sql.window import Window as W
+
+    n_words = (len(vocab) + 63) // 64
+    vmap = F.broadcast(
+        spark.createDataFrame(vocab, ["token", "df", "bit"])
+    )
+    tok2 = tok.join(vmap, "token").select("sid", "token", "df", "bit")
+    by_sid = W.partitionBy("sid")
+    ranked = tok2.select(
+        "sid",
+        "bit",
+        F.row_number().over(by_sid.orderBy("df", "token")).alias("rn"),
+        F.count("*").over(by_sid).alias("n_tok"),
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n_tok") - F.floor(F.lit(threshold) * F.col("n_tok")) + 1
+    )
+    a = prefix.select(
+        F.col("sid").alias("id_a"), "bit",
+        F.col("n_tok").alias("n_a"), F.col("rn").alias("p_a"),
+    )
+    b = prefix.select(
+        F.col("sid").alias("id_b"), "bit",
+        F.col("n_tok").alias("n_b"), F.col("rn").alias("p_b"),
+    )
+    required = F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+    ubound = F.least("p_a", "p_b") + F.least(
+        F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
+    )
+    cand = (
+        a.join(b, "bit")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(eps)
+        )
+        .filter(ubound >= required - F.lit(eps))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    masks = _mask_relation(tok2.select("sid", "bit"), n_words)
+    ma = masks.select(
+        F.col("sid").alias("id_a"), F.col("n_tok").alias("n_a"),
+        F.col("mask").alias("mask_a"),
+    )
+    mb = masks.select(
+        F.col("sid").alias("id_b"), F.col("n_tok").alias("n_b"),
+        F.col("mask").alias("mask_b"),
+    )
+    n_inter = _mask_inter(F.col("mask_a"), F.col("mask_b"))
+    jac = n_inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - n_inter
+    )
+    return (
+        cand.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def setsim_prefix_join(
     docs: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bitmask_cap: int = BITMASK_VOCAB_CAP,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering (the
     AllPairs/PPJoin family) — the deterministic complement to the
@@ -515,11 +648,23 @@ def setsim_prefix_join(
     fixes semantics. The standard composition at scale is
     ``exact_dedup_groups`` first (collapse verbatim copies to one
     canonical doc, linear), then setsim over canonical docs only.
+
+    Vocabulary-keyed dispatch: when the corpus has at most
+    ``bitmask_cap`` distinct tokens (established by a bounded
+    ``limit(cap+1).collect()`` on the document-frequency relation),
+    the verify stage runs on packed per-doc bitmasks —
+    ``popcount(mask_a & mask_b)`` over <= cap/64 longs, exact and
+    fully codegen — instead of the exploded candidate × token join.
+    Candidate generation (the part whose completeness proof matters)
+    is byte-identical in both paths. ``bitmask_cap=0`` disables.
     """
     eps = 1e-9
     tok = docs.select(
         F.col(id_col).alias("sid"), F.explode(tokens(text_col)).alias("token")
     ).distinct()
+    vocab = _small_vocab(tok, bitmask_cap)
+    if vocab is not None:
+        return _setsim_bitmask(docs.sparkSession, tok, vocab, threshold, eps)
     sizes = tok.groupBy("sid").agg(F.count("*").alias("n_tok"))
     df_tok = tok.groupBy("token").agg(F.count("*").alias("df"))
     from pyspark.sql.window import Window as W
@@ -588,11 +733,63 @@ def setsim_prefix_join(
     )
 
 
+def _containment_bitmask(spark, tok: DataFrame, vocab, threshold: float,
+                         eps: float) -> DataFrame:
+    """Small-vocabulary fast path for :func:`containment_join`: same
+    A-side prefix pruning + full B postings for candidates (joined on
+    the vocabulary bit id), popcount-of-AND verify."""
+    from pyspark.sql.window import Window as W
+
+    n_words = (len(vocab) + 63) // 64
+    vmap = F.broadcast(
+        spark.createDataFrame(vocab, ["token", "df", "bit"])
+    )
+    tok2 = tok.join(vmap, "token").select("sid", "token", "df", "bit")
+    by_sid = W.partitionBy("sid")
+    ranked = tok2.select(
+        "sid",
+        "bit",
+        F.row_number().over(by_sid.orderBy("df", "token")).alias("rn"),
+        F.count("*").over(by_sid).alias("n_tok"),
+    )
+    a = ranked.filter(
+        F.col("rn")
+        <= F.col("n_tok") - F.floor(F.lit(threshold) * F.col("n_tok")) + 1
+    ).select(F.col("sid").alias("id_a"), "bit", F.col("n_tok").alias("n_a"))
+    b = ranked.select(
+        F.col("sid").alias("id_b"), "bit", F.col("n_tok").alias("n_b")
+    )
+    cand = (
+        a.join(b, "bit")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    masks = _mask_relation(tok2.select("sid", "bit"), n_words)
+    ma = masks.select(
+        F.col("sid").alias("id_a"), F.col("n_tok").alias("n_a"),
+        F.col("mask").alias("mask_a"),
+    )
+    mb = masks.select(
+        F.col("sid").alias("id_b"), F.col("mask").alias("mask_b")
+    )
+    n_inter = _mask_inter(F.col("mask_a"), F.col("mask_b"))
+    cont = n_inter.cast("double") / F.col("n_a")
+    return (
+        cand.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def containment_join(
     docs: DataFrame,
     threshold: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bitmask_cap: int = BITMASK_VOCAB_CAP,
 ) -> DataFrame:
     """ASYMMETRIC set-containment self-join: directed pairs (a, b),
     a != b, with |A∩B| / |A| >= threshold — the copy-paste-inclusion
@@ -609,11 +806,18 @@ def containment_join(
     ordering keeps A-prefix tokens low-df, which bounds candidates by
     the POSTING LENGTH OF RARE TOKENS, not corpus size. Length filter:
     inter <= n_b forces n_b >= t*n_a. Exact verify on candidates only.
-    At threshold 1.0 the A-prefix is a single token (its rarest)."""
+    At threshold 1.0 the A-prefix is a single token (its rarest).
+
+    Same vocabulary-keyed bitmask dispatch as
+    :func:`setsim_prefix_join` (see there); ``bitmask_cap=0``
+    disables."""
     eps = 1e-9
     tok = docs.select(
         F.col(id_col).alias("sid"), F.explode(tokens(text_col)).alias("token")
     ).distinct()
+    vocab = _small_vocab(tok, bitmask_cap)
+    if vocab is not None:
+        return _containment_bitmask(docs.sparkSession, tok, vocab, threshold, eps)
     sizes = tok.groupBy("sid").agg(F.count("*").alias("n_tok"))
     df_tok = tok.groupBy("token").agg(F.count("*").alias("df"))
     from pyspark.sql.window import Window as W

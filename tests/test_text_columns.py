@@ -132,6 +132,63 @@ def test_setsim_prefix_join_prunes_vs_allpairs(spark):
     assert len(out) == 2 * (21 + 21 + 15)
 
 
+def test_setsim_bitmask_path_matches_general(spark):
+    """Vocabulary-keyed dispatch: the packed-bitmask verify
+    (vocab <= cap) must return EXACTLY the general exploded-verify
+    path's pairs and similarities. 150 distinct tokens forces 3-long
+    masks (crosses the 64-bit word boundary twice); seeded overlaps
+    produce pairs on both sides of the threshold; one empty doc pins
+    the no-token exclusion in both paths."""
+    import random
+
+    from scip_spark.functions.dedup import setsim_prefix_join
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(150)]
+    rows = []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randint(3, 12))
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.5:  # near-dup with a few swaps
+            mut = list(base)
+            for _ in range(rng.randint(0, 2)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mut)))
+    rows.append((9999, ""))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.5, 0.9):
+        fast = sorted(map(tuple, setsim_prefix_join(docs, threshold=t).collect()))
+        slow = sorted(map(tuple, setsim_prefix_join(
+            docs, threshold=t, bitmask_cap=0).collect()))
+        assert fast == slow
+        assert fast  # non-vacuous: the generator must produce pairs
+
+
+def test_containment_bitmask_path_matches_general(spark):
+    """Same dual-path equivalence for the asymmetric containment join,
+    including sub-document inclusion pairs (short docs sampled from a
+    long doc's tokens)."""
+    import random
+
+    from scip_spark.functions.dedup import containment_join
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(150)]
+    rows = []
+    for i in range(40):
+        base = rng.sample(vocab, rng.randint(5, 20))
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # short doc drawn from base: containment 1.0
+            rows.append((1000 + i, " ".join(rng.sample(base, 3))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (1.0, 0.8):
+        fast = sorted(map(tuple, containment_join(docs, threshold=t).collect()))
+        slow = sorted(map(tuple, containment_join(
+            docs, threshold=t, bitmask_cap=0).collect()))
+        assert fast == slow
+        assert fast
+
+
 def test_phrase_match_positions(spark):
     from scip_spark.functions.text import phrase_match_positions
 
