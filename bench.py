@@ -62,6 +62,8 @@ HEADLINE = [
     "frequent_item_pairs",
     "sliding_distinct_users",
     "pit_join_lineitem_scd2",
+    "dedup_setsim_join",
+    "dedup_containment_pairs",
     "imaging_pipeline_e2e",
 ]
 
@@ -70,6 +72,10 @@ HEADLINE = [
 # whole bench for nothing)
 SINGLE_PASS = {
     "imaging_pipeline_e2e",
+    # exact joins: ~14 s each at sf0.1 (candidate-dense corpus) — one
+    # pass keeps the bench under budget while still tracking them
+    "dedup_setsim_join",
+    "dedup_containment_pairs",
 }
 
 # queries whose plan persists relations that outlive their own action
