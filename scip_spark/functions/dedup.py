@@ -784,6 +784,82 @@ def _containment_bitmask(spark, tok: DataFrame, vocab, threshold: float,
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS construction): hash every token ``k``-gram,
+    slide a window of ``w`` consecutive k-gram hashes, keep the window
+    minimum. The winnowing theorem guarantees any shared token run of
+    length >= w + k - 1 contributes at least one SHARED fingerprint,
+    while only ~2/(w+1) of the k-grams are kept — substring-level
+    duplicate detection at a fraction of full n-gram indexing.
+
+    Entirely per-row array algebra (shingle → md5-48bit → windowed
+    array_min → array_distinct) — ZERO shuffle up to the returned
+    exploded (doc, fp) relation; text never leaves its input
+    partition. Docs shorter than w + k - 1 tokens emit no rows."""
+    sh = shingles(text_col, k)
+    grams = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+    )
+    nw = F.size(grams) - w + 1
+    fps = F.when(
+        nw >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select(F.col(id_col).alias("sid"), F.explode(fps).alias("fp"))
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    df_cap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level near-duplicate pairs via shared winnowing
+    fingerprints: (id_a, id_b, n_shared) for every unordered doc pair
+    sharing at least ``min_shared`` fingerprints. This sits between
+    chunk-level boilerplate scrubbing (fixed chunks, exact match) and
+    set-level Jaccard (order-blind): it detects COPIED TOKEN RUNS of
+    length >= w + k - 1 anywhere in either doc.
+
+    Scale: candidate generation is an equi-join on the 48-bit
+    fingerprint; fingerprints appearing in more than ``df_cap`` docs
+    (global boilerplate) are dropped first — the same hot-key cap as
+    the LSH band join, bounding any posting list at df_cap and the
+    pair fan-out at df_cap^2 per fingerprint. No all-pairs product;
+    document text never shuffles (only 8-byte fps + ids)."""
+    fp = winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+    ok = (
+        fp.groupBy("fp").agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= df_cap)
+        .select("fp")
+    )
+    fpo = fp.join(ok, "fp")
+    a = fpo.select(F.col("sid").alias("id_a"), "fp")
+    b = fpo.select(F.col("sid").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def containment_join(
     docs: DataFrame,
     threshold: float = 1.0,

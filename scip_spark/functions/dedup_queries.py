@@ -605,6 +605,53 @@ def dedup_containment_pairs(spark, sf_dir):
     )
 
 
+_WINNOW_K, _WINNOW_W, _WINNOW_MIN, _WINNOW_CAP = 5, 4, 2, 64
+
+
+@register(
+    "winnow_dup_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             [CAST(('0x' || substr(md5(array_to_string(
+                  list_slice(toks, i, i + {_WINNOW_K} - 1), ' ')), 1, 12))
+               AS BIGINT)
+              FOR i IN generate_series(1, len(toks) - {_WINNOW_K} + 1)] AS grams
+      FROM t WHERE len(toks) >= {_WINNOW_K} + {_WINNOW_W} - 1
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             unnest([list_min(list_slice(grams, j, j + {_WINNOW_W} - 1))
+                     FOR j IN generate_series(1, len(grams) - {_WINNOW_W} + 1)]) AS fp
+      FROM g
+    ),
+    ok AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM fp GROUP BY fp)
+      WHERE c <= {_WINNOW_CAP}
+    ),
+    fpo AS (SELECT doc_id, fp FROM fp JOIN ok USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fpo a JOIN fpo b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN}
+    """,
+    doc="substring-level near-dup pairs via winnowing fingerprints "
+    "(Schleimer et al. 2003): shared token runs >= w+k-1 anywhere in "
+    "either doc; df-capped fingerprint equi-join, no all-pairs",
+)
+def winnow_dup_pairs(spark, sf_dir):
+    return dedup.winnow_dup_pairs(
+        tbl(spark, sf_dir, "documents"),
+        k=_WINNOW_K, w=_WINNOW_W,
+        min_shared=_WINNOW_MIN, df_cap=_WINNOW_CAP,
+    )
+
+
 @register(
     "contrastive_negatives",
     f"""

@@ -189,6 +189,35 @@ def test_containment_bitmask_path_matches_general(spark):
         assert fast
 
 
+def test_winnow_dup_pairs_detects_copied_runs(spark):
+    """Winnowing theorem (k=5, w=4): a shared token run of length
+    >= w + k - 1 = 8 MUST produce at least one shared fingerprint;
+    docs with no shared run of that length and disjoint vocab share
+    none. Short docs (< 8 tokens) emit no fingerprints at all."""
+    from scip_spark.functions.dedup import winnow_dup_pairs, winnow_fingerprints
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"  # exactly w+k-1 tokens
+    rows = [
+        (1, f"a1 a2 a3 {run} a4 a5"),
+        (2, f"b1 b2 {run} b3 b4 b5 b6"),   # same run, different context
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # disjoint vocab
+        (4, "d1 d2 d3"),                    # too short: no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_dup_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all({a, b} == {1, 2} for a, b in pairs)
+    fps = winnow_fingerprints(docs)
+    assert fps.filter(F.col("sid") == 4).count() == 0
+    # determinism: same corpus -> identical fingerprint relation
+    one = sorted(map(tuple, fps.collect()))
+    two = sorted(map(tuple, winnow_fingerprints(docs).collect()))
+    assert one == two
+
+
 def test_phrase_match_positions(spark):
     from scip_spark.functions.text import phrase_match_positions
 
