@@ -734,6 +734,15 @@ def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
     want_sh = {tuple(r) for r in simhash_table(docs).collect()}
     assert got_sh == want_sh
 
+    # documents → winnowing fingerprint index (same per-row property:
+    # the windowed-min is array algebra inside one projection)
+    from scip_spark.functions.dedup import winnow_fingerprints
+
+    run_to_memory(winnow_fingerprints(dstream), "wf_index_stream", mode="append")
+    got_wf = {tuple(r) for r in spark.table("wf_index_stream").collect()}
+    want_wf = {tuple(r) for r in winnow_fingerprints(docs).collect()}
+    assert got_wf == want_wf and len(want_wf) > 0
+
 
 def test_streaming_ab_test_matches_batch(spark, tmp_path):
     """The A/B readout's per-user conversion state is a streaming
