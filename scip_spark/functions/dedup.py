@@ -802,22 +802,59 @@ def winnow_fingerprints(
     Entirely per-row array algebra (shingle → md5-48bit → windowed
     array_min → array_distinct) — ZERO shuffle up to the returned
     exploded (doc, fp) relation; text never leaves its input
-    partition. Docs shorter than w + k - 1 tokens emit no rows."""
-    sh = shingles(text_col, k)
-    grams = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+    partition. Docs shorter than w + k - 1 tokens emit no rows.
+
+    Each derivation level (tokens → gram hashes → window minima) is
+    its own PROJECTION: Spark's common-subexpression elimination does
+    not descend into higher-order-function lambdas, so inlining
+    ``grams`` into the per-window ``slice`` would re-tokenize and
+    re-hash the whole document once PER WINDOW POSITION — a ~L×
+    per-row blow-up (measured: minutes vs seconds at sf0.1).
+    CollapseProject keeps these boundaries because the multiply
+    referenced producers are non-cheap. The final explode is
+    ``explode_outer`` + ``fp IS NOT NULL`` rather than plain explode:
+    InferFiltersFromGenerate would otherwise add ``size(fps) > 0``
+    and push it below every projection, SUBSTITUTING the full nested
+    expression into a scan-level Filter — the exact recomputation the
+    projection boundaries exist to prevent (measured 50× slower). The
+    null filter is equivalent (empty arrays yield one null row) and
+    cannot sink below the Generate that creates ``fp``."""
+    stage = docs.select(
+        F.col(id_col).alias("sid"), tokens(text_col).alias("toks")
     )
-    nw = F.size(grams) - w + 1
-    fps = F.when(
-        nw >= 1,
-        F.array_distinct(
+    n_sh = F.size("toks") - k + 1
+    stage = stage.select(
+        "sid",
+        F.when(
+            n_sh >= 1,
             F.transform(
-                F.sequence(F.lit(1), nw),
-                lambda j: F.array_min(F.slice(grams, j, w)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return docs.select(F.col(id_col).alias("sid"), F.explode(fps).alias("fp"))
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("toks", i, k))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("grams"),
+    )
+    nw = F.size("grams") - w + 1
+    stage = stage.select(
+        "sid",
+        F.when(
+            nw >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nw),
+                    lambda j: F.array_min(F.slice("grams", j, w)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("fps"),
+    )
+    return stage.select(
+        "sid", F.explode_outer("fps").alias("fp")
+    ).filter(F.col("fp").isNotNull())
 
 
 def winnow_dup_pairs(

@@ -190,7 +190,8 @@ OPS = ["dedup_minhash_signatures", "dedup_simhash", "quality_repetition",
 #: their verify-join spill is ~1 GB per replication unit (linear, but a
 #: large constant), and 100× would exceed this box's free disk. 25×
 #: still separates linear from quadratic decisively.
-PERTURBED_DOCS_OPS = ["dedup_setsim_join", "dedup_containment_pairs"]
+PERTURBED_DOCS_OPS = ["dedup_setsim_join", "dedup_containment_pairs",
+                      "winnow_dup_pairs"]
 SETSIM_FACTOR = 25
 
 
