@@ -64,6 +64,7 @@ HEADLINE = [
     "pit_join_lineitem_scd2",
     "dedup_setsim_join",
     "dedup_containment_pairs",
+    "winnow_dup_pairs",
     "imaging_pipeline_e2e",
 ]
 
