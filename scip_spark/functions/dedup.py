@@ -857,6 +857,119 @@ def winnow_fingerprints(
     ).filter(F.col("fp").isNotNull())
 
 
+def winnow_fingerprint_positions(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`winnow_fingerprints` with POSITION evidence: (sid, fp,
+    pos) where ``pos`` is the 1-based token index of the selected
+    minimal k-gram (leftmost minimum per window — a deterministic
+    common convention, so equal runs in two docs select aligned
+    positions). A matched fingerprint witnesses a shared token run
+    covering at least tokens [pos, pos + k - 1] in each doc. Same
+    staged-projection / explode_outer discipline as
+    :func:`winnow_fingerprints` (see there for why)."""
+    stage = docs.select(
+        F.col(id_col).alias("sid"), tokens(text_col).alias("toks")
+    )
+    n_sh = F.size("toks") - k + 1
+    stage = stage.select(
+        "sid",
+        F.when(
+            n_sh >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("toks", i, k))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("grams"),
+    )
+    nw = F.size("grams") - w + 1
+
+    def _win(j):
+        sl = F.slice("grams", j, w)
+        mn = F.array_min(sl)
+        return F.struct(
+            mn.alias("fp"),
+            (j.cast("long") + F.array_position(sl, mn) - 1).alias("pos"),
+        )
+
+    stage = stage.select(
+        "sid",
+        F.when(
+            nw >= 1,
+            F.array_distinct(F.transform(F.sequence(F.lit(1), nw), _win)),
+        ).otherwise(
+            F.array().cast("array<struct<fp:bigint,pos:bigint>>")
+        ).alias("fps"),
+    )
+    return stage.select(
+        "sid", F.explode_outer("fps").alias("s")
+    ).filter(F.col("s").isNotNull()).select(
+        "sid", F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos")
+    )
+
+
+def winnow_dup_spans(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    df_cap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level duplication evidence: for every unordered doc pair
+    sharing >= ``min_shared`` winnowing fingerprints, the EXTENT of
+    the shared material in each doc — (id_a, id_b, n_shared,
+    a_start, a_end, b_start, b_end) in 1-based token-position space
+    (an end position covers tokens through pos + k - 1). This is the
+    actionable form of :func:`winnow_dup_pairs`: a pipeline can cut
+    or dedup the offending spans instead of dropping whole docs.
+
+    Same scale shape as the pair query (df-capped fingerprint
+    equi-join, no all-pairs); a fingerprint recurring at several
+    positions contributes one matched row per position combination
+    (deterministic; bounded by the df cap and per-doc fp counts)."""
+    fp = winnow_fingerprint_positions(
+        docs, k=k, w=w, text_col=text_col, id_col=id_col
+    )
+    ok = (
+        fp.select("sid", "fp").distinct()
+        .groupBy("fp").agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= df_cap)
+        .select("fp")
+    )
+    fpo = fp.join(ok, "fp")
+    a = fpo.select(
+        F.col("sid").alias("id_a"), "fp", F.col("pos").alias("pos_a")
+    )
+    b = fpo.select(
+        F.col("sid").alias("id_b"), "fp", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("pos_a").alias("a_start"),
+            F.max("pos_a").alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+            F.max("pos_b").alias("b_end"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnow_dup_pairs(
     docs: DataFrame,
     k: int = 5,

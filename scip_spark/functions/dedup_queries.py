@@ -653,6 +653,59 @@ def winnow_dup_pairs(spark, sf_dir):
 
 
 @register(
+    "winnow_dup_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             [CAST(('0x' || substr(md5(array_to_string(
+                  list_slice(toks, i, i + {_WINNOW_K} - 1), ' ')), 1, 12))
+               AS BIGINT)
+              FOR i IN generate_series(1, len(toks) - {_WINNOW_K} + 1)] AS grams
+      FROM t WHERE len(toks) >= {_WINNOW_K} + {_WINNOW_W} - 1
+    ),
+    fpp AS (
+      SELECT DISTINCT doc_id, s['fp'] AS fp, s['pos'] AS pos FROM (
+        SELECT doc_id,
+               unnest([{{'fp': list_min(list_slice(grams, j, j + {_WINNOW_W} - 1)),
+                        'pos': j + list_position(
+                            list_slice(grams, j, j + {_WINNOW_W} - 1),
+                            list_min(list_slice(grams, j, j + {_WINNOW_W} - 1))) - 1}}
+                       FOR j IN generate_series(1, len(grams) - {_WINNOW_W} + 1)]) AS s
+        FROM g)
+    ),
+    ok AS (
+      SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS c FROM fpp GROUP BY fp)
+      WHERE c <= {_WINNOW_CAP}
+    ),
+    fpo AS (SELECT doc_id, fp, pos FROM fpp JOIN ok USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(MIN(a.pos) AS BIGINT) AS a_start,
+           CAST(MAX(a.pos) AS BIGINT) AS a_end,
+           CAST(MIN(b.pos) AS BIGINT) AS b_start,
+           CAST(MAX(b.pos) AS BIGINT) AS b_end
+    FROM fpo a JOIN fpo b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN}
+    """,
+    doc="span-level duplication extents: winnowing fingerprints with "
+    "leftmost-min position evidence, aggregated per pair to the "
+    "1-based token extent of the shared material in each doc — the "
+    "actionable cut-the-span form of winnow_dup_pairs",
+)
+def winnow_dup_spans(spark, sf_dir):
+    return dedup.winnow_dup_spans(
+        tbl(spark, sf_dir, "documents"),
+        k=_WINNOW_K, w=_WINNOW_W,
+        min_shared=_WINNOW_MIN, df_cap=_WINNOW_CAP,
+    )
+
+
+@register(
     "contrastive_negatives",
     f"""
     WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),

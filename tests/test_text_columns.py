@@ -218,6 +218,31 @@ def test_winnow_dup_pairs_detects_copied_runs(spark):
     assert one == two
 
 
+def test_winnow_dup_spans_extents_cover_copied_run(spark):
+    """Span extents must land inside the copied run in BOTH docs, at
+    the same relative offset (leftmost-min winnowing aligns equal
+    runs): doc 1 carries the run at tokens 4..15, doc 2 at 3..14."""
+    from scip_spark.functions.dedup import winnow_dup_spans
+
+    run = " ".join(f"r{i}" for i in range(12))  # 12-token copied run
+    rows = [
+        (1, f"a1 a2 a3 {run} a4 a5"),           # run at positions 4..15
+        (2, f"b1 b2 {run} b3 b4 b5 b6 b7"),     # run at positions 3..14
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): r for r in winnow_dup_spans(docs, min_shared=1).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # fingerprint positions index k-gram starts: run occupies gram
+    # starts 4..11 in doc 1 (k=5 grams fully inside the run) and 3..10
+    # in doc 2; extents must stay inside and align relatively
+    assert 4 <= r.a_start <= r.a_end <= 11
+    assert 3 <= r.b_start <= r.b_end <= 10
+    assert r.a_start - r.b_start == 1 and r.a_end - r.b_end == 1
+    assert r.n_shared >= 1
+
+
 def test_phrase_match_positions(spark):
     from scip_spark.functions.text import phrase_match_positions
 
