@@ -784,6 +784,35 @@ def _containment_bitmask(spark, tok: DataFrame, vocab, threshold: float,
     )
 
 
+def _gram_stage(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(sid, grams: array<long>) — md5-48bit hashes of the token
+    k-grams, staged as two projections (tokens, then grams) so the
+    per-element lambdas reference bound attributes; see
+    :func:`winnow_fingerprints` for why the boundaries matter."""
+    stage = docs.select(
+        F.col(id_col).alias("sid"), tokens(text_col).alias("toks")
+    )
+    n_sh = F.size("toks") - k + 1
+    return stage.select(
+        "sid",
+        F.when(
+            n_sh >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("toks", i, k))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("grams"),
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 5,
@@ -819,26 +848,7 @@ def winnow_fingerprints(
     projection boundaries exist to prevent (measured 50× slower). The
     null filter is equivalent (empty arrays yield one null row) and
     cannot sink below the Generate that creates ``fp``."""
-    stage = docs.select(
-        F.col(id_col).alias("sid"), tokens(text_col).alias("toks")
-    )
-    n_sh = F.size("toks") - k + 1
-    stage = stage.select(
-        "sid",
-        F.when(
-            n_sh >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice("toks", i, k))), 1, 12
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            ),
-        ).otherwise(F.array().cast("array<long>")).alias("grams"),
-    )
+    stage = _gram_stage(docs, k, text_col, id_col)
     nw = F.size("grams") - w + 1
     stage = stage.select(
         "sid",
@@ -872,26 +882,7 @@ def winnow_fingerprint_positions(
     covering at least tokens [pos, pos + k - 1] in each doc. Same
     staged-projection / explode_outer discipline as
     :func:`winnow_fingerprints` (see there for why)."""
-    stage = docs.select(
-        F.col(id_col).alias("sid"), tokens(text_col).alias("toks")
-    )
-    n_sh = F.size("toks") - k + 1
-    stage = stage.select(
-        "sid",
-        F.when(
-            n_sh >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice("toks", i, k))), 1, 12
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            ),
-        ).otherwise(F.array().cast("array<long>")).alias("grams"),
-    )
+    stage = _gram_stage(docs, k, text_col, id_col)
     nw = F.size("grams") - w + 1
 
     def _win(j):
