@@ -224,3 +224,48 @@ def test_chunk_tokens_coverage_properties(spark):
             assert (grp.chunk_n_tokens[:-1] == window).all()
         # docs with zero tokens produce no chunks
         assert set(out.doc_id) == {i for i, t in rows if n_by_doc[i] > 0}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # a corpus: each doc is a token list over a tiny alphabet
+        st.lists(st.sampled_from([f"t{i}" for i in range(9)]),
+                 min_size=0, max_size=20),
+        min_size=1, max_size=8,
+    )
+)
+def test_winnow_fingerprints_match_python_reference(spark, corpus):
+    """The staged Spark winnow construction == a direct Python
+    implementation of MOSS winnowing (k=5, w=4, md5-48bit, leftmost
+    window minimum) on arbitrary corpora — the tiny alphabet forces
+    repeated grams and window-minimum ties, pinning the tie-break."""
+    import hashlib
+
+    from scip_spark.functions.dedup import (
+        winnow_fingerprint_positions,
+        winnow_fingerprints,
+    )
+
+    k, w = 5, 4
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    want_fp, want_pos = set(), set()
+    for sid, toks in enumerate(corpus):
+        grams = [h(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
+        for j in range(len(grams) - w + 1):
+            window = grams[j:j + w]
+            m = min(window)
+            want_fp.add((sid, m))
+            want_pos.add((sid, m, j + 1 + window.index(m)))
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    got_fp = {tuple(r) for r in winnow_fingerprints(docs, k=k, w=w).collect()}
+    assert got_fp == want_fp
+    got_pos = {
+        tuple(r) for r in winnow_fingerprint_positions(docs, k=k, w=w).collect()
+    }
+    assert got_pos == want_pos
