@@ -764,8 +764,13 @@ def _containment_bitmask(spark, tok: DataFrame, vocab, threshold: float,
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if threshold < 1.0:
+        # at t >= 1.0 the A-prefix is exactly one token per doc
+        # (rn <= n - floor(n) + 1 = 1), so every (a, b) row is already
+        # unique — a distinct would shuffle the full candidate
+        # relation for nothing
+        cand = cand.distinct()
     masks = _mask_relation(tok2.select("sid", "bit"), n_words)
     ma = masks.select(
         F.col("sid").alias("id_a"), F.col("n_tok").alias("n_a"),
@@ -1057,8 +1062,11 @@ def containment_join(
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if threshold < 1.0:
+        # single-token A-prefix at t >= 1.0: rows already unique (see
+        # the bitmask path)
+        cand = cand.distinct()
     ta = tok.select(F.col("sid").alias("id_a"), "token")
     tb = tok.select(F.col("sid").alias("id_b"), "token")
     inter = (
