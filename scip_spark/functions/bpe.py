@@ -94,6 +94,25 @@ def _select_independent(rows, touched_cap: int, max_take: int, known_symbols=())
       (AB,Y) with counts bounded by count(X,A) / count(B,Y), and a new
       pair with an equal count could win the lexicographic tie-break.
 
+    Self-pair threat: a selected SELF-merge (A,A)→AA creates pairs the
+    scan above cannot bound, because their bounding pair is (A,A)
+    itself — which, being selected, is consumed by the merge and
+    excluded from the scan. Concretely, after the left-to-right pairing
+    of a run of n A's into floor(n/2) AA symbols (+ a trailing A when n
+    is odd), the new pairs are (AA,AA) — floor(n/2)-1 per run — and
+    (AA,A) — 1 per odd run. Both counts are bounded by
+    floor(count(A,A)/2): each (AA,AA) occurrence maps injectively to
+    the distinct UNMERGED crossing (A,A) occurrence between its two
+    halves, and per run floor(n/2)-1 ≤ (n-1)/2 while each odd run
+    (n ≥ 3) contributes 1 ≤ (n-1)/2; summing freq-weighted over runs
+    and flooring (counts are integers) gives the bound. So each
+    selected self-pair folds ``count // 2`` into the threat for every
+    LATER candidate (hypothesis-found counterexample without this:
+    wf={'a':4,'bbbbbb':3}, batch=2 — merging (b,b) with count 15
+    creates (bb,bb) with count 6 > count(a,</w>)=4, so the batch must
+    end rather than select (a,</w>); pinned as an @example in
+    tests/test_corpus.py::test_bpe_batching_property).
+
     Under those two rules, after applying the selected prefix the
     sequential argmax is exactly the next selected pair, by induction.
     The threat check scans the WHOLE collected list (not just earlier
@@ -121,6 +140,9 @@ def _select_independent(rows, touched_cap: int, max_take: int, known_symbols=())
     items = [(r["n"], r["left"], r["right"]) for r in rows]
     selected: list[tuple[str, str]] = []
     touched: set[str] = set()
+    # bounds the (AA,AA)/(AA,A) pairs created by selected self-merges,
+    # whose bounding pair (A,A) is excluded from the scan as selected
+    self_threat = 0
     # defensive union: any symbol appearing in a candidate pair is live
     # by construction, even if the caller's vocabulary missed it
     known = set(known_symbols)
@@ -131,7 +153,8 @@ def _select_independent(rows, touched_cap: int, max_take: int, known_symbols=())
         if left in touched or right in touched:
             continue
         if selected:
-            threat = touched_cap  # ≥ every count outside the collected top-K
+            # touched_cap ≥ every count outside the collected top-K
+            threat = max(touched_cap, self_threat)
             for n2, l2, r2 in items:
                 if (l2, r2) != (left, right) and (l2, r2) not in selected and (
                     l2 in touched or r2 in touched
@@ -141,6 +164,8 @@ def _select_independent(rows, touched_cap: int, max_take: int, known_symbols=())
                 break  # threat only grows and counts only shrink
         selected.append((left, right))
         touched.update((left, right))
+        if left == right:
+            self_threat = max(self_threat, n // 2)
         merged = left + right
         if merged in known:
             break  # collision: later threat scans can't bound pairs on it

@@ -11,6 +11,14 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+try:  # reproducible property tests: a green run means green for everyone
+    from hypothesis import settings as _hyp_settings
+
+    _hyp_settings.register_profile("repro", derandomize=True)
+    _hyp_settings.load_profile("repro")
+except ImportError:  # pragma: no cover
+    pass
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from scip_spark.schema import EVENT_SCHEMA, events_to_pandas  # noqa: E402
