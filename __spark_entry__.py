@@ -39,12 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Union of queries any past driver CORRECTNESS run has verified green
-# (r01 ∪ r02 ∪ r03 ∪ r04 ∪ r05): 160 of the 169 registry entries.
-# Listing checked queries LAST rotates the driver's 50-query budget onto
-# the 9 never-driver-checked ones (bigram_merge_candidates, bm25_topk,
-# bpe_compression, feature_hash_docs, hybrid_search_rrf,
-# model_quality_scores, phrase_search_docs, sliding_distinct_users,
-# vocab_novelty_by_batch). Refresh with each round's green rows.
+# (r01 ∪ ... ∪ r07): the full registry. Listing checked queries LAST
+# (and round-7-checked ones after those) rotates the driver's 50-query
+# budget onto the least-recently-verified entries. Refresh with each
+# round's green rows.
 _DRIVER_CHECKED = {
     "ab_test_conversion", "ann_ivf_topk", "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk", "ann_lsh_buckets", "ann_lsh_multiprobe_topk",
@@ -55,90 +53,162 @@ _DRIVER_CHECKED = {
     "bot_burst_users", "bpe_compression", "cdc_apply_merge",
     "cohort_retention", "column_profile_customer",
     "conditional_aggregation", "contamination_ngram",
-    "contrastive_negatives", "corpus_chunk_pack", "corpus_chunk_windows",
-    "corpus_clean", "corpus_hash_sample", "corpus_lang_quota",
-    "corpus_mixture_upsample", "corpus_pack_shards", "corpus_split_assign",
+    "contrastive_negatives", "corpus_chunk_pack",
+    "corpus_chunk_windows", "corpus_clean", "corpus_hash_sample",
+    "corpus_lang_quota", "corpus_mixture_upsample",
+    "corpus_pack_shards", "corpus_split_assign",
     "correlated_scalar_subquery", "correlation_pricing", "cosine_topk",
     "cube_returnflag_linestatus", "cusum_revenue_shift",
     "datetime_functions", "dedup_cluster_sizes",
     "dedup_connected_components", "dedup_containment_pairs",
     "dedup_embedding_cosine", "dedup_exact", "dedup_incremental",
-    "dedup_lsh_pairs", "dedup_lsh_pairs_skew", "dedup_minhash_signatures",
-    "dedup_ngram_jaccard", "dedup_semantic_keep", "dedup_setsim_join",
-    "dedup_simhash", "dedup_triangle_count", "distinct_groups",
-    "doc_fingerprint", "embedding_centroid_drift",
-    "embedding_doc_consistency", "embedding_stats",
-    "entity_resolution_customers", "event_transition_matrix",
-    "explode_tokens", "feature_hash_docs", "fk_integrity_audit",
-    "frequent_item_pairs", "full_outer_join_balance", "funnel_conversion",
+    "dedup_lsh_pairs", "dedup_lsh_pairs_skew",
+    "dedup_minhash_signatures", "dedup_ngram_jaccard",
+    "dedup_semantic_keep", "dedup_setsim_join", "dedup_simhash",
+    "dedup_triangle_count", "distinct_groups", "doc_fingerprint",
+    "embedding_centroid_drift", "embedding_doc_consistency",
+    "embedding_stats", "entity_resolution_customers",
+    "event_transition_matrix", "explode_tokens", "feature_hash_docs",
+    "fk_integrity_audit", "frequent_item_pairs",
+    "full_outer_join_balance", "funnel_conversion",
     "gapfill_monthly_revenue", "global_stats", "group_minmax_normalize",
     "grouping_sets_revenue", "heavy_hitter_tokens",
     "higher_moments_by_flag", "hll_distinct_users", "hybrid_search_rrf",
-    "imaging_pipeline_e2e", "interval_overlap_orders", "join_size_estimate",
-    "json_extract_events", "key_skew_profile", "keyed_branch_concat",
-    "kmeans_embeddings", "kmv_difference_estimate",
-    "kmv_distinct_by_priority", "kmv_intersection_estimate",
-    "kmv_union_estimate", "l_diversity_audit", "lang_id_heuristic",
-    "lateral_topk_orders", "lsh_scurve_design", "mad_by_flag",
-    "map_explode_props", "masked_extent_by_group", "math_functions",
-    "mean_tensor_by_group", "median_price_by_flag",
-    "merge_upsert_emulation", "model_quality_scores",
-    "monthly_order_rollup", "moving_median_revenue", "multimodal_meta",
+    "imaging_pipeline_e2e", "interval_overlap_orders",
+    "join_size_estimate", "json_extract_events", "key_skew_profile",
+    "keyed_branch_concat", "kmeans_embeddings",
+    "kmv_difference_estimate", "kmv_distinct_by_priority",
+    "kmv_intersection_estimate", "kmv_union_estimate",
+    "l_diversity_audit", "lang_id_heuristic", "lateral_topk_orders",
+    "lsh_scurve_design", "mad_by_flag", "map_explode_props",
+    "masked_extent_by_group", "math_functions", "mean_tensor_by_group",
+    "median_price_by_flag", "merge_upsert_emulation",
+    "model_quality_scores", "monthly_order_rollup",
+    "moving_median_revenue", "multimodal_meta",
     "numeric_profile_lineitem", "order_gaps_ntile", "order_seasonality",
     "pagerank_suppliers", "phrase_search_docs", "pii_scrub_customers",
     "pit_join_lineitem_scd2", "pivot_channels", "pseudonymize_events",
-    "q10_returned_items", "q11_important_stock", "q12_priority_shipping",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_parts_supplier", "q17_small_quantity_avg",
-    "q18_large_volume_customer", "q19_discounted_revenue",
-    "q1_pricing_summary", "q20_potential_promotion", "q21_waiting_orders",
+    "q10_returned_items", "q11_important_stock",
+    "q12_priority_shipping", "q13_customer_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_parts_supplier",
+    "q17_small_quantity_avg", "q18_large_volume_customer",
+    "q19_discounted_revenue", "q1_pricing_summary",
+    "q20_potential_promotion", "q21_waiting_orders",
     "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "quality_quantile_bins", "quality_repetition",
+    "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "quality_quantile_bins", "quality_repetition",
     "quantile_sketch_prices", "quantile_sketch_rollup",
     "range_join_quantity_bands", "recursive_order_streaks",
     "regression_trend_by_priority", "revenue_anomaly_days",
     "rfm_segmentation", "rollup_order_date", "running_sum_per_customer",
     "salted_token_counts", "sample_exact_k", "sample_with_replacement",
     "scd2_customer_orders", "semi_anti_join", "sessionize_events",
-    "set_ops_customers", "sliding_distinct_users", "sliding_window_events",
-    "snapshot_diff_orders", "soft_delete_filter", "split_leakage_pairs",
+    "set_ops_customers", "sliding_distinct_users",
+    "sliding_window_events", "snapshot_diff_orders",
+    "soft_delete_filter", "split_leakage_pairs",
     "string_functions_part", "table_checksum", "text_quality", "tf_idf",
     "time_to_conversion", "token_budget_by_domain", "token_count_bpe",
     "top_event_paths", "topk_per_group", "tumbling_window_events",
     "union_sources", "unpivot_part_metrics", "variant_extract_events",
-    "vocab_novelty_by_batch", "winsorized_pricing", "zorder_key_lineitem"
+    "vocab_novelty_by_batch", "winnow_dup_pairs", "winnow_dup_spans",
+    "winsorized_pricing", "zorder_key_lineitem"
 }
 
 
-#: verified most recently (round 6): sorts LAST so the driver's
-#: ~50-query budget re-verifies the stalest rows first
-_RECENTLY_CHECKED = {
-    "asof_join_events", "bigram_merge_candidates", "bm25_topk",
-    "bpe_compression", "cohort_retention", "conditional_aggregation",
-    "cube_returnflag_linestatus", "distinct_groups",
-    "event_transition_matrix", "explode_tokens", "feature_hash_docs",
-    "funnel_conversion", "global_stats", "group_minmax_normalize",
-    "grouping_sets_revenue", "hybrid_search_rrf", "imaging_pipeline_e2e",
-    "json_extract_events", "keyed_branch_concat", "median_price_by_flag",
-    "merge_upsert_emulation", "model_quality_scores",
-    "monthly_order_rollup", "multimodal_meta", "order_gaps_ntile",
-    "phrase_search_docs", "pivot_channels", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "range_join_quantity_bands", "rfm_segmentation", "rollup_order_date",
-    "running_sum_per_customer", "salted_token_counts", "sample_exact_k",
-    "semi_anti_join", "sessionize_events", "set_ops_customers",
-    "sliding_distinct_users", "sliding_window_events", "soft_delete_filter",
-    "string_functions_part", "time_to_conversion", "topk_per_group",
-    "tumbling_window_events", "union_sources", "unpivot_part_metrics",
-    "vocab_novelty_by_batch", "zorder_key_lineitem"
+#: last driver round each query was verified green in (stalest
+#: sort FIRST so the ~50-query budget always lands on the least-
+#: recently-verified rows). Regenerate each round from the
+#: CORRECTNESS_r*.json green rows.
+_LAST_GREEN_ROUND = {
+    "ab_test_conversion": 7, "ann_ivf_topk": 4,
+    "ann_ivfpq_residual_topk": 5, "ann_ivfpq_topk": 5,
+    "ann_lsh_buckets": 3, "ann_lsh_multiprobe_topk": 5, "ann_lsh_topk":
+    4, "ann_opq_topk": 5, "ann_pq_topk": 5, "approx_percentile_prices":
+    7, "array_functions": 7, "asof_join_events": 6,
+    "attribution_touchpoints": 7, "audio_window_plan": 7,
+    "bigram_merge_candidates": 6, "bm25_topk": 6,
+    "boilerplate_chunk_scrub": 5, "bot_burst_users": 7,
+    "bpe_compression": 6, "cdc_apply_merge": 7, "cohort_retention": 6,
+    "column_profile_customer": 5, "conditional_aggregation": 6,
+    "contamination_ngram": 3, "contrastive_negatives": 5,
+    "corpus_chunk_pack": 4, "corpus_chunk_windows": 4, "corpus_clean":
+    4, "corpus_hash_sample": 3, "corpus_lang_quota": 3,
+    "corpus_mixture_upsample": 3, "corpus_pack_shards": 3,
+    "corpus_split_assign": 3, "correlated_scalar_subquery": 7,
+    "correlation_pricing": 7, "cosine_topk": 3,
+    "cube_returnflag_linestatus": 6, "cusum_revenue_shift": 7,
+    "datetime_functions": 7, "dedup_cluster_sizes": 5,
+    "dedup_connected_components": 3, "dedup_containment_pairs": 5,
+    "dedup_embedding_cosine": 3, "dedup_exact": 3, "dedup_incremental":
+    5, "dedup_lsh_pairs": 4, "dedup_lsh_pairs_skew": 4,
+    "dedup_minhash_signatures": 4, "dedup_ngram_jaccard": 3,
+    "dedup_semantic_keep": 5, "dedup_setsim_join": 5, "dedup_simhash":
+    4, "dedup_triangle_count": 5, "distinct_groups": 6,
+    "doc_fingerprint": 3, "embedding_centroid_drift": 5,
+    "embedding_doc_consistency": 5, "embedding_stats": 3,
+    "entity_resolution_customers": 5, "event_transition_matrix": 6,
+    "explode_tokens": 6, "feature_hash_docs": 6, "fk_integrity_audit":
+    5, "frequent_item_pairs": 7, "full_outer_join_balance": 7,
+    "funnel_conversion": 6, "gapfill_monthly_revenue": 7,
+    "global_stats": 6, "group_minmax_normalize": 6,
+    "grouping_sets_revenue": 6, "heavy_hitter_tokens": 4,
+    "higher_moments_by_flag": 7, "hll_distinct_users": 4,
+    "hybrid_search_rrf": 6, "interval_overlap_orders": 7,
+    "join_size_estimate": 5, "json_extract_events": 6,
+    "key_skew_profile": 5, "keyed_branch_concat": 6,
+    "kmeans_embeddings": 4, "kmv_difference_estimate": 3,
+    "kmv_distinct_by_priority": 3, "kmv_intersection_estimate": 3,
+    "kmv_union_estimate": 3, "l_diversity_audit": 7,
+    "lang_id_heuristic": 3, "lateral_topk_orders": 7,
+    "lsh_scurve_design": 5, "mad_by_flag": 7, "map_explode_props": 7,
+    "masked_extent_by_group": 3, "math_functions": 7,
+    "mean_tensor_by_group": 3, "median_price_by_flag": 6,
+    "merge_upsert_emulation": 6, "model_quality_scores": 6,
+    "monthly_order_rollup": 6, "moving_median_revenue": 7,
+    "multimodal_meta": 6, "numeric_profile_lineitem": 5,
+    "order_gaps_ntile": 6, "order_seasonality": 7, "pagerank_suppliers":
+    4, "phrase_search_docs": 6, "pii_scrub_customers": 7,
+    "pit_join_lineitem_scd2": 7, "pivot_channels": 6,
+    "pseudonymize_events": 7, "q10_returned_items": 7,
+    "q11_important_stock": 3, "q12_priority_shipping": 7,
+    "q13_customer_distribution": 7, "q14_promo_effect": 7,
+    "q15_top_supplier": 7, "q16_parts_supplier": 7,
+    "q17_small_quantity_avg": 7, "q18_large_volume_customer": 7,
+    "q19_discounted_revenue": 3, "q1_pricing_summary": 6,
+    "q20_potential_promotion": 3, "q21_waiting_orders": 7,
+    "q22_global_sales_opportunity": 7, "q2_min_cost_supplier": 7,
+    "q3_shipping_priority": 6, "q4_order_priority": 7,
+    "q5_local_supplier_volume": 6, "q6_forecast_revenue": 7,
+    "q7_volume_shipping": 7, "q8_market_share": 3,
+    "q9_product_type_profit": 3, "quality_quantile_bins": 5,
+    "quality_repetition": 4, "quantile_sketch_prices": 5,
+    "quantile_sketch_rollup": 5, "range_join_quantity_bands": 6,
+    "recursive_order_streaks": 7, "regression_trend_by_priority": 7,
+    "revenue_anomaly_days": 7, "rfm_segmentation": 6,
+    "rollup_order_date": 6, "running_sum_per_customer": 6,
+    "salted_token_counts": 6, "sample_exact_k": 6,
+    "sample_with_replacement": 5, "scd2_customer_orders": 7,
+    "semi_anti_join": 6, "sessionize_events": 6, "set_ops_customers": 6,
+    "sliding_distinct_users": 6, "sliding_window_events": 6,
+    "snapshot_diff_orders": 7, "soft_delete_filter": 6,
+    "split_leakage_pairs": 5, "string_functions_part": 6,
+    "table_checksum": 7, "text_quality": 4, "tf_idf": 3,
+    "time_to_conversion": 6, "token_budget_by_domain": 3,
+    "token_count_bpe": 4, "top_event_paths": 7, "topk_per_group": 6,
+    "tumbling_window_events": 6, "union_sources": 6,
+    "unpivot_part_metrics": 6, "variant_extract_events": 7,
+    "vocab_novelty_by_batch": 6, "winnow_dup_pairs": 7,
+    "winnow_dup_spans": 7, "winsorized_pricing": 5,
+    "zorder_key_lineitem": 6
 }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    driver-unverified queries run first (see _DRIVER_CHECKED)."""
+    driver-unverified queries run first, then stalest-verified
+    (see _DRIVER_CHECKED / _LAST_GREEN_ROUND)."""
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     ordered = sorted(
-        REGISTRY, key=lambda n: (n in _DRIVER_CHECKED, n in _RECENTLY_CHECKED)
+        REGISTRY, key=lambda n: (n in _DRIVER_CHECKED, _LAST_GREEN_ROUND.get(n, 0), n)
     )
     return {name: wrap(REGISTRY[name].fn) for name in ordered}
 

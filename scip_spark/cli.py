@@ -26,6 +26,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("config", help="pipeline YAML config")
     p.add_argument("paths", nargs="+", help="input data paths")
     p.add_argument("--mode", default="local", choices=["local", "cluster"])
+    p.add_argument(
+        "--master",
+        default=None,
+        help="Spark master URI (spark://…, yarn, k8s://…). In cluster "
+        "mode without --master the launcher's (spark-submit) master is "
+        "used; in local mode defaults to local[$SPARK_GRAFT_CPUS]. "
+        "Subsumes the reference's PBS/MPI modes (utils/util.py:79-133)",
+    )
     p.add_argument("--partitions", type=int, default=None, help="input repartition count")
     p.add_argument("--timing", default=None, help="write timing JSON here")
     return p.parse_args(argv)
@@ -49,7 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     from scip_spark.sources.filescan import load_meta_union
 
     t0 = time.time()
-    spark = get_spark("scip-spark-cli", master=None if args.mode == "cluster" else None)
+    # --master wins; else cluster mode defers to the launcher's master
+    # (spark-submit), local mode falls back to local[$SPARK_GRAFT_CPUS]
+    master = args.master or ("launcher" if args.mode == "cluster" else None)
+    spark = get_spark("scip-spark-cli", master=master)
 
     loading = config.get("loading", {})
     fmt = loading.get("format", "multiframe_tiff")

@@ -484,8 +484,16 @@ def _small_vocab(tok: DataFrame, cap: int):
     cap+1 rows no matter the corpus — the one extra aggregation pass
     over the token relation is what buys the bitmask verify below.
     Bits are assigned in sorted-token order, so the mapping is a pure
-    function of the vocabulary set (deterministic across runs)."""
-    if cap <= 0:
+    function of the vocabulary set (deterministic across runs).
+
+    Cost contract (per round-7 review): this probe is EAGER — it runs
+    at plan-construction time, and on a corpus whose vocabulary
+    exceeds ``cap`` it is a wasted aggregation pass. Callers that are
+    construction-latency-sensitive, or that compose the join lazily,
+    should pass ``bitmask_cap=0`` to skip it; streaming inputs skip it
+    automatically (``tok.isStreaming`` — a streaming plan cannot be
+    collected at build time at all)."""
+    if cap <= 0 or tok.isStreaming:
         return None
     rows = (
         tok.groupBy("token").agg(F.count("*").alias("df"))

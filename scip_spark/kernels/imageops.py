@@ -76,10 +76,12 @@ def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray
     (shifted views with reflect padding, reduced per pixel).
 
     min/max accumulate across the views (no k×H×W stack allocation);
-    the median gathers into one (H, W, k) buffer and runs a single
-    k/2-th ``partition`` along the contiguous last axis — ~2× faster
-    than ``np.median(stack, axis=0)``, which partitions along the
-    strided first axis and computes a second kth for even k."""
+    the median gathers into one (H, W, k) buffer and SORTS along the
+    contiguous last axis, picking the middle element(s). For short
+    rows (k ≈ 81) numpy's axis sort is ~3.5× faster than introselect
+    ``partition`` (measured at 32² and 128², float32/float64/uint16),
+    and the k/2-th order statistic is the same value either way, so
+    the output is bit-identical to the partition formulation."""
     fy, fx = footprint.shape
     cy, cx = fy // 2, fx // 2
     p = np.pad(img, ((cy, fy - 1 - cy), (cx, fx - 1 - cx)), mode="reflect")
@@ -96,11 +98,10 @@ def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray
         buf = np.empty((h, w, k), dtype=img.dtype)
         for i, (oy, ox) in enumerate(offsets):
             buf[:, :, i] = p[oy : oy + h, ox : ox + w]
+        buf.sort(axis=-1)
         if k % 2:
-            buf.partition(k // 2, axis=-1)
             return buf[:, :, k // 2]
-        part = np.partition(buf, (k // 2 - 1, k // 2), axis=-1)
-        return (part[:, :, k // 2 - 1] + part[:, :, k // 2]) / 2.0
+        return (buf[:, :, k // 2 - 1] + buf[:, :, k // 2]) / 2.0
     stack = [p[oy : oy + h, ox : ox + w] for oy, ox in offsets]
     return func(np.stack(stack), axis=0)
 
@@ -281,8 +282,49 @@ def disk(radius: int) -> np.ndarray:
 
 
 def erode_footprint(mask: np.ndarray, footprint: np.ndarray) -> np.ndarray:
-    """Binary erosion by an arbitrary footprint: AND of the mask
-    shifted by every footprint offset (out-of-image = background)."""
+    """Binary erosion by an arbitrary footprint (out-of-image =
+    background).
+
+    Fast path (any footprint whose rows are contiguous runs — every
+    disk): a pixel survives iff the footprint-count of True over the
+    False-padded mask equals the footprint size; each row's window sum
+    is a cumsum difference, so the whole erosion is ~2 vectorized ops
+    per footprint ROW instead of 3 per footprint PIXEL (disk(6): 13
+    rows vs 113 offsets). Integer counting over booleans — results are
+    exactly the shifted-AND formulation's."""
+    h, w = mask.shape
+    fy, fx = footprint.shape
+    cy, cx = fy // 2, fx // 2
+    if fy > 2 * h or fx > 2 * w:
+        # conservatively large footprint: fall back to the offset loop
+        # (it handles the nothing-survives case exactly)
+        return _erode_footprint_offsets(mask, footprint)
+    rows = []
+    contiguous = True
+    for oy in range(fy):
+        (xs,) = np.nonzero(footprint[oy])
+        if xs.size == 0:
+            continue
+        if xs[-1] - xs[0] + 1 != xs.size:
+            contiguous = False
+            break
+        rows.append((oy, int(xs[0]), int(xs[-1])))
+    if not contiguous:
+        return _erode_footprint_offsets(mask, footprint)
+    p = np.zeros((h + fy - 1, w + fx), dtype=np.int32)
+    # horizontal prefix sums of the padded mask, one leading zero column
+    np.cumsum(mask, axis=1, out=p[cy : cy + h, cx + 1 : cx + w + 1])
+    p[cy : cy + h, cx + w + 1 :] = p[cy : cy + h, cx + w : cx + w + 1]
+    total = np.zeros((h, w), dtype=np.int32)
+    nnz = 0
+    for oy, x0, x1 in rows:
+        nnz += x1 - x0 + 1
+        band = p[oy : oy + h]
+        total += band[:, x1 + 1 : x1 + w + 1] - band[:, x0:x0 + w]
+    return total == nnz
+
+
+def _erode_footprint_offsets(mask: np.ndarray, footprint: np.ndarray) -> np.ndarray:
     h, w = mask.shape
     fy, fx = footprint.shape
     cy, cx = fy // 2, fx // 2

@@ -47,7 +47,18 @@ def map_events(
     INTERMEDIATE map_events output after already stacking further
     map_events stages on it does not retro-insert a cache hit into the
     already-fused downstream plan — persist before composing if you
-    want the boundary."""
+    want the boundary.
+
+    Dtype contract for fused batch_fns (per round-7 review): a fused
+    stage receives the UPSTREAM fn's raw pandas output, NOT the
+    Arrow-round-tripped frame an unfused run would hand it — e.g. a
+    column the upstream built from Python lists arrives object-dtype
+    where Arrow would have coerced it to the declared schema type.
+    Every batch_fn must therefore be dtype-agnostic on input: read
+    columns via ``np.asarray(..., dtype=...)``/``decode_series`` (as
+    the in-repo stages do) rather than relying on a specific pandas
+    dtype having been materialized. Only the CHAIN's final output
+    crosses Arrow, where the declared ``schema`` is enforced."""
     out_schema = schema if schema is not None else df.schema
 
     chain = getattr(df, "_scip_fuse", None)

@@ -92,7 +92,11 @@ def feature_schema(nchannels: int, families: list[str]) -> T.StructType:
     return T.StructType(fields)
 
 
-def _stats11(x: np.ndarray) -> list[float]:
+def _stats11_ref(x: np.ndarray) -> list[float]:
+    """Reference formulation (plain numpy API calls). Kept as the
+    NaN-input path and the bit-exactness oracle for :func:`_stats11`
+    (tests/test_features.py pins _stats11 == _stats11_ref on random
+    vectors)."""
     if x.size == 0:
         return [0.0] * len(INTENSITY_PROPS)
     x = x.astype(np.float64)
@@ -110,10 +114,97 @@ def _stats11(x: np.ndarray) -> list[float]:
     return [mu, med, float(x.min()), float(x.max()), sd, mad, q25, q75, float(x.sum()), skew, kurt]
 
 
+def _sorted_median(s: np.ndarray) -> float:
+    """np.median of the vector whose SORTED copy is ``s`` — for even n
+    numpy takes the mean of the two middles (pairwise add then divide),
+    reproduced here as (a+b)/2 on float64 scalars: the identical IEEE
+    operations."""
+    n = s.shape[0]
+    h = n // 2
+    if n % 2:
+        return float(s[h])
+    return float((s[h - 1] + s[h]) / 2.0)
+
+
+def _sorted_quantile(s: np.ndarray, q: float) -> float:
+    """np.quantile(..., method='linear') on a pre-sorted float64 vector,
+    replicating numpy 1.26's exact arithmetic (virtual index q*(n-1),
+    and _lerp's ``a + t*(b-a)`` with the ``b - (1-t)*(b-a)`` branch for
+    t >= 0.5) so the result is bit-identical to the unsorted API call
+    — Python float scalar ops are the same IEEE-754 float64 ops."""
+    n = s.shape[0]
+    vi = q * (n - 1)
+    if vi >= n - 1:
+        return float(s[n - 1])
+    prev = int(vi)
+    t = vi - prev
+    a = float(s[prev])
+    b = float(s[prev + 1])
+    diff = b - a
+    if t >= 0.5:
+        return b - diff * (1.0 - t)
+    return a + diff * t
+
+
+def _stats11(x: np.ndarray) -> list[float]:
+    """11 intensity stats from ONE sort + direct ufunc reductions —
+    bit-identical to :func:`_stats11_ref` (property-pinned): means are
+    the same pairwise ``np.add.reduce``/n numpy's ``.mean``/``.std``
+    run, order statistics index the sorted copy, and quantile
+    interpolation replicates numpy's ``_lerp``. ~5× less per-call
+    overhead on the small masked-pixel vectors this is fed (called
+    ~12× per record in the hot feature path)."""
+    if x.size == 0:
+        return [0.0] * len(INTENSITY_PROPS)
+    # ravel first: the reference path's whole-array reductions flatten,
+    # and astype makes the copy contiguous, so the pairwise sums below
+    # reduce in the same memory order numpy's axis=None reductions use
+    x = x.astype(np.float64).ravel()
+    n = x.shape[0]
+    s = np.sort(x)
+    if np.isnan(s[-1]):  # NaNs present: keep numpy's propagation exactly
+        return _stats11_ref(x)
+    total = float(np.add.reduce(x))
+    mu = total / n
+    d = x - mu
+    sd = float(np.sqrt(np.add.reduce(d * d) / n))
+    med = _sorted_median(s)
+    mad = _sorted_median(np.sort(np.abs(x - med)))
+    q25 = _sorted_quantile(s, 0.25)
+    q75 = _sorted_quantile(s, 0.75)
+    if sd > 0:
+        z = d / sd
+        skew = float(np.add.reduce(z**3) / n)
+        kurt = float(np.add.reduce(z**4) / n) - 3.0
+    else:
+        skew, kurt = 0.0, 0.0
+    return [mu, med, float(s[0]), float(s[n - 1]), sd, mad, q25, q75, total, skew, kurt]
+
+
+#: per-levels constant matrices for the GLCM props (i/j grids, |i-j|,
+#: (i-j)², 1/(1+(i-j)²)) — identical values to the per-call meshgrid
+#: construction, hoisted out of the hot loop
+_GLCM_CONST: dict[int, tuple] = {}
+
+
+def _glcm_const(levels: int):
+    c = _GLCM_CONST.get(levels)
+    if c is None:
+        i, j = np.meshgrid(np.arange(levels), np.arange(levels), indexing="ij")
+        diff = i - j
+        # NOTE 1+diff² is hoisted, not its reciprocal: homogeneity must
+        # keep the same IEEE division the unhoisted code performed
+        c = (i, j, diff, diff**2, np.abs(diff), 1.0 + diff**2)
+        _GLCM_CONST[levels] = c
+    return c
+
+
 def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int = 15) -> list[float]:
     """Per-angle GLCMs over 4 directions (0/45/90/135 deg), symmetric +
     normed, masked pixels only; per-prop mean AND std over the angles
-    (reference texture.py:25-132 semantics, numpy re-implementation)."""
+    (reference texture.py:25-132 semantics, numpy re-implementation).
+    Pair counting uses flat-index ``bincount`` (exact integer counts —
+    identical to the former ``np.add.at`` scatter, ~10× faster)."""
     vals = ch[mask]
     if vals.size < 2:
         return [0.0] * 12
@@ -123,49 +214,64 @@ def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int 
     q[mask] = np.minimum(((ch[mask] - lo) / span * levels).astype(np.int32), levels - 1) + 1
     d = distance
     h, w = q.shape
-    i, j = np.meshgrid(np.arange(levels), np.arange(levels), indexing="ij")
-    diff = i - j
-    per_angle: list[list[float]] = []
-    for dy, dx in [(0, d), (d, d), (d, 0), (d, -d)]:
+    i, j, diff, diff2, absdiff, one_plus_diff2 = _glcm_const(levels)
+    side = levels + 1
+    # the 6 props are computed for all 4 angles in ONE stacked pass
+    # ((m,L,L) ufuncs + trailing-axes sums): the per-slice reductions
+    # run the same pairwise order as a per-angle 2D .sum(), so values
+    # are bit-identical to the former per-angle loop (property-pinned
+    # in tests/test_features.py), at ~4× fewer numpy dispatches
+    ps: list[np.ndarray] = []
+    idxs: list[int] = []
+    for ai, (dy, dx) in enumerate([(0, d), (d, d), (d, 0), (d, -d)]):
         if h - abs(dy) <= 0 or w - abs(dx) <= 0:
             # crop smaller than the co-occurrence offset: no valid pairs
             # at this angle (negative slice extents would otherwise
             # produce shape-mismatched views)
-            per_angle.append([0.0] * 6)
             continue
-        glcm = np.zeros((levels + 1, levels + 1), dtype=np.float64)
         y0, y1 = max(0, -dy), min(h, h - dy)
         x0, x1 = max(0, -dx), min(w, w - dx)
         a = q[y0:y1, x0:x1]
         b = q[y0 + dy : y1 + dy, x0 + dx : x1 + dx]
-        valid = (a > 0) & (b > 0)
-        np.add.at(glcm, (a[valid], b[valid]), 1.0)
-        glcm = glcm[1:, 1:]
+        # zero level = unmasked: pairs with either side 0 land in row or
+        # column 0 of the flat histogram and are cropped by [1:, 1:]
+        flat = np.bincount(
+            (a * side + b).ravel(), minlength=side * side
+        ).reshape(side, side)
+        glcm = flat[1:, 1:].astype(np.float64)
         glcm = glcm + glcm.T  # symmetric
         total = glcm.sum()
         if total == 0:
-            per_angle.append([0.0] * 6)
             continue
-        p = glcm / total
-        contrast = float((p * diff**2).sum())
-        dissim = float((p * np.abs(diff)).sum())
-        homog = float((p / (1.0 + diff**2)).sum())
-        asm = float((p**2).sum())
-        energy = float(np.sqrt(asm))
-        mu_i = float((p * i).sum())
-        mu_j = float((p * j).sum())
-        sd_i = float(np.sqrt((p * (i - mu_i) ** 2).sum()))
-        sd_j = float(np.sqrt((p * (j - mu_j) ** 2).sum()))
-        if sd_i > 0 and sd_j > 0:
-            corr = float(((p * (i - mu_i) * (j - mu_j)).sum()) / (sd_i * sd_j))
-        else:
-            corr = 1.0
-        per_angle.append([contrast, dissim, homog, energy, corr, asm])
-    arr = np.asarray(per_angle)
+        ps.append(glcm / total)
+        idxs.append(ai)
+    arr = np.zeros((4, 6))
+    if ps:
+        P = np.stack(ps)
+        tail = (1, 2)
+        contrast = (P * diff2).sum(axis=tail)
+        dissim = (P * absdiff).sum(axis=tail)
+        homog = (P / one_plus_diff2).sum(axis=tail)
+        asm = (P**2).sum(axis=tail)
+        energy = np.sqrt(asm)
+        mu_i = (P * i).sum(axis=tail)
+        mu_j = (P * j).sum(axis=tail)
+        di = i[None] - mu_i[:, None, None]
+        dj = j[None] - mu_j[:, None, None]
+        sd_i = np.sqrt((P * di**2).sum(axis=tail))
+        sd_j = np.sqrt((P * dj**2).sum(axis=tail))
+        cov = (P * di * dj).sum(axis=tail)
+        corr = np.where(
+            (sd_i > 0) & (sd_j > 0), cov / np.where(sd_i * sd_j == 0, 1.0, sd_i * sd_j), 1.0
+        )
+        arr[idxs] = np.column_stack([contrast, dissim, homog, energy, corr, asm])
+    mean = np.add.reduce(arr, axis=0) / 4.0
+    dd = arr - mean
+    std = np.sqrt(np.add.reduce(dd * dd, axis=0) / 4.0)
     out: list[float] = []
     for k in range(6):
-        out.append(float(arr[:, k].mean()))
-        out.append(float(arr[:, k].std()))
+        out.append(float(mean[k]))
+        out.append(float(std[k]))
     return out
 
 

@@ -34,15 +34,19 @@ def get_spark(
     """Build (or fetch) the shared SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback
-    ``local[*]``). On a real cluster the caller passes its own master or
-    simply runs under spark-submit, in which case ``master`` is None and
-    whatever the launcher configured wins.
+    ``local[*]``). On a real cluster the caller passes its own master
+    URI, or runs under spark-submit and passes the sentinel
+    ``"launcher"`` — then the builder never calls ``.master()`` and the
+    launcher-configured master wins (replaces the reference's PBS/MPI
+    cluster bootstrap, src/scip/utils/util.py:79-133: resource-manager
+    integration is Spark's job, not the application's).
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
-    builder = builder.master(master)
+    if master != "launcher":
+        builder = builder.master(master)
 
     if shuffle_partitions is None:
         try:

@@ -299,3 +299,131 @@ def test_texture_combined_view(spark):
         out2["feat_texture_glcm_mean_contrast_d3_c0"]
         != out2["feat_texture_combined_glcm_mean_contrast_d3_c0"]
     )
+
+
+def test_stats11_bitwise_matches_reference_formulation():
+    """The sort-based _stats11 must be BIT-identical to the plain-numpy
+    _stats11_ref on every input shape/dtype/tie pattern (the fast path
+    replicates numpy's pairwise sums and quantile _lerp arithmetic)."""
+    import numpy as np
+
+    from scip_spark.operators.features import _stats11, _stats11_ref
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for trial in range(300):
+        n = int(rng.integers(1, 300))
+        kind = trial % 6
+        if kind == 0:
+            cases.append(rng.normal(0, 1, n))
+        elif kind == 1:
+            cases.append(rng.integers(0, 5, n).astype(np.float32))  # ties
+        elif kind == 2:
+            cases.append(rng.normal(1e8, 1e-3, n))
+        elif kind == 3:
+            cases.append(rng.random(n) * 1e-300)
+        elif kind == 4:
+            cases.append(rng.standard_cauchy(n) * 1e6)
+        else:  # 2D input (raw-family channels come in unflattened)
+            cases.append(rng.normal(5, 2, (max(1, n // 17), 17)))
+    cases.append(np.array([], dtype=np.float64))
+    cases.append(np.array([3.25]))
+    cases.append(np.array([1.0, np.nan, 3.0]))  # NaN fallback path
+    for x in cases:
+        a, b = _stats11(x), _stats11_ref(x)
+        assert len(a) == len(b)
+        for u, v in zip(a, b):
+            assert (u == v) or (np.isnan(u) and np.isnan(v)), (x.shape, a, b)
+
+
+def test_glcm_bitwise_matches_per_angle_reference():
+    """The stacked-angle + bincount GLCM must be BIT-identical to the
+    straightforward per-angle add.at formulation (the reference
+    texture.py semantics)."""
+    import numpy as np
+
+    from scip_spark.operators.features import _glcm_features
+
+    def per_angle_ref(ch, mask, distance, levels=15):
+        vals = ch[mask]
+        if vals.size < 2:
+            return [0.0] * 12
+        lo, hi = float(vals.min()), float(vals.max())
+        span = (hi - lo) or 1.0
+        q = np.zeros_like(ch, dtype=np.int32)
+        q[mask] = np.minimum(((ch[mask] - lo) / span * levels).astype(np.int32), levels - 1) + 1
+        d = distance
+        h, w = q.shape
+        i, j = np.meshgrid(np.arange(levels), np.arange(levels), indexing="ij")
+        diff = i - j
+        per_angle = []
+        for dy, dx in [(0, d), (d, d), (d, 0), (d, -d)]:
+            if h - abs(dy) <= 0 or w - abs(dx) <= 0:
+                per_angle.append([0.0] * 6)
+                continue
+            glcm = np.zeros((levels + 1, levels + 1))
+            y0, y1 = max(0, -dy), min(h, h - dy)
+            x0, x1 = max(0, -dx), min(w, w - dx)
+            a = q[y0:y1, x0:x1]
+            b = q[y0 + dy : y1 + dy, x0 + dx : x1 + dx]
+            valid = (a > 0) & (b > 0)
+            np.add.at(glcm, (a[valid], b[valid]), 1.0)
+            glcm = glcm[1:, 1:]
+            glcm = glcm + glcm.T
+            total = glcm.sum()
+            if total == 0:
+                per_angle.append([0.0] * 6)
+                continue
+            p = glcm / total
+            contrast = float((p * diff**2).sum())
+            dissim = float((p * np.abs(diff)).sum())
+            homog = float((p / (1.0 + diff**2)).sum())
+            asm = float((p**2).sum())
+            energy = float(np.sqrt(asm))
+            mu_i = float((p * i).sum())
+            mu_j = float((p * j).sum())
+            sd_i = float(np.sqrt((p * (i - mu_i) ** 2).sum()))
+            sd_j = float(np.sqrt((p * (j - mu_j) ** 2).sum()))
+            if sd_i > 0 and sd_j > 0:
+                corr = float(((p * (i - mu_i) * (j - mu_j)).sum()) / (sd_i * sd_j))
+            else:
+                corr = 1.0
+            per_angle.append([contrast, dissim, homog, energy, corr, asm])
+        arr = np.asarray(per_angle)
+        out = []
+        for k in range(6):
+            out.append(float(arr[:, k].mean()))
+            out.append(float(arr[:, k].std()))
+        return out
+
+    rng = np.random.default_rng(12)
+    for trial in range(200):
+        h = int(rng.integers(2, 36))
+        w = int(rng.integers(2, 36))
+        ch = rng.normal(10, 3, (h, w)) if trial % 2 else rng.integers(0, 4, (h, w)).astype(float)
+        mask = rng.random((h, w)) > rng.random() * 0.9
+        d = int(rng.integers(1, 9))
+        assert _glcm_features(ch, mask, d) == per_angle_ref(ch, mask, d), (h, w, d)
+
+
+def test_erode_footprint_matches_offset_formulation():
+    """The cumsum-window erosion fast path must equal the shifted-AND
+    offset loop for disks AND arbitrary (incl. non-contiguous-row)
+    footprints."""
+    import numpy as np
+
+    from scip_spark.kernels import imageops as K
+
+    rng = np.random.default_rng(13)
+    for trial in range(200):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        m = rng.random((h, w)) > rng.random()
+        fp = (
+            K.disk(int(rng.integers(1, 8)))
+            if trial % 2
+            else rng.random((int(rng.integers(1, 7)), int(rng.integers(1, 7)))) > 0.4
+        )
+        assert np.array_equal(
+            K.erode_footprint(m, fp), K._erode_footprint_offsets(m, fp)
+        ), (h, w, fp.astype(int))
