@@ -62,6 +62,7 @@ HEADLINE = [
     "frequent_item_pairs",
     "sliding_distinct_users",
     "pit_join_lineitem_scd2",
+    "dyadic_hist_price_quantiles",
     "dedup_setsim_join",
     "dedup_containment_pairs",
     "winnow_dup_pairs",

@@ -551,7 +551,17 @@ def _setsim_bitmask(spark, tok: DataFrame, vocab, threshold: float,
     argument carries over verbatim); the exact verify is
     popcount-of-AND over packed long masks. n_tok comes from a COUNT
     window sharing the row_number window's exchange, so the fast path
-    has no sizes join at all."""
+    has no sizes join at all.
+
+    Unlike :func:`_containment_bitmask`, the candidate distinct is
+    KEPT ahead of the verify joins: setsim's multi-token prefixes
+    reach the same pair many times, and an r8 A/B at the 25×
+    perturbed probe showed inline per-candidate popcounts (masks
+    carried through the bit join, no pre-verify distinct) regressing
+    10.6→205 s while the same restructure took containment 119→65 s —
+    duplicate multiplicity times the 13-long HOF popcount outweighs
+    the shuffle the distinct costs here, and containment at t=1.0 has
+    no duplicates at all."""
     from pyspark.sql.window import Window as W
 
     n_words = (len(vocab) + 63) // 64
@@ -745,7 +755,19 @@ def _containment_bitmask(spark, tok: DataFrame, vocab, threshold: float,
                          eps: float) -> DataFrame:
     """Small-vocabulary fast path for :func:`containment_join`: same
     A-side prefix pruning + full B postings for candidates (joined on
-    the vocabulary bit id), popcount-of-AND verify."""
+    the vocabulary bit id), popcount-of-AND verify.
+
+    As in :func:`_setsim_bitmask`, the masks ride inline on both join
+    sides so the (potentially enormous — a tiny vocabulary makes every
+    posting list long) candidate relation streams through ONE codegen
+    stage: generated, popcounted, and threshold-filtered without ever
+    being shuffled or materialized. At t >= 1.0 the A-prefix is
+    exactly one token (rn <= n - floor(n) + 1 = 1), so survivor rows
+    are already unique; below 1.0 one distinct over the near-empty
+    survivor set restores pair uniqueness (duplicate survivor rows are
+    bit-identical: same masks → same double). Same-box warm A/B at the
+    25× perturbed probe: 119 s → see SCALE_PROBE.md (the former plan
+    shuffled the candidate relation through two verify joins)."""
     from pyspark.sql.window import Window as W
 
     n_words = (len(vocab) + 63) // 64
@@ -760,41 +782,31 @@ def _containment_bitmask(spark, tok: DataFrame, vocab, threshold: float,
         F.row_number().over(by_sid.orderBy("df", "token")).alias("rn"),
         F.count("*").over(by_sid).alias("n_tok"),
     )
-    a = ranked.filter(
+    masks = _mask_relation(tok2.select("sid", "bit"), n_words)
+    rm = ranked.join(masks.select("sid", "mask"), "sid")
+    a = rm.filter(
         F.col("rn")
         <= F.col("n_tok") - F.floor(F.lit(threshold) * F.col("n_tok")) + 1
-    ).select(F.col("sid").alias("id_a"), "bit", F.col("n_tok").alias("n_a"))
-    b = ranked.select(
-        F.col("sid").alias("id_b"), "bit", F.col("n_tok").alias("n_b")
+    ).select(
+        F.col("sid").alias("id_a"), "bit",
+        F.col("n_tok").alias("n_a"), F.col("mask").alias("mask_a"),
     )
-    cand = (
-        a.join(b, "bit")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps))
-        .select("id_a", "id_b")
-    )
-    if threshold < 1.0:
-        # at t >= 1.0 the A-prefix is exactly one token per doc
-        # (rn <= n - floor(n) + 1 = 1), so every (a, b) row is already
-        # unique — a distinct would shuffle the full candidate
-        # relation for nothing
-        cand = cand.distinct()
-    masks = _mask_relation(tok2.select("sid", "bit"), n_words)
-    ma = masks.select(
-        F.col("sid").alias("id_a"), F.col("n_tok").alias("n_a"),
-        F.col("mask").alias("mask_a"),
-    )
-    mb = masks.select(
-        F.col("sid").alias("id_b"), F.col("mask").alias("mask_b")
+    b = rm.select(
+        F.col("sid").alias("id_b"), "bit",
+        F.col("n_tok").alias("n_b"), F.col("mask").alias("mask_b"),
     )
     n_inter = _mask_inter(F.col("mask_a"), F.col("mask_b"))
     cont = n_inter.cast("double") / F.col("n_a")
-    return (
-        cand.join(ma, "id_a")
-        .join(mb, "id_b")
+    out = (
+        a.join(b, "bit")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps))
         .select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+    if threshold < 1.0:
+        out = out.distinct()
+    return out
 
 
 def _gram_stage(

@@ -442,3 +442,79 @@ def sliding_distinct_users(spark, sf_dir):
             ).alias("approx_ok"),
         )
     )
+
+
+_DYADIC_K, _DYADIC_LMAX = 64, 24
+
+
+def _dyadic_sql(k: int = _DYADIC_K, lmax: int = _DYADIC_LMAX) -> str:
+    return f"""
+    WITH leaves AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    lv AS (
+      SELECT l_returnflag, levels.l, leaves.cell >> levels.l AS c
+      FROM leaves, (SELECT unnest(range(0, {lmax + 1})) AS l) levels
+    ),
+    fits AS (
+      SELECT l_returnflag, l, COUNT(DISTINCT c) AS n_cells
+      FROM lv GROUP BY 1, 2
+    ),
+    chosen AS (
+      SELECT l_returnflag, MIN(l) AS level
+      FROM fits WHERE n_cells <= {k} GROUP BY 1
+    ),
+    sk AS (
+      SELECT f.l_returnflag, c.level, f.cell >> c.level AS cell,
+             CAST(SUM(f.cnt) AS BIGINT) AS cnt
+      FROM leaves f JOIN chosen c USING (l_returnflag)
+      GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT *,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cell) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM sk
+    ),
+    hit AS (
+      SELECT c.l_returnflag, q.q_pct, MIN(c.cell) AS cell
+      FROM cum c, (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS q_pct) q
+      WHERE c.cum >= CAST(ceil(q.q_pct / 100.0 * c.n) AS BIGINT)
+      GROUP BY 1, 2
+    )
+    SELECT h.l_returnflag, h.q_pct,
+           (h.cell << s.level) AS lo_grid,
+           ((h.cell + 1) << s.level) - 1 AS hi_grid,
+           s.cnt AS rank_slack,
+           CAST(s.level AS BIGINT) AS level
+    FROM hit h
+    JOIN sk s ON s.l_returnflag = h.l_returnflag AND s.cell = h.cell
+    """
+
+
+@register(
+    "dyadic_hist_price_quantiles",
+    _dyadic_sql(),
+    doc="adaptive-resolution dyadic histogram sketch (q-digest class: "
+    "deterministic, mergeable semilattice — functions/dyadic.py proof) "
+    "over lineitem prices by returnflag; answers p25/p50/p75 as exact "
+    "grid-cell bounds with per-answer rank-slack guarantees. The "
+    "merge==direct bit-identity and the error-vs-bottom-k comparison "
+    "are pinned in tests/test_ranking.py",
+)
+def dyadic_hist_price_quantiles(spark, sf_dir):
+    from scip_spark.functions.dyadic import (
+        cents_cell,
+        dyadic_quantile_cells,
+        dyadic_sketch,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    sk = dyadic_sketch(
+        li, cents_cell("l_extendedprice"), ["l_returnflag"],
+        k=_DYADIC_K, max_level=_DYADIC_LMAX,
+    )
+    return dyadic_quantile_cells(sk, ["l_returnflag"], [0.25, 0.5, 0.75])
