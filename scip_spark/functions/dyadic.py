@@ -86,26 +86,66 @@ def _chosen_level(
 
     ``floor_level`` (merge path) restricts the search to L >= the
     per-group floor; levels below it are never examined, which is what
-    makes the merged search provably land on the direct answer."""
-    lv = leaves.select(
-        *group_cols,
-        F.explode(F.sequence(F.lit(0), F.lit(max_level))).alias("l"),
-        "cell",
-    ).select(
-        *group_cols, "l", F.expr("shiftright(cell, l)").alias("c")
+    makes the merged search provably land on the direct answer.
+
+    Counting trick (replaces a max_level× row explode + distinct — an
+    r8 bench A/B took the lineitem query 5.5 s → sub-second): over the
+    cell-sorted leaves, a leaf OPENS a new level-L bucket iff
+    ``cell >> L != prev_cell >> L`` (or it is the group's first leaf),
+    so ``n_cells(L)`` is a plain SUM of per-leaf indicators — all
+    levels from ONE lag window over the grid-bounded leaf relation,
+    with no row multiplication and no count-distinct expand. The
+    window partitions by group and its input is bounded by the GRID
+    (2^max_level cells worst case), not the data."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy("cell")
+    lagged = leaves.select(
+        *group_cols, "cell", F.lag("cell").over(w).alias("prev")
+    )
+    opens = [
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.expr(f"shiftright(cell, {l})")
+                    != F.expr(f"shiftright(prev, {l})")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias(f"n{l}")
+        for l in range(max_level + 1)
+    ]
+    counts = lagged.groupBy(*group_cols).agg(*opens)
+    # minimal fitting level via one array scan over the per-level sums
+    n_arr = F.array(*[F.col(f"n{l}") for l in range(max_level + 1)])
+    fit_levels = F.filter(
+        F.transform(
+            n_arr, lambda n, i: F.when(n <= k, i).otherwise(F.lit(None))
+        ),
+        lambda x: x.isNotNull(),
+    )
+    fits = counts.select(
+        *group_cols, F.array_min(fit_levels).alias("level")
     )
     if floor_level is not None:
-        lv = lv.join(floor_level, group_cols).filter(
-            F.col("l") >= F.col("floor_l")
-        ).drop("floor_l")
-    fits = (
-        lv.distinct()
-        .groupBy(*group_cols, "l")
-        .agg(F.count("*").alias("n_cells"))
-        .filter(F.col("n_cells") <= k)
-        .groupBy(*group_cols)
-        .agg(F.min("l").alias("level"))
-    )
+        fits = (
+            counts.join(floor_level, group_cols)
+            .select(
+                *group_cols,
+                F.array_min(
+                    F.filter(
+                        F.transform(
+                            n_arr,
+                            lambda n, i: F.when(
+                                (n <= k) & (i >= F.col("floor_l")), i
+                            ).otherwise(F.lit(None)),
+                        ),
+                        lambda x: x.isNotNull(),
+                    )
+                ).alias("level"),
+            )
+        )
     return fits
 
 
@@ -197,15 +237,22 @@ def dyadic_quantile_cells(
         *group_cols, "level", "cell", "cnt", "cum", "n",
         F.explode(F.array(*[F.lit(p).cast("long") for p in q_pcts])).alias("q_pct"),
     )
+    # min_by on the (unique) cell keeps level/cnt attached, so the hit
+    # row needs no join back to the sketch (which would re-execute the
+    # whole sketch subtree a second time)
     hits = (
         fan.filter(
             F.col("cum")
             >= F.ceil(F.col("q_pct") / F.lit(100.0) * F.col("n"))
         )
         .groupBy(*group_cols, "q_pct")
-        .agg(F.min("cell").alias("cell"))
+        .agg(
+            F.min("cell").alias("cell"),
+            F.min_by("level", "cell").alias("level"),
+            F.min_by("cnt", "cell").alias("cnt"),
+        )
     )
-    return hits.join(sketch, [*group_cols, "cell"]).select(
+    return hits.select(
         *group_cols,
         "q_pct",
         F.expr("shiftleft(cell, level)").alias("lo_grid"),

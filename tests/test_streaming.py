@@ -1013,3 +1013,52 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
         for r in REGISTRY["cusum_revenue_shift"].fn(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_dyadic_histogram_matches_batch(spark, tmp_path):
+    """The dyadic histogram sketch (functions/dyadic.py) is a true
+    merge semilattice, so a streaming ingest folds one partial sketch
+    per micro-batch into a running sketch BIT-identical to the
+    batch-built one — even when micro-batches land on different
+    resolution levels (the merge coarsens to fit, provably onto the
+    direct level)."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.dyadic import dyadic_merge, dyadic_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "dyadic_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    K, LMAX = 16, 24
+    cell = F.col("n_chars").cast("long")
+    schema = "lang string, level int, cell bigint, cnt bigint"
+    running: list = []
+
+    def fold_batch(batch_df, _bid):
+        part = dyadic_sketch(batch_df, cell, ["lang"], k=K, max_level=LMAX)
+        rows = [(r["lang"], r["level"], r["cell"], r["cnt"]) for r in part.collect()]
+        if not rows:
+            return
+        stacked = spark.createDataFrame(running + rows, schema)
+        running[:] = [
+            (r["lang"], r["level"], r["cell"], r["cnt"])
+            for r in dyadic_merge(stacked, ["lang"], k=K, max_level=LMAX).collect()
+        ]
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(fold_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    direct = dyadic_sketch(docs, cell, ["lang"], k=K, max_level=LMAX)
+    want = sorted((r["lang"], r["level"], r["cell"], r["cnt"]) for r in direct.collect())
+    assert sorted(running) == want
