@@ -564,8 +564,22 @@ SHAPE_EMPTY_DEFAULTS = [0.0] * 11 + [None] * (len(SHAPE_PROP_NAMES) - 11)
 def _convex_hull(points: np.ndarray) -> np.ndarray:
     """Convex hull vertices (Andrew's monotone chain), CCW order.
 
-    ``points`` is (N, 2) float. Returns (M, 2) hull vertices."""
-    pts = np.unique(points, axis=0)  # sorted lexicographically
+    ``points`` is (N, 2) float on the HALF-INTEGER grid (every caller
+    feeds :func:`_hull_cloud` output). Returns (M, 2) hull vertices.
+
+    Dedup+sort runs on one int64 key per point (doubled coordinates,
+    offset +1 so the -0.5 rim stays non-negative): np.unique on a flat
+    int vector is ~6× the structured-void-dtype ``axis=0`` unique, the
+    key order equals (y, x) lexicographic order because the row stride
+    exceeds any column key, and the decode divides by 2 — exact in
+    binary — so the point set is bit-identical to the axis-0 path."""
+    y2 = (points[:, 0] * 2).astype(np.int64) + 1
+    x2 = (points[:, 1] * 2).astype(np.int64) + 1
+    stride = np.int64(1) << 32
+    keys = np.unique(y2 * stride + x2)
+    pts = np.stack(
+        [(keys // stride - 1) / 2.0, (keys % stride - 1) / 2.0], axis=1
+    )
     if len(pts) <= 2:
         return pts
 
@@ -704,23 +718,39 @@ def _perimeter_crofton(m: np.ndarray) -> float:
     return float(coefs @ h[:16])
 
 
-def _euler_number(m: np.ndarray) -> float:
+def _euler_number(
+    m: np.ndarray,
+    filled: np.ndarray | None = None,
+    n_objects: int | None = None,
+) -> float:
     """Objects minus holes (8-connected foreground / 4-connected
-    background). For a single component: 1 − number of holes."""
-    filled = fill_holes(m)
+    background). For a single component: 1 − number of holes.
+    ``filled``/``n_objects`` let a caller that already computed
+    fill_holes / knows the component count skip those re-labelings."""
+    if filled is None:
+        filled = fill_holes(m)
     holes = filled & ~m
     _, n_holes = label(holes, connectivity=1)
-    _, n_obj = label(m, connectivity=2)
-    return float(n_obj - n_holes)
+    if n_objects is None:
+        _, n_objects = label(m, connectivity=2)
+    return float(n_objects - n_holes)
 
 
-def regionprops_full(labels: np.ndarray) -> list[dict]:
+def regionprops_full(
+    labels: np.ndarray, assume_connected: bool = False
+) -> list[dict]:
     """The reference's 59-prop regionprops set per connected component
     (reference src/scip/features/shape.py:24-104), reimplemented on
     numpy from the published property definitions (raw/central/Hu
     moments, inertia tensor, Crofton perimeter, convex hull, Feret
     diameter). Props are computed on the component's bbox crop with
-    bbox-relative coordinates, matching the published convention."""
+    bbox-relative coordinates, matching the published convention.
+
+    ``assume_connected=True`` asserts every label id marks ONE
+    8-connected component (true whenever ``labels`` came from
+    ``label(mask, 2)``, as in the feature path) — the euler number
+    then skips its per-region connectivity re-label, using
+    n_objects=1 (exactly what the re-label would return)."""
     out: list[dict] = []
     n = int(labels.max())
     for l0 in range(1, n + 1):
@@ -792,7 +822,8 @@ def regionprops_full(labels: np.ndarray) -> list[dict]:
         hull = _convex_hull(_hull_cloud(m))  # shared: convex_mask + feret
         hull_mask = convex_mask(m, hull=hull)
         convex_area = float(hull_mask.sum())
-        filled_area = float(fill_holes(m).sum())
+        filled = fill_holes(m)
+        filled_area = float(filled.sum())
         bbox_area = float((maxr - minr) * (maxc - minc))
 
         vals = (
@@ -801,7 +832,9 @@ def regionprops_full(labels: np.ndarray) -> list[dict]:
                 convex_area,
                 ecc,
                 float(np.sqrt(4.0 * area / np.pi)),
-                _euler_number(m),
+                _euler_number(
+                    m, filled=filled, n_objects=1 if assume_connected else None
+                ),
                 _feret_diameter_max(m, hull=hull),
                 filled_area,
                 float(major),

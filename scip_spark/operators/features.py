@@ -282,7 +282,7 @@ def _shape_row(mask: np.ndarray) -> list[float]:
     if not mask.any():
         return list(K.SHAPE_EMPTY_DEFAULTS)
     lab, _ = K.label(mask, 2)
-    props = K.regionprops_full(lab)
+    props = K.regionprops_full(lab, assume_connected=True)
     return [float(np.mean([pr[p] for pr in props])) for p in SHAPE_PROPS]
 
 

@@ -427,3 +427,64 @@ def test_erode_footprint_matches_offset_formulation():
         assert np.array_equal(
             K.erode_footprint(m, fp), K._erode_footprint_offsets(m, fp)
         ), (h, w, fp.astype(int))
+
+
+def test_convex_hull_intkey_matches_axis_unique():
+    """The int64-keyed dedup inside _convex_hull must reproduce the
+    axis-0 np.unique formulation bit-for-bit (the point cloud is on
+    the half-integer grid, so doubled-coordinate keys are exact)."""
+    import numpy as np
+
+    from scip_spark.kernels import imageops as K
+
+    def reference(pts_raw):
+        ref_pts = np.unique(pts_raw, axis=0)
+        if len(ref_pts) <= 2:
+            return ref_pts
+        tups = [tuple(p) for p in ref_pts.tolist()]
+
+        def half(seq):
+            hull = []
+            for p in seq:
+                py, px = p
+                while len(hull) >= 2:
+                    oy, ox = hull[-2]
+                    ay, ax = hull[-1]
+                    if (ay - oy) * (px - ox) - (ax - ox) * (py - oy) <= 0:
+                        hull.pop()
+                    else:
+                        break
+                hull.append(p)
+            return hull
+
+        lower, upper = half(tups), half(tups[::-1])
+        return np.asarray(lower[:-1] + upper[:-1])
+
+    rng = np.random.default_rng(31)
+    for trial in range(150):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        m = rng.random((h, w)) > rng.random() * 0.8
+        if not m.any():
+            continue
+        pts = K._hull_cloud(m)
+        assert np.array_equal(K._convex_hull(pts), reference(pts)), trial
+
+
+def test_regionprops_assume_connected_identical():
+    """assume_connected=True must change nothing but the cost: labels
+    from label(mask, 2) mark one 8-connected component per id, so the
+    euler path's n_objects is 1 by construction."""
+    import numpy as np
+
+    from scip_spark.kernels import imageops as K
+
+    rng = np.random.default_rng(32)
+    for trial in range(40):
+        m = rng.random((24, 24)) > 0.55
+        lab, n = K.label(m, 2)
+        if n == 0:
+            continue
+        assert K.regionprops_full(lab) == K.regionprops_full(
+            lab, assume_connected=True
+        ), trial
