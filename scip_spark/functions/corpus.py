@@ -182,6 +182,81 @@ def pack_shards(
     )
 
 
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: str = "wsample-v1",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT weight-proportional sampling of ``k`` picks (with
+    multiplicity) — systematic / stochastic-universal sampling on a
+    deterministic hash order, integer arithmetic end to end.
+
+    Why not Efraimidis–Spirakis (keys u^(1/w)): its transcendental key
+    is engine-libm-dependent in the last ulp, so a DuckDB oracle can
+    disagree about boundary picks. Systematic sampling needs only an
+    exclusive prefix sum of integer weights and counting the k grid
+    targets t_j = floor((2j+1)·W / 2k), j < k, inside each doc's
+    cumulative-weight interval [prior, prior+w): pure BIGINT ops that
+    hash-match bit-for-bit. The classic SUS guarantee holds: every
+    doc's multiplicity is floor or ceil of its expected share k·w/W
+    (pinned in tests), and multiplicities sum to exactly k.
+
+    Scale shape identical to :func:`pack_shards` (whose bucketed
+    distributed prefix sum this reuses): the only wide exchange is the
+    hash-range bucket repartition; the per-bucket offsets and the
+    grand total are tiny broadcasts. ``#targets < x`` has the closed
+    form ``(2kx − W − 1) div 2W + 1`` for 2kx > W (else 0) — kept
+    non-negative so Spark's truncating ``div`` and the oracle's floor
+    division agree. Weights must be positive; callers clamp."""
+    order_key = hash_bucket(F.col(key_col), seed)
+    bucketed = df.withColumn("ws_order", order_key).withColumn(
+        "ws_bucket", F.expr(f"ws_order * {int(n_buckets)} div {SPLIT_BUCKETS}")
+    )
+    w_long = F.col(weight_col).cast("long")
+    local_w = (
+        W.partitionBy("ws_bucket")
+        .orderBy(F.col("ws_order").asc(), F.col(key_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = bucketed.withColumn("ws_cum_local", F.sum(w_long).over(local_w))
+    totals = bucketed.groupBy("ws_bucket").agg(
+        F.sum(w_long).alias("ws_btotal")
+    )
+    offset_w = W.orderBy("ws_bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "ws_offset", F.coalesce(F.sum("ws_btotal").over(offset_w), F.lit(0))
+    ).select("ws_bucket", "ws_offset")
+    grand = totals.agg(F.sum("ws_btotal").alias("ws_total"))
+    with_cum = (
+        local.join(F.broadcast(offsets), "ws_bucket")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("ws_cum", F.col("ws_offset") + F.col("ws_cum_local"))
+        .withColumn("ws_prior", F.col("ws_cum") - w_long)
+    )
+
+    def cnt(col_name: str):
+        twokx = F.lit(2 * k) * F.col(col_name)
+        return F.when(twokx <= F.col("ws_total"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(k).cast("long"),
+                F.expr(f"(2 * {k} * {col_name} - ws_total - 1) div (2 * ws_total)")
+                + 1,
+            )
+        )
+
+    return (
+        with_cum.withColumn("multiplicity", cnt("ws_cum") - cnt("ws_prior"))
+        .filter(F.col("multiplicity") > 0)
+        .drop(
+            "ws_bucket", "ws_order", "ws_cum_local", "ws_btotal",
+            "ws_offset", "ws_total", "ws_cum", "ws_prior",
+        )
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     window: int = 64,

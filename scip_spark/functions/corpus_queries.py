@@ -214,3 +214,55 @@ def corpus_chunk_pack(spark, sf_dir):
         chunks, budget=_CHUNK_PACK_BUDGET, cost_col="chunk_n_tokens", key_col="key"
     )
     return packed.select("doc_id", "chunk_id", "chunk_n_tokens", "shard_id")
+
+
+_WS_K = 500
+
+
+@register(
+    "corpus_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, GREATEST(CAST(n_chars AS BIGINT), 1) AS w,
+             {_BUCKET.format(seed='wsample-v1', key='doc_id')} AS ok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, w,
+             SUM(w) OVER (ORDER BY ok, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS c,
+             SUM(w) OVER () AS total
+      FROM w
+    ),
+    m AS (
+      SELECT doc_id, w,
+             (CASE WHEN {2 * _WS_K} * c <= total THEN 0
+                   ELSE LEAST({_WS_K}, ({2 * _WS_K} * c - total - 1)
+                              // (2 * total) + 1) END)
+             - (CASE WHEN {2 * _WS_K} * (c - w) <= total THEN 0
+                     ELSE LEAST({_WS_K}, ({2 * _WS_K} * (c - w) - total - 1)
+                                // (2 * total) + 1) END)
+             AS multiplicity
+      FROM cum
+    )
+    SELECT doc_id, w, CAST(multiplicity AS BIGINT) AS multiplicity
+    FROM m WHERE multiplicity > 0
+    """,
+    doc="exact weight-proportional corpus sampling (systematic / SUS on "
+    "the deterministic hash order): k picks with multiplicity, every "
+    "doc floor-or-ceil of its expected share, pure BIGINT arithmetic "
+    "(no engine-libm keys) — distributed prefix sum == one global "
+    "window in the oracle",
+)
+def corpus_weighted_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.corpus import weighted_systematic_sample
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.greatest(F.col("n_chars").cast("long"), F.lit(1)).alias("w")
+    )
+    return weighted_systematic_sample(docs, _WS_K, weight_col="w").select(
+        "doc_id", "w", F.col("multiplicity").cast("long").alias("multiplicity")
+    )

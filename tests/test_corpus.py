@@ -507,3 +507,48 @@ def test_bpe_batching_property():
         assert _batched_bpe_sim(wf, 8, batch=batch, top_k=3) == want
 
     check()
+
+
+def test_weighted_systematic_sample_properties(spark, docs):
+    """Exactly k picks; every doc's multiplicity is floor-or-ceil of
+    its expected share k*w/W (the classic SUS guarantee); and the
+    distributed bucketed prefix sum gives the same sample at any
+    bucket count (the scale-safety equivalence pack_shards pins)."""
+    import math
+
+    from scip_spark.functions.corpus import weighted_systematic_sample
+
+    k = 500
+    d = docs.select(
+        "doc_id", F.greatest(F.col("n_chars").cast("long"), F.lit(1)).alias("w")
+    )
+    out = weighted_systematic_sample(d, k, weight_col="w")
+    rows = out.collect()
+    assert sum(r["multiplicity"] for r in rows) == k
+    W_total = d.agg(F.sum("w")).collect()[0][0]
+    mult = {r["doc_id"]: r["multiplicity"] for r in rows}
+    for r in d.collect():
+        exp = k * r["w"] / W_total
+        m = mult.get(r["doc_id"], 0)
+        assert math.floor(exp) <= m <= math.ceil(exp), (r["doc_id"], exp, m)
+    for nb in (3, 256):
+        alt = weighted_systematic_sample(d, k, weight_col="w", n_buckets=nb)
+        assert sorted(
+            (r["doc_id"], r["multiplicity"]) for r in alt.collect()
+        ) == sorted((r["doc_id"], r["multiplicity"]) for r in rows), nb
+
+
+def test_weighted_sample_heavy_doc_multiplicity(spark):
+    """A document holding half the total weight must be picked ~k/2
+    times — multiplicity > 1 is the point of weighted SUS (a
+    distinct-sample API can't express epoch-style oversampling)."""
+    from scip_spark.functions.corpus import weighted_systematic_sample
+
+    rows = [("heavy", 1000)] + [(f"d{i}", 10) for i in range(100)]
+    d = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = {
+        r["doc_id"]: r["multiplicity"]
+        for r in weighted_systematic_sample(d, 100, weight_col="w").collect()
+    }
+    assert out["heavy"] in (50, 51)  # 1000/2000 of 100 picks
+    assert sum(out.values()) == 100

@@ -192,10 +192,12 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "moving_median_revenue",
     # per-(lang,source) domain totals (bounded domain cardinality)
     "token_budget_by_domain",
-    # pack_shards / chunk pack: exclusive prefix over the n_buckets-row
-    # bucket-totals relation (corpus.py:167) — bounded by construction
+    # pack_shards / chunk pack / weighted SUS sample: exclusive prefix
+    # over the n_buckets-row bucket-totals relation (corpus.py:167) —
+    # bounded by construction
     "corpus_pack_shards",
     "corpus_chunk_pack",
+    "corpus_weighted_sample",
     # HLL day-partial merge: calendar-range window over the per-day
     # sketch relation (calendar-bounded, not data-scale)
     "sliding_distinct_users",
