@@ -19,6 +19,30 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def reflect_pad(img: np.ndarray, top: int, bottom: int, left: int, right: int) -> np.ndarray:
+    """2-D reflect padding (numpy's mode='reflect': edge not repeated),
+    built from 9 slice assignments. np.pad's generic machinery costs
+    ~65 µs/call in Python bookkeeping; this is ~5 µs and bit-identical
+    (equality pinned in tests/test_properties.py). Pad widths >= the
+    image extent (tiny ragged crops under a large footprint) need
+    multi-reflection — that rare case delegates to np.pad."""
+    h, w = img.shape
+    if top >= h or bottom >= h or left >= w or right >= w:
+        return np.pad(img, ((top, bottom), (left, right)), mode="reflect")
+    out = np.empty((h + top + bottom, w + left + right), dtype=img.dtype)
+    out[top : top + h, left : left + w] = img
+    if top:
+        out[:top, left : left + w] = img[1 : top + 1][::-1]
+    if bottom:
+        out[top + h :, left : left + w] = img[h - 1 - bottom : h - 1][::-1]
+    if left:
+        out[:, :left] = out[:, left + 1 : 2 * left + 1][:, ::-1]
+    if right:
+        c = left + w
+        out[:, c:] = out[:, c - 1 - right : c - 1][:, ::-1]
+    return out
+
+
 def gaussian_kernel1d(sigma: float) -> np.ndarray:
     radius = max(1, int(round(3.0 * sigma)))
     x = np.arange(-radius, radius + 1, dtype=np.float64)
@@ -28,9 +52,7 @@ def gaussian_kernel1d(sigma: float) -> np.ndarray:
 
 def _conv1d_reflect(img: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
     r = len(k) // 2
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (r, r)
-    p = np.pad(img, pad, mode="reflect")
+    p = reflect_pad(img, r, r, 0, 0) if axis == 0 else reflect_pad(img, 0, 0, r, r)
     out = np.zeros_like(img, dtype=np.float64)
     for i, kv in enumerate(k):
         sl = [slice(None), slice(None)]
@@ -47,7 +69,7 @@ def gaussian(img: np.ndarray, sigma: float) -> np.ndarray:
 
 def sobel(img: np.ndarray) -> np.ndarray:
     """Gradient magnitude via 3×3 Sobel operators (reflect padding)."""
-    a = np.pad(img.astype(np.float64), 1, mode="reflect")
+    a = reflect_pad(img.astype(np.float64), 1, 1, 1, 1)
     gx = (
         (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:])
         - (a[:-2, :-2] + 2 * a[1:-1, :-2] + a[2:, :-2])
@@ -62,13 +84,16 @@ def sobel(img: np.ndarray) -> np.ndarray:
 def median_filter(img: np.ndarray, size: int = 3) -> np.ndarray:
     """Median filter via stacked shifted views (small kernels only)."""
     r = size // 2
-    p = np.pad(img, r, mode="reflect")
+    p = reflect_pad(img, r, r, r, r)
     stack = [
         p[dy : dy + img.shape[0], dx : dx + img.shape[1]]
         for dy in range(size)
         for dx in range(size)
     ]
     return np.median(np.stack(stack), axis=0)
+
+
+_GATHER_IDX_CACHE: dict = {}
 
 
 def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray:
@@ -84,7 +109,7 @@ def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray
     the output is bit-identical to the partition formulation."""
     fy, fx = footprint.shape
     cy, cx = fy // 2, fx // 2
-    p = np.pad(img, ((cy, fy - 1 - cy), (cx, fx - 1 - cx)), mode="reflect")
+    p = reflect_pad(img, cy, fy - 1 - cy, cx, fx - 1 - cx)
     h, w = img.shape
     offsets = list(zip(*np.nonzero(footprint)))
     if func is np.min or func is np.max:
@@ -95,9 +120,27 @@ def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray
         return acc
     if func is np.median:
         k = len(offsets)
-        buf = np.empty((h, w, k), dtype=img.dtype)
-        for i, (oy, ox) in enumerate(offsets):
-            buf[:, :, i] = p[oy : oy + h, ox : ox + w]
+        # ONE fancy-indexing gather instead of k strided slice writes:
+        # flat index (oy+y)*W + (ox+x) per (pixel, offset) — identical
+        # element values. The (h, w, k) index tensor is cached per
+        # (footprint identity, image shape): the hot path calls this
+        # with the SAME cached disk on the SAME frame size per batch
+        # the entry keeps the footprint object alive, so its id cannot
+        # be recycled while cached; the `is` check makes a hit exact
+        key = (id(footprint), h, w)
+        hit = _GATHER_IDX_CACHE.get(key)
+        if hit is not None and hit[0] is footprint:
+            idx = hit[1]
+        else:
+            oy = np.fromiter((o[0] for o in offsets), dtype=np.intp, count=k)
+            ox = np.fromiter((o[1] for o in offsets), dtype=np.intp, count=k)
+            pw = p.shape[1]
+            base = (np.arange(h)[:, None] * pw + np.arange(w)[None, :]).reshape(h, w, 1)
+            idx = base + (oy * pw + ox)[None, None, :]
+            if len(_GATHER_IDX_CACHE) > 32:  # bound worker memory
+                _GATHER_IDX_CACHE.clear()
+            _GATHER_IDX_CACHE[key] = (footprint, idx)
+        buf = p.ravel()[idx]
         buf.sort(axis=-1)
         if k % 2:
             return buf[:, :, k // 2]
@@ -276,9 +319,20 @@ def _erode(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
     return m
 
 
+_DISK_CACHE: dict[int, np.ndarray] = {}
+
+
 def disk(radius: int) -> np.ndarray:
-    y, x = np.ogrid[-radius : radius + 1, -radius : radius + 1]
-    return (x * x + y * y) <= radius * radius
+    """Disk footprint, cached per radius (callers treat footprints as
+    read-only; the cached array is marked non-writeable to enforce
+    it). Hot: the mask chain asks for disk(5)/disk(6) per channel."""
+    d = _DISK_CACHE.get(radius)
+    if d is None:
+        y, x = np.ogrid[-radius : radius + 1, -radius : radius + 1]
+        d = (x * x + y * y) <= radius * radius
+        d.setflags(write=False)
+        _DISK_CACHE[radius] = d
+    return d
 
 
 def erode_footprint(mask: np.ndarray, footprint: np.ndarray) -> np.ndarray:

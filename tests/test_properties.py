@@ -269,3 +269,26 @@ def test_winnow_fingerprints_match_python_reference(spark, corpus):
         tuple(r) for r in winnow_fingerprint_positions(docs, k=k, w=w).collect()
     }
     assert got_pos == want_pos
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(1, 20), st.integers(1, 20),
+    st.integers(0, 25), st.integers(0, 25),
+    st.integers(0, 25), st.integers(0, 25),
+)
+def test_reflect_pad_matches_numpy(h, w, top, bottom, left, right):
+    """The slice-assignment reflect_pad must equal np.pad('reflect')
+    bit-for-bit wherever np.pad accepts the widths (incl. the
+    multi-reflection fallback for pads >= the extent)."""
+    import numpy as np
+
+    from scip_spark.kernels import imageops as K
+
+    rng = np.random.default_rng(h * 1000 + w * 100 + top + bottom + left + right)
+    img = rng.random((h, w))
+    try:
+        want = np.pad(img, ((top, bottom), (left, right)), mode="reflect")
+    except ValueError:
+        return  # np.pad itself rejects (size-1 axis with reflection)
+    assert np.array_equal(K.reflect_pad(img, top, bottom, left, right), want)
