@@ -108,3 +108,27 @@ def test_empty_inputs_second_session_ops(spark):
         ).collect()
     }
     assert got == {1: [], 2: [], 3: [1]}
+
+
+def test_empty_inputs_round8_ops(spark):
+    """Dyadic histogram sketch + weighted systematic sampling on
+    emptied relations: no rows, no division-by-zero, no crash."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.corpus import weighted_systematic_sample
+    from scip_spark.functions.dyadic import (
+        dyadic_merge,
+        dyadic_quantile_cells,
+        dyadic_sketch,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, g string, w long")
+    cell = F.col("w")
+    sk = dyadic_sketch(docs, cell, ["g"], k=8, max_level=16)
+    assert sk.count() == 0
+    assert dyadic_quantile_cells(sk, ["g"], [0.5]).count() == 0
+    empty_parts = spark.createDataFrame(
+        [], "g string, level int, cell bigint, cnt bigint"
+    )
+    assert dyadic_merge(empty_parts, ["g"], k=8, max_level=16).count() == 0
+    assert weighted_systematic_sample(docs, 10, weight_col="w").count() == 0
