@@ -199,19 +199,34 @@ def _glcm_const(levels: int):
     return c
 
 
-def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int = 15) -> list[float]:
-    """Per-angle GLCMs over 4 directions (0/45/90/135 deg), symmetric +
-    normed, masked pixels only; per-prop mean AND std over the angles
-    (reference texture.py:25-132 semantics, numpy re-implementation).
-    Pair counting uses flat-index ``bincount`` (exact integer counts —
-    identical to the former ``np.add.at`` scatter, ~10× faster)."""
+def _glcm_quantize(ch: np.ndarray, mask: np.ndarray, levels: int = 15):
+    """Masked [1..levels] quantization shared by every GLCM distance
+    (it does not depend on the co-occurrence offset — computing it
+    once per (channel, mask) instead of once per distance is free and
+    bit-identical). Returns None when fewer than 2 masked pixels."""
     vals = ch[mask]
     if vals.size < 2:
-        return [0.0] * 12
+        return None
     lo, hi = float(vals.min()), float(vals.max())
     span = (hi - lo) or 1.0
     q = np.zeros_like(ch, dtype=np.int32)
     q[mask] = np.minimum(((ch[mask] - lo) / span * levels).astype(np.int32), levels - 1) + 1
+    return q
+
+
+def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int = 15,
+                   q: np.ndarray | None = None) -> list[float]:
+    """Per-angle GLCMs over 4 directions (0/45/90/135 deg), symmetric +
+    normed, masked pixels only; per-prop mean AND std over the angles
+    (reference texture.py:25-132 semantics, numpy re-implementation).
+    Pair counting uses flat-index ``bincount`` (exact integer counts —
+    identical to the former ``np.add.at`` scatter, ~10× faster).
+    ``q`` lets the caller share one :func:`_glcm_quantize` across
+    distances."""
+    if q is None:
+        q = _glcm_quantize(ch, mask, levels)
+    if q is None:
+        return [0.0] * 12
     d = distance
     h, w = q.shape
     i, j, diff, diff2, absdiff, one_plus_diff2 = _glcm_const(levels)
@@ -283,11 +298,19 @@ def _shape_row(mask: np.ndarray) -> list[float]:
         return list(K.SHAPE_EMPTY_DEFAULTS)
     lab, _ = K.label(mask, 2)
     props = K.regionprops_full(lab, assume_connected=True)
-    return [float(np.mean([pr[p] for pr in props])) for p in SHAPE_PROPS]
+    # one (59, n_regions) array mean instead of 59 list-of-floats
+    # np.mean calls. Layout matters for bit-identity: each prop's
+    # values must lie CONTIGUOUS (axis=-1 reduction) so numpy runs the
+    # same pairwise summation the 1-D mean ran — an axis-0 reduction
+    # over the transposed layout accumulates sequentially and differs
+    # in the last ulp once n_regions > 8 (caught by the equality test)
+    arr = np.array([[pr[p] for pr in props] for p in SHAPE_PROPS])
+    return [float(v) for v in arr.mean(axis=-1)]
 
 
 def _texture_row(chan: np.ndarray, mask: np.ndarray) -> list[float]:
-    out = _glcm_features(chan, mask, 3) + _glcm_features(chan, mask, 5)
+    q = _glcm_quantize(chan, mask)
+    out = _glcm_features(chan, mask, 3, q=q) + _glcm_features(chan, mask, 5, q=q)
     sob = K.sobel(chan)[mask]
     if sob.size:
         out += [float(sob.mean()), float(sob.std()), float(sob.max()), float(sob.min())]

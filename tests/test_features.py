@@ -488,3 +488,27 @@ def test_regionprops_assume_connected_identical():
         assert K.regionprops_full(lab) == K.regionprops_full(
             lab, assume_connected=True
         ), trial
+
+
+def test_shape_row_vectorized_mean_bit_identical():
+    """_shape_row's (59, n_regions) contiguous-axis mean must equal the
+    per-prop list np.mean formulation bit-for-bit — including masks
+    with > 8 regions, where a wrong (strided) reduction axis silently
+    switches numpy from pairwise to sequential summation."""
+    import numpy as np
+
+    from scip_spark.kernels import imageops as K
+    from scip_spark.operators.features import SHAPE_PROPS, _shape_row
+
+    rng = np.random.default_rng(33)
+    checked_many = 0
+    for trial in range(120):
+        m = rng.random((int(rng.integers(4, 30)), int(rng.integers(4, 30)))) > 0.5
+        if not m.any():
+            continue
+        lab, n = K.label(m, 2)
+        checked_many += n > 8
+        props = K.regionprops_full(lab, assume_connected=True)
+        want = [float(np.mean([pr[p] for pr in props])) for p in SHAPE_PROPS]
+        assert _shape_row(m) == want, trial
+    assert checked_many >= 5  # the >8-region pairwise regime was exercised
