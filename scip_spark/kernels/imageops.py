@@ -492,6 +492,7 @@ def watershed(
     (64²-256²); the cost is the same order as one rank filter pass.
     """
     import heapq
+    import math
 
     h, w = elevation.shape
     out = markers.astype(np.int32).copy()
@@ -500,29 +501,48 @@ def watershed(
     shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
     if connectivity == 2:
         shifts += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    # Hot-loop representation (bit-identical flood): heap entries are
+    # (prio, age, pixel*HW + seed) — the heap never compares past the
+    # unique ``age``, so packing (y,x,sy,sx) into one int cannot change
+    # pop order. Pixel state lives in flat Python lists (elevation as
+    # float64 values via tolist — an EXACT widening for float32/64
+    # inputs, the same float() the tuple loop performed) because numpy
+    # scalar indexing costs ~100 ns/subscript and dominated the loop.
+    hw = h * w
+    elev = elevation.astype(np.float64).ravel().tolist()
+    lab_l = out.ravel().tolist()
+    ok_l = allowed.ravel().tolist()
     heap: list = []
     age = 0
     ys, xs = np.nonzero(out > 0)
     order = np.argsort(elevation[ys, xs], kind="stable")
-    for i in order:
-        y, x = int(ys[i]), int(xs[i])
-        heapq.heappush(heap, (float(elevation[y, x]), age, y, x, y, x))
+    seeds = (ys.astype(np.int64) * w + xs)[order].tolist()
+    for p in seeds:
+        heapq.heappush(heap, (elev[p], age, p * hw + p))
         age += 1
+    push = heapq.heappush
+    pop = heapq.heappop
+    sqrt = math.sqrt
     while heap:
-        _, _, y, x, sy, sx = heapq.heappop(heap)
-        lab = out[y, x]
+        _, _, packed = pop(heap)
+        p, seed = divmod(packed, hw)
+        y, x = divmod(p, w)
+        lab = lab_l[p]
         for dy, dx in shifts:
             ny, nx = y + dy, x + dx
-            if 0 <= ny < h and 0 <= nx < w and allowed[ny, nx] and out[ny, nx] == 0:
-                out[ny, nx] = lab
-                prio = float(elevation[ny, nx])
-                if compactness > 0:
-                    prio += compactness * float(
-                        np.sqrt((ny - sy) ** 2 + (nx - sx) ** 2)
-                    )
-                heapq.heappush(heap, (prio, age, ny, nx, sy, sx))
-                age += 1
-    return out
+            if 0 <= ny < h and 0 <= nx < w:
+                q = ny * w + nx
+                if ok_l[q] and lab_l[q] == 0:
+                    lab_l[q] = lab
+                    prio = elev[q]
+                    if compactness > 0:
+                        sy, sx = divmod(seed, w)
+                        prio += compactness * sqrt(
+                            (ny - sy) ** 2 + (nx - sx) ** 2
+                        )
+                    push(heap, (prio, age, q * hw + seed))
+                    age += 1
+    return np.asarray(lab_l, dtype=np.int32).reshape(h, w)
 
 
 def distance_transform(mask: np.ndarray) -> np.ndarray:

@@ -292,3 +292,63 @@ def test_reflect_pad_matches_numpy(h, w, top, bottom, left, right):
     except ValueError:
         return  # np.pad itself rejects (size-1 axis with reflection)
     assert np.array_equal(K.reflect_pad(img, top, bottom, left, right), want)
+
+
+def test_watershed_packed_heap_matches_tuple_formulation():
+    """The packed-heap/flat-list watershed must reproduce the original
+    tuple-heap flood bit-for-bit: heap order never compares past the
+    unique age, and all priority arithmetic is the same IEEE ops."""
+    import heapq
+
+    import numpy as np
+
+    from scip_spark.kernels import imageops as K
+
+    def reference(elevation, markers, mask=None, connectivity=1, compactness=0.0):
+        h, w = elevation.shape
+        out = markers.astype(np.int32).copy()
+        allowed = np.ones((h, w), dtype=bool) if mask is None else mask.astype(bool)
+        out[~allowed] = 0
+        shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if connectivity == 2:
+            shifts += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        heap, age = [], 0
+        ys, xs = np.nonzero(out > 0)
+        order = np.argsort(elevation[ys, xs], kind="stable")
+        for i in order:
+            y, x = int(ys[i]), int(xs[i])
+            heapq.heappush(heap, (float(elevation[y, x]), age, y, x, y, x))
+            age += 1
+        while heap:
+            _, _, y, x, sy, sx = heapq.heappop(heap)
+            lab = out[y, x]
+            for dy, dx in shifts:
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < h and 0 <= nx < w and allowed[ny, nx] and out[ny, nx] == 0:
+                    out[ny, nx] = lab
+                    prio = float(elevation[ny, nx])
+                    if compactness > 0:
+                        prio += compactness * float(
+                            np.sqrt((ny - sy) ** 2 + (nx - sx) ** 2)
+                        )
+                    heapq.heappush(heap, (prio, age, ny, nx, sy, sx))
+                    age += 1
+        return out
+
+    rng = np.random.default_rng(34)
+    for t in range(60):
+        h = int(rng.integers(4, 30))
+        w = int(rng.integers(4, 30))
+        elev = rng.random((h, w)).astype(np.float32 if t % 2 else np.float64)
+        mask = rng.random((h, w)) > 0.3
+        markers = np.zeros((h, w), dtype=np.int32)
+        for i in range(int(rng.integers(1, 5))):
+            yy, xx = int(rng.integers(0, h)), int(rng.integers(0, w))
+            if mask[yy, xx]:
+                markers[yy, xx] = i + 1
+        comp = [0.0, 1.0, 0.5][t % 3]
+        conn = 1 + t % 2
+        assert np.array_equal(
+            K.watershed(elev, markers, mask, connectivity=conn, compactness=comp),
+            reference(elev, markers, mask, connectivity=conn, compactness=comp),
+        ), t
