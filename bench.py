@@ -71,9 +71,12 @@ HEADLINE = [
 
 # heavyweight end-to-end pipelines: one timed pass only (their runtime
 # dwarfs the box's noise band, and a second 100-s pass would double the
-# whole bench for nothing)
+# whole bench for nothing). imaging_pipeline_e2e left this set in r8:
+# its cold pass swings ±25% with page-cache/JIT state while the query
+# now runs ~40% faster than when the single-pass budget was set, so a
+# second (min-taken) pass is budget-neutral and de-noises the bench's
+# single largest row
 SINGLE_PASS = {
-    "imaging_pipeline_e2e",
     # exact joins: ~14 s each at sf0.1 (candidate-dense corpus) — one
     # pass keeps the bench under budget while still tracking them
     "dedup_setsim_join",
