@@ -442,21 +442,30 @@ def extract_features(df: DataFrame, nchannels: int, families: list[str] | None =
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
         masks = decode_series(pdf["mask"], pdf["mask_shape"], dtype=bool)
+        # per-column Python lists once: Series/iloc access per (event,
+        # column) costs ~1 µs of pandas machinery each (same values)
+        def col(name):
+            return pdf[name].tolist() if name in pdf.columns else [None] * len(pdf)
+
+        paths, groups_, ids_, objnums = col("path"), col("group"), col("id"), col("object_number")
+        regions_, cms, bgs, cbgs, bboxes = (
+            col("regions"), col("combined_mask"), col("background"),
+            col("combined_background"), col("bbox"),
+        )
         rows = []
         for i in range(len(pdf)):
-            base = pdf.iloc[i]
             meta = {
-                "path": base.get("path"),
-                "group": base.get("group"),
-                "id": base.get("id"),
-                "object_number": base.get("object_number"),
-                "regions": base.get("regions"),
+                "path": paths[i],
+                "group": groups_[i],
+                "id": ids_[i],
+                "object_number": objnums[i],
+                "regions": regions_[i],
             }
             a, m = pixels[i], masks[i]
             if a is None:
                 rows.append({**meta, **{c: None for c in feat_cols}})
                 continue
-            cm_flat = base.get("combined_mask")
+            cm_flat = cms[i]
             cm = (
                 np.asarray(cm_flat, dtype=bool).reshape(a.shape[1:])
                 if cm_flat is not None
@@ -466,9 +475,9 @@ def extract_features(df: DataFrame, nchannels: int, families: list[str] | None =
                 a,
                 m,
                 cm,
-                base.get("background"),
-                base.get("combined_background"),
-                base.get("bbox"),
+                bgs[i],
+                cbgs[i],
+                bboxes[i],
                 families,
                 nchannels,
             )

@@ -236,13 +236,16 @@ def to_events(df: DataFrame, parent_channel: int = 0, group_keys: list[str] | No
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
         masks = decode_series(pdf["mask"], pdf["mask_shape"], dtype=bool)
+        # per-column Python lists once: Series.__getitem__ per (event,
+        # column) was a third of this batch's time (same values)
+        col_vals = {c: pdf[c].tolist() for c in pdf.columns}
+        gkeys = [k for k in group_keys if k in pdf.columns]
         out_rows = []
         for i in range(len(pdf)):
             a, m = pixels[i], masks[i]
             if a is None or m is None:
                 continue
             lab, n = K.label(m[parent_channel], 2)
-            base = pdf.iloc[i]
             for l0 in range(1, n + 1):
                 comp = lab == l0
                 box = K.bounding_box(comp)
@@ -251,7 +254,7 @@ def to_events(df: DataFrame, parent_channel: int = 0, group_keys: list[str] | No
                 crop_m = np.broadcast_to(
                     comp[minr:maxr, minc:maxc], crop_px.shape
                 ).copy()
-                row = {c: base[c] for c in pdf.columns}
+                row = {c: v[i] for c, v in col_vals.items()}
                 row["pixels"] = crop_px.ravel()
                 row["pixels_shape"] = list(crop_px.shape)
                 row["mask"] = crop_m.ravel()
@@ -262,7 +265,7 @@ def to_events(df: DataFrame, parent_channel: int = 0, group_keys: list[str] | No
                 row["bbox"] = [int(minr), int(minc), int(maxr), int(maxc)]
                 row["regions"] = [int(crop_m[c].any()) for c in range(crop_px.shape[0])]  # reference segmentation/__init__.py:100-102
                 row["id"] = int(l0)
-                row["group"] = "_".join(str(base[k]) for k in group_keys if k in pdf.columns)
+                row["group"] = "_".join(str(col_vals[k][i]) for k in gkeys)
                 out_rows.append(row)
         if not out_rows:
             return pd.DataFrame(columns=list(pdf.columns))
