@@ -492,8 +492,21 @@ def _small_vocab(tok: DataFrame, cap: int):
     construction-latency-sensitive, or that compose the join lazily,
     should pass ``bitmask_cap=0`` to skip it; streaming inputs skip it
     automatically (``tok.isStreaming`` — a streaming plan cannot be
-    collected at build time at all)."""
+    collected at build time at all).
+
+    Large-vocabulary corpora (the failure case, i.e. ~all natural
+    text) are pre-screened with an HLL estimate: approx_count_distinct
+    partial-aggregates map-side and shuffles only one sketch per task,
+    so a 100-TB corpus never pays the vocabulary-wide exact groupBy
+    shuffle just to learn the vocabulary is too big. The exact probe
+    runs only when the estimate is within the cap's error margin
+    (HLL rsd=0.02, screened at 1.25×cap so a true ≤cap vocabulary is
+    never mis-skipped); it remains the ground truth — the estimate
+    alone never ADMITS a vocabulary."""
     if cap <= 0 or tok.isStreaming:
+        return None
+    est = tok.agg(F.approx_count_distinct("token", 0.02)).first()[0]
+    if est > int(cap * 1.25):
         return None
     rows = (
         tok.groupBy("token").agg(F.count("*").alias("df"))
