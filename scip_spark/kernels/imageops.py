@@ -651,6 +651,21 @@ def _convex_hull(points: np.ndarray) -> np.ndarray:
     x2 = (points[:, 1] * 2).astype(np.int64) + 1
     stride = np.int64(1) << 32
     keys = np.unique(y2 * stride + x2)
+    if len(keys) > 4:
+        # hull vertices can only be per-row x-extremes: any other point
+        # lies ON the segment between its row's min-x and max-x points,
+        # and the chain's cross<=0 pop already excludes collinear points
+        # from the output — so dropping them first leaves the vertex
+        # sequence bit-identical while the O(n) Python chain loop sees
+        # ~2·rows points instead of every border midpoint
+        rows_changed = np.empty(len(keys), dtype=bool)
+        rows_changed[0] = True
+        row = keys >> 32  # == y2: x2 < 2^32 and keys are non-negative
+        np.not_equal(row[1:], row[:-1], out=rows_changed[1:])
+        keep = rows_changed.copy()
+        keep[:-1] |= rows_changed[1:]  # last-in-row = pred of next first
+        keep[-1] = True
+        keys = keys[keep]
     pts = np.stack(
         [(keys // stride - 1) / 2.0, (keys % stride - 1) / 2.0], axis=1
     )
