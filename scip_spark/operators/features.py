@@ -214,28 +214,18 @@ def _glcm_quantize(ch: np.ndarray, mask: np.ndarray, levels: int = 15):
     return q
 
 
-def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int = 15,
-                   q: np.ndarray | None = None) -> list[float]:
-    """Per-angle GLCMs over 4 directions (0/45/90/135 deg), symmetric +
-    normed, masked pixels only; per-prop mean AND std over the angles
-    (reference texture.py:25-132 semantics, numpy re-implementation).
-    Pair counting uses flat-index ``bincount`` (exact integer counts —
-    identical to the former ``np.add.at`` scatter, ~10× faster).
-    ``q`` lets the caller share one :func:`_glcm_quantize` across
-    distances."""
+def _glcm_pstack(q: np.ndarray | None, distance: int, levels: int = 15):
+    """Per-angle normalized co-occurrence matrices for one (quantized
+    image, distance) instance: (ps, idxs) with ps a list of (L, L)
+    float64 P matrices and idxs the surviving angle indices (0/45/90/
+    135 deg). Pair counting uses flat-index ``bincount`` (exact integer
+    counts — identical to the former ``np.add.at`` scatter, ~10×
+    faster). ``q`` None (fewer than 2 masked pixels) → no slices."""
     if q is None:
-        q = _glcm_quantize(ch, mask, levels)
-    if q is None:
-        return [0.0] * 12
+        return [], []
     d = distance
     h, w = q.shape
-    i, j, diff, diff2, absdiff, one_plus_diff2 = _glcm_const(levels)
     side = levels + 1
-    # the 6 props are computed for all 4 angles in ONE stacked pass
-    # ((m,L,L) ufuncs + trailing-axes sums): the per-slice reductions
-    # run the same pairwise order as a per-angle 2D .sum(), so values
-    # are bit-identical to the former per-angle loop (property-pinned
-    # in tests/test_features.py), at ~4× fewer numpy dispatches
     ps: list[np.ndarray] = []
     idxs: list[int] = []
     for ai, (dy, dx) in enumerate([(0, d), (d, d), (d, 0), (d, -d)]):
@@ -260,9 +250,34 @@ def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int 
             continue
         ps.append(glcm / total)
         idxs.append(ai)
-    arr = np.zeros((4, 6))
-    if ps:
-        P = np.stack(ps)
+    return ps, idxs
+
+
+def _glcm_props_batch(instances: list[tuple[list, list]], levels: int = 15) -> list[list[float]]:
+    """6 GLCM props (contrast/dissimilarity/homogeneity/energy/
+    correlation/ASM), mean AND std over the 4 angles, for MANY
+    :func:`_glcm_pstack` instances in ONE stacked pass (reference
+    texture.py:25-132 semantics, numpy re-implementation).
+
+    Every P slice across every instance lands in one (M, L, L) stack:
+    the per-slice trailing-axes reductions run the same pairwise order
+    as a per-angle 2D ``.sum()`` regardless of M, and the angle-axis
+    mean/std reduce sequentially per instance either way (length 4),
+    so values are bit-identical to the former per-call loop
+    (property-pinned in tests/test_features.py) at ~n_instances× fewer
+    numpy dispatches — the hot feature path feeds ~12 instances per
+    record (channels × views × distances)."""
+    i, j, diff, diff2, absdiff, one_plus_diff2 = _glcm_const(levels)
+    all_ps: list[np.ndarray] = []
+    inst_ids: list[int] = []
+    angle_ids: list[int] = []
+    for n, (ps, idxs) in enumerate(instances):
+        all_ps.extend(ps)
+        inst_ids.extend([n] * len(ps))
+        angle_ids.extend(idxs)
+    arr = np.zeros((len(instances), 4, 6))
+    if all_ps:
+        P = np.stack(all_ps)
         tail = (1, 2)
         contrast = (P * diff2).sum(axis=tail)
         dissim = (P * absdiff).sum(axis=tail)
@@ -279,15 +294,26 @@ def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int 
         corr = np.where(
             (sd_i > 0) & (sd_j > 0), cov / np.where(sd_i * sd_j == 0, 1.0, sd_i * sd_j), 1.0
         )
-        arr[idxs] = np.column_stack([contrast, dissim, homog, energy, corr, asm])
-    mean = np.add.reduce(arr, axis=0) / 4.0
-    dd = arr - mean
-    std = np.sqrt(np.add.reduce(dd * dd, axis=0) / 4.0)
-    out: list[float] = []
-    for k in range(6):
-        out.append(float(mean[k]))
-        out.append(float(std[k]))
-    return out
+        arr[inst_ids, angle_ids] = np.column_stack(
+            [contrast, dissim, homog, energy, corr, asm]
+        )
+    mean = np.add.reduce(arr, axis=1) / 4.0
+    dd = arr - mean[:, None, :]
+    std = np.sqrt(np.add.reduce(dd * dd, axis=1) / 4.0)
+    out = np.empty((len(instances), 12))
+    out[:, 0::2] = mean
+    out[:, 1::2] = std
+    return [[float(v) for v in row] for row in out]
+
+
+def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int = 15,
+                   q: np.ndarray | None = None) -> list[float]:
+    """Single-instance GLCM feature row — the batched pipeline above
+    with exactly one instance. ``q`` lets the caller share one
+    :func:`_glcm_quantize` across distances."""
+    if q is None:
+        q = _glcm_quantize(ch, mask, levels)
+    return _glcm_props_batch([_glcm_pstack(q, distance, levels)], levels)[0]
 
 
 def _shape_row(mask: np.ndarray) -> list[float]:
@@ -308,15 +334,11 @@ def _shape_row(mask: np.ndarray) -> list[float]:
     return [float(v) for v in arr.mean(axis=-1)]
 
 
-def _texture_row(chan: np.ndarray, mask: np.ndarray) -> list[float]:
-    q = _glcm_quantize(chan, mask)
-    out = _glcm_features(chan, mask, 3, q=q) + _glcm_features(chan, mask, 5, q=q)
-    sob = K.sobel(chan)[mask]
-    if sob.size:
-        out += [float(sob.mean()), float(sob.std()), float(sob.max()), float(sob.min())]
-    else:
-        out += [0.0] * 4
-    return out
+def _sobel_stats(sob: np.ndarray, mask: np.ndarray) -> list[float]:
+    sv = sob[mask]
+    if sv.size:
+        return [float(sv.mean()), float(sv.std()), float(sv.max()), float(sv.min())]
+    return [0.0] * 4
 
 
 def _record_features(
@@ -420,12 +442,31 @@ def _record_features(
                 chan_shape_cache.append((mask_c, hit))
             out += hit
     if "texture" in families:
+        # defer every GLCM instance of the record (channels × views ×
+        # distances, ~12) into ONE _glcm_props_batch call; sobel is
+        # mask-independent, so compute it once per channel and slice it
+        # per view — both bit-identical to the per-view formulation
+        t_insts: list[tuple[list, list]] = []
+        t_meta: list[tuple[int, list[float]]] = []  # (pstack base, sobel tail)
+        t_emit: list[int] = []  # row order: two per channel, may repeat
         for c in range(nchannels):
             chan = a[c]
             mask_c = _mask_of(c)
-            trow = _texture_row(chan, mask_c)
-            out += trow
-            out += trow if same_as_cm[c] else _texture_row(chan, cm_any)
+            sob = K.sobel(chan)
+            for vmask in ([mask_c] if same_as_cm[c] else [mask_c, cm_any]):
+                qv = _glcm_quantize(chan, vmask)
+                base = len(t_insts)
+                t_insts.append(_glcm_pstack(qv, 3))
+                t_insts.append(_glcm_pstack(qv, 5))
+                t_meta.append((base, _sobel_stats(sob, vmask)))
+            if same_as_cm[c]:
+                t_emit += [len(t_meta) - 1] * 2
+            else:
+                t_emit += [len(t_meta) - 2, len(t_meta) - 1]
+        t_props = _glcm_props_batch(t_insts)
+        for mi in t_emit:
+            base, sob_tail = t_meta[mi]
+            out += t_props[base] + t_props[base + 1] + sob_tail
     return out
 
 
