@@ -199,3 +199,68 @@ def quality_quantile_bins(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL (deterministic-compaction) — invariant-boolean oracle
+# ---------------------------------------------------------------------------
+
+_KLL_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_KLL_K = 256
+#: generous vs the randomized paper constant (~1.65%/k at 99%): the
+#: deterministic alternating coin loses the probabilistic proof, so the
+#: gate is set at 4/k — tests/test_kll.py pins much tighter empirically
+_KLL_EPS = 4.0 / _KLL_K
+
+
+def _kll_oracle_sql() -> str:
+    rows = ", ".join(f"({q}, TRUE)" for q in _KLL_QS)
+    return (
+        "SELECT CAST(q AS DOUBLE) AS q, within_bound "
+        f"FROM (VALUES {rows}) AS t(q, within_bound) ORDER BY q"
+    )
+
+
+@register(
+    "kll_quantile_prices",
+    _kll_oracle_sql(),
+    doc="KLL sketch (functions/kll.py) over l_extendedprice: "
+    "O(1/eps)-space quantiles with NO shuffle of the value column "
+    "(one sketch per partition, driver fold). Order-dependent "
+    "compaction means no SQL engine reproduces the sketch itself, so "
+    "the oracle uses the ANN queries' invariant-boolean pattern: the "
+    "same job re-ranks each estimate against the EXACT ranks and "
+    "emits within_bound booleans the oracle pins to TRUE.",
+)
+def kll_quantile_prices(spark, sf_dir):
+    from scip_spark.functions.kll import kll_build
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ests = kll_build(li, "l_extendedprice", _KLL_K).quantiles(_KLL_QS)
+    # exact rank interval of every estimate in ONE aggregate pass:
+    # the q-quantile target must fall within [count(<v)+1, count(<=v)]
+    # up to eps*n slack
+    aggs = [F.count("*").alias("n")]
+    for i, v in enumerate(ests):
+        c = F.col("l_extendedprice")
+        aggs.append(F.sum((c < F.lit(v)).cast("long")).alias(f"lt_{i}"))
+        aggs.append(F.sum((c <= F.lit(v)).cast("long")).alias(f"le_{i}"))
+    row = li.agg(*aggs)
+    checks = []
+    for i, q in enumerate(_KLL_QS):
+        target = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        lo, hi = F.col(f"lt_{i}") + F.lit(1), F.col(f"le_{i}")
+        err = F.greatest(F.lit(0).cast("long"), lo - target, target - hi)
+        checks.append(
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                (err.cast("double") <= F.lit(_KLL_EPS) * F.col("n")).alias(
+                    "within_bound"
+                ),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*checks)).alias("s"))
+        .select("s.q", "s.within_bound")
+        .orderBy("q")
+    )

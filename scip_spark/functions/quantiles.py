@@ -29,6 +29,9 @@ Because the hash is a pure function of the row key:
 KLL (Karnin-Lang-Liberty 2016) achieves O(1/eps) space vs this
 sketch's O(1/eps^2); the tradeoff buys determinism and oracle
 verifiability, and k=256..4096 structs per group is tiny either way.
+When the O(1/eps) space matters more than hash-exact oracle pairing,
+:mod:`scip_spark.functions.kll` provides a deterministic-compaction
+KLL whose error invariant (not the sketch bits) is oracle-checked.
 
 Construction never uses a partition-less window: rows are pre-bucketed
 by ``pmod(h, n_buckets)`` (a pure function — recompute-safe), bottom-k

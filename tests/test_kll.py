@@ -1,0 +1,129 @@
+"""KLL quantile sketch: invariants, empirical error bounds, merge
+determinism, and the Spark partition-fold build. The deterministic
+alternating coin means the sketch is a pure function of (sequence,
+merge tree) — reruns are asserted bit-identical — while rank error is
+pinned empirically (the randomized paper constant does not transfer;
+the registered query's gate is 4/k and these tests hold ~2/k)."""
+
+import numpy as np
+import pytest
+from hypothesis import example, given, settings
+from hypothesis import strategies as st
+
+from scip_spark.functions.kll import KLL_K, KLLSketch, kll_build
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def rank_err(data: np.ndarray, q: float, est: float) -> int:
+    """Distance from the target rank ceil(q*n) to the estimate's true
+    rank interval [count(<est)+1, count(<=est)] — 0 when inside."""
+    n = len(data)
+    target = max(1, int(np.ceil(q * n)))
+    lo = int((data < est).sum()) + 1
+    hi = int((data <= est).sum())
+    return max(0, lo - target, target - hi)
+
+
+def test_exact_before_any_compaction():
+    vals = np.arange(100, dtype=float)[::-1]  # reverse order
+    sk = KLLSketch(256).update(vals)
+    assert sk.comps == [0]  # nothing compacted at n=100 << capacity
+    srt = np.sort(vals)
+    for q in QS:
+        assert sk.quantile(q) == srt[max(1, int(np.ceil(q * 100))) - 1]
+
+
+def test_weight_conservation_and_real_values():
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=20000)
+    sk = KLLSketch(128)
+    for chunk in np.array_split(vals, 13):
+        sk.update(chunk)
+    total_weight = sum(len(lv) << h for h, lv in enumerate(sk.levels))
+    assert total_weight == sk.count == 20000
+    retained = {v for lv in sk.levels for v in lv}
+    assert retained <= set(vals.tolist())  # never invents values
+    assert sk._size() <= sk._capacity()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=4000),
+    st.sampled_from([64, 128, 256]),
+)
+@example(list(range(4000)), 64)            # sorted ascending
+@example(list(range(4000))[::-1], 64)      # sorted descending
+@example([0.0] * 4000, 64)                 # constant
+@example([float(i % 7) for i in range(4000)], 64)  # heavy duplicates
+def test_rank_error_bound(vals, k):
+    data = np.asarray(vals, dtype=np.float64)
+    sk = KLLSketch(k).update(data)
+    n = len(data)
+    for q in QS:
+        # 2/k — half the registered query's 4/k gate; +1 absorbs the
+        # ceil/interval discreteness at tiny n
+        assert rank_err(data, q, sk.quantile(q)) <= 2.0 * n / k + 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=10, max_size=4000),
+    st.integers(2, 9),
+)
+@example(list(range(4000)), 7)
+def test_merge_error_bound_and_determinism(vals, n_chunks):
+    data = np.asarray(vals, dtype=np.float64)
+    chunks = np.array_split(data, n_chunks)
+
+    def build():
+        parts = [KLLSketch(128).update(c) for c in chunks if len(c)]
+        out = KLLSketch(128)
+        for p in parts:
+            out.merge(p)
+        return out
+
+    a, b = build(), build()
+    # pure function of the merge tree: reruns are bit-identical
+    assert a.levels == b.levels and a.comps == b.comps and a.count == b.count
+    n = len(data)
+    for q in QS:
+        assert rank_err(data, q, a.quantile(q)) <= 2.0 * n / 128 + 1
+
+
+def test_serialization_roundtrip():
+    rng = np.random.default_rng(3)
+    sk = KLLSketch(64).update(rng.exponential(size=5000))
+    rt = KLLSketch.from_row(sk.to_row(), 64)
+    assert rt.levels == sk.levels and rt.comps == sk.comps and rt.count == sk.count
+    assert rt.quantiles(QS) == sk.quantiles(QS)
+
+
+def test_empty_and_nan_handling():
+    sk = KLLSketch(64)
+    with pytest.raises(ValueError):
+        sk.quantile(0.5)
+    sk.update([np.nan, np.nan, 1.0])
+    assert sk.count == 1 and sk.quantile(0.5) == 1.0
+    with pytest.raises(ValueError):
+        sk.merge(KLLSketch(128))
+
+
+def test_spark_build_matches_error_bound(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(mean=3.0, sigma=1.5, size=30000)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals})).repartition(8)
+    sk = kll_build(df, "x", KLL_K)
+    assert sk.count == 30000
+    for q in QS:
+        assert rank_err(vals, q, sk.quantile(q)) <= 4.0 * 30000 / KLL_K
+
+
+def test_registered_query_all_within_bound(spark):
+    from scip_spark.functions.quantile_queries import kll_quantile_prices
+
+    rows = kll_quantile_prices(spark, "/root/testdata/sf0.001").collect()
+    assert [r["q"] for r in rows] == QS
+    assert all(r["within_bound"] for r in rows)
