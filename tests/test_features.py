@@ -512,3 +512,72 @@ def test_shape_row_vectorized_mean_bit_identical():
         want = [float(np.mean([pr[p] for pr in props])) for p in SHAPE_PROPS]
         assert _shape_row(m) == want, trial
     assert checked_many >= 5  # the >8-region pairwise regime was exercised
+
+
+def test_glcm_props_batch_matches_per_instance():
+    """_glcm_props_batch over MANY instances must be bit-identical to
+    calling the single-instance wrapper per instance (the record-level
+    texture batching relies on it)."""
+    import numpy as np
+
+    from scip_spark.operators.features import (
+        _glcm_features,
+        _glcm_props_batch,
+        _glcm_pstack,
+        _glcm_quantize,
+    )
+
+    rng = np.random.default_rng(17)
+    insts, singles = [], []
+    for trial in range(60):
+        h = int(rng.integers(2, 30))
+        w = int(rng.integers(2, 30))
+        ch = rng.normal(5, 2, (h, w))
+        mask = rng.random((h, w)) > rng.random() * 0.95  # incl. near-empty
+        d = int(rng.integers(1, 8))
+        q = _glcm_quantize(ch, mask)
+        insts.append(_glcm_pstack(q, d))
+        singles.append(_glcm_features(ch, mask, d, q=q))
+    assert _glcm_props_batch(insts) == singles
+    assert _glcm_props_batch([]) == []
+
+
+def test_texture_block_matches_per_view_formulation():
+    """The deferred texture block in _record_features (batched GLCM +
+    hoisted sobel + view reuse) must equal the straightforward per-view
+    row construction on both the shared-mask and distinct-mask paths."""
+    import numpy as np
+
+    import scip_spark.kernels.imageops as K
+    from scip_spark.operators.features import (
+        _glcm_features,
+        _glcm_quantize,
+        _record_features,
+    )
+
+    def texture_row_ref(chan, mask):
+        q = _glcm_quantize(chan, mask)
+        out = _glcm_features(chan, mask, 3, q=q) + _glcm_features(chan, mask, 5, q=q)
+        sob = K.sobel(chan)[mask]
+        if sob.size:
+            out += [float(sob.mean()), float(sob.std()), float(sob.max()), float(sob.min())]
+        else:
+            out += [0.0] * 4
+        return out
+
+    rng = np.random.default_rng(19)
+    for trial in range(40):
+        nch = int(rng.integers(1, 4))
+        h, w = (int(v) for v in rng.integers(3, 28, 2))
+        a = rng.random((nch, h, w)) * 300
+        m = rng.random((nch, h, w)) > 0.5
+        if trial % 3 == 0:  # shared-mask (same_as_cm) path
+            m = np.broadcast_to(m[0], m.shape).copy()
+        cm = m.any(axis=0)
+        got = _record_features(a, m, cm, None, None, None, ["texture"], nch)
+        want = []
+        for c in range(nch):
+            trow = texture_row_ref(a[c], m[c])
+            want += trow
+            want += trow if np.array_equal(m[c], cm) else texture_row_ref(a[c], cm)
+        assert got == want, trial
