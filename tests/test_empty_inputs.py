@@ -132,3 +132,17 @@ def test_empty_inputs_round8_ops(spark):
     )
     assert dyadic_merge(empty_parts, ["g"], k=8, max_level=16).count() == 0
     assert weighted_systematic_sample(docs, 10, weight_col="w").count() == 0
+
+
+def test_empty_input_kll(spark):
+    """kll_build over an emptied relation: zero-count sketch (no rows
+    collected), quantile() refuses rather than inventing a value."""
+    import pytest
+
+    from scip_spark.functions.kll import kll_build
+
+    empty = spark.createDataFrame([], "v double")
+    sk = kll_build(empty, "v")
+    assert sk.count == 0 and sk._size() == 0
+    with pytest.raises(ValueError):
+        sk.quantile(0.5)
