@@ -252,11 +252,16 @@ def label(mask: np.ndarray, connectivity: int = 1) -> tuple[np.ndarray, int]:
         pair_sets.append(
             (mask[:-1, 1:] & mask[1:, :-1], run_ids[:-1, 1:], run_ids[1:, :-1])
         )
-    edges = set()
-    for touch, above, below in pair_sets:
-        if touch.any():
-            edges.update(zip(above[touch].tolist(), below[touch].tolist()))
-
+    # dedup touching-run pairs in numpy (one int64 key per pair) — the
+    # former Python set built a tuple per touching PIXEL pair; unique
+    # edges are what the union-find actually needs. Union-by-min makes
+    # the final root the component's MIN run id whatever the edge
+    # order, so the labeling is unchanged by the dedup or ordering.
+    keys_parts = [
+        above[touch] * np.int64(n_runs + 1) + below[touch]
+        for touch, above, below in pair_sets
+        if touch.any()
+    ]
     parent = np.arange(n_runs + 1, dtype=np.int64)
 
     def find(x: int) -> int:
@@ -265,16 +270,20 @@ def label(mask: np.ndarray, connectivity: int = 1) -> tuple[np.ndarray, int]:
             x = parent[x]
         return x
 
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # keep the smaller id as root → root = min run id in comp
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    for i in range(1, n_runs + 1):
-        parent[i] = find(i)
+    if keys_parts:
+        keys = np.unique(np.concatenate(keys_parts))
+        for a, b in zip(
+            (keys // (n_runs + 1)).tolist(), (keys % (n_runs + 1)).tolist()
+        ):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # keep the smaller id as root → root = min run id in comp
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        for i in range(1, n_runs + 1):
+            parent[i] = find(i)
 
     roots = parent[1:]
     uniq = np.unique(roots)  # sorted min-run-ids = raster order
