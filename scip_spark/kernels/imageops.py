@@ -441,16 +441,18 @@ def remove_small_holes(mask: np.ndarray, max_size: int) -> np.ndarray:
     labels, n = label(inv, connectivity=1)
     if n == 0:
         return mask.copy()
-    h, w = mask.shape
     counts = np.bincount(labels.ravel())
-    border_labels = set(np.unique(np.concatenate([
-        labels[0, :], labels[-1, :], labels[:, 0], labels[:, -1]
-    ])))
-    out = mask.copy()
-    for l0 in range(1, n + 1):
-        if l0 not in border_labels and counts[l0] <= max_size:
-            out[labels == l0] = True
-    return out
+    # one lookup-table pass instead of a full-image `labels == l0` scan
+    # per hole: fill[l] = (small) & (not border-touching); label 0 is
+    # the foreground in the inverted labeling, so fill[0] stays False
+    # and `mask | fill[labels]` equals the per-label loop exactly
+    fill = counts <= max_size
+    fill[0] = False
+    border = np.unique(
+        np.concatenate([labels[0, :], labels[-1, :], labels[:, 0], labels[:, -1]])
+    )
+    fill[border] = False
+    return mask | fill[labels]
 
 
 def expand_labels(labels: np.ndarray, distance: int = 1) -> np.ndarray:
