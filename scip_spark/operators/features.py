@@ -226,8 +226,8 @@ def _glcm_pstack(q: np.ndarray | None, distance: int, levels: int = 15):
     d = distance
     h, w = q.shape
     side = levels + 1
-    ps: list[np.ndarray] = []
-    idxs: list[int] = []
+    codes: list[np.ndarray] = []
+    angles: list[int] = []
     for ai, (dy, dx) in enumerate([(0, d), (d, d), (d, 0), (d, -d)]):
         if h - abs(dy) <= 0 or w - abs(dx) <= 0:
             # crop smaller than the co-occurrence offset: no valid pairs
@@ -239,18 +239,23 @@ def _glcm_pstack(q: np.ndarray | None, distance: int, levels: int = 15):
         a = q[y0:y1, x0:x1]
         b = q[y0 + dy : y1 + dy, x0 + dx : x1 + dx]
         # zero level = unmasked: pairs with either side 0 land in row or
-        # column 0 of the flat histogram and are cropped by [1:, 1:]
-        flat = np.bincount(
-            (a * side + b).ravel(), minlength=side * side
-        ).reshape(side, side)
-        glcm = flat[1:, 1:].astype(np.float64)
-        glcm = glcm + glcm.T  # symmetric
-        total = glcm.sum()
-        if total == 0:
-            continue
-        ps.append(glcm / total)
-        idxs.append(ai)
-    return ps, idxs
+        # column 0 of the flat histogram and are cropped by [1:, 1:].
+        # Angle-offset flat codes let ONE bincount count all 4 angles
+        # (exact integer counts — identical to a bincount per angle)
+        codes.append((a * side + b).ravel() + ai * (side * side))
+        angles.append(ai)
+    if not codes:
+        return [], []
+    flat = np.bincount(np.concatenate(codes), minlength=4 * side * side)
+    g = flat.reshape(4, side, side)[angles][:, 1:, 1:].astype(np.float64)
+    sym = g + g.transpose(0, 2, 1)  # symmetric, per slice
+    totals = sym.sum(axis=(1, 2))  # per-slice trailing-axes sum: same
+    # pairwise order as the former 2D .sum() per angle
+    keep = totals > 0
+    # per-slice scalar division — elementwise identical to glcm/total
+    P = sym[keep] / totals[keep, None, None]
+    kept_angles = [ai for ai, k in zip(angles, keep.tolist()) if k]
+    return [P[i] for i in range(len(kept_angles))], kept_angles
 
 
 def _glcm_props_batch(instances: list[tuple[list, list]], levels: int = 15) -> list[list[float]]:
