@@ -127,3 +127,20 @@ def test_registered_query_all_within_bound(spark):
     rows = kll_quantile_prices(spark, "/root/testdata/sf0.001").collect()
     assert [r["q"] for r in rows] == QS
     assert all(r["within_bound"] for r in rows)
+
+
+def test_kll_partials_plan_no_shuffle(spark):
+    """The per-partition sketch pass must be shuffle-free: scan →
+    project → mapInPandas, no Exchange — the property that makes the
+    build a single pass over 100 TB."""
+    from scip_spark.functions.kll import kll_partials
+    from scip_spark.queries import tbl
+
+    li = tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    plan = (
+        kll_partials(li, "l_extendedprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
