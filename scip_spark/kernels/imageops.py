@@ -590,6 +590,49 @@ def distance_transform(mask: np.ndarray) -> np.ndarray:
     return pad[1:-1, 1:-1]
 
 
+def distance_transform_batch(masks: list[np.ndarray]) -> list[np.ndarray]:
+    """:func:`distance_transform` over MANY masks at once: same-shape
+    masks stack into one (N, H, W) tensor and the row sweeps run
+    batched along the leading axis, so the ~8 numpy dispatches per row
+    amortize over the whole group (frames in an Arrow batch share one
+    shape). Per-row arithmetic is elementwise in the batch dimension
+    and the in-row cummin runs per row either way, so every output is
+    bit-identical to the single-mask sweep (pinned in
+    tests/test_masking.py)."""
+    out: list[np.ndarray] = [None] * len(masks)  # type: ignore[list-item]
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, m in enumerate(masks):
+        groups.setdefault(m.shape, []).append(i)
+    big = 1e9
+    a, b = 1.0, 4.0 / 3.0
+    for (h, w), idxs in groups.items():
+        d = np.where(np.stack([masks[i] for i in idxs]), big, 0.0)
+        pad = np.pad(d, ((0, 0), (1, 1), (1, 1)), constant_values=big)
+        ramp = a * np.arange(w + 2)
+        rramp = ramp[::-1]
+
+        def relax_lr(rows: np.ndarray) -> np.ndarray:
+            left = np.minimum.accumulate(rows - ramp, axis=1) + ramp
+            right = (
+                np.minimum.accumulate((rows - rramp)[:, ::-1], axis=1) + ramp
+            )[:, ::-1]
+            return np.minimum(left, right)
+
+        for y in range(1, h + 1):
+            np.minimum(pad[:, y, 1:-1], pad[:, y - 1, 1:-1] + a, out=pad[:, y, 1:-1])
+            np.minimum(pad[:, y, 1:-1], pad[:, y - 1, :-2] + b, out=pad[:, y, 1:-1])
+            np.minimum(pad[:, y, 1:-1], pad[:, y - 1, 2:] + b, out=pad[:, y, 1:-1])
+            pad[:, y] = relax_lr(pad[:, y])
+        for y in range(h, 0, -1):
+            np.minimum(pad[:, y, 1:-1], pad[:, y + 1, 1:-1] + a, out=pad[:, y, 1:-1])
+            np.minimum(pad[:, y, 1:-1], pad[:, y + 1, :-2] + b, out=pad[:, y, 1:-1])
+            np.minimum(pad[:, y, 1:-1], pad[:, y + 1, 2:] + b, out=pad[:, y, 1:-1])
+            pad[:, y] = relax_lr(pad[:, y])
+        for j, i in enumerate(idxs):
+            out[i] = pad[j, 1:-1, 1:-1]
+    return out
+
+
 def local_maxima_markers(
     img: np.ndarray, min_distance: int = 3, threshold: float = 0.0
 ) -> tuple[np.ndarray, int]:

@@ -53,24 +53,38 @@ def segment_labels(df: DataFrame, backend: str = "watershed", parent_channel: in
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
-        masks, shapes = [], []
+        # reference watershed_dapi.py:29-62: Otsu fg → distance
+        # transform → peak markers → watershed on -distance. The
+        # flood splits touching objects; clearing the 1-px line
+        # between distinct labels (watershed_line semantics) keeps
+        # them distinct through downstream bool re-labeling.
+        # Two passes: foregrounds first, so the distance transforms of
+        # the whole batch run as ONE stacked sweep (frames share a
+        # shape; bit-identical to per-frame — see distance_transform_batch)
+        fgs: list[np.ndarray] = []
+        fg_of: list[int | None] = []
         for a in pixels:
             if a is None:
+                fg_of.append(None)
+                continue
+            ch = a[parent_channel]
+            fg = K.fill_holes(ch > K.threshold_otsu(ch))
+            if fg.any():
+                fg_of.append(len(fgs))
+                fgs.append(fg)
+            else:
+                fg_of.append(-1)
+        dists = K.distance_transform_batch(fgs)
+        masks, shapes = [], []
+        for a, fi in zip(pixels, fg_of):
+            if fi is None:
                 masks.append(None)
                 shapes.append(None)
                 continue
-            ch = a[parent_channel]
-            # reference watershed_dapi.py:29-62: Otsu fg → distance
-            # transform → peak markers → watershed on -distance. The
-            # flood splits touching objects; clearing the 1-px line
-            # between distinct labels (watershed_line semantics) keeps
-            # them distinct through downstream bool re-labeling.
-            t = K.threshold_otsu(ch)
-            fg = K.fill_holes(ch > t)
-            if not fg.any():
-                lab = np.zeros(ch.shape, dtype=np.int32)
+            if fi < 0:
+                lab = np.zeros(a.shape[1:], dtype=np.int32)
             else:
-                dist = K.distance_transform(fg)
+                fg, dist = fgs[fi], dists[fi]
                 markers, n = K.local_maxima_markers(dist, min_distance=3)
                 if n == 0:
                     lab, _ = K.label(fg, 2)

@@ -352,3 +352,14 @@ def test_watershed_packed_heap_matches_tuple_formulation():
             K.watershed(elev, markers, mask, connectivity=conn, compactness=comp),
             reference(elev, markers, mask, connectivity=conn, compactness=comp),
         ), t
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(small_masks, min_size=1, max_size=8))
+def test_distance_transform_batch_matches_single(masks):
+    """The stacked batch sweep must be bit-identical to the per-mask
+    sweep across mixed shapes (the watershed operator batches a whole
+    Arrow batch of frames through it)."""
+    got = K.distance_transform_batch(masks)
+    for m, g in zip(masks, got):
+        assert np.array_equal(g, K.distance_transform(m)), m.shape
