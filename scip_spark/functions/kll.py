@@ -217,11 +217,14 @@ def kll_partials(df, value_col: str, k: int = KLL_K):
 
 def kll_build(df, value_col: str, k: int = KLL_K) -> KLLSketch:
     """Distributed build: per-partition sketches fold on the driver in
-    partition-id order (deterministic merge tree). The collect is
-    bounded at #partitions × ~3k doubles — the same bounded-broadcast
-    shape as the vocab caps and KMV cuts elsewhere in the repo."""
-    rows = kll_partials(df, value_col, k).collect()
+    partition-id order (deterministic merge tree). The fold STREAMS
+    through ``toLocalIterator`` over the pid-sorted partials, so driver
+    state is one sketch + one in-flight row — at 100k input partitions
+    the driver never holds 100k × ~3k doubles at once (a monolithic
+    collect would). The orderBy shuffles only the tiny sketch relation
+    (#partitions rows), never the value column."""
+    it = kll_partials(df, value_col, k).orderBy("pid").toLocalIterator()
     out = KLLSketch(k)
-    for r in sorted(rows, key=lambda r: r["pid"]):
+    for r in it:
         out.merge(KLLSketch.from_row(r.asDict(), k))
     return out
