@@ -500,9 +500,12 @@ def _small_vocab(tok: DataFrame, cap: int):
     so a 100-TB corpus never pays the vocabulary-wide exact groupBy
     shuffle just to learn the vocabulary is too big. The exact probe
     runs only when the estimate is within the cap's error margin
-    (HLL rsd=0.02, screened at 1.25×cap so a true ≤cap vocabulary is
-    never mis-skipped); it remains the ground truth — the estimate
-    alone never ADMITS a vocabulary."""
+    (HLL rsd=0.02, screened at 1.25×cap — a ~12-sigma margin, so a
+    true ≤cap vocabulary is practically never mis-skipped; rsd is a
+    standard deviation, not a hard bound, and a freak overestimate
+    only costs the bitmask fast path, never correctness); the exact
+    probe remains the ground truth — the estimate alone never ADMITS
+    a vocabulary."""
     if cap <= 0 or tok.isStreaming:
         return None
     est = tok.agg(F.approx_count_distinct("token", 0.02)).first()[0]

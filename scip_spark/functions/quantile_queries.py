@@ -239,10 +239,12 @@ def kll_quantile_prices(spark, sf_dir):
     ests = kll_build(li, "l_extendedprice", _KLL_K).quantiles(_KLL_QS)
     # exact rank interval of every estimate in ONE aggregate pass:
     # the q-quantile target must fall within [count(<v)+1, count(<=v)]
-    # up to eps*n slack
-    aggs = [F.count("*").alias("n")]
+    # up to eps*n slack. n counts exactly what the sketch ingested —
+    # non-null, non-NaN doubles — so the bound check stays consistent
+    # on columns with nulls/NaNs (kll_build drops both)
+    c = F.col("l_extendedprice").cast("double")
+    aggs = [F.sum((c.isNotNull() & ~F.isnan(c)).cast("long")).alias("n")]
     for i, v in enumerate(ests):
-        c = F.col("l_extendedprice")
         aggs.append(F.sum((c < F.lit(v)).cast("long")).alias(f"lt_{i}"))
         aggs.append(F.sum((c <= F.lit(v)).cast("long")).alias(f"le_{i}"))
     row = li.agg(*aggs)

@@ -559,35 +559,10 @@ def watershed(
 def distance_transform(mask: np.ndarray) -> np.ndarray:
     """Chamfer distance to the nearest background pixel (3-4 weights /
     3, ≤ ~6% off Euclidean): two raster sweeps over the padded image —
-    pure numpy row-vectorized, no per-pixel Python."""
-    h, w = mask.shape
-    big = 1e9
-    d = np.where(mask, big, 0.0)
-    # out-of-image is NOT background (scipy edt semantics): pad high
-    pad = np.pad(d, 1, mode="constant", constant_values=big)
-    a, b = 1.0, 4.0 / 3.0  # orthogonal / diagonal steps (3-4 chamfer)
-    ramp = a * np.arange(w + 2)
-
-    def relax_lr(row: np.ndarray) -> np.ndarray:
-        # min_j(row[j] + a*(x-j)) for j<=x  ==  a*x + cummin(row - a*j)
-        left = np.minimum.accumulate(row - ramp) + ramp
-        right = (np.minimum.accumulate((row - ramp[::-1])[::-1]) + ramp)[::-1]
-        return np.minimum(left, right)
-
-    # forward sweep (vertical/diagonal from the row above, then the
-    # in-row horizontal relaxation in closed form — no pixel loops)
-    for y in range(1, h + 1):
-        np.minimum(pad[y, 1:-1], pad[y - 1, 1:-1] + a, out=pad[y, 1:-1])
-        np.minimum(pad[y, 1:-1], pad[y - 1, :-2] + b, out=pad[y, 1:-1])
-        np.minimum(pad[y, 1:-1], pad[y - 1, 2:] + b, out=pad[y, 1:-1])
-        pad[y] = relax_lr(pad[y])
-    # backward sweep
-    for y in range(h, 0, -1):
-        np.minimum(pad[y, 1:-1], pad[y + 1, 1:-1] + a, out=pad[y, 1:-1])
-        np.minimum(pad[y, 1:-1], pad[y + 1, :-2] + b, out=pad[y, 1:-1])
-        np.minimum(pad[y, 1:-1], pad[y + 1, 2:] + b, out=pad[y, 1:-1])
-        pad[y] = relax_lr(pad[y])
-    return pad[1:-1, 1:-1]
+    pure numpy row-vectorized, no per-pixel Python. Delegates to the
+    batch sweep with one element so the trickiest numeric code in this
+    file exists exactly once."""
+    return distance_transform_batch([mask])[0]
 
 
 def distance_transform_batch(masks: list[np.ndarray]) -> list[np.ndarray]:
@@ -604,14 +579,16 @@ def distance_transform_batch(masks: list[np.ndarray]) -> list[np.ndarray]:
     for i, m in enumerate(masks):
         groups.setdefault(m.shape, []).append(i)
     big = 1e9
-    a, b = 1.0, 4.0 / 3.0
+    a, b = 1.0, 4.0 / 3.0  # orthogonal / diagonal steps (3-4 chamfer)
     for (h, w), idxs in groups.items():
         d = np.where(np.stack([masks[i] for i in idxs]), big, 0.0)
+        # out-of-image is NOT background (scipy edt semantics): pad high
         pad = np.pad(d, ((0, 0), (1, 1), (1, 1)), constant_values=big)
         ramp = a * np.arange(w + 2)
         rramp = ramp[::-1]
 
         def relax_lr(rows: np.ndarray) -> np.ndarray:
+            # min_j(row[j] + a*(x-j)) for j<=x == a*x + cummin(row - a*j)
             left = np.minimum.accumulate(rows - ramp, axis=1) + ramp
             right = (
                 np.minimum.accumulate((rows - rramp)[:, ::-1], axis=1) + ramp
@@ -629,7 +606,9 @@ def distance_transform_batch(masks: list[np.ndarray]) -> list[np.ndarray]:
             np.minimum(pad[:, y, 1:-1], pad[:, y + 1, 2:] + b, out=pad[:, y, 1:-1])
             pad[:, y] = relax_lr(pad[:, y])
         for j, i in enumerate(idxs):
-            out[i] = pad[j, 1:-1, 1:-1]
+            # own the data: a view would pin the whole (N, H+2, W+2)
+            # group pad alive for as long as ANY single result is held
+            out[i] = pad[j, 1:-1, 1:-1].copy()
     return out
 
 

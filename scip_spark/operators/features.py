@@ -308,7 +308,7 @@ def _glcm_props_batch(instances: list[tuple[list, list]], levels: int = 15) -> l
     out = np.empty((len(instances), 12))
     out[:, 0::2] = mean
     out[:, 1::2] = std
-    return [[float(v) for v in row] for row in out]
+    return out.tolist()  # one C-level call; yields builtin floats
 
 
 def _glcm_features(ch: np.ndarray, mask: np.ndarray, distance: int, levels: int = 15,
