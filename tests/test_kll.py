@@ -144,3 +144,28 @@ def test_kll_partials_plan_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_bound_check_pattern_null_consistent(spark):
+    """The registered query's bound check counts exactly what the
+    sketch ingested: on a column that is 20% null/NaN the target ranks
+    and the sketch ranks must use the same n, keeping within_bound
+    TRUE (the r8 review's latent-inconsistency fix)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(21)
+    vals = rng.normal(size=10000).astype(object)
+    vals[rng.random(10000) < 0.1] = None
+    vals[rng.random(10000) < 0.1] = float("nan")
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}), "x double").repartition(4)
+    sk = kll_build(df, "x", KLL_K)
+    clean = np.array([v for v in vals if v is not None and v == v])
+    assert sk.count == len(clean)
+    c = F.col("x").cast("double")
+    n_row = df.agg(
+        F.sum((c.isNotNull() & ~F.isnan(c)).cast("long")).alias("n")
+    ).first()
+    assert n_row["n"] == len(clean)
+    for q in QS:
+        assert rank_err(clean, q, sk.quantile(q)) <= 4.0 * len(clean) / KLL_K
