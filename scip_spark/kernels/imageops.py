@@ -119,27 +119,8 @@ def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray
             op(acc, p[oy : oy + h, ox : ox + w], out=acc)
         return acc
     if func is np.median:
+        idx = _gather_idx(footprint, offsets, h, w, p.shape[1])
         k = len(offsets)
-        # ONE fancy-indexing gather instead of k strided slice writes:
-        # flat index (oy+y)*W + (ox+x) per (pixel, offset) — identical
-        # element values. The (h, w, k) index tensor is cached per
-        # (footprint identity, image shape): the hot path calls this
-        # with the SAME cached disk on the SAME frame size per batch
-        # the entry keeps the footprint object alive, so its id cannot
-        # be recycled while cached; the `is` check makes a hit exact
-        key = (id(footprint), h, w)
-        hit = _GATHER_IDX_CACHE.get(key)
-        if hit is not None and hit[0] is footprint:
-            idx = hit[1]
-        else:
-            oy = np.fromiter((o[0] for o in offsets), dtype=np.intp, count=k)
-            ox = np.fromiter((o[1] for o in offsets), dtype=np.intp, count=k)
-            pw = p.shape[1]
-            base = (np.arange(h)[:, None] * pw + np.arange(w)[None, :]).reshape(h, w, 1)
-            idx = base + (oy * pw + ox)[None, None, :]
-            if len(_GATHER_IDX_CACHE) > 32:  # bound worker memory
-                _GATHER_IDX_CACHE.clear()
-            _GATHER_IDX_CACHE[key] = (footprint, idx)
         buf = p.ravel()[idx]
         buf.sort(axis=-1)
         if k % 2:
@@ -149,8 +130,126 @@ def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray
     return func(np.stack(stack), axis=0)
 
 
+def _gather_idx(footprint: np.ndarray, offsets: list, h: int, w: int, pw: int) -> np.ndarray:
+    """(h, w, k) flat gather index into a padded image of row stride
+    ``pw``: ONE fancy-indexing gather instead of k strided slice
+    writes — flat index (oy+y)*pw + (ox+x) per (pixel, offset),
+    identical element values. Cached per (footprint identity, image
+    shape): the hot path calls this with the SAME cached disk on the
+    SAME crop sizes per batch; the entry keeps the footprint object
+    alive so its id cannot be recycled while cached, and the `is`
+    check makes a hit exact."""
+    key = (id(footprint), h, w)
+    hit = _GATHER_IDX_CACHE.get(key)
+    if hit is not None and hit[0] is footprint:
+        return hit[1]
+    k = len(offsets)
+    oy = np.fromiter((o[0] for o in offsets), dtype=np.intp, count=k)
+    ox = np.fromiter((o[1] for o in offsets), dtype=np.intp, count=k)
+    base = (np.arange(h)[:, None] * pw + np.arange(w)[None, :]).reshape(h, w, 1)
+    idx = base + (oy * pw + ox)[None, None, :]
+    if len(_GATHER_IDX_CACHE) > 32:  # bound worker memory
+        _GATHER_IDX_CACHE.clear()
+    _GATHER_IDX_CACHE[key] = (footprint, idx)
+    return idx
+
+
 def median_disk(img: np.ndarray, radius: int) -> np.ndarray:
     return footprint_filter(img, disk(radius), np.median)
+
+
+# ---------------------------------------------------------------------------
+# batched filtering (N same-shape images in one call)
+#
+# The mask chains run per EVENT on tiny crops (8-12 px sides), where
+# every kernel call is numpy-dispatch-bound. These variants take an
+# (N, H, W) stack and run the identical per-slice arithmetic with the
+# batch as a leading broadcast axis, so the dispatches amortize over
+# the group. Each is bit-identical per slice to its 2-D twin
+# (property-pinned in tests/test_properties.py).
+# ---------------------------------------------------------------------------
+
+
+def reflect_pad_batch(
+    imgs: np.ndarray, top: int, bottom: int, left: int, right: int
+) -> np.ndarray:
+    """:func:`reflect_pad` over an (N, H, W) stack — same 9 slice
+    assignments with a leading batch axis."""
+    n, h, w = imgs.shape
+    if top >= h or bottom >= h or left >= w or right >= w:
+        return np.pad(imgs, ((0, 0), (top, bottom), (left, right)), mode="reflect")
+    out = np.empty((n, h + top + bottom, w + left + right), dtype=imgs.dtype)
+    out[:, top : top + h, left : left + w] = imgs
+    if top:
+        out[:, :top, left : left + w] = imgs[:, 1 : top + 1][:, ::-1]
+    if bottom:
+        out[:, top + h :, left : left + w] = imgs[:, h - 1 - bottom : h - 1][:, ::-1]
+    if left:
+        out[:, :, :left] = out[:, :, left + 1 : 2 * left + 1][:, :, ::-1]
+    if right:
+        c = left + w
+        out[:, :, c:] = out[:, :, c - 1 - right : c - 1][:, :, ::-1]
+    return out
+
+
+def _conv1d_reflect_batch(imgs: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
+    """:func:`_conv1d_reflect` over an (N, H, W) stack; ``axis`` is 1
+    (rows) or 2 (columns). Same tap-by-tap accumulation order."""
+    r = len(k) // 2
+    p = (
+        reflect_pad_batch(imgs, r, r, 0, 0)
+        if axis == 1
+        else reflect_pad_batch(imgs, 0, 0, r, r)
+    )
+    out = np.zeros_like(imgs, dtype=np.float64)
+    for i, kv in enumerate(k):
+        sl = [slice(None), slice(None), slice(None)]
+        sl[axis] = slice(i, i + imgs.shape[axis])
+        out += kv * p[tuple(sl)]
+    return out
+
+
+def gaussian_batch(imgs: np.ndarray, sigma: float) -> np.ndarray:
+    """:func:`gaussian` over an (N, H, W) stack."""
+    k = gaussian_kernel1d(sigma)
+    return _conv1d_reflect_batch(
+        _conv1d_reflect_batch(imgs.astype(np.float64), k, 1), k, 2
+    )
+
+
+def sobel_batch(imgs: np.ndarray) -> np.ndarray:
+    """:func:`sobel` over an (N, H, W) stack — identical expressions
+    with a leading batch axis."""
+    a = reflect_pad_batch(imgs.astype(np.float64), 1, 1, 1, 1)
+    gx = (
+        (a[:, :-2, 2:] + 2 * a[:, 1:-1, 2:] + a[:, 2:, 2:])
+        - (a[:, :-2, :-2] + 2 * a[:, 1:-1, :-2] + a[:, 2:, :-2])
+    )
+    gy = (
+        (a[:, 2:, :-2] + 2 * a[:, 2:, 1:-1] + a[:, 2:, 2:])
+        - (a[:, :-2, :-2] + 2 * a[:, :-2, 1:-1] + a[:, :-2, 2:])
+    )
+    return np.hypot(gx, gy)
+
+
+def median_disk_batch(imgs: np.ndarray, radius: int) -> np.ndarray:
+    """:func:`median_disk` over an (N, H, W) stack: one flat gather per
+    batch through the same cached (h, w, k) index, sorted along the
+    trailing axis — element values and the k//2 order statistic are
+    identical per slice."""
+    fp = disk(radius)
+    fy, fx = fp.shape
+    cy, cx = fy // 2, fx // 2
+    p = reflect_pad_batch(imgs, cy, fy - 1 - cy, cx, fx - 1 - cx)
+    n, h, w = imgs.shape
+    offsets = list(zip(*np.nonzero(fp)))
+    k = len(offsets)
+    idx = _gather_idx(fp, offsets, h, w, p.shape[2])
+    buf = p.reshape(n, -1)[:, idx]  # (n, h, w, k)
+    buf.sort(axis=-1)
+    if k % 2:
+        return buf[..., k // 2]
+    return (buf[..., k // 2 - 1] + buf[..., k // 2]) / 2.0
 
 
 def gray_closing(img: np.ndarray, footprint: np.ndarray) -> np.ndarray:

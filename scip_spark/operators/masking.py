@@ -77,14 +77,79 @@ def compute_filters(
 # ---------------------------------------------------------------------------
 
 
+def _shape_groups(imgs: list[np.ndarray]) -> dict:
+    """indices grouped by (shape, dtype) — batched kernels need
+    uniform stacks, and stacking mixed dtypes would upcast."""
+    groups: dict = {}
+    for i, x in enumerate(imgs):
+        groups.setdefault((x.shape, x.dtype.str), []).append(i)
+    return groups
+
+
+def _li_fronts(imgs: list[np.ndarray], smooth: float = 1.0) -> list[np.ndarray]:
+    """The li chain's convolution front (gaussian → sobel → gaussian)
+    for MANY channel images: same-shape crops stack through the
+    batched kernels, so the per-tap dispatches amortize over the
+    group. Bit-identical per image to the 2-D kernels (batch variants
+    are property-pinned; the full mask equality is pinned in
+    tests/test_masking.py)."""
+    out: list[np.ndarray] = [None] * len(imgs)  # type: ignore[list-item]
+    for (_, _), idxs in _shape_groups(imgs).items():
+        stack = np.stack([imgs[i] for i in idxs])
+        edges = K.gaussian_batch(K.sobel_batch(K.gaussian_batch(stack, smooth)), 2.0 * smooth)
+        for j, i in enumerate(idxs):
+            out[i] = edges[j].copy()
+    return out
+
+
+def _li_tail(edges: np.ndarray) -> np.ndarray:
+    t = K.threshold_li(edges)
+    m = edges > t
+    m = K.remove_small_holes(m, int(m.shape[0] * m.shape[1] / 4))
+    return K.remove_small_objects(m, 20)
+
+
 def _mask_li(channel: np.ndarray, smooth: float = 1.0, **_) -> np.ndarray:
     # reference li.py:36-43: gaussian(s) → sobel → gaussian(2s) → Li
     # threshold → remove_small_holes(HW/4) → remove_small_objects(20)
-    blur = K.gaussian(channel, smooth)
-    edges = K.sobel(blur)
-    edges = K.gaussian(edges, 2.0 * smooth)
-    t = K.threshold_li(edges)
-    m = edges > t
+    return _li_tail(_li_fronts([channel], smooth)[0])
+
+
+def _otsu_fronts(imgs: list[np.ndarray]) -> list[np.ndarray]:
+    """The otsu chain's filter front (median residual → gaussian →
+    sobel → rescale → median) for MANY channel images, shape/dtype-
+    grouped through the batched kernels. The per-image scalars
+    (min/max/span) become per-slice (N,1,1) reductions — min/max are
+    order-free and the rescale arithmetic is elementwise, so every
+    front is bit-identical to the single-image chain (mask equality
+    pinned in tests/test_masking.py)."""
+    xs: list[np.ndarray] = []
+    for x in imgs:
+        if x.max() > 512:
+            edges = np.histogram_bin_edges(x.ravel(), bins=512)
+            x = np.digitize(x, bins=edges).astype(np.float64)
+        xs.append(x)
+    out: list[np.ndarray] = [None] * len(xs)  # type: ignore[list-item]
+    for (_, _), idxs in _shape_groups(xs).items():
+        X = np.stack([xs[i] for i in idxs])
+        P = K.median_disk_batch(X, 5)
+        P = X.astype(np.float64) - P
+        P = K.gaussian_batch(P, 0.5)
+        P = K.sobel_batch(P)
+        pmin = P.min(axis=(1, 2))[:, None, None]
+        span = P.max(axis=(1, 2))[:, None, None] - pmin
+        span = np.where(span == 0, 1.0, span)  # the 2-D chain's `or 1.0`
+        P = (P - pmin) / span
+        # uint16 cast in the reference; X.max is the 2-D chain's x.max()
+        P = np.floor(P * X.max(axis=(1, 2))[:, None, None])
+        P = K.median_disk_batch(P, 5)
+        for j, i in enumerate(idxs):
+            out[i] = P[j].copy()
+    return out
+
+
+def _otsu_tail(p: np.ndarray) -> np.ndarray:
+    m = p > K.threshold_otsu(p)
     m = K.remove_small_holes(m, int(m.shape[0] * m.shape[1] / 4))
     return K.remove_small_objects(m, 20)
 
@@ -93,21 +158,7 @@ def _mask_otsu(channel: np.ndarray, **_) -> np.ndarray:
     # reference otsu.py:19-44: (digitize>512) → median(disk 5) residual →
     # gaussian(.5) → sobel → rescale to [0, max] → median(disk 5) →
     # Otsu threshold → remove_small_holes(HW/4) → remove_small_objects(20)
-    x = channel
-    if x.max() > 512:
-        edges = np.histogram_bin_edges(x.ravel(), bins=512)
-        x = np.digitize(x, bins=edges).astype(np.float64)
-    p = K.median_disk(x, 5)
-    p = x.astype(np.float64) - p
-    p = K.gaussian(p, 0.5)
-    p = K.sobel(p)
-    span = (p.max() - p.min()) or 1.0
-    p = (p - p.min()) / span
-    p = np.floor(p * x.max())  # uint16 cast in the reference
-    p = K.median_disk(p, 5)
-    m = p > K.threshold_otsu(p)
-    m = K.remove_small_holes(m, int(m.shape[0] * m.shape[1] / 4))
-    return K.remove_small_objects(m, 20)
+    return _otsu_tail(_otsu_fronts([channel])[0])
 
 
 def _mask_sobel(channel: np.ndarray, **_) -> np.ndarray:
@@ -176,28 +227,64 @@ MASK_METHODS: dict[str, Callable[..., np.ndarray]] = {
 }
 
 
+#: mask methods with a batchable filter front: (fronts_fn, tail_fn).
+#: fronts_fn(list of channel images, **kwargs) -> list of real-valued
+#: pre-threshold images; tail_fn is the per-image threshold+morphology.
+MASK_FRONTS = {
+    "li": (_li_fronts, _li_tail),
+    "otsu": (_otsu_fronts, _otsu_tail),
+}
+
+
 def get_mask(df: DataFrame, method: str = "otsu", **kwargs) -> DataFrame:
     """Attach per-channel boolean ``mask`` + ``regions`` counts."""
     fn = MASK_METHODS[method]
+    front = MASK_FRONTS.get(method)
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         arrs = decode_series(pdf["pixels"], pdf["pixels_shape"])
         flt = pdf["mask_filter"] if "mask_filter" in pdf.columns else [None] * len(pdf)
-        masks, regions = [], []
+
+        # pass 1: plan per (event, channel); QC-passing channels of a
+        # front-capable method run their filter chains BATCHED across
+        # the whole Arrow batch (shape-grouped — the big dispatch win
+        # on tiny event crops), thresholds + morphology stay per image
+        plan: list[list] = []  # per event: list of ("zero"|"job", idx)
+        jobs: list[np.ndarray] = []
         for a, mf in zip(arrs, flt):
             if a is None:
+                plan.append(None)
+                continue
+            ev = []
+            for c in range(a.shape[0]):
+                # channels failing QC (mask_filter False) get an empty
+                # mask and 0 regions (reference li.py:33-47)
+                if mf is not None and not pd.isna(mf).all() and not bool(mf[c]):
+                    ev.append(("zero", None))
+                else:
+                    ev.append(("job", len(jobs)))
+                    jobs.append(a[c])
+            plan.append(ev)
+        if front is not None and jobs:
+            fronts_fn, tail_fn = front
+            pres = fronts_fn(jobs, **kwargs)
+            results = [tail_fn(p) for p in pres]
+        else:
+            results = [fn(img, **kwargs) for img in jobs]
+
+        masks, regions = [], []
+        for a, ev in zip(arrs, plan):
+            if ev is None:
                 masks.append(None)
                 regions.append(None)
                 continue
-            # channels failing QC (mask_filter False) get an empty mask
-            # and 0 regions (reference li.py:33-47)
             chans, cc = [], []
-            for c in range(a.shape[0]):
-                if mf is not None and not pd.isna(mf).all() and not bool(mf[c]):
+            for kind, ji in ev:
+                if kind == "zero":
                     chans.append(np.zeros(a.shape[1:], dtype=bool))
                     cc.append(0)
                 else:
-                    m = fn(a[c], **kwargs)
+                    m = results[ji]
                     chans.append(m)
                     cc.append(int(K.label(m, 2)[1]))
             masks.append(np.stack(chans))

@@ -131,3 +131,56 @@ def test_normaltest_registered_as_qc_filter(full_events_df):
     flags = [f for f in out["mask_filter"] if f is not None]
     assert flags, "expected at least one non-null flag row"
     assert all(isinstance(bool(v), bool) for row in flags for v in row)
+
+
+def test_batched_mask_fronts_match_plain_chains():
+    """The shape-grouped li/otsu filter fronts must produce masks
+    bit-identical to the straightforward per-image kernel chains, on
+    every dtype/range path (float small-range, digitize>512, uint16,
+    constant image)."""
+    import numpy as np
+
+    import scip_spark.kernels.imageops as K
+    from scip_spark.operators.masking import (
+        _li_fronts,
+        _li_tail,
+        _otsu_fronts,
+        _otsu_tail,
+    )
+
+    def ref_li(channel, smooth=1.0):
+        edges = K.gaussian(K.sobel(K.gaussian(channel, smooth)), 2.0 * smooth)
+        m = edges > K.threshold_li(edges)
+        m = K.remove_small_holes(m, int(m.shape[0] * m.shape[1] / 4))
+        return K.remove_small_objects(m, 20)
+
+    def ref_otsu(channel):
+        x = channel
+        if x.max() > 512:
+            bins = np.histogram_bin_edges(x.ravel(), bins=512)
+            x = np.digitize(x, bins=bins).astype(np.float64)
+        p = K.median_disk(x, 5)
+        p = K.sobel(K.gaussian(x.astype(np.float64) - p, 0.5))
+        span = (p.max() - p.min()) or 1.0
+        p = np.floor((p - p.min()) / span * x.max())
+        p = K.median_disk(p, 5)
+        m = p > K.threshold_otsu(p)
+        m = K.remove_small_holes(m, int(m.shape[0] * m.shape[1] / 4))
+        return K.remove_small_objects(m, 20)
+
+    rng = np.random.default_rng(43)
+    imgs = []
+    for trial in range(60):
+        h, w = rng.integers(2, 24, 2)
+        base = rng.random((h, w))
+        imgs.append(
+            [(base * 255).astype(np.float32),
+             (base * 4000).astype(np.float64),
+             (base * 1000).astype(np.uint16),
+             np.full((h, w), float(rng.integers(0, 600)))][trial % 4]
+        )
+    fl = [img.astype(np.float64) for img in imgs]
+    for img, p in zip(fl, _li_fronts(fl)):
+        assert np.array_equal(_li_tail(p), ref_li(img))
+    for img, p in zip(imgs, _otsu_fronts(imgs)):
+        assert np.array_equal(_otsu_tail(p), ref_otsu(img))

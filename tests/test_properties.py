@@ -363,3 +363,25 @@ def test_distance_transform_batch_matches_single(masks):
     got = K.distance_transform_batch(masks)
     for m, g in zip(masks, got):
         assert np.array_equal(g, K.distance_transform(m)), m.shape
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(dtype=np.float64, shape=st.tuples(st.integers(1, 5), st.integers(2, 14), st.integers(2, 14)),
+           elements=st.floats(-1e3, 1e3)),
+    st.floats(0.4, 3.0),
+)
+def test_batched_filter_kernels_match_single(stack, sigma):
+    """gaussian/sobel/median-disk/reflect-pad batch variants must be
+    bit-identical per slice to their 2-D twins (the mask chains batch
+    whole Arrow batches of event crops through them)."""
+    n = stack.shape[0]
+    g = K.gaussian_batch(stack, sigma)
+    s = K.sobel_batch(stack)
+    m = K.median_disk_batch(stack, 2)
+    p = K.reflect_pad_batch(stack, 1, 2, 2, 1)
+    for i in range(n):
+        assert np.array_equal(g[i], K.gaussian(stack[i], sigma))
+        assert np.array_equal(s[i], K.sobel(stack[i]))
+        assert np.array_equal(m[i], K.median_disk(stack[i], 2))
+        assert np.array_equal(p[i], K.reflect_pad(stack[i], 1, 2, 2, 1))
