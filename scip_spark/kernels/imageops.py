@@ -526,13 +526,22 @@ def fill_holes(mask: np.ndarray) -> np.ndarray:
 
 
 def remove_small_objects(mask: np.ndarray, min_size: int) -> np.ndarray:
+    return remove_small_objects_n(mask, min_size)[0]
+
+
+def remove_small_objects_n(mask: np.ndarray, min_size: int) -> tuple[np.ndarray, int]:
+    """(filtered mask, number of surviving components). Dropping
+    components can neither merge nor split the survivors, so the count
+    of kept labels IS ``label(out, 2)[1]`` — callers that need both
+    (the mask tails + region counts) skip a whole relabeling pass
+    (equality pinned in tests/test_masking.py)."""
     labels, n = label(mask, connectivity=2)
     if n == 0:
-        return mask.copy()
+        return mask.copy(), 0
     counts = np.bincount(labels.ravel())
     keep = np.zeros(n + 1, dtype=bool)
     keep[1:] = counts[1:] >= min_size
-    return keep[labels]
+    return keep[labels], int(keep.sum())
 
 
 def remove_small_holes(mask: np.ndarray, max_size: int) -> np.ndarray:

@@ -102,17 +102,19 @@ def _li_fronts(imgs: list[np.ndarray], smooth: float = 1.0) -> list[np.ndarray]:
     return out
 
 
-def _li_tail(edges: np.ndarray) -> np.ndarray:
+def _li_tail(edges: np.ndarray) -> tuple[np.ndarray, int]:
+    """(mask, n_regions) — the region count rides out of the final
+    remove_small_objects labeling instead of a second label pass."""
     t = K.threshold_li(edges)
     m = edges > t
     m = K.remove_small_holes(m, int(m.shape[0] * m.shape[1] / 4))
-    return K.remove_small_objects(m, 20)
+    return K.remove_small_objects_n(m, 20)
 
 
 def _mask_li(channel: np.ndarray, smooth: float = 1.0, **_) -> np.ndarray:
     # reference li.py:36-43: gaussian(s) → sobel → gaussian(2s) → Li
     # threshold → remove_small_holes(HW/4) → remove_small_objects(20)
-    return _li_tail(_li_fronts([channel], smooth)[0])
+    return _li_tail(_li_fronts([channel], smooth)[0])[0]
 
 
 def _otsu_fronts(imgs: list[np.ndarray]) -> list[np.ndarray]:
@@ -148,17 +150,18 @@ def _otsu_fronts(imgs: list[np.ndarray]) -> list[np.ndarray]:
     return out
 
 
-def _otsu_tail(p: np.ndarray) -> np.ndarray:
+def _otsu_tail(p: np.ndarray) -> tuple[np.ndarray, int]:
+    """(mask, n_regions) — see _li_tail."""
     m = p > K.threshold_otsu(p)
     m = K.remove_small_holes(m, int(m.shape[0] * m.shape[1] / 4))
-    return K.remove_small_objects(m, 20)
+    return K.remove_small_objects_n(m, 20)
 
 
 def _mask_otsu(channel: np.ndarray, **_) -> np.ndarray:
     # reference otsu.py:19-44: (digitize>512) → median(disk 5) residual →
     # gaussian(.5) → sobel → rescale to [0, max] → median(disk 5) →
     # Otsu threshold → remove_small_holes(HW/4) → remove_small_objects(20)
-    return _otsu_tail(_otsu_fronts([channel])[0])
+    return _otsu_tail(_otsu_fronts([channel])[0])[0]
 
 
 def _mask_sobel(channel: np.ndarray, **_) -> np.ndarray:
@@ -268,9 +271,9 @@ def get_mask(df: DataFrame, method: str = "otsu", **kwargs) -> DataFrame:
         if front is not None and jobs:
             fronts_fn, tail_fn = front
             pres = fronts_fn(jobs, **kwargs)
-            results = [tail_fn(p) for p in pres]
+            results = [tail_fn(p) for p in pres]  # (mask, n_regions)
         else:
-            results = [fn(img, **kwargs) for img in jobs]
+            results = [(m, int(K.label(m, 2)[1])) for m in (fn(img, **kwargs) for img in jobs)]
 
         masks, regions = [], []
         for a, ev in zip(arrs, plan):
@@ -284,9 +287,9 @@ def get_mask(df: DataFrame, method: str = "otsu", **kwargs) -> DataFrame:
                     chans.append(np.zeros(a.shape[1:], dtype=bool))
                     cc.append(0)
                 else:
-                    m = results[ji]
+                    m, n_reg = results[ji]
                     chans.append(m)
-                    cc.append(int(K.label(m, 2)[1]))
+                    cc.append(n_reg)
             masks.append(np.stack(chans))
             regions.append(cc)
         flat, shape = encode_series(masks)

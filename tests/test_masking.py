@@ -181,6 +181,10 @@ def test_batched_mask_fronts_match_plain_chains():
         )
     fl = [img.astype(np.float64) for img in imgs]
     for img, p in zip(fl, _li_fronts(fl)):
-        assert np.array_equal(_li_tail(p), ref_li(img))
+        m, n = _li_tail(p)
+        assert np.array_equal(m, ref_li(img))
+        assert n == K.label(m, 2)[1]  # piggybacked region count
     for img, p in zip(imgs, _otsu_fronts(imgs)):
-        assert np.array_equal(_otsu_tail(p), ref_otsu(img))
+        m, n = _otsu_tail(p)
+        assert np.array_equal(m, ref_otsu(img))
+        assert n == K.label(m, 2)[1]
