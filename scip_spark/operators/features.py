@@ -214,48 +214,63 @@ def _glcm_quantize(ch: np.ndarray, mask: np.ndarray, levels: int = 15):
     return q
 
 
-def _glcm_pstack(q: np.ndarray | None, distance: int, levels: int = 15):
-    """Per-angle normalized co-occurrence matrices for one (quantized
-    image, distance) instance: (ps, idxs) with ps a list of (L, L)
-    float64 P matrices and idxs the surviving angle indices (0/45/90/
-    135 deg). Pair counting uses flat-index ``bincount`` (exact integer
-    counts — identical to the former ``np.add.at`` scatter, ~10×
-    faster). ``q`` None (fewer than 2 masked pixels) → no slices."""
-    if q is None:
-        return [], []
-    d = distance
-    h, w = q.shape
+def _glcm_pstack_many(specs: list[tuple], levels: int = 15) -> list[tuple[list, list]]:
+    """Per-angle normalized co-occurrence matrices for MANY (quantized
+    image, distance) instances: one (ps, idxs) per spec, with ps a
+    list of (L, L) float64 P matrices and idxs the surviving angle
+    indices (0/45/90/135 deg). Pair counting uses flat-index
+    ``bincount`` (exact integer counts — identical to the former
+    ``np.add.at`` scatter, ~10× faster); (instance, angle)-offset
+    codes let ONE bincount count every instance's every angle (the
+    texture family feeds ~12 instances per record), and the
+    symmetrize/normalize steps run as one stacked pass — per-slice
+    trailing-axes sums keep the per-angle reduction order, and the
+    normalize is a per-slice scalar division. ``q`` None (fewer than
+    2 masked pixels) → no slices for that spec."""
     side = levels + 1
+    blk = side * side
     codes: list[np.ndarray] = []
-    angles: list[int] = []
-    for ai, (dy, dx) in enumerate([(0, d), (d, d), (d, 0), (d, -d)]):
-        if h - abs(dy) <= 0 or w - abs(dx) <= 0:
-            # crop smaller than the co-occurrence offset: no valid pairs
-            # at this angle (negative slice extents would otherwise
-            # produce shape-mismatched views)
+    meta: list[tuple[int, int]] = []  # (spec index, angle index)
+    for si, (q, d) in enumerate(specs):
+        if q is None:
             continue
-        y0, y1 = max(0, -dy), min(h, h - dy)
-        x0, x1 = max(0, -dx), min(w, w - dx)
-        a = q[y0:y1, x0:x1]
-        b = q[y0 + dy : y1 + dy, x0 + dx : x1 + dx]
-        # zero level = unmasked: pairs with either side 0 land in row or
-        # column 0 of the flat histogram and are cropped by [1:, 1:].
-        # Angle-offset flat codes let ONE bincount count all 4 angles
-        # (exact integer counts — identical to a bincount per angle)
-        codes.append((a * side + b).ravel() + ai * (side * side))
-        angles.append(ai)
+        h, w = q.shape
+        for ai, (dy, dx) in enumerate([(0, d), (d, d), (d, 0), (d, -d)]):
+            if h - abs(dy) <= 0 or w - abs(dx) <= 0:
+                # crop smaller than the co-occurrence offset: no valid
+                # pairs at this angle (negative slice extents would
+                # otherwise produce shape-mismatched views)
+                continue
+            y0, y1 = max(0, -dy), min(h, h - dy)
+            x0, x1 = max(0, -dx), min(w, w - dx)
+            a = q[y0:y1, x0:x1]
+            b = q[y0 + dy : y1 + dy, x0 + dx : x1 + dx]
+            # zero level = unmasked: pairs with either side 0 land in
+            # row or column 0 of the flat histogram, cropped by [1:, 1:]
+            codes.append((a * side + b).ravel() + (si * 4 + ai) * blk)
+            meta.append((si, ai))
+    out: list[tuple[list, list]] = [([], []) for _ in specs]
     if not codes:
-        return [], []
-    flat = np.bincount(np.concatenate(codes), minlength=4 * side * side)
-    g = flat.reshape(4, side, side)[angles][:, 1:, 1:].astype(np.float64)
+        return out
+    flat = np.bincount(np.concatenate(codes), minlength=len(specs) * 4 * blk)
+    rows = [si * 4 + ai for si, ai in meta]
+    g = flat.reshape(len(specs) * 4, side, side)[rows][:, 1:, 1:].astype(np.float64)
     sym = g + g.transpose(0, 2, 1)  # symmetric, per slice
-    totals = sym.sum(axis=(1, 2))  # per-slice trailing-axes sum: same
-    # pairwise order as the former 2D .sum() per angle
+    totals = sym.sum(axis=(1, 2))
     keep = totals > 0
-    # per-slice scalar division — elementwise identical to glcm/total
     P = sym[keep] / totals[keep, None, None]
-    kept_angles = [ai for ai, k in zip(angles, keep.tolist()) if k]
-    return [P[i] for i in range(len(kept_angles))], kept_angles
+    kp = 0
+    for (si, ai), k in zip(meta, keep.tolist()):
+        if k:
+            out[si][0].append(P[kp])
+            out[si][1].append(ai)
+            kp += 1
+    return out
+
+
+def _glcm_pstack(q: np.ndarray | None, distance: int, levels: int = 15):
+    """Single-instance :func:`_glcm_pstack_many`."""
+    return _glcm_pstack_many([(q, distance)], levels)[0]
 
 
 def _glcm_props_batch(instances: list[tuple[list, list]], levels: int = 15) -> list[list[float]]:
@@ -451,7 +466,7 @@ def _record_features(
         # distances, ~12) into ONE _glcm_props_batch call; sobel is
         # mask-independent, so compute it once per channel and slice it
         # per view — both bit-identical to the per-view formulation
-        t_insts: list[tuple[list, list]] = []
+        t_specs: list[tuple] = []  # (q, distance) — one bincount for all
         t_meta: list[tuple[int, list[float]]] = []  # (pstack base, sobel tail)
         t_emit: list[int] = []  # row order: two per channel, may repeat
         for c in range(nchannels):
@@ -460,15 +475,15 @@ def _record_features(
             sob = K.sobel(chan)
             for vmask in ([mask_c] if same_as_cm[c] else [mask_c, cm_any]):
                 qv = _glcm_quantize(chan, vmask)
-                base = len(t_insts)
-                t_insts.append(_glcm_pstack(qv, 3))
-                t_insts.append(_glcm_pstack(qv, 5))
+                base = len(t_specs)
+                t_specs.append((qv, 3))
+                t_specs.append((qv, 5))
                 t_meta.append((base, _sobel_stats(sob, vmask)))
             if same_as_cm[c]:
                 t_emit += [len(t_meta) - 1] * 2
             else:
                 t_emit += [len(t_meta) - 2, len(t_meta) - 1]
-        t_props = _glcm_props_batch(t_insts)
+        t_props = _glcm_props_batch(_glcm_pstack_many(t_specs))
         for mi in t_emit:
             base, sob_tail = t_meta[mi]
             out += t_props[base] + t_props[base + 1] + sob_tail
