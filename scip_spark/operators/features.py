@@ -469,10 +469,11 @@ def _record_features(
         t_specs: list[tuple] = []  # (q, distance) — one bincount for all
         t_meta: list[tuple[int, list[float]]] = []  # (pstack base, sobel tail)
         t_emit: list[int] = []  # row order: two per channel, may repeat
+        sobs = K.sobel_batch(a[:nchannels])  # all channels, one pass
         for c in range(nchannels):
             chan = a[c]
             mask_c = _mask_of(c)
-            sob = K.sobel(chan)
+            sob = sobs[c]
             for vmask in ([mask_c] if same_as_cm[c] else [mask_c, cm_any]):
                 qv = _glcm_quantize(chan, vmask)
                 base = len(t_specs)
