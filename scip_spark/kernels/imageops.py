@@ -236,14 +236,23 @@ def median_disk_batch(imgs: np.ndarray, radius: int) -> np.ndarray:
     """:func:`median_disk` over an (N, H, W) stack: one flat gather per
     batch through the same cached (h, w, k) index, sorted along the
     trailing axis — element values and the k//2 order statistic are
-    identical per slice."""
+    identical per slice. The (n, h, w, k) gather buffer is the memory
+    hazard of batching (each slice costs k× its image), so oversized
+    groups process in N-chunks under a fixed element budget —
+    chunking along the batch axis cannot change any slice's values."""
+    n, h, w = imgs.shape
     fp = disk(radius)
+    k = int(fp.sum())
+    budget = 1 << 26  # ≈512 MB of float64 gather buffer
+    per = max(1, budget // max(1, h * w * k))
+    if n > per:
+        return np.concatenate(
+            [median_disk_batch(imgs[i : i + per], radius) for i in range(0, n, per)]
+        )
     fy, fx = fp.shape
     cy, cx = fy // 2, fx // 2
     p = reflect_pad_batch(imgs, cy, fy - 1 - cy, cx, fx - 1 - cx)
-    n, h, w = imgs.shape
     offsets = list(zip(*np.nonzero(fp)))
-    k = len(offsets)
     idx = _gather_idx(fp, offsets, h, w, p.shape[2])
     buf = p.reshape(n, -1)[:, idx]  # (n, h, w, k)
     buf.sort(axis=-1)
