@@ -874,7 +874,7 @@ def convex_mask(m: np.ndarray, hull: np.ndarray | None = None) -> np.ndarray:
     if len(hull) <= 2:
         return m.copy()
     h, w = m.shape
-    gy, gx = np.mgrid[0:h, 0:w]
+    gy, gx = _pixel_grid(h, w)  # read-only, cached per crop shape
     inside = np.ones((h, w), dtype=bool)
     nh = len(hull)
     ctr_y, ctr_x = hull[:, 0].mean(), hull[:, 1].mean()
@@ -890,6 +890,26 @@ def convex_mask(m: np.ndarray, hull: np.ndarray | None = None) -> np.ndarray:
         else:
             inside &= cross >= -1e-9
     return inside
+
+
+_PIXEL_GRID_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _pixel_grid(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached ``np.mgrid[0:h, 0:w]`` (the feature path asks for the
+    same crop shapes over and over; the allocation costs more than the
+    half-plane tests it feeds). Marked non-writeable — callers only
+    read it."""
+    g = _PIXEL_GRID_CACHE.get((h, w))
+    if g is None:
+        gy, gx = np.mgrid[0:h, 0:w]
+        gy.setflags(write=False)
+        gx.setflags(write=False)
+        if len(_PIXEL_GRID_CACHE) > 64:  # bound worker memory
+            _PIXEL_GRID_CACHE.clear()
+        g = (gy, gx)
+        _PIXEL_GRID_CACHE[(h, w)] = g
+    return g
 
 
 def _feret_diameter_max(m: np.ndarray, hull: np.ndarray | None = None) -> float:
