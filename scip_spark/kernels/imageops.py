@@ -495,6 +495,36 @@ def erode_footprint(mask: np.ndarray, footprint: np.ndarray) -> np.ndarray:
     return total == nnz
 
 
+def erode_footprint_batch(masks: np.ndarray, footprint: np.ndarray) -> np.ndarray:
+    """:func:`erode_footprint` over an (N, H, W) bool stack — the same
+    cumsum-window counting with a leading batch axis (identical
+    integer arithmetic per slice; property-pinned). Non-contiguous
+    footprints fall back to the per-mask offset loop."""
+    n, h, w = masks.shape
+    fy, fx = footprint.shape
+    cy, cx = fy // 2, fx // 2
+    if fy > 2 * h or fx > 2 * w:
+        return np.stack([_erode_footprint_offsets(m, footprint) for m in masks])
+    rows = []
+    for oy in range(fy):
+        (xs,) = np.nonzero(footprint[oy])
+        if xs.size == 0:
+            continue
+        if xs[-1] - xs[0] + 1 != xs.size:
+            return np.stack([_erode_footprint_offsets(m, footprint) for m in masks])
+        rows.append((oy, int(xs[0]), int(xs[-1])))
+    p = np.zeros((n, h + fy - 1, w + fx), dtype=np.int32)
+    np.cumsum(masks, axis=2, out=p[:, cy : cy + h, cx + 1 : cx + w + 1])
+    p[:, cy : cy + h, cx + w + 1 :] = p[:, cy : cy + h, cx + w : cx + w + 1]
+    total = np.zeros((n, h, w), dtype=np.int32)
+    nnz = 0
+    for oy, x0, x1 in rows:
+        nnz += x1 - x0 + 1
+        band = p[:, oy : oy + h]
+        total += band[:, :, x1 + 1 : x1 + w + 1] - band[:, :, x0 : x0 + w]
+    return total == nnz
+
+
 def _erode_footprint_offsets(mask: np.ndarray, footprint: np.ndarray) -> np.ndarray:
     h, w = mask.shape
     fy, fx = footprint.shape

@@ -389,8 +389,19 @@ def _record_features(
     ] if m is not None else [False] * nchannels
 
     if "intensity" in families:
-        # combined-mask edge is channel-independent: compute once
-        cm_edge = cm_any ^ K.erode_footprint(cm_any, K.disk(6))
+        # combined-mask edge is channel-independent: compute once; the
+        # distinct per-channel masks erode in the SAME batched pass
+        # (identical cumsum counting — see erode_footprint_batch)
+        _need_edge = [
+            c for c in range(nchannels) if not same_as_cm[c] and _mask_of(c).any()
+        ]
+        _eroded = K.erode_footprint_batch(
+            np.stack([cm_any] + [_mask_of(c) for c in _need_edge]), K.disk(6)
+        )
+        cm_edge = cm_any ^ _eroded[0]
+        _edge_of = {
+            c: _mask_of(c) ^ _eroded[1 + i] for i, c in enumerate(_need_edge)
+        }
         for c in range(nchannels):
             chan = a[c]
             mask_c = _mask_of(c)
@@ -403,9 +414,7 @@ def _record_features(
                 mp = chan[mask_c]
                 rows["mask"] = _stats11(mp)
                 rows["bgcorr"] = _stats11(mp - bg_c)
-                edge = cm_edge if same_as_cm[c] else (
-                    mask_c ^ K.erode_footprint(mask_c, K.disk(6))
-                )
+                edge = cm_edge if same_as_cm[c] else _edge_of[c]
                 if edge.any():
                     ep = chan[edge]
                     rows["edge"] = _stats11(ep)

@@ -385,3 +385,16 @@ def test_batched_filter_kernels_match_single(stack, sigma):
         assert np.array_equal(s[i], K.sobel(stack[i]))
         assert np.array_equal(m[i], K.median_disk(stack[i], 2))
         assert np.array_equal(p[i], K.reflect_pad(stack[i], 1, 2, 2, 1))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arrays(dtype=bool, shape=st.tuples(st.integers(1, 5), st.integers(1, 24), st.integers(1, 24))),
+    st.integers(1, 7),
+)
+def test_erode_footprint_batch_matches_single(stack, r):
+    """The batched cumsum-window erosion must equal the per-mask fast
+    path (and therefore the shifted-AND formulation) slice for slice."""
+    got = K.erode_footprint_batch(stack, K.disk(r))
+    for i in range(stack.shape[0]):
+        assert np.array_equal(got[i], K.erode_footprint(stack[i], K.disk(r)))
