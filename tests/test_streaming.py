@@ -1062,3 +1062,62 @@ def test_streaming_dyadic_histogram_matches_batch(spark, tmp_path):
     direct = dyadic_sketch(docs, cell, ["lang"], k=K, max_level=LMAX)
     want = sorted((r["lang"], r["level"], r["cell"], r["cnt"]) for r in direct.collect())
     assert sorted(running) == want
+
+
+def test_streaming_kll_fold_bounded_error(spark, tmp_path):
+    """KLL streaming ingest: one partial sketch per micro-batch folds
+    into a running driver sketch. KLL compaction is order-dependent,
+    so unlike the dyadic semilattice there is NO stream==batch
+    bit-identity to assert (the documented trade-off in
+    functions/kll.py); instead the fold must be (a) deterministic
+    given the micro-batch sequence — two identical runs produce the
+    bit-identical sketch — and (b) within the registered query's 4/k
+    rank-error gate against the full data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.kll import KLL_K, KLLSketch, kll_build
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        (F.col("l_orderkey") % 3).alias("part"),
+    )
+    src = str(tmp_path / "kll_stream")
+    for p in range(3):
+        li.filter(F.col("part") == p).select("v").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_stream() -> KLLSketch:
+        running = KLLSketch(KLL_K)
+
+        def fold_batch(batch_df, _bid):
+            part = kll_build(batch_df, "v", KLL_K)
+            if part.count:
+                running.merge(part)
+
+        stream = (
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return running
+
+    a, b = run_stream(), run_stream()
+    assert a.levels == b.levels and a.comps == b.comps and a.count == b.count
+
+    vals = np.array([r["v"] for r in li.select("v").collect()])
+    assert a.count == len(vals)
+    for q_ in [0.01, 0.25, 0.5, 0.75, 0.99]:
+        n = len(vals)
+        est = a.quantile(q_)
+        target = max(1, int(np.ceil(q_ * n)))
+        lo = int((vals < est).sum()) + 1
+        hi = int((vals <= est).sum())
+        assert max(0, lo - target, target - hi) <= 4.0 * n / KLL_K
