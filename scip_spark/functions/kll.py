@@ -215,6 +215,60 @@ def kll_partials(df, value_col: str, k: int = KLL_K):
     return src.mapInPandas(gen, schema=_PARTIAL_SCHEMA)
 
 
+def kll_partials_by_group(df, value_col: str, group_col: str, k: int = KLL_K):
+    """One KLL sketch per (input partition, group) via ``mapInPandas``
+    — the map-side combine: values never shuffle; only ~3k-item
+    sketch rows do, keyed by group. Per-partition state is one sketch
+    per distinct group seen in that partition."""
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    src = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        F.spark_partition_id().alias("pid"),
+    )
+
+    def gen(batches):
+        sketches: dict = {}
+        pid = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            for g, sub in pdf.groupby("g", sort=True):
+                sketches.setdefault(g, KLLSketch(k)).update(sub["v"].to_numpy())
+        rows = [
+            {"g": g, "pid": pid, **sk.to_row()}
+            for g, sk in sketches.items()
+            if sk.count
+        ]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        gen,
+        schema="g string, pid int, count long, sizes array<int>, "
+        "comps array<int>, items array<double>",
+    )
+
+
+def kll_build_by_group(df, value_col: str, group_col: str, k: int = KLL_K) -> dict:
+    """{group: KLLSketch} — partials merge per group in pid order
+    (deterministic merge tree). The collect is bounded at
+    #groups × #partitions sketch rows; callers with huge group
+    cardinality should aggregate the partial relation instead."""
+    rows = kll_partials_by_group(df, value_col, group_col, k).collect()
+    out: dict = {}
+    for r in sorted(rows, key=lambda r: (r["g"], r["pid"])):
+        sk = KLLSketch.from_row(r.asDict(), k)
+        if r["g"] in out:
+            out[r["g"]].merge(sk)
+        else:
+            out[r["g"]] = sk
+    return out
+
+
 def kll_build(df, value_col: str, k: int = KLL_K) -> KLLSketch:
     """Distributed build: per-partition sketches fold on the driver in
     partition-id order (deterministic merge tree). The fold STREAMS

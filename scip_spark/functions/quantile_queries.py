@@ -266,3 +266,57 @@ def kll_quantile_prices(spark, sf_dir):
         .select("s.q", "s.within_bound")
         .orderBy("q")
     )
+
+
+_KLL_GROUP_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+def _kll_group_oracle_sql() -> str:
+    rows = ", ".join(f"({q})" for q in _KLL_GROUP_QS)
+    return (
+        "SELECT o_orderpriority, CAST(q AS DOUBLE) AS q, TRUE AS within_bound "
+        "FROM (SELECT DISTINCT o_orderpriority FROM orders) "
+        f"CROSS JOIN (VALUES {rows}) AS t(q) "
+        "ORDER BY o_orderpriority, q"
+    )
+
+
+@register(
+    "kll_quantiles_by_priority",
+    _kll_group_oracle_sql(),
+    doc="grouped KLL: o_totalprice quantiles per order priority — the "
+    "'p99 per service' shape at O(1/eps) state per group. Build is "
+    "map-side combined (one sketch per (partition, group) via "
+    "mapInPandas — values never shuffle; only ~3k-item sketch rows "
+    "do), partials merge per group in pid order. Same "
+    "invariant-boolean oracle as kll_quantile_prices, checked PER "
+    "GROUP via one broadcast-joined aggregate pass.",
+)
+def kll_quantiles_by_priority(spark, sf_dir):
+    from scip_spark.functions.kll import kll_build_by_group
+
+    orders = tbl(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    sks = kll_build_by_group(orders, "o_totalprice", "o_orderpriority", _KLL_K)
+    est = spark.createDataFrame(
+        [(g, float(q), sks[g].quantile(q)) for g in sorted(sks) for q in _KLL_GROUP_QS],
+        "g string, q double, est double",
+    )
+    c = F.col("o_totalprice").cast("double")
+    agg = (
+        orders.join(F.broadcast(est), F.col("o_orderpriority") == F.col("g"))
+        .groupBy("g", "q", "est")
+        .agg(
+            F.sum((c.isNotNull() & ~F.isnan(c)).cast("long")).alias("n"),
+            F.sum((c < F.col("est")).cast("long")).alias("lt"),
+            F.sum((c <= F.col("est")).cast("long")).alias("le"),
+        )
+    )
+    target = F.ceil(F.col("q") * F.col("n")).cast("long")
+    err = F.greatest(
+        F.lit(0).cast("long"), F.col("lt") + F.lit(1) - target, target - F.col("le")
+    )
+    return agg.select(
+        F.col("g").alias("o_orderpriority"),
+        "q",
+        (err.cast("double") <= F.lit(_KLL_EPS) * F.col("n")).alias("within_bound"),
+    ).orderBy("o_orderpriority", "q")

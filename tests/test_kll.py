@@ -169,3 +169,34 @@ def test_bound_check_pattern_null_consistent(spark):
     assert n_row["n"] == len(clean)
     for q in QS:
         assert rank_err(clean, q, sk.quantile(q)) <= 4.0 * len(clean) / KLL_K
+
+
+def test_grouped_build_matches_per_group_and_is_deterministic(spark):
+    import pandas as pd
+    from scip_spark.functions.kll import kll_build_by_group
+
+    rng = np.random.default_rng(29)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=12000),
+            "x": rng.lognormal(size=12000),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(6)
+    s1 = kll_build_by_group(df, "x", "g", 128)
+    s2 = kll_build_by_group(df, "x", "g", 128)
+    assert sorted(s1) == ["a", "b", "c"]
+    for g in s1:  # deterministic reruns: bit-identical sketches
+        assert s1[g].levels == s2[g].levels and s1[g].count == s2[g].count
+        vals = pdf.loc[pdf["g"] == g, "x"].to_numpy()
+        assert s1[g].count == len(vals)
+        for q in QS:
+            assert rank_err(vals, q, s1[g].quantile(q)) <= 4.0 * len(vals) / 128
+
+
+def test_grouped_registered_query_all_within_bound(spark):
+    from scip_spark.functions.quantile_queries import kll_quantiles_by_priority
+
+    rows = kll_quantiles_by_priority(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5 * 4  # priorities x quantiles
+    assert all(r["within_bound"] for r in rows)
