@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from scip_spark.functions.sketches import (
+    CMS_D,
+    CMS_W,
     KMV_K,
     _HASH_SPACE,
     kmv_estimate,
@@ -518,3 +520,75 @@ def dyadic_hist_price_quantiles(spark, sf_dir):
         k=_DYADIC_K, max_level=_DYADIC_LMAX,
     )
     return dyadic_quantile_cells(sk, ["l_returnflag"], [0.25, 0.5, 0.75])
+
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+def _cms_sql(d: int = CMS_D, w: int = CMS_W, topn: int = 20) -> str:
+    bcols = ", ".join(
+        f"CAST(('0x' || substr(md5(t), {1 + 6 * i}, 6)) AS BIGINT) % {w} AS b{i}"
+        for i in range(d)
+    )
+    unions = " UNION ALL ".join(f"SELECT {i} AS i, b{i} AS b FROM hashed" for i in range(d))
+    joins = " ".join(
+        f"JOIN cms c{i} ON c{i}.i = {i} AND c{i}.b = e.b{i}" for i in range(d)
+    )
+    least = ", ".join(f"c{i}.cnt" for i in range(d))
+    mins = ", ".join(f"min(b{i}) AS b{i}" for i in range(d))
+    return f"""
+    WITH occ AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    hashed AS (SELECT t, {bcols} FROM occ),
+    cms AS (SELECT i, b, COUNT(*) AS cnt FROM ({unions}) GROUP BY i, b),
+    exact AS (
+      SELECT t, COUNT(*) AS exact_cnt, {mins}
+      FROM hashed GROUP BY t ORDER BY exact_cnt DESC, t LIMIT {topn}
+    )
+    SELECT e.t AS token, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(least({least}) AS BIGINT) AS cms_est
+    FROM exact e {joins}
+    ORDER BY exact_cnt DESC, token
+    """
+
+
+@register(
+    "cms_token_counts",
+    _cms_sql(),
+    doc="count-min sketch over the token stream (d=4 rows from one "
+    "md5's 24-bit chunks, w=8192 counters): per-occurrence pairs "
+    "collapse map-side to <= d*w partial counters per task, so the "
+    "shuffle is sketch-sized at any corpus size. Integer sums commute "
+    "— the sketch is a pure function of the multiset — so the top-20 "
+    "tokens' ESTIMATES themselves hash-match DuckDB (a stronger "
+    "oracle than any invariant boolean), alongside their exact counts "
+    "for the overcount inspection.",
+)
+def cms_token_counts(spark, sf_dir):
+    from scip_spark.functions.sketches import cms_bucket, cms_sketch
+    from scip_spark.functions.text import tokens
+
+    occ = (
+        tbl(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("t"))
+    )
+    cms = cms_sketch(occ, "t")
+    exact = (
+        occ.groupBy("t")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "t")
+        .limit(20)
+        .select(
+            "t", "exact_cnt", *[cms_bucket("t", i).alias(f"b{i}") for i in range(4)]
+        )
+    )
+    e = exact
+    for i in range(4):
+        ci = cms.filter(F.col("i") == i).select(
+            F.col("b").alias(f"bb{i}"), F.col("cnt").alias(f"c{i}")
+        )
+        e = e.join(F.broadcast(ci), F.col(f"b{i}") == F.col(f"bb{i}"))
+    return e.select(
+        F.col("t").alias("token"),
+        "exact_cnt",
+        F.least(*[F.col(f"c{i}") for i in range(4)]).alias("cms_est"),
+    ).orderBy(F.desc("exact_cnt"), "token")

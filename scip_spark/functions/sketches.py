@@ -79,3 +79,48 @@ def kmv_merge(a: Column | str, b: Column | str, k: int = KMV_K) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_D = 4      # hash rows — four 24-bit chunks of ONE md5 per key
+CMS_W = 8192   # counters per row; overcount <= e*N/w w.h.p.
+
+
+def cms_bucket(col: Column | str, i: int, w: int = CMS_W) -> Column:
+    """Row-``i`` counter index: the i-th 24-bit chunk of md5(key) mod
+    ``w`` — one md5 per key feeds all CMS_D rows, and the identical
+    chunking is reproducible in any engine with md5 + substr."""
+    c = F.col(col) if isinstance(col, str) else col
+    chunk = F.substring(F.md5(c.cast("string")), 1 + 6 * i, 6)
+    return F.conv(chunk, 16, 10).cast("long") % F.lit(w)
+
+
+def cms_sketch(df: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Count-min sketch of the key column's frequency distribution:
+    (i, b, cnt) counter rows, at most d×w of them.
+
+    Scale shape: the per-occurrence explode into d (row, bucket) pairs
+    collapses MAP-SIDE to ≤ d·w partial counters per task, so the
+    shuffle carries sketch-sized rows regardless of corpus size — the
+    same bounded-shuffle property as the KMV/HLL builds. Integer sums
+    commute, so (unlike KLL) the sketch is a pure function of the
+    multiset: merged == direct bit-identically, and a SQL oracle
+    reproduces the very counters (sketch_queries.cms_token_counts)."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), cms_bucket(key, i, w).alias("b")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("s")
+    )
+    return pairs.groupBy(F.col("s.i").alias("i"), F.col("s.b").alias("b")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )

@@ -680,3 +680,40 @@ def test_compact_parquet_partitioned_honors_target_bytes(spark, tmp_path):
     compact_parquet(spark, d, target_file_bytes=64 * 1024)
     files = glob.glob(f"{d}/grp=0/*.parquet") + glob.glob(f"{d}/grp=0/part-*")
     assert len(set(files)) > 1, files
+
+
+def test_cms_merged_equals_direct_and_overcounts_bounded(spark):
+    """Count-min: integer counter sums commute, so per-split sketches
+    summed counter-wise must equal the directly-built sketch
+    BIT-identically (the property KLL structurally cannot have), and
+    every point estimate >= the exact count with overcount <= e*N/w
+    on this corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.sketches import CMS_W, cms_bucket, cms_sketch
+    from scip_spark.functions.text import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    occ = docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("t"))
+
+    direct = {
+        (r["i"], r["b"]): r["cnt"] for r in cms_sketch(occ, "t").collect()
+    }
+    merged: dict = {}
+    for p in range(3):
+        part = cms_sketch(occ.filter(F.col("doc_id") % 3 == p), "t")
+        for r in part.collect():
+            merged[(r["i"], r["b"])] = merged.get((r["i"], r["b"]), 0) + r["cnt"]
+    assert merged == direct  # bit-identical: sums commute
+
+    exact = {r["t"]: r["n"] for r in occ.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(exact.values())
+    rows = occ.select(
+        "t", *[cms_bucket("t", i).alias(f"b{i}") for i in range(4)]
+    ).distinct().collect()
+    bound = np.e * n_total / CMS_W
+    for r in rows:
+        est = min(direct[(i, r[f"b{i}"])] for i in range(4))
+        assert est >= exact[r["t"]]  # CMS never undercounts
+        assert est - exact[r["t"]] <= bound
