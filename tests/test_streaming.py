@@ -1121,3 +1121,41 @@ def test_streaming_kll_fold_bounded_error(spark, tmp_path):
         lo = int((vals < est).sum()) + 1
         hi = int((vals <= est).sum())
         assert max(0, lo - target, target - hi) <= 4.0 * n / KLL_K
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """Count-min counter sums commute, so a streaming ingest folding
+    one partial sketch per micro-batch is BIT-identical to the
+    batch-built sketch — the full stream==batch guarantee the dyadic
+    sketch also has (and KLL, by construction, does not)."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.sketches import cms_sketch
+    from scip_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "cms_stream")
+    for p in range(3):
+        docs.filter(F.col("doc_id") % 3 == p).select("text").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    running: dict = {}
+
+    def fold_batch(batch_df, _bid):
+        occ = batch_df.select(F.explode(tokens("text")).alias("t"))
+        for r in cms_sketch(occ, "t").collect():
+            key = (r["i"], r["b"])
+            running[key] = running.get(key, 0) + r["cnt"]
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(fold_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    occ = docs.select(F.explode(tokens("text")).alias("t"))
+    direct = {(r["i"], r["b"]): r["cnt"] for r in cms_sketch(occ, "t").collect()}
+    assert running == direct
