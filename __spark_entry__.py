@@ -122,68 +122,71 @@ _DRIVER_CHECKED = {
 #: recently-verified rows). Regenerate each round from the
 #: CORRECTNESS_r*.json green rows.
 _LAST_GREEN_ROUND = {
-    "ab_test_conversion": 7, "ann_ivf_topk": 4,
+    "ab_test_conversion": 7, "ann_ivf_topk": 8,
     "ann_ivfpq_residual_topk": 5, "ann_ivfpq_topk": 5,
-    "ann_lsh_buckets": 3, "ann_lsh_multiprobe_topk": 5, "ann_lsh_topk":
-    4, "ann_opq_topk": 5, "ann_pq_topk": 5, "approx_percentile_prices":
-    7, "array_functions": 7, "asof_join_events": 6,
+    "ann_lsh_buckets": 8, "ann_lsh_multiprobe_topk": 5, "ann_lsh_topk": 8,
+    "ann_opq_topk": 5, "ann_pq_topk": 5, "approx_percentile_prices": 7,
+    "array_functions": 7, "asof_join_events": 6,
     "attribution_touchpoints": 7, "audio_window_plan": 7,
     "bigram_merge_candidates": 6, "bm25_topk": 6,
     "boilerplate_chunk_scrub": 5, "bot_burst_users": 7,
-    "bpe_compression": 6, "cdc_apply_merge": 7, "cohort_retention": 6,
-    "column_profile_customer": 5, "conditional_aggregation": 6,
-    "contamination_ngram": 3, "contrastive_negatives": 5,
-    "corpus_chunk_pack": 4, "corpus_chunk_windows": 4, "corpus_clean":
-    4, "corpus_hash_sample": 3, "corpus_lang_quota": 3,
-    "corpus_mixture_upsample": 3, "corpus_pack_shards": 3,
-    "corpus_split_assign": 3, "correlated_scalar_subquery": 7,
-    "correlation_pricing": 7, "cosine_topk": 3,
+    "bpe_compression": 6, "cdc_apply_merge": 7, "cms_token_counts": 8,
+    "cohort_retention": 6, "column_profile_customer": 5,
+    "conditional_aggregation": 6, "contamination_ngram": 8,
+    "contrastive_negatives": 5, "corpus_chunk_pack": 8,
+    "corpus_chunk_windows": 8, "corpus_clean": 8, "corpus_hash_sample": 8,
+    "corpus_lang_quota": 8, "corpus_mixture_upsample": 8,
+    "corpus_pack_shards": 8, "corpus_split_assign": 8,
+    "corpus_weighted_sample": 8, "correlated_scalar_subquery": 7,
+    "correlation_pricing": 7, "cosine_topk": 8,
     "cube_returnflag_linestatus": 6, "cusum_revenue_shift": 7,
     "datetime_functions": 7, "dedup_cluster_sizes": 5,
-    "dedup_connected_components": 3, "dedup_containment_pairs": 5,
-    "dedup_embedding_cosine": 3, "dedup_exact": 3, "dedup_incremental":
-    5, "dedup_lsh_pairs": 4, "dedup_lsh_pairs_skew": 4,
-    "dedup_minhash_signatures": 4, "dedup_ngram_jaccard": 3,
-    "dedup_semantic_keep": 5, "dedup_setsim_join": 5, "dedup_simhash":
-    4, "dedup_triangle_count": 5, "distinct_groups": 6,
-    "doc_fingerprint": 3, "embedding_centroid_drift": 5,
-    "embedding_doc_consistency": 5, "embedding_stats": 3,
+    "dedup_connected_components": 8, "dedup_containment_pairs": 5,
+    "dedup_embedding_cosine": 8, "dedup_exact": 8, "dedup_incremental": 5,
+    "dedup_lsh_pairs": 8, "dedup_lsh_pairs_skew": 8,
+    "dedup_minhash_signatures": 8, "dedup_ngram_jaccard": 8,
+    "dedup_semantic_keep": 5, "dedup_setsim_join": 5, "dedup_simhash": 8,
+    "dedup_triangle_count": 5, "distinct_groups": 6, "doc_fingerprint": 8,
+    "dyadic_hist_price_quantiles": 8, "embedding_centroid_drift": 5,
+    "embedding_doc_consistency": 5, "embedding_stats": 8,
     "entity_resolution_customers": 5, "event_transition_matrix": 6,
-    "explode_tokens": 6, "feature_hash_docs": 6, "fk_integrity_audit":
-    5, "frequent_item_pairs": 7, "full_outer_join_balance": 7,
+    "explode_tokens": 6, "feature_hash_docs": 6, "fk_integrity_audit": 5,
+    "frequent_item_pairs": 7, "full_outer_join_balance": 7,
     "funnel_conversion": 6, "gapfill_monthly_revenue": 7,
     "global_stats": 6, "group_minmax_normalize": 6,
-    "grouping_sets_revenue": 6, "heavy_hitter_tokens": 4,
-    "higher_moments_by_flag": 7, "hll_distinct_users": 4,
-    "hybrid_search_rrf": 6, "interval_overlap_orders": 7,
-    "join_size_estimate": 5, "json_extract_events": 6,
-    "key_skew_profile": 5, "keyed_branch_concat": 6,
-    "kmeans_embeddings": 4, "kmv_difference_estimate": 3,
-    "kmv_distinct_by_priority": 3, "kmv_intersection_estimate": 3,
-    "kmv_union_estimate": 3, "l_diversity_audit": 7,
-    "lang_id_heuristic": 3, "lateral_topk_orders": 7,
-    "lsh_scurve_design": 5, "mad_by_flag": 7, "map_explode_props": 7,
-    "masked_extent_by_group": 3, "math_functions": 7,
-    "mean_tensor_by_group": 3, "median_price_by_flag": 6,
-    "merge_upsert_emulation": 6, "model_quality_scores": 6,
-    "monthly_order_rollup": 6, "moving_median_revenue": 7,
-    "multimodal_meta": 6, "numeric_profile_lineitem": 5,
-    "order_gaps_ntile": 6, "order_seasonality": 7, "pagerank_suppliers":
-    4, "phrase_search_docs": 6, "pii_scrub_customers": 7,
+    "grouping_sets_revenue": 6, "heavy_hitter_tokens": 8,
+    "higher_moments_by_flag": 7, "hll_distinct_users": 8,
+    "hybrid_search_rrf": 6, "imaging_pipeline_e2e": 8,
+    "interval_overlap_orders": 7, "join_size_estimate": 5,
+    "json_extract_events": 6, "key_skew_profile": 5,
+    "keyed_branch_concat": 6, "kll_quantile_prices": 8,
+    "kll_quantiles_by_priority": 8, "kmeans_embeddings": 8,
+    "kmv_difference_estimate": 8, "kmv_distinct_by_priority": 8,
+    "kmv_intersection_estimate": 8, "kmv_union_estimate": 8,
+    "l_diversity_audit": 7, "lang_id_heuristic": 8,
+    "lateral_topk_orders": 7, "lsh_scurve_design": 5, "mad_by_flag": 7,
+    "map_explode_props": 7, "masked_extent_by_group": 8,
+    "math_functions": 7, "mean_tensor_by_group": 8,
+    "median_price_by_flag": 6, "merge_upsert_emulation": 6,
+    "model_quality_scores": 6, "monthly_order_rollup": 6,
+    "moving_median_revenue": 7, "multimodal_meta": 6,
+    "numeric_profile_lineitem": 5, "order_gaps_ntile": 6,
+    "order_seasonality": 7, "pagerank_suppliers": 8,
+    "phrase_search_docs": 6, "pii_scrub_customers": 7,
     "pit_join_lineitem_scd2": 7, "pivot_channels": 6,
     "pseudonymize_events": 7, "q10_returned_items": 7,
-    "q11_important_stock": 3, "q12_priority_shipping": 7,
+    "q11_important_stock": 8, "q12_priority_shipping": 7,
     "q13_customer_distribution": 7, "q14_promo_effect": 7,
     "q15_top_supplier": 7, "q16_parts_supplier": 7,
     "q17_small_quantity_avg": 7, "q18_large_volume_customer": 7,
-    "q19_discounted_revenue": 3, "q1_pricing_summary": 6,
-    "q20_potential_promotion": 3, "q21_waiting_orders": 7,
+    "q19_discounted_revenue": 8, "q1_pricing_summary": 6,
+    "q20_potential_promotion": 8, "q21_waiting_orders": 7,
     "q22_global_sales_opportunity": 7, "q2_min_cost_supplier": 7,
     "q3_shipping_priority": 6, "q4_order_priority": 7,
     "q5_local_supplier_volume": 6, "q6_forecast_revenue": 7,
-    "q7_volume_shipping": 7, "q8_market_share": 3,
-    "q9_product_type_profit": 3, "quality_quantile_bins": 5,
-    "quality_repetition": 4, "quantile_sketch_prices": 5,
+    "q7_volume_shipping": 7, "q8_market_share": 8,
+    "q9_product_type_profit": 8, "quality_quantile_bins": 5,
+    "quality_repetition": 8, "quantile_sketch_prices": 5,
     "quantile_sketch_rollup": 5, "range_join_quantity_bands": 6,
     "recursive_order_streaks": 7, "regression_trend_by_priority": 7,
     "revenue_anomaly_days": 7, "rfm_segmentation": 6,
@@ -194,9 +197,9 @@ _LAST_GREEN_ROUND = {
     "sliding_distinct_users": 6, "sliding_window_events": 6,
     "snapshot_diff_orders": 7, "soft_delete_filter": 6,
     "split_leakage_pairs": 5, "string_functions_part": 6,
-    "table_checksum": 7, "text_quality": 4, "tf_idf": 3,
-    "time_to_conversion": 6, "token_budget_by_domain": 3,
-    "token_count_bpe": 4, "top_event_paths": 7, "topk_per_group": 6,
+    "table_checksum": 7, "text_quality": 8, "tf_idf": 8,
+    "time_to_conversion": 6, "token_budget_by_domain": 8,
+    "token_count_bpe": 8, "top_event_paths": 7, "topk_per_group": 6,
     "tumbling_window_events": 6, "union_sources": 6,
     "unpivot_part_metrics": 6, "variant_extract_events": 7,
     "vocab_novelty_by_batch": 6, "winnow_dup_pairs": 7,
