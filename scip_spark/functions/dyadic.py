@@ -14,8 +14,13 @@ form whose merge is a true semilattice:
   prices, ``floor(x * 2^40)`` for arbitrary doubles).
 - A sketch at dyadic level L is the histogram of ``cell >> L``.
 - Each group stores the MINIMAL level whose histogram has at most
-  ``k`` distinct coarse cells. ``fits(L)`` is monotone in L and the
-  top level always fits (one cell), so the level is well-defined.
+  ``k`` distinct coarse cells. ``fits(L)`` is monotone in L, and the
+  top level fits whenever the cell domain spans < k * 2^max_level grid
+  units (with the floor(x*2^40) grid and max_level=24 that is NOT
+  always true). A group whose histogram exceeds k cells even at
+  max_level falls back to max_level — it keeps its rows (with more
+  than k cells) rather than silently vanishing; the rank-slack column
+  still bounds its error honestly.
 
 Why ``merge == direct`` bit-for-bit (tests/test_ranking.py pins it):
 for any part P of a union U, ``cells(P, L) ⊆ cells(U, L)``, so
@@ -82,7 +87,10 @@ def _chosen_level(
     leaves: DataFrame, group_cols: list[str], k: int, max_level: int,
     floor_level: DataFrame | None = None,
 ) -> DataFrame:
-    """(group…, level): minimal L with <= k distinct ``cell >> L``.
+    """(group…, level): minimal L with <= k distinct ``cell >> L``,
+    or max_level when no level fits (coarsest-available fallback —
+    without the coalesce, array_min over the empty fit list yields a
+    NULL level and the group's rows get NULL cells downstream).
 
     ``floor_level`` (merge path) restricts the search to L >= the
     per-group floor; levels below it are never examined, which is what
@@ -126,23 +134,27 @@ def _chosen_level(
         lambda x: x.isNotNull(),
     )
     fits = counts.select(
-        *group_cols, F.array_min(fit_levels).alias("level")
+        *group_cols,
+        F.coalesce(F.array_min(fit_levels), F.lit(max_level)).alias("level"),
     )
     if floor_level is not None:
         fits = (
             counts.join(floor_level, group_cols)
             .select(
                 *group_cols,
-                F.array_min(
-                    F.filter(
-                        F.transform(
-                            n_arr,
-                            lambda n, i: F.when(
-                                (n <= k) & (i >= F.col("floor_l")), i
-                            ).otherwise(F.lit(None)),
-                        ),
-                        lambda x: x.isNotNull(),
-                    )
+                F.coalesce(
+                    F.array_min(
+                        F.filter(
+                            F.transform(
+                                n_arr,
+                                lambda n, i: F.when(
+                                    (n <= k) & (i >= F.col("floor_l")), i
+                                ).otherwise(F.lit(None)),
+                            ),
+                            lambda x: x.isNotNull(),
+                        )
+                    ),
+                    F.lit(max_level),
                 ).alias("level"),
             )
         )
@@ -216,14 +228,24 @@ def dyadic_merge(
 
 
 def dyadic_quantile_cells(
-    sketch: DataFrame, group_cols: list[str], qs: list[float]
+    sketch: DataFrame, group_cols: list[str], qs: list[float],
+    q_scale: int = 100,
 ) -> DataFrame:
     """Per group, for each q: the coarse cell whose cumulative count
     first reaches ceil(q*N), plus its bounds in grid units and the
     rank slack (= that cell's count, the sketch's rank-error bound for
     this answer). The windows partition by group over a <= k-row
     relation — bounded state by construction; the q fan-out is a
-    literal-array explode, not a join."""
+    literal-array explode, not a join.
+
+    Each q must lie EXACTLY on the 1/q_scale grid (default: integer
+    percents); an off-grid q — e.g. 0.125 or 0.999 with the default
+    scale — raises ValueError instead of being silently rounded to the
+    nearest percent. q travels as its exact integer numerator
+    (``q_pct`` = q*q_scale, a true percent at the default scale), so
+    the rank threshold ceil(q*N) is computed from the exact rational,
+    never a re-rounded float. For finer grids pass q_scale=10_000
+    (basis points) etc."""
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy(*group_cols).orderBy("cell")
@@ -232,10 +254,18 @@ def dyadic_quantile_cells(
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(W.partitionBy(*group_cols)).alias("n"),
     )
-    q_pcts = [int(round(q * 100)) for q in qs]
+    q_units = []
+    for q in qs:
+        u = int(round(q * q_scale))
+        if abs(q * q_scale - u) > 1e-9 * q_scale:
+            raise ValueError(
+                f"q={q!r} is not on the 1/{q_scale} grid; pass a "
+                f"finer q_scale instead of relying on silent rounding"
+            )
+        q_units.append(u)
     fan = cum.select(
         *group_cols, "level", "cell", "cnt", "cum", "n",
-        F.explode(F.array(*[F.lit(p).cast("long") for p in q_pcts])).alias("q_pct"),
+        F.explode(F.array(*[F.lit(u).cast("long") for u in q_units])).alias("q_pct"),
     )
     # min_by on the (unique) cell keeps level/cnt attached, so the hit
     # row needs no join back to the sketch (which would re-execute the
@@ -243,7 +273,7 @@ def dyadic_quantile_cells(
     hits = (
         fan.filter(
             F.col("cum")
-            >= F.ceil(F.col("q_pct") / F.lit(100.0) * F.col("n"))
+            >= F.ceil(F.col("q_pct") / F.lit(float(q_scale)) * F.col("n"))
         )
         .groupBy(*group_cols, "q_pct")
         .agg(

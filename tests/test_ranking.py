@@ -277,3 +277,70 @@ def test_dyadic_quantiles_beat_bottomk_at_equal_size(spark):
     bk_med = bk.collect()[0]["m"]
     bk_err = abs(int(np.searchsorted(vals, bk_med)) - n // 2)
     assert hit["rank_slack"] < bk_err, (hit["rank_slack"], bk_err)
+
+
+def test_dyadic_overflow_group_falls_back_to_max_level(spark):
+    """ADVICE r8: a group whose histogram exceeds k cells even at
+    max_level must NOT vanish — it falls back to the coarsest level
+    (level = max_level, possibly > k cells) with exact counts, and the
+    merge still lands bit-identically on the direct sketch."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.dyadic import dyadic_merge, dyadic_sketch
+
+    # 40 cells spread so far apart that even cell >> 3 keeps >k of
+    # them distinct: with k=8, max_level=3 no level fits.
+    df = spark.range(40).select(
+        F.lit("g").alias("g"),
+        (F.col("id") * 1000).alias("cellv"),
+        (F.col("id") % 2).alias("part"),
+    )
+    sk = dyadic_sketch(df, F.col("cellv"), ["g"], k=8, max_level=3)
+    rows = sk.collect()
+    assert rows, "overflow group must not be dropped"
+    assert all(r["level"] == 3 for r in rows)
+    assert sum(r["cnt"] for r in rows) == 40  # counts stay exact
+    parts = [
+        dyadic_sketch(
+            df.filter(F.col("part") == p), F.col("cellv"), ["g"],
+            k=8, max_level=3,
+        )
+        for p in range(2)
+    ]
+    merged = dyadic_merge(
+        parts[0].unionByName(parts[1]), ["g"], k=8, max_level=3
+    )
+    assert _dyadic_rows(merged) == _dyadic_rows(sk)
+
+
+def test_dyadic_quantile_off_grid_q_rejected(spark):
+    """ADVICE r8: qs off the 1/q_scale grid raise instead of being
+    silently rounded; a finer q_scale admits them exactly."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.dyadic import (
+        dyadic_quantile_cells,
+        dyadic_sketch,
+    )
+
+    df = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id").alias("cellv")
+    )
+    sk = dyadic_sketch(df, F.col("cellv"), ["g"], k=128, max_level=8)
+    with pytest.raises(ValueError, match="not on the 1/100 grid"):
+        dyadic_quantile_cells(sk, ["g"], [0.999])
+    with pytest.raises(ValueError, match="not on the 1/100 grid"):
+        dyadic_quantile_cells(sk, ["g"], [0.125])
+    # 0.3 is fine (30% exactly, despite 0.3*100 != 30.0 in floats)
+    [r30] = dyadic_quantile_cells(sk, ["g"], [0.3]).collect()
+    assert r30["q_pct"] == 30
+    # basis-point scale admits 0.125 exactly: q_pct carries 1250
+    [r125] = dyadic_quantile_cells(
+        sk, ["g"], [0.125], q_scale=10_000
+    ).collect()
+    assert r125["q_pct"] == 1250
+    # k=128 > 100 cells: level 0, cells are the values themselves;
+    # ceil(0.125*100)=13th value (cell 12), ceil(0.3*100)=30th (cell 29)
+    assert r125["lo_grid"] == 12 and r30["lo_grid"] == 29
