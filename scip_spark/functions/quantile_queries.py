@@ -301,9 +301,27 @@ def kll_quantiles_by_priority(spark, sf_dir):
         [(g, float(q), sks[g].quantile(q)) for g in sorted(sks) for q in _KLL_GROUP_QS],
         "g string, q double, est double",
     )
+    # ADVICE r8: a group whose values are all null/NaN produces NO
+    # sketch, and an inner join on est would silently drop it while the
+    # oracle's DISTINCT o_orderpriority still lists it. Enumerate the
+    # (group x q) grid from the data and LEFT-join the estimates, so a
+    # sketchless group emits within_bound=TRUE (n=0 satisfies any rank
+    # bound vacuously). Not reachable on TPC-H (o_totalprice non-null)
+    # but required for reuse on nullable columns.
+    grid = (
+        orders.select(F.col("o_orderpriority").alias("g"))
+        .distinct()
+        .select(
+            "g",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in _KLL_GROUP_QS])
+            ).alias("q"),
+        )
+    )
+    full = grid.join(est, ["g", "q"], "left")
     c = F.col("o_totalprice").cast("double")
     agg = (
-        orders.join(F.broadcast(est), F.col("o_orderpriority") == F.col("g"))
+        orders.join(F.broadcast(full), F.col("o_orderpriority") == F.col("g"))
         .groupBy("g", "q", "est")
         .agg(
             F.sum((c.isNotNull() & ~F.isnan(c)).cast("long")).alias("n"),
@@ -318,5 +336,8 @@ def kll_quantiles_by_priority(spark, sf_dir):
     return agg.select(
         F.col("g").alias("o_orderpriority"),
         "q",
-        (err.cast("double") <= F.lit(_KLL_EPS) * F.col("n")).alias("within_bound"),
+        F.coalesce(
+            err.cast("double") <= F.lit(_KLL_EPS) * F.col("n"),
+            F.lit(True),
+        ).alias("within_bound"),
     ).orderBy("o_orderpriority", "q")

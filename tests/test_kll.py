@@ -200,3 +200,30 @@ def test_grouped_registered_query_all_within_bound(spark):
     rows = kll_quantiles_by_priority(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 5 * 4  # priorities x quantiles
     assert all(r["within_bound"] for r in rows)
+
+
+def test_grouped_query_keeps_sketchless_groups(spark, tmp_path):
+    """ADVICE r8: a group whose value column is all null/NaN builds no
+    sketch; the query must still emit its (group, q) rows — with
+    within_bound TRUE, vacuously — to match the oracle's DISTINCT
+    group enumeration instead of silently dropping the group."""
+    import pandas as pd
+
+    from scip_spark.functions.quantile_queries import (
+        _KLL_GROUP_QS,
+        kll_quantiles_by_priority,
+    )
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "o_orderpriority": ["1-URGENT"] * 50 + ["9-NULLS"] * 3,
+            "o_totalprice": [float(i) for i in range(50)]
+            + [None, float("nan"), None],
+        }
+    ).to_parquet(f"{sf}/orders.parquet")
+    rows = kll_quantiles_by_priority(spark, sf).collect()
+    assert len(rows) == 2 * len(_KLL_GROUP_QS)
+    nulls = [r for r in rows if r["o_orderpriority"] == "9-NULLS"]
+    assert len(nulls) == len(_KLL_GROUP_QS)
+    assert all(r["within_bound"] for r in rows)
