@@ -94,6 +94,15 @@ def median_filter(img: np.ndarray, size: int = 3) -> np.ndarray:
 
 
 _GATHER_IDX_CACHE: dict = {}
+#: byte budget for cached (h, w, k) intp gather indices. The hot path
+#: (per-event mask chains) caches tiny-crop indices — a few KB each —
+#: so a small budget keeps every useful entry; a full-frame call
+#: (e.g. 2048² disk(5) ≈ 2.7 GB of intp) must NOT pin gigabytes on a
+#: long-lived worker, and at that size the index build is cheap
+#: relative to the gather+sort it feeds, so skipping the cache there
+#: costs ~nothing (ADVICE r8).
+_GATHER_IDX_BUDGET_BYTES = 64 << 20
+_GATHER_IDX_BYTES = [0]
 
 
 def footprint_filter(img: np.ndarray, footprint: np.ndarray, func) -> np.ndarray:
@@ -148,9 +157,12 @@ def _gather_idx(footprint: np.ndarray, offsets: list, h: int, w: int, pw: int) -
     ox = np.fromiter((o[1] for o in offsets), dtype=np.intp, count=k)
     base = (np.arange(h)[:, None] * pw + np.arange(w)[None, :]).reshape(h, w, 1)
     idx = base + (oy * pw + ox)[None, None, :]
-    if len(_GATHER_IDX_CACHE) > 32:  # bound worker memory
-        _GATHER_IDX_CACHE.clear()
-    _GATHER_IDX_CACHE[key] = (footprint, idx)
+    if idx.nbytes <= _GATHER_IDX_BUDGET_BYTES // 4:  # never cache huge frames
+        if _GATHER_IDX_BYTES[0] + idx.nbytes > _GATHER_IDX_BUDGET_BYTES:
+            _GATHER_IDX_CACHE.clear()
+            _GATHER_IDX_BYTES[0] = 0
+        _GATHER_IDX_CACHE[key] = (footprint, idx)
+        _GATHER_IDX_BYTES[0] += idx.nbytes
     return idx
 
 

@@ -188,3 +188,43 @@ def test_batched_mask_fronts_match_plain_chains():
         m, n = _otsu_tail(p)
         assert np.array_equal(m, ref_otsu(img))
         assert n == K.label(m, 2)[1]
+
+
+def test_gather_idx_cache_byte_bounded():
+    """ADVICE r8: the gather-index cache is bounded by BYTES, not entry
+    count — an oversized (full-frame) index is never cached, and
+    accumulating medium entries past the budget triggers eviction."""
+    import numpy as np
+
+    from scip_spark.kernels import imageops as io
+
+    io._GATHER_IDX_CACHE.clear()
+    io._GATHER_IDX_BYTES[0] = 0
+    big = np.ones((11, 11), dtype=bool)  # k=121
+    offs = list(zip(*np.nonzero(big)))
+    # h*w*k*8 bytes ≈ 2 GB-class would be absurd in a test; shrink the
+    # budget instead and use shapes around it
+    old = io._GATHER_IDX_BUDGET_BYTES
+    try:
+        io._GATHER_IDX_BUDGET_BYTES = 1 << 20  # 1 MiB
+        # oversized: 200x200x121 intp ≈ 38 MB > budget/4 → not cached
+        io._gather_idx(big, offs, 200, 200, 220)
+        assert not io._GATHER_IDX_CACHE
+        # medium entries accumulate, then evict at the budget
+        fps = [np.ones((3, 3), dtype=bool) for _ in range(60)]
+        offs3 = list(zip(*np.nonzero(fps[0])))
+        for fp in fps:
+            io._gather_idx(fp, offs3, 40, 40, 50)  # ~115 KB each
+        assert io._GATHER_IDX_BYTES[0] <= io._GATHER_IDX_BUDGET_BYTES
+        assert sum(
+            v[1].nbytes for v in io._GATHER_IDX_CACHE.values()
+        ) <= io._GATHER_IDX_BUDGET_BYTES
+        # cache hits still work (same footprint object, same shape)
+        fp = fps[-1]
+        a = io._gather_idx(fp, offs3, 40, 40, 50)
+        b = io._gather_idx(fp, offs3, 40, 40, 50)
+        assert a is b
+    finally:
+        io._GATHER_IDX_BUDGET_BYTES = old
+        io._GATHER_IDX_CACHE.clear()
+        io._GATHER_IDX_BYTES[0] = 0
