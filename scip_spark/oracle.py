@@ -87,6 +87,17 @@ def check_query(spark, name: str, sf_dir: str) -> dict:
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir).toPandas()
     if spec.sql is None:
+        # tensor-valued entries the SQL oracle can't express get a
+        # committed golden-value check where one exists (scip_spark/
+        # golden/) — same canonical-rows comparison, so kernel drift is
+        # a hard value mismatch, not a rows-only shrug.
+        from scip_spark.golden import load_golden
+
+        gold = load_golden(name, sf_dir)
+        if gold is not None:
+            out = compare(sdf, gold)
+            out["golden"] = True
+            return out
         return {"rows_spark": len(sdf), "rows_only": True, "values_match": None}
     con = duck_connection(sf_dir)
     try:

@@ -151,12 +151,24 @@ def imaging_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # roll the wide two-branch feature frame up to one row per group:
     # object counts + grid-quantized feature sums (floor(x·2^20) is exact
     # and summation-order-independent, so the output is deterministic)
+    # one probe per feature FAMILY (plus both mask branches for
+    # intensity), so the committed golden rollup (scip_spark/golden/)
+    # catches semantic drift in any family's kernels — not just the
+    # intensity chain
     probe = [
         "feat_otsu_intensity_mean_mask_c0",
         "feat_li_intensity_mean_mask_c0",
         "feat_otsu_shape_area_combined",
+        "feat_otsu_shape_eccentricity_combined",
+        "feat_otsu_bbox_bbox_maxr",
+        "feat_otsu_raw_std_c0",
+        "feat_otsu_texture_glcm_mean_contrast_d3_c0",
+        "feat_li_texture_combined_sobel_mean_c0",
     ]
     present = [c for c in probe if c in feats.columns]
+    missing = [c for c in probe if c not in feats.columns]
+    if missing:  # a rename must fail loudly, not shrink golden coverage
+        raise ValueError(f"probe columns missing from feature frame: {missing}")
     aggs = [
         F.count("*").alias("n_objects"),
         F.count(F.col(present[0]) if present else F.lit(None)).alias("n_kept"),
