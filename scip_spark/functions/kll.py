@@ -269,15 +269,59 @@ def kll_build_by_group(df, value_col: str, group_col: str, k: int = KLL_K) -> di
     return out
 
 
-def kll_build(df, value_col: str, k: int = KLL_K) -> KLLSketch:
-    """Distributed build: per-partition sketches fold on the driver in
-    partition-id order (deterministic merge tree). The fold STREAMS
-    through ``toLocalIterator`` over the pid-sorted partials, so driver
-    state is one sketch + one in-flight row — at 100k input partitions
-    the driver never holds 100k × ~3k doubles at once (a monolithic
-    collect would). The orderBy shuffles only the tiny sketch relation
-    (#partitions rows), never the value column."""
-    it = kll_partials(df, value_col, k).orderBy("pid").toLocalIterator()
+#: partials per executor-side merge task AND the driver's final fan-in.
+#: 256 partials × ~3k items ≈ 6 MB per merge task — comfortably small.
+_MERGE_FANOUT = 256
+
+
+def _tree_merge_rounds(partials, n_parts: int, k: int, fanout: int):
+    """Executor-side merge rounds over a partial-sketch relation:
+    bucket pid-CONTIGUOUS runs of ``fanout`` partials, merge each run
+    in pid order inside one ``applyInPandas`` task, emit one partial
+    with pid = bucket index. Buckets are contiguous ranges, so the
+    global left-to-right merge order is preserved across rounds — the
+    tree is a pure function of (partition count, fanout), deterministic
+    across reruns. Only ~3k-item sketch rows ever shuffle (keyed by
+    bucket); the value column was consumed one level below."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def merge_bucket(key, pdf: pd.DataFrame):
+        out = None
+        for r in pdf.sort_values("pid").to_dict("records"):
+            sk = KLLSketch.from_row(r, k)
+            out = sk if out is None else out.merge(sk)
+        return pd.DataFrame([{"pid": int(key[0]), **out.to_row()}])
+
+    while n_parts > fanout:
+        partials = (
+            partials.groupBy(
+                (F.col("pid") / F.lit(fanout)).cast("int").alias("bucket")
+            )
+            .applyInPandas(merge_bucket, schema=_PARTIAL_SCHEMA)
+        )
+        n_parts = math.ceil(n_parts / fanout)
+    return partials
+
+
+def kll_build(
+    df, value_col: str, k: int = KLL_K, fanout: int = _MERGE_FANOUT
+) -> KLLSketch:
+    """Distributed build: per-partition sketches merge in a
+    deterministic left-to-right tree. Above ``fanout`` input partitions
+    the fold happens in EXECUTOR-side rounds (``_tree_merge_rounds``):
+    at 100k partitions the driver performs ceil(100k/256) → 2 rounds of
+    distributed merges and then folds ≤256 partials, instead of O(P)
+    sequential merges (the r8 verdict's scale-proof shape). At or below
+    ``fanout`` partitions (every test/bench config) no round runs and
+    the build is the same single pid-ordered driver fold as before.
+    The final fold STREAMS through ``toLocalIterator`` over the
+    pid-sorted partials, so driver state is one sketch + one in-flight
+    row. Shuffles touch only the tiny sketch relation, never the value
+    column (plan-asserted in tests/test_kll.py)."""
+    partials = kll_partials(df, value_col, k)
+    partials = _tree_merge_rounds(partials, df.rdd.getNumPartitions(), k, fanout)
+    it = partials.orderBy("pid").toLocalIterator()
     out = KLLSketch(k)
     for r in it:
         out.merge(KLLSketch.from_row(r.asDict(), k))

@@ -227,3 +227,49 @@ def test_grouped_query_keeps_sketchless_groups(spark, tmp_path):
     nulls = [r for r in rows if r["o_orderpriority"] == "9-NULLS"]
     assert len(nulls) == len(_KLL_GROUP_QS)
     assert all(r["within_bound"] for r in rows)
+
+
+def test_tree_merge_rounds_error_bound_and_determinism(spark):
+    """VERDICT r8 #3: with fanout forced tiny, kll_build runs real
+    executor-side merge rounds (8 partitions, fanout=2 → 3 rounds).
+    The result keeps weight conservation + the rank-error bound, is
+    deterministic across runs, and the plan still never shuffles the
+    value column — only partial-sketch rows keyed by bucket."""
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    vals = rng.lognormal(mean=3.0, sigma=1.5, size=20000)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals})).repartition(8)
+    a = kll_build(df, "x", KLL_K, fanout=2)
+    b = kll_build(df, "x", KLL_K, fanout=2)
+    assert a.count == 20000
+    assert a.to_row() == b.to_row()  # deterministic tree
+    for q in QS:
+        assert rank_err(vals, q, a.quantile(q)) <= 4.0 * 20000 / KLL_K
+    # at default fanout no round runs: same pid-ordered driver fold
+    c = kll_build(df, "x", KLL_K)
+    assert c.count == 20000
+    for q in QS:
+        assert rank_err(vals, q, c.quantile(q)) <= 4.0 * 20000 / KLL_K
+
+
+def test_tree_merge_plan_value_column_never_shuffles(spark):
+    """Every Exchange in the tree-merge plan partitions the PARTIAL
+    relation (hashpartitioning on bucket / round-robin of partials) —
+    the value column exists only below the first mapInPandas, which the
+    no-shuffle partials test already pins."""
+    from scip_spark.functions.kll import _tree_merge_rounds, kll_partials
+    from scip_spark.queries import tbl
+
+    li = tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    parts = kll_partials(li, "l_extendedprice")
+    n = li.rdd.getNumPartitions()
+    merged = _tree_merge_rounds(parts, max(n, 8), KLL_K, fanout=2)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # value column gone before any Exchange: the only columns moving
+    # through shuffles are the sketch-row fields
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "l_extendedprice" not in line, line
+            assert "bucket" in line, line
+    assert "Exchange" in plan  # the rounds really shuffle (sketch rows)
