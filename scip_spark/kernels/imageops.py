@@ -608,11 +608,14 @@ def fill_holes(mask: np.ndarray) -> np.ndarray:
     labels, n = label(bg, connectivity=1)
     if n == 0:
         return mask.copy()
-    border = np.unique(
-        np.concatenate([labels[0, :], labels[-1, :], labels[:, 0], labels[:, -1]])
-    )
+    # open components = those touching the border; direct fancy-index
+    # marking replaces the concatenate+unique round trip (same set)
     keep_open = np.zeros(n + 1, dtype=bool)
-    keep_open[border[border > 0]] = True
+    keep_open[labels[0, :]] = True
+    keep_open[labels[-1, :]] = True
+    keep_open[labels[:, 0]] = True
+    keep_open[labels[:, -1]] = True
+    keep_open[0] = False
     return mask | (bg & ~keep_open[labels])
 
 
@@ -867,6 +870,16 @@ SHAPE_PROP_NAMES = (
 SHAPE_EMPTY_DEFAULTS = [0.0] * 11 + [None] * (len(SHAPE_PROP_NAMES) - 11)
 
 
+def _zpad1(a: np.ndarray) -> np.ndarray:
+    """Zero-pad by 1 on each side — ``np.pad(a, 1)`` without the
+    generic pad machinery (~70 µs/call of arg normalization, profiled
+    at 3 calls per region in the shape-feature path; this is ~3 µs)."""
+    h, w = a.shape
+    out = np.zeros((h + 2, w + 2), dtype=a.dtype)
+    out[1:-1, 1:-1] = a
+    return out
+
+
 def _convex_hull(points: np.ndarray) -> np.ndarray:
     """Convex hull vertices (Andrew's monotone chain), CCW order.
 
@@ -936,10 +949,12 @@ def _hull_cloud(m: np.ndarray) -> np.ndarray:
     4-neighbours foreground) has each of its edge midpoints equal to
     the midpoint of a segment between two midpoints contributed by
     those foreground neighbours, hence never an extreme point."""
-    p = np.pad(m, 1)
+    p = _zpad1(m)
     interior = m & p[:-2, 1:-1] & p[2:, 1:-1] & p[1:-1, :-2] & p[1:-1, 2:]
     ys, xs = np.nonzero(m & ~interior)
-    base = np.stack([ys, xs], axis=1).astype(np.float64)
+    base = np.empty((len(ys), 2), dtype=np.float64)
+    base[:, 0] = ys
+    base[:, 1] = xs
     offs = np.array([[0.5, 0.0], [-0.5, 0.0], [0.0, 0.5], [0.0, -0.5]])
     return (base[:, None, :] + offs[None, :, :]).reshape(-1, 2)
 
@@ -1012,7 +1027,7 @@ def _perimeter_weighted(m: np.ndarray) -> float:
     # uses border_value=0 too, so this matches.
     border = m & ~er
     bi = border.astype(np.int64)
-    p = np.pad(bi, 1)
+    p = _zpad1(bi)
     conv = (
         10 * (p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:])
         + 2 * (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
@@ -1030,7 +1045,7 @@ def _perimeter_crofton(m: np.ndarray) -> float:
     """Crofton-formula perimeter, 4 directions: histogram the 2×2
     binary configurations of the padded mask, weight by the published
     Crofton coefficients."""
-    p = np.pad(m.astype(np.int64), 1)
+    p = _zpad1(m.astype(np.int64))
     # configuration code of each 2x2 neighbourhood:
     # 1*m[y,x] + 4*m[y,x-1] + 2*m[y-1,x] + 8*m[y-1,x-1]
     cfg = p[1:, 1:] + 4 * p[1:, :-1] + 2 * p[:-1, 1:] + 8 * p[:-1, :-1]
@@ -1106,16 +1121,24 @@ def regionprops_full(
         r = (ys - minr).astype(np.float64)
         c = (xs - minc).astype(np.float64)
 
-        # raw spatial moments m[p,q] = Σ r^p c^q  (bbox-local coords)
-        rp = np.stack([np.ones_like(r), r, r**2, r**3])
-        cq = np.stack([np.ones_like(c), c, c**2, c**3])
-        M = rp @ cq.T  # (4, 4): M[p, q]
+        # raw spatial moments m[p,q] = Σ r^p c^q  (bbox-local coords).
+        # _pows writes the power rows into one preallocated buffer —
+        # same values as the previous stack([ones, v, v**2, v**3]) but
+        # without 4 temporaries + the stack copy per axis (profiled:
+        # np.stack was ~7% of regionprops_full on small crops).
+        def _pows(v: np.ndarray) -> np.ndarray:
+            out = np.empty((4, v.size))
+            out[0] = 1.0
+            out[1] = v
+            np.multiply(v, v, out=out[2])  # v**2 IS square (bit-equal)
+            # v**3 must stay libm pow — (v*v)*v differs in the last ulp
+            # on ~a third of inputs (measured), and bit-identity rules
+            np.power(v, 3, out=out[3])
+            return out
+
+        M = _pows(r) @ _pows(c).T  # (4, 4): M[p, q]
         cr, cc = M[1, 0] / M[0, 0], M[0, 1] / M[0, 0]
-        rc = r - cr
-        cc_ = c - cc
-        rp = np.stack([np.ones_like(rc), rc, rc**2, rc**3])
-        cq = np.stack([np.ones_like(cc_), cc_, cc_**2, cc_**3])
-        MU = rp @ cq.T  # central moments
+        MU = _pows(r - cr) @ _pows(c - cc).T  # central moments
 
         # normalized central moments → Hu invariants
         mu00 = MU[0, 0]
