@@ -1095,6 +1095,17 @@ def _euler_number(
 def regionprops_full(
     labels: np.ndarray, assume_connected: bool = False
 ) -> list[dict]:
+    """Dict view of :func:`regionprops_full_rows` (name → value per
+    region) — the hot feature path uses the rows form directly."""
+    return [
+        dict(zip(SHAPE_PROP_NAMES, row))
+        for row in regionprops_full_rows(labels, assume_connected)
+    ]
+
+
+def regionprops_full_rows(
+    labels: np.ndarray, assume_connected: bool = False
+) -> list[list[float]]:
     """The reference's 59-prop regionprops set per connected component
     (reference src/scip/features/shape.py:24-104), reimplemented on
     numpy from the published property definitions (raw/central/Hu
@@ -1106,8 +1117,12 @@ def regionprops_full(
     8-connected component (true whenever ``labels`` came from
     ``label(mask, 2)``, as in the feature path) — the euler number
     then skips its per-region connectivity re-label, using
-    n_objects=1 (exactly what the re-label would return)."""
-    out: list[dict] = []
+    n_objects=1 (exactly what the re-label would return).
+
+    Returns one value row per region, ordered as SHAPE_PROP_NAMES —
+    the list form skips a per-region dict build + 59 float() casts
+    (the caller means over a float64 matrix anyway)."""
+    out: list[list[float]] = []
     n = int(labels.max())
     for l0 in range(1, n + 1):
         full = labels == l0
@@ -1215,7 +1230,7 @@ def regionprops_full(
             + [float(v) for v in MU.ravel()]
             + [float(v) for v in hu]
         )
-        out.append(dict(zip(SHAPE_PROP_NAMES, vals)))
+        out.append(vals)
     return out
 
 

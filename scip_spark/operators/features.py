@@ -343,14 +343,16 @@ def _shape_row(mask: np.ndarray) -> list[float]:
     if not mask.any():
         return list(K.SHAPE_EMPTY_DEFAULTS)
     lab, _ = K.label(mask, 2)
-    props = K.regionprops_full(lab, assume_connected=True)
+    rows = K.regionprops_full_rows(lab, assume_connected=True)
     # one (59, n_regions) array mean instead of 59 list-of-floats
     # np.mean calls. Layout matters for bit-identity: each prop's
     # values must lie CONTIGUOUS (axis=-1 reduction) so numpy runs the
     # same pairwise summation the 1-D mean ran — an axis-0 reduction
     # over the transposed layout accumulates sequentially and differs
-    # in the last ulp once n_regions > 8 (caught by the equality test)
-    arr = np.array([[pr[p] for pr in props] for p in SHAPE_PROPS])
+    # in the last ulp once n_regions > 8 (caught by the equality test).
+    # rows arrive region-major (n, 59) in SHAPE_PROPS order; the
+    # ascontiguousarray transpose restores the prop-contiguous layout.
+    arr = np.ascontiguousarray(np.array(rows, dtype=np.float64).T)
     return [float(v) for v in arr.mean(axis=-1)]
 
 
