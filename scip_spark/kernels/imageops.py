@@ -431,7 +431,17 @@ def label(mask: np.ndarray, connectivity: int = 1) -> tuple[np.ndarray, int]:
         return x
 
     if keys_parts:
-        keys = np.unique(np.concatenate(keys_parts))
+        allk = np.concatenate(keys_parts)
+        if n_runs <= 2048:
+            # boolean-scatter dedup: same sorted unique keys as
+            # np.unique without its sort machinery (max key is
+            # (n_runs+1)^2, a few MB of bools at the cap; event crops
+            # have tens of runs). flatnonzero output is sorted.
+            seen = np.zeros((n_runs + 1) * (n_runs + 1), dtype=bool)
+            seen[allk] = True
+            keys = np.flatnonzero(seen)
+        else:
+            keys = np.unique(allk)
         for a, b in zip(
             (keys // (n_runs + 1)).tolist(), (keys % (n_runs + 1)).tolist()
         ):
@@ -442,11 +452,22 @@ def label(mask: np.ndarray, connectivity: int = 1) -> tuple[np.ndarray, int]:
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
-        for i in range(1, n_runs + 1):
-            parent[i] = find(i)
+        # resolve every run to its root: pointer-jump the whole parent
+        # array to fixpoint (2-3 vector passes after path-halving)
+        # instead of n_runs Python find() calls — same fully-resolved
+        # roots either way
+        while True:
+            newp = parent[parent]
+            if np.array_equal(newp, parent):
+                break
+            parent = newp
 
     roots = parent[1:]
-    uniq = np.unique(roots)  # sorted min-run-ids = raster order
+    # sorted unique min-run-ids (raster order) via one boolean scatter —
+    # equals np.unique(roots)
+    seen_r = np.zeros(n_runs + 1, dtype=bool)
+    seen_r[roots] = True
+    uniq = np.flatnonzero(seen_r)
     remap = np.zeros(n_runs + 1, dtype=np.int32)
     remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
     run_label = np.concatenate(([0], remap[roots]))
