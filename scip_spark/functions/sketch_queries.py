@@ -592,3 +592,82 @@ def cms_token_counts(spark, sf_dir):
         "exact_cnt",
         F.least(*[F.col(f"c{i}") for i in range(4)]).alias("cms_est"),
     ).orderBy(F.desc("exact_cnt"), "token")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (functions/bloom.py)
+# ---------------------------------------------------------------------------
+
+from scip_spark.functions.bloom import BLOOM_K, BLOOM_M  # noqa: E402
+
+
+def _bloom_sql(k: int = BLOOM_K, m: int = BLOOM_M) -> str:
+    idx = ", ".join(f"({i})" for i in range(k))
+    pos = (
+        f"CAST(('0x' || substr(md5(text), 1 + 6 * i, 6)) AS BIGINT) % {m}"
+    )
+    return f"""
+    WITH train AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+    eval AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    tpos AS (
+      SELECT {pos} AS p FROM train, (VALUES {idx}) AS t(i)
+    ),
+    bloom AS (
+      SELECT CAST(p // 32 AS BIGINT) AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM tpos GROUP BY 1
+    ),
+    epos AS (
+      SELECT doc_id, text, CAST(({pos}) // 32 AS BIGINT) AS word,
+             (1::BIGINT << CAST(({pos}) % 32 AS INT)) AS mask
+      FROM eval, (VALUES {idx}) AS t(i)
+    ),
+    probe AS (
+      SELECT e.doc_id, e.text,
+             bool_and(b.bits IS NOT NULL AND (b.bits & e.mask) = e.mask)
+               AS bloom_hit
+      FROM epos e LEFT JOIN bloom b ON e.word = b.word
+      GROUP BY e.doc_id, e.text
+    )
+    SELECT p.doc_id, p.bloom_hit,
+           (p.text IN (SELECT text FROM train)) AS exact_hit
+    FROM probe p
+    ORDER BY p.doc_id
+    """
+
+
+@register(
+    "bloom_contamination_screen",
+    _bloom_sql(),
+    doc="mergeable Bloom filter (functions/bloom.py) as a train/eval "
+    "contamination screen: the train split's texts build a "
+    "m=65536-bit filter (<= 2048 OR-aggregated 32-bit-packed words — the "
+    "explode collapses map-side, sketch-sized shuffle at any corpus "
+    "size), the eval split probes it via one broadcast join. "
+    "Hash-matched oracle: both engines compute identical md5-chunk "
+    "bit positions, so the per-doc booleans — including any false "
+    "positives — reproduce exactly. No false negatives by "
+    "construction (every exact_hit row has bloom_hit; pinned in "
+    "tests/test_sketches.py with the merge==direct bit-identity).",
+)
+def bloom_contamination_screen(spark, sf_dir):
+    from scip_spark.functions.bloom import bloom_build, bloom_probe
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 < 8).select("text")
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+    bloom = bloom_build(train, "text")
+    probed = bloom_probe(ev, "text", bloom)
+    exact = (
+        ev.join(train.distinct(), "text", "left_semi")
+        .select("doc_id", F.lit(True).alias("exact_hit"))
+    )
+    return (
+        probed.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("exact_hit"), F.lit(False)).alias("exact_hit"),
+        )
+        .orderBy("doc_id")
+    )

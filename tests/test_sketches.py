@@ -1,0 +1,132 @@
+"""Bloom filter (functions/bloom.py): semilattice merge bit-identity,
+the no-false-negative guarantee, FPR sanity, and the sketch-sized
+shuffle shape. (KMV/CMS tests live in test_scale.py.)"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from scip_spark.functions.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+)
+
+
+def _rows(df):
+    return sorted((r["word"], r["bits"]) for r in df.collect())
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], ["key"])
+
+
+def test_bloom_merge_equals_direct_and_idempotent(spark):
+    """OR is commutative/associative/idempotent: any partition of the
+    input, any merge tree, and self-merge all land bit-identically on
+    the direct build."""
+    keys = [f"key_{i}" for i in range(3000)]
+    df = _keys_df(spark, keys).withColumn(
+        "part", F.abs(F.xxhash64("key")) % 3
+    )
+    direct = bloom_build(df, "key")
+    parts = [
+        bloom_build(df.filter(F.col("part") == p), "key") for p in range(3)
+    ]
+    merged = bloom_merge(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+    assert _rows(merged) == _rows(direct)
+    # different tree
+    m01 = bloom_merge(parts[0].unionByName(parts[1]))
+    m012 = bloom_merge(m01.unionByName(parts[2]))
+    assert _rows(m012) == _rows(direct)
+    # idempotent: re-inserting everything (self-merge) is a no-op
+    self_merged = bloom_merge(direct.unionByName(direct))
+    assert _rows(self_merged) == _rows(direct)
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    inserted = [f"in_{i}" for i in range(4000)]
+    bloom = bloom_build(_keys_df(spark, inserted), "key")
+    hits = bloom_probe(_keys_df(spark, inserted), "key", bloom).collect()
+    assert all(r["bloom_hit"] for r in hits)  # no false negatives, ever
+    absent = [f"out_{i}" for i in range(4000)]
+    fp = [
+        r["bloom_hit"]
+        for r in bloom_probe(_keys_df(spark, absent), "key", bloom).collect()
+    ]
+    # k=4, m=65536, n=4000: theoretical FPR ~ (1-e^{-kn/m})^4 ≈ 0.2%
+    assert np.mean(fp) < 0.02, np.mean(fp)
+
+
+def test_bloom_probe_empty_filter(spark):
+    """Probing an empty filter: every key misses (left join finds no
+    word rows; bool_and over all-False hits)."""
+    empty = bloom_build(
+        spark.createDataFrame([], "key string"), "key"
+    )
+    out = bloom_probe(_keys_df(spark, ["a", "b"]), "key", empty).collect()
+    assert len(out) == 2 and not any(r["bloom_hit"] for r in out)
+
+
+def test_bloom_build_plan_sketch_sized_shuffle(spark):
+    """The build's only Exchange moves (word, partial-OR) rows — the
+    map-side partial bit_or collapses the key explode before the
+    shuffle, and the key column never moves."""
+    df = _keys_df(spark, [f"k{i}" for i in range(100)])
+    plan = (
+        bloom_build(df, "key")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_bit_or" in plan or "partial" in plan.lower()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "key" not in line.split("[")[-1], line
+
+
+def test_bloom_registry_query_invariants(spark):
+    """Every exact duplicate must be bloom-flagged (no false
+    negatives) on the real documents table."""
+    import scip_spark.entry_queries  # noqa: F401  (populate REGISTRY)
+    from scip_spark.queries import REGISTRY
+
+    rows = REGISTRY["bloom_contamination_screen"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert all(r["bloom_hit"] for r in rows if r["exact_hit"])
+
+
+def test_bloom_streaming_fold_matches_batch(spark, tmp_path):
+    """OR-semilattice streaming twin: per-micro-batch partial filters
+    folded across batches equal the batch-built filter bit-for-bit."""
+    keys = [f"s_{i}" for i in range(2000)]
+    df = _keys_df(spark, keys)
+    src = str(tmp_path / "bloom_stream")
+    df.filter(F.abs(F.xxhash64("key")) % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    df.filter(F.abs(F.xxhash64("key")) % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    running: list = []
+
+    def fold(batch_df, _bid):
+        part = bloom_build(batch_df, "key")
+        rows = [(r["word"], r["bits"]) for r in part.collect()]
+        if not rows:
+            return
+        stacked = spark.createDataFrame(
+            running + rows, "word bigint, bits bigint"
+        )
+        running[:] = [
+            (r["word"], r["bits"]) for r in bloom_merge(stacked).collect()
+        ]
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert sorted(running) == _rows(bloom_build(df, "key"))
