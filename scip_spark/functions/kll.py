@@ -253,12 +253,45 @@ def kll_partials_by_group(df, value_col: str, group_col: str, k: int = KLL_K):
     )
 
 
-def kll_build_by_group(df, value_col: str, group_col: str, k: int = KLL_K) -> dict:
+def kll_build_by_group(
+    df, value_col: str, group_col: str, k: int = KLL_K, fanout: int = 0
+) -> dict:
     """{group: KLLSketch} — partials merge per group in pid order
     (deterministic merge tree). The collect is bounded at
-    #groups × #partitions sketch rows; callers with huge group
-    cardinality should aggregate the partial relation instead."""
-    rows = kll_partials_by_group(df, value_col, group_col, k).collect()
+    #groups × #partitions sketch rows; above ``fanout`` input
+    partitions (default: the module fanout) the per-group fold runs in
+    executor-side rounds first — ``applyInPandas`` over (group,
+    pid-contiguous bucket), merging each bucket in pid order — so the
+    driver collects ≤ #groups × fanout rows and performs that many
+    merges, never O(#groups × #partitions)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    fanout = fanout or _MERGE_FANOUT
+    partials = kll_partials_by_group(df, value_col, group_col, k)
+    n_parts = df.rdd.getNumPartitions()
+
+    def merge_bucket(key, pdf: pd.DataFrame):
+        sk = None
+        for r in pdf.sort_values("pid").to_dict("records"):
+            part = KLLSketch.from_row(r, k)
+            sk = part if sk is None else sk.merge(part)
+        return pd.DataFrame([{"g": key[0], "pid": int(key[1]), **sk.to_row()}])
+
+    schema = (
+        "g string, pid int, count long, sizes array<int>, "
+        "comps array<int>, items array<double>"
+    )
+    while n_parts > fanout:
+        partials = (
+            partials.groupBy(
+                "g", (F.col("pid") / F.lit(fanout)).cast("int").alias("bucket")
+            )
+            .applyInPandas(merge_bucket, schema=schema)
+        )
+        n_parts = math.ceil(n_parts / fanout)
+
+    rows = partials.collect()
     out: dict = {}
     for r in sorted(rows, key=lambda r: (r["g"], r["pid"])):
         sk = KLLSketch.from_row(r.asDict(), k)

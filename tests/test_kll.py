@@ -273,3 +273,30 @@ def test_tree_merge_plan_value_column_never_shuffles(spark):
             assert "l_extendedprice" not in line, line
             assert "bucket" in line, line
     assert "Exchange" in plan  # the rounds really shuffle (sketch rows)
+
+
+def test_grouped_tree_merge_rounds(spark):
+    """Grouped build with forced tiny fanout runs executor-side
+    per-group merge rounds; results keep per-group weight conservation
+    + rank bounds and are deterministic across runs."""
+    import pandas as pd
+
+    from scip_spark.functions.kll import kll_build_by_group
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "g": [f"g{i % 3}" for i in range(9000)],
+            "x": rng.lognormal(2.0, 1.0, size=9000),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    a = kll_build_by_group(df, "x", "g", 128, fanout=2)
+    b = kll_build_by_group(df, "x", "g", 128, fanout=2)
+    assert sorted(a) == ["g0", "g1", "g2"]
+    for g in a:
+        assert a[g].to_row() == b[g].to_row()
+        vals = pdf.loc[pdf["g"] == g, "x"].to_numpy()
+        assert a[g].count == len(vals)
+        for q in QS:
+            assert rank_err(vals, q, a[g].quantile(q)) <= 4.0 * len(vals) / 128
