@@ -83,6 +83,40 @@ def bloom_merge(parts: DataFrame) -> DataFrame:
     return parts.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
+def bloom_probe_inline(
+    df: DataFrame,
+    key: str,
+    bloom: DataFrame,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """``df`` plus ``out_col`` with ZERO shuffle of ``df``: the filter
+    collapses to a one-row word→bits map, crossJoin(broadcast)s onto
+    every probe row, and membership is a closed-form column expression
+    over the k (word, mask) pairs — the join-pre-filter shape, where
+    the probe side is the 100 TB relation and must stay map-side
+    (bloom_probe's grouped bool_and would shuffle it). The SURVEY §1.5
+    scalar-broadcast pattern."""
+    packed = bloom.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("bits")
+        ).alias("_bloom_map")
+    )
+    probed = df.crossJoin(F.broadcast(packed)).select(
+        "*", *[bloom_pos(key, i, m).alias(f"_p{i}") for i in range(k)]
+    )
+    hit = F.lit(True)
+    for i in range(k):
+        word = F.expr(f"shiftright(_p{i}, 5)")
+        mask = F.expr(f"shiftleft(cast(1 as bigint), cast(_p{i} % 32 as int))")
+        got = F.coalesce(
+            F.element_at(F.col("_bloom_map"), word), F.lit(0).cast("long")
+        )
+        hit = hit & (got.bitwiseAND(mask) == mask)
+    return probed.select(*df.columns, hit.alias(out_col))
+
+
 def bloom_probe(
     df: DataFrame,
     key: str,

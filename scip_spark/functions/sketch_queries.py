@@ -671,3 +671,61 @@ def bloom_contamination_screen(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "bloom_prefilter_join",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Bloom join pre-filter — the canonical 100 TB shape: the dim "
+    "side's keys (BUILDING-segment customers) build a filter; the "
+    "fact scan (orders) drops non-members MAP-SIDE via "
+    "bloom_probe_inline (one-row word->bits map crossJoin-broadcast, "
+    "closed-form bit checks — zero shuffle of the fact side before "
+    "the filter) so only ~segment-share of orders reaches the real "
+    "join. The oracle is the PLAIN join: Bloom false positives are "
+    "eliminated by the join itself, so the pre-filter is provably "
+    "semantics-preserving — the strongest oracle form for a lossy "
+    "structure. Plan-asserted map-side in tests/test_sketches.py.",
+)
+def bloom_prefilter_join(spark, sf_dir):
+    from scip_spark.functions.bloom import bloom_build, bloom_probe_inline
+
+    cust = (
+        tbl(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bloom = bloom_build(cust.select(F.col("c_custkey").alias("key")), "key")
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice",
+        F.col("o_custkey").alias("key"),
+    )
+    prefiltered = (
+        bloom_probe_inline(orders, "key", bloom)
+        .filter(F.col("bloom_hit"))
+        .drop("bloom_hit", "key")
+    )
+    joined = prefiltered.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("month")
+    )

@@ -130,3 +130,62 @@ def test_bloom_streaming_fold_matches_batch(spark, tmp_path):
     q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert sorted(running) == _rows(bloom_build(df, "key"))
+
+
+def test_bloom_probe_inline_matches_grouped_probe(spark):
+    """The zero-shuffle inline probe returns the same booleans as the
+    grouped probe, and its plan shuffles NOTHING on the probe side —
+    only BroadcastExchanges (the packed one-row map)."""
+    keys = [f"m_{i}" for i in range(1500)]
+    from scip_spark.functions.bloom import bloom_probe_inline
+
+    bloom = bloom_build(_keys_df(spark, keys), "key")
+    probe_keys = keys[:200] + [f"x_{i}" for i in range(200)]
+    a = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_probe(_keys_df(spark, probe_keys), "key", bloom).collect()
+    }
+    inline = bloom_probe_inline(_keys_df(spark, probe_keys), "key", bloom)
+    b = {r["key"]: r["bloom_hit"] for r in inline.collect()}
+    assert a == b
+    plan = inline._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            # allowed: broadcasts + the FILTER side's own one-row map
+            # fold (Exchange SinglePartition over <= m/32 word rows);
+            # the probe relation itself must never hash-shuffle
+            # (hashpartitioning(word...) is the build's own sketch-
+            # sized shuffle of <= m/32 partial words)
+            assert (
+                "Broadcast" in line
+                or "SinglePartition" in line
+                or "hashpartitioning(word" in line
+            ), line
+    assert "hashpartitioning(key" not in plan
+
+
+def test_bloom_prefilter_join_plan_map_side(spark):
+    """The registered pre-filter join must keep the fact (orders) scan
+    map-side up to the final month aggregation: every Exchange is
+    either a broadcast or the post-join partial-agg shuffle of
+    (month, partials) rows — never the raw fact relation."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    df = REGISTRY["bloom_prefilter_join"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            # allowed plain shuffles: the month-keyed agg partials
+            # (Spark aliases the date_format key _groupingexpression),
+            # the final orderBy's range partitioning over agg output,
+            # and the bloom side's one-row map fold (SinglePartition)
+            assert (
+                "month" in line
+                or "_groupingexpression" in line
+                or "rangepartitioning" in line
+                or "SinglePartition" in line
+                or "hashpartitioning(word" in line  # bloom build itself
+            ), line
+            assert "o_totalprice" not in line, line  # raw fact never moves
+    assert "BroadcastExchange" in plan
