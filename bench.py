@@ -63,6 +63,7 @@ HEADLINE = [
     "sliding_distinct_users",
     "pit_join_lineitem_scd2",
     "dyadic_hist_price_quantiles",
+    "bloom_prefilter_join",
     "dedup_setsim_join",
     "dedup_containment_pairs",
     "winnow_dup_pairs",

@@ -146,3 +146,29 @@ def test_empty_input_kll(spark):
     assert sk.count == 0 and sk._size() == 0
     with pytest.raises(ValueError):
         sk.quantile(0.5)
+
+
+def test_empty_input_bloom(spark):
+    """Bloom over an emptied relation: empty filter relation, probes
+    all-miss, merge of empties stays empty."""
+    from scip_spark.functions.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+        bloom_probe_inline,
+    )
+
+    empty = bloom_build(
+        spark.createDataFrame([], "key string").filter("key IS NOT NULL"),
+        "key",
+    )
+    assert empty.count() == 0
+    assert bloom_merge(empty.unionByName(empty)).count() == 0
+    probes = spark.createDataFrame([("a",), ("b",)], ["key"])
+    assert not any(
+        r["bloom_hit"] for r in bloom_probe(probes, "key", empty).collect()
+    )
+    assert not any(
+        r["bloom_hit"]
+        for r in bloom_probe_inline(probes, "key", empty).collect()
+    )
