@@ -181,6 +181,95 @@ def _stats11(x: np.ndarray) -> list[float]:
     return [mu, med, float(s[0]), float(s[n - 1]), sd, mad, q25, q75, total, skew, kurt]
 
 
+def _stats11_batch(X: np.ndarray) -> list[list[float]]:
+    """:func:`_stats11` for a C-contiguous (N, L) stack of SAME-LENGTH
+    vectors, one vectorized pass for all rows. Bit-identical per row:
+    numpy's pairwise summation and sort operate independently per
+    output element along the contiguous trailing axis, so
+    ``np.add.reduce(X, axis=1)[i] == np.add.reduce(X[i])`` and
+    ``np.sort(X, axis=1)[i] == np.sort(X[i])`` exactly (verified over
+    lengths 3..5000; pinned in tests/test_features.py), and the
+    quantile/median interpolation below repeats _sorted_quantile's
+    scalar IEEE ops elementwise. Rows containing NaN fall back to
+    :func:`_stats11_ref` individually, matching the scalar path."""
+    n_rows, n = X.shape
+    S = np.sort(X, axis=1)
+    out: list[list[float] | None] = [None] * n_rows
+    nan_rows = np.isnan(S[:, -1])
+    total = np.add.reduce(X, axis=1)
+    mu = total / n
+    d = X - mu[:, None]
+    sd = np.sqrt(np.add.reduce(d * d, axis=1) / n)
+    h = n // 2
+    if n % 2:
+        med = S[:, h].copy()
+    else:
+        med = (S[:, h - 1] + S[:, h]) / 2.0
+    A = np.sort(np.abs(X - med[:, None]), axis=1)
+    if n % 2:
+        mad = A[:, h].copy()
+    else:
+        mad = (A[:, h - 1] + A[:, h]) / 2.0
+
+    def qcol(q: float) -> np.ndarray:
+        vi = q * (n - 1)
+        if vi >= n - 1:
+            return S[:, n - 1].copy()
+        prev = int(vi)
+        t = vi - prev
+        a = S[:, prev]
+        b = S[:, prev + 1]
+        diff = b - a
+        if t >= 0.5:
+            return b - diff * (1.0 - t)
+        return a + diff * t
+
+    q25, q75 = qcol(0.25), qcol(0.75)
+    pos = sd > 0
+    skew = np.zeros(n_rows)
+    kurt = np.zeros(n_rows)
+    if pos.any():
+        z = d[pos] / sd[pos, None]
+        skew[pos] = np.add.reduce(z**3, axis=1) / n
+        kurt[pos] = np.add.reduce(z**4, axis=1) / n - 3.0
+    for i in range(n_rows):
+        if nan_rows[i]:
+            out[i] = _stats11_ref(X[i])
+        else:
+            out[i] = [
+                float(mu[i]), float(med[i]), float(S[i, 0]), float(S[i, n - 1]),
+                float(sd[i]), float(mad[i]), float(q25[i]), float(q75[i]),
+                float(total[i]), float(skew[i]), float(kurt[i]),
+            ]
+    return out  # type: ignore[return-value]
+
+
+def _stats11_many(vecs: list[np.ndarray]) -> list[list[float]]:
+    """_stats11 for many vectors of mixed lengths: groups by length,
+    stacks each group contiguously, runs :func:`_stats11_batch` per
+    group — per-vector results bit-identical to per-call _stats11 at a
+    fraction of the dispatch count (the intensity family feeds ~13
+    same-record vectors whose lengths repeat heavily)."""
+    out: list[list[float] | None] = [None] * len(vecs)
+    groups: dict[int, list[int]] = {}
+    for i, v in enumerate(vecs):
+        groups.setdefault(int(v.size), []).append(i)
+    for ln, idxs in groups.items():
+        if ln == 0:
+            for i in idxs:
+                out[i] = [0.0] * len(INTENSITY_PROPS)
+            continue
+        if len(idxs) == 1:
+            out[idxs[0]] = _stats11(vecs[idxs[0]])
+            continue
+        X = np.empty((len(idxs), ln), dtype=np.float64)
+        for r, i in enumerate(idxs):
+            X[r] = vecs[i].astype(np.float64).ravel()
+        for i, row in zip(idxs, _stats11_batch(X)):
+            out[i] = row
+    return out  # type: ignore[return-value]
+
+
 #: per-levels constant matrices for the GLCM props (i/j grids, |i-j|,
 #: (i-j)², 1/(1+(i-j)²)) — identical values to the per-call meshgrid
 #: construction, hoisted out of the hot loop
@@ -404,57 +493,76 @@ def _record_features(
         _edge_of = {
             c: _mask_of(c) ^ _eroded[1 + i] for i, c in enumerate(_need_edge)
         }
+        # two passes so every channel's/view's vector lands in ONE
+        # length-grouped _stats11_many call (same-record vectors share
+        # lengths heavily: the 3 channels of one mask view are always
+        # equal-length) — per-view values bit-identical to the former
+        # per-call _stats11 (see _stats11_batch docstring + pin test)
+        jobs: list[np.ndarray] = []
+        specs: list[dict[str, object]] = []
+
+        def _job(v: np.ndarray) -> int:
+            jobs.append(v)
+            return len(jobs) - 1
+
         for c in range(nchannels):
             chan = a[c]
             mask_c = _mask_of(c)
             bg_c = float(bg[c]) if bg is not None else 0.0
             cbg_c = float(cbg[c]) if cbg is not None else 0.0
-            rows: dict[str, list[float]] = {}
+            spec: dict[str, object] = {}
             # views 1-4: channel mask (reference intensity.py:126-145 —
             # empty mask or empty edge default to 0 rows)
             if mask_c.any():
                 mp = chan[mask_c]
-                rows["mask"] = _stats11(mp)
-                rows["bgcorr"] = _stats11(mp - bg_c)
+                spec["mask"] = _job(mp)
+                spec["bgcorr"] = _job(mp - bg_c)
                 edge = cm_edge if same_as_cm[c] else _edge_of[c]
                 if edge.any():
                     ep = chan[edge]
-                    rows["edge"] = _stats11(ep)
-                    rows["bgcorr_edge"] = _stats11(ep - bg_c)
+                    spec["edge"] = _job(ep)
+                    spec["bgcorr_edge"] = _job(ep - bg_c)
                 else:
-                    rows["edge"] = ZERO11
-                    rows["bgcorr_edge"] = ZERO11
+                    spec["edge"] = spec["bgcorr_edge"] = "zero"
             else:
-                rows["mask"] = rows["bgcorr"] = ZERO11
-                rows["edge"] = rows["bgcorr_edge"] = ZERO11
+                spec["mask"] = spec["bgcorr"] = "zero"
+                spec["edge"] = spec["bgcorr_edge"] = "zero"
             # views 5-8: combined mask (intensity.py:147-162)
             if same_as_cm[c] and mask_c.any():
-                rows["combined"] = rows["mask"]
-                rows["combined_bgcorr"] = (
-                    rows["bgcorr"] if cbg_c == bg_c else _stats11(chan[cm_any] - cbg_c)
-                )
-                rows["combined_edge"] = rows["edge"]
-                rows["combined_bgcorr_edge"] = (
-                    rows["bgcorr_edge"]
+                spec["combined"] = spec["mask"]
+                spec["combined_bgcorr"] = (
+                    spec["bgcorr"]
                     if cbg_c == bg_c
-                    else (_stats11(chan[cm_edge] - cbg_c) if cm_edge.any() else ZERO11)
+                    else _job(chan[cm_any] - cbg_c)
+                )
+                spec["combined_edge"] = spec["edge"]
+                spec["combined_bgcorr_edge"] = (
+                    spec["bgcorr_edge"]
+                    if cbg_c == bg_c
+                    else (
+                        _job(chan[cm_edge] - cbg_c) if cm_edge.any() else "zero"
+                    )
                 )
             else:
                 cp = chan[cm_any]
-                rows["combined"] = _stats11(cp)
-                rows["combined_bgcorr"] = _stats11(cp - cbg_c)
+                spec["combined"] = _job(cp)
+                spec["combined_bgcorr"] = _job(cp - cbg_c)
                 if cm_edge.any():
                     cep = chan[cm_edge]
-                    rows["combined_edge"] = _stats11(cep)
-                    rows["combined_bgcorr_edge"] = _stats11(cep - cbg_c)
+                    spec["combined_edge"] = _job(cep)
+                    spec["combined_bgcorr_edge"] = _job(cep - cbg_c)
                 else:
-                    rows["combined_edge"] = ZERO11
-                    rows["combined_bgcorr_edge"] = ZERO11
+                    spec["combined_edge"] = "zero"
+                    spec["combined_bgcorr_edge"] = "zero"
+            specs.append(spec)
+        stats = _stats11_many(jobs)
+        for spec in specs:
             for v in INTENSITY_VIEWS:
-                out += rows[v]
+                s = spec[v]
+                out += ZERO11 if s == "zero" else stats[s]  # type: ignore[index]
     if "raw" in families:
-        for c in range(nchannels):
-            out += _stats11(a[c])
+        # the 3 full-channel vectors share length H*W: one batched call
+        out += [x for row in _stats11_many(list(a)) for x in row]
     if "shape" in families:
         # combined row first, then one row per channel (shape.py:143-148)
         shape_cm = _shape_row(cm_any)

@@ -581,3 +581,25 @@ def test_texture_block_matches_per_view_formulation():
             want += trow
             want += trow if np.array_equal(m[c], cm) else texture_row_ref(a[c], cm)
         assert got == want, trial
+
+
+def test_stats11_many_bit_identical_to_per_call():
+    """Length-grouped batched stats equal per-call _stats11 exactly —
+    including NaN rows (ref fallback), empties, single-member groups,
+    and 2-D inputs (ravel semantics)."""
+    from scip_spark.operators.features import _stats11, _stats11_many
+
+    rng = np.random.default_rng(11)
+    vecs = []
+    for _ in range(60):
+        n = int(rng.integers(0, 40))
+        v = rng.random(n) * rng.uniform(0.1, 1e4) - rng.uniform(0, 50)
+        vecs.append(v)
+    vecs.append(np.array([1.0, np.nan, 3.0]))
+    vecs.append(rng.random((7, 9)))  # 2-D: _stats11 ravels
+    vecs.append(np.full(12, 5.0))    # sd == 0 branch
+    got = _stats11_many(vecs)
+    want = [_stats11(v) for v in vecs]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):  # NaN-positional equality, exact values
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
