@@ -729,3 +729,80 @@ def bloom_prefilter_join(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+@register(
+    "bloom_screen_streaming",
+    _bloom_sql(),
+    doc="the contamination screen with its filter built by STRUCTURED "
+    "STREAMING: the train split ingests as a 3-file parquet stream "
+    "(availableNow), each micro-batch contributes a partial filter, "
+    "and the driver folds them through bloom_merge — bitwise OR is an "
+    "idempotent semilattice, so the folded filter is BIT-IDENTICAL to "
+    "the batch build and the query shares the batch entry's oracle "
+    "SQL verbatim. The first registry entry whose STREAMING result is "
+    "driver-hash-checked (the pytest twins prove the same property "
+    "in-suite; this surfaces it in CORRECTNESS).",
+)
+def bloom_screen_streaming(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from scip_spark.functions.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 < 8).select("text")
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    tmp = tempfile.mkdtemp(prefix="bloom_stream_src_")
+    try:
+        for p in range(3):
+            train.filter(
+                F.pmod(F.xxhash64("text"), F.lit(3)) == p
+            ).coalesce(1).write.mode("append").parquet(tmp)
+
+        running: list[tuple[int, int]] = []
+
+        def fold(batch_df, _bid):
+            part = bloom_build(batch_df, "text")
+            rows = [(r["word"], r["bits"]) for r in part.collect()]
+            if not rows:
+                return
+            stacked = spark.createDataFrame(
+                running + rows, "word bigint, bits bigint"
+            )
+            running[:] = [
+                (r["word"], r["bits"]) for r in bloom_merge(stacked).collect()
+            ]
+
+        q = (
+            spark.readStream.schema("text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    bloom = spark.createDataFrame(running, "word bigint, bits bigint")
+    probed = bloom_probe(ev, "text", bloom)
+    exact = (
+        ev.join(train.distinct(), "text", "left_semi")
+        .select("doc_id", F.lit(True).alias("exact_hit"))
+    )
+    return (
+        probed.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("exact_hit"), F.lit(False)).alias("exact_hit"),
+        )
+        .orderBy("doc_id")
+    )
