@@ -806,3 +806,147 @@ def bloom_screen_streaming(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _stream_fold(spark, src_dir: str, schema: str, build_part, merge, row_schema: str, to_rows):
+    """availableNow file-stream fold of a semilattice sketch: each
+    micro-batch contributes a partial relation (collected — partials
+    are sketch-sized by construction), the running state merges
+    driver-side, and the final rows come back as a local DataFrame.
+    Exactness is the operator's own merge==direct property."""
+    running: list = []
+
+    def fold(batch_df, _bid):
+        rows = to_rows(build_part(batch_df))
+        if not rows:
+            return
+        stacked = spark.createDataFrame(running + rows, row_schema)
+        running[:] = to_rows(merge(stacked))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(running, row_schema)
+
+
+def _split_to_tmp(df, parts: int = 3, key: str | None = None):
+    """Write df as `parts` parquet files (one per micro-batch)."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    tmp = tempfile.mkdtemp(prefix="sketch_stream_src_")
+    h = F.pmod(F.xxhash64(key or df.columns[0]), F.lit(parts))
+    for p in range(parts):
+        df.filter(h == p).coalesce(1).write.mode("append").parquet(tmp)
+    return tmp
+
+
+@register(
+    "dyadic_stream_price_quantiles",
+    _dyadic_sql(),
+    doc="dyadic_hist_price_quantiles with the sketch built by "
+    "Structured Streaming: per-micro-batch dyadic sketches fold "
+    "through dyadic_merge (true semilattice — merged==direct "
+    "bit-identity proven in functions/dyadic.py), so the streaming "
+    "entry shares the batch query's oracle SQL verbatim and the "
+    "driver hash-checks the streaming quantile answers.",
+)
+def dyadic_stream_price_quantiles(spark, sf_dir):
+    import shutil
+
+    from scip_spark.functions.dyadic import (
+        cents_cell,
+        dyadic_merge,
+        dyadic_quantile_cells,
+        dyadic_sketch,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    tmp = _split_to_tmp(li, key="l_extendedprice")
+    try:
+        sk = _stream_fold(
+            spark,
+            tmp,
+            "l_returnflag string, l_extendedprice double",
+            lambda bdf: dyadic_sketch(
+                bdf, cents_cell("l_extendedprice"), ["l_returnflag"],
+                k=_DYADIC_K, max_level=_DYADIC_LMAX,
+            ),
+            lambda parts: dyadic_merge(
+                parts, ["l_returnflag"], k=_DYADIC_K, max_level=_DYADIC_LMAX
+            ),
+            "l_returnflag string, level int, cell bigint, cnt bigint",
+            lambda df: [
+                (r["l_returnflag"], r["level"], r["cell"], r["cnt"])
+                for r in df.collect()
+            ],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dyadic_quantile_cells(sk, ["l_returnflag"], [0.25, 0.5, 0.75])
+
+
+@register(
+    "cms_stream_token_counts",
+    _cms_sql(),
+    doc="cms_token_counts with the count-min counters built by "
+    "Structured Streaming: per-micro-batch sketches fold by plain "
+    "integer addition per (row, bucket) — sums commute, so the folded "
+    "counters are bit-identical to the batch sketch (the in-suite "
+    "streaming twin proves it per micro-batch) and the entry shares "
+    "the batch query's oracle SQL. Top-20 exact counts come from the "
+    "batch table; only the sketch side streams.",
+)
+def cms_stream_token_counts(spark, sf_dir):
+    import shutil
+
+    from scip_spark.functions.sketches import cms_bucket, cms_sketch
+    from scip_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _split_to_tmp(docs, key="doc_id")
+    try:
+        cms = _stream_fold(
+            spark,
+            tmp,
+            "doc_id bigint, text string",
+            lambda bdf: cms_sketch(
+                bdf.select(F.explode(tokens("text")).alias("t")), "t"
+            ),
+            lambda parts: parts.groupBy("i", "b").agg(
+                F.sum("cnt").cast("long").alias("cnt")
+            ),
+            "i int, b bigint, cnt bigint",
+            lambda df: [(r["i"], r["b"], r["cnt"]) for r in df.collect()],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    occ = docs.select(F.explode(tokens("text")).alias("t"))
+    exact = (
+        occ.groupBy("t")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "t")
+        .limit(20)
+        .select(
+            "t", "exact_cnt", *[cms_bucket("t", i).alias(f"b{i}") for i in range(4)]
+        )
+    )
+    e = exact
+    for i in range(4):
+        ci = cms.filter(F.col("i") == i).select(
+            F.col("b").alias(f"bb{i}"), F.col("cnt").alias(f"c{i}")
+        )
+        e = e.join(F.broadcast(ci), F.col(f"b{i}") == F.col(f"bb{i}"))
+    return e.select(
+        F.col("t").alias("token"),
+        "exact_cnt",
+        F.least(*[F.col(f"c{i}") for i in range(4)]).alias("cms_est"),
+    ).orderBy(F.desc("exact_cnt"), "token")
