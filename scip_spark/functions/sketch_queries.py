@@ -950,3 +950,46 @@ def cms_stream_token_counts(spark, sf_dir):
         "exact_cnt",
         F.least(*[F.col(f"c{i}") for i in range(4)]).alias("cms_est"),
     ).orderBy(F.desc("exact_cnt"), "token")
+
+
+@register(
+    "kmv_stream_distinct_by_priority",
+    _kmv_sql(),
+    doc="kmv_distinct_by_priority with the per-priority KMV sketches "
+    "built by Structured Streaming: each micro-batch's per-group "
+    "k-minima fold through slice(array_sort(array_distinct(flatten)))"
+    " — set-union + k-smallest is an idempotent semilattice, so the "
+    "folded sketch (and hence the ESTIMATE) is bit-identical to the "
+    "batch build and shares its oracle SQL. Fourth streaming entry "
+    "the driver hash-checks.",
+)
+def kmv_stream_distinct_by_priority(spark, sf_dir):
+    import shutil
+
+    orders = tbl(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    tmp = _split_to_tmp(orders, key="o_custkey")
+    try:
+        sk = _stream_fold(
+            spark,
+            tmp,
+            "o_orderpriority string, o_custkey bigint",
+            lambda bdf: kmv_sketch(bdf, "o_orderpriority", "o_custkey"),
+            lambda parts: parts.groupBy("o_orderpriority").agg(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("kmv")))
+                    ),
+                    1,
+                    KMV_K,
+                ).alias("kmv")
+            ),
+            "o_orderpriority string, kmv array<bigint>",
+            lambda df: [(r["o_orderpriority"], r["kmv"]) for r in df.collect()],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return sk.select(
+        "o_orderpriority",
+        F.size("kmv").cast("long").alias("sketch_size"),
+        kmv_estimate("kmv").alias("est_distinct"),
+    )
