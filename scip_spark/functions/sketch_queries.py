@@ -21,7 +21,7 @@ from scip_spark.functions.sketches import (
     kmv_merge,
     kmv_sketch,
 )
-from scip_spark.queries import register, tbl
+from scip_spark.queries import dsum, register, tbl
 
 # DuckDB fragments generated from the same constants as the Spark side
 _H = "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)"
@@ -466,8 +466,12 @@ def _dyadic_sql(k: int = _DYADIC_K, lmax: int = _DYADIC_LMAX) -> str:
       FROM lv GROUP BY 1, 2
     ),
     chosen AS (
-      SELECT l_returnflag, MIN(l) AS level
-      FROM fits WHERE n_cells <= {k} GROUP BY 1
+      -- COALESCE mirrors the Spark-side coarsest-level fallback
+      -- (dyadic.py): a group with > k cells even at max_level keeps
+      -- its rows at max_level instead of vanishing
+      SELECT l_returnflag,
+             COALESCE(MIN(l) FILTER (WHERE n_cells <= {k}), {lmax}) AS level
+      FROM fits GROUP BY 1
     ),
     sk AS (
       SELECT f.l_returnflag, c.level, f.cell >> c.level AS cell,
@@ -484,7 +488,8 @@ def _dyadic_sql(k: int = _DYADIC_K, lmax: int = _DYADIC_LMAX) -> str:
     hit AS (
       SELECT c.l_returnflag, q.q_pct, MIN(c.cell) AS cell
       FROM cum c, (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS q_pct) q
-      WHERE c.cum >= CAST(ceil(q.q_pct / 100.0 * c.n) AS BIGINT)
+      -- integer form of cum >= ceil(q_pct*n/100): exact, no float div
+      WHERE c.cum * 100 >= q.q_pct * c.n
       GROUP BY 1, 2
     )
     SELECT h.l_returnflag, h.q_pct,
@@ -678,7 +683,7 @@ def bloom_contamination_screen(spark, sf_dir):
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
              AS revenue_cents
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -723,9 +728,10 @@ def bloom_prefilter_join(spark, sf_dir):
         )
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("revenue_cents"),
+            # dsum convention (queries.py:90): a double SUM is
+            # summation-order-dependent across engines/partitionings;
+            # the DECIMAL(18,2) sum is exact and order-free
+            (dsum("o_totalprice") * 100).cast("long").alias("revenue_cents"),
         )
         .orderBy("month")
     )
@@ -746,7 +752,6 @@ def bloom_prefilter_join(spark, sf_dir):
 )
 def bloom_screen_streaming(spark, sf_dir):
     import shutil
-    import tempfile
 
     from scip_spark.functions.bloom import (
         bloom_build,
@@ -758,40 +763,19 @@ def bloom_screen_streaming(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 10 < 8).select("text")
     ev = docs.filter(F.col("doc_id") % 10 >= 8)
 
-    tmp = tempfile.mkdtemp(prefix="bloom_stream_src_")
+    tmp = _split_to_tmp(train, key="text")
     try:
-        for p in range(3):
-            train.filter(
-                F.pmod(F.xxhash64("text"), F.lit(3)) == p
-            ).coalesce(1).write.mode("append").parquet(tmp)
-
-        running: list[tuple[int, int]] = []
-
-        def fold(batch_df, _bid):
-            part = bloom_build(batch_df, "text")
-            rows = [(r["word"], r["bits"]) for r in part.collect()]
-            if not rows:
-                return
-            stacked = spark.createDataFrame(
-                running + rows, "word bigint, bits bigint"
-            )
-            running[:] = [
-                (r["word"], r["bits"]) for r in bloom_merge(stacked).collect()
-            ]
-
-        q = (
-            spark.readStream.schema("text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(tmp)
-            .writeStream.foreachBatch(fold)
-            .trigger(availableNow=True)
-            .start()
+        bloom = _stream_fold(
+            spark,
+            tmp,
+            "text string",
+            lambda bdf: bloom_build(bdf, "text"),
+            bloom_merge,
+            "word bigint, bits bigint",
+            lambda df: [(r["word"], r["bits"]) for r in df.collect()],
         )
-        q.awaitTermination(300)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-
-    bloom = spark.createDataFrame(running, "word bigint, bits bigint")
     probed = bloom_probe(ev, "text", bloom)
     exact = (
         ev.join(train.distinct(), "text", "left_semi")
@@ -831,7 +815,12 @@ def _stream_fold(spark, src_dir: str, schema: str, build_part, merge, row_schema
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        # a timed-out fold would silently return a PARTIAL sketch (and
+        # the caller's cleanup would delete the source under the
+        # still-running query) — fail loudly instead
+        q.stop()
+        raise RuntimeError("stream fold did not finish within 600s")
     return spark.createDataFrame(running, row_schema)
 
 

@@ -344,3 +344,23 @@ def test_dyadic_quantile_off_grid_q_rejected(spark):
     # k=128 > 100 cells: level 0, cells are the values themselves;
     # ceil(0.125*100)=13th value (cell 12), ceil(0.3*100)=30th (cell 29)
     assert r125["lo_grid"] == 12 and r30["lo_grid"] == 29
+
+
+def test_dyadic_quantile_exact_integer_rank(spark):
+    """Code-review r9: the rank test is exact integer arithmetic —
+    q=0.28 over n=25 values must hit rank ceil(7.0)=7, where the float
+    form 0.28*25 = 7.000000000000001 would ceil to 8."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.dyadic import (
+        dyadic_quantile_cells,
+        dyadic_sketch,
+    )
+
+    df = spark.range(1, 26).select(
+        F.lit("g").alias("g"), F.col("id").alias("cellv")
+    )
+    sk = dyadic_sketch(df, F.col("cellv"), ["g"], k=64, max_level=8)
+    [hit] = dyadic_quantile_cells(sk, ["g"], [0.28]).collect()
+    # level 0 (25 cells < k): the 7th value is cell 7
+    assert hit["lo_grid"] == 7, hit
