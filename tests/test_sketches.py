@@ -189,3 +189,22 @@ def test_bloom_prefilter_join_plan_map_side(spark):
             ), line
             assert "o_totalprice" not in line, line  # raw fact never moves
     assert "BroadcastExchange" in plan
+
+
+def test_bloom_bits_match_pure_python_reference(spark):
+    """Independent oracle: recompute every md5-chunk bit position in
+    pure Python (hashlib) and build the word->bits map with plain int
+    ops — the Spark filter must match exactly, word for word."""
+    import hashlib
+
+    from scip_spark.functions.bloom import BLOOM_K, BLOOM_M
+
+    keys = [f"ref_{i}" for i in range(500)]
+    got = {r["word"]: r["bits"] for r in bloom_build(_keys_df(spark, keys), "key").collect()}
+    want: dict = {}
+    for key in keys:
+        hx = hashlib.md5(key.encode()).hexdigest()
+        for i in range(BLOOM_K):
+            p = int(hx[6 * i : 6 * i + 6], 16) % BLOOM_M
+            want[p >> 5] = want.get(p >> 5, 0) | (1 << (p % 32))
+    assert got == want
