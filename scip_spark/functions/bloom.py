@@ -127,9 +127,14 @@ def bloom_probe(
 ) -> DataFrame:
     """``df`` plus a boolean ``out_col``: True iff all k of the key's
     bits are set (guaranteed True for every inserted key — Bloom
-    filters have no false negatives). The filter broadcasts (≤ m/64
+    filters have no false negatives). The filter broadcasts (≤ m/32
     rows); the k-row probe expand collapses via one grouped bool_and
-    keyed by the probe relation's own columns."""
+    keyed by the probe relation's own columns.
+
+    NOTE: the groupBy collapses fully-duplicate probe ROWS to one
+    output row (a set semantic). When input multiplicity must be
+    preserved — or the probe side is too big to shuffle at all — use
+    :func:`bloom_probe_inline`, which is a pure projection."""
     cols = df.columns
     expanded = df.select(
         *cols,
