@@ -364,3 +364,40 @@ def test_dyadic_quantile_exact_integer_rank(spark):
     [hit] = dyadic_quantile_cells(sk, ["g"], [0.28]).collect()
     # level 0 (25 cells < k): the 7th value is cell 7
     assert hit["lo_grid"] == 7, hit
+
+
+def test_dyadic_merge_equals_direct_randomized_overflow_mix(spark):
+    """Randomized merge==direct sweep over configs where some groups
+    fit and others overflow even at max_level (the fallback proof:
+    a part that falls back forces the union to fall back, since part
+    cells are a subset of union cells at every level)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.dyadic import dyadic_merge, dyadic_sketch
+
+    rng = np.random.default_rng(77)
+    rows = []
+    for g, spread in [("fit", 8), ("wide", 50_000), ("mid", 600)]:
+        for i in range(120):
+            rows.append((g, int(rng.integers(0, spread)) , int(i % 3)))
+    df = spark.createDataFrame(rows, "g string, cellv long, part int")
+    for k, lmax in [(8, 3), (16, 6), (8, 10)]:
+        direct = dyadic_sketch(df, F.col("cellv"), ["g"], k=k, max_level=lmax)
+        parts = [
+            dyadic_sketch(
+                df.filter(F.col("part") == p), F.col("cellv"), ["g"],
+                k=k, max_level=lmax,
+            )
+            for p in range(3)
+        ]
+        merged = dyadic_merge(
+            parts[0].unionByName(parts[1]).unionByName(parts[2]),
+            ["g"], k=k, max_level=lmax,
+        )
+        assert _dyadic_rows(merged) == _dyadic_rows(direct), (k, lmax)
+        # no group ever vanishes
+        assert {r["g"] for r in direct.select("g").distinct().collect()} == {
+            "fit", "wide", "mid"
+        }
