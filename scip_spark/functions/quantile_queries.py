@@ -236,7 +236,15 @@ def kll_quantile_prices(spark, sf_dir):
     from scip_spark.functions.kll import kll_build
 
     li = tbl(spark, sf_dir, "lineitem").select("l_extendedprice")
-    ests = kll_build(li, "l_extendedprice", _KLL_K).quantiles(_KLL_QS)
+    sk = kll_build(li, "l_extendedprice", _KLL_K)
+    if sk.count == 0:
+        # all-null/NaN column: no sketch to check — n=0 satisfies any
+        # rank bound vacuously, mirroring the oracle's constant rows
+        # (same contract as the grouped variant's sketchless groups)
+        return spark.createDataFrame(
+            [(float(q), True) for q in _KLL_QS], "q double, within_bound boolean"
+        ).orderBy("q")
+    ests = sk.quantiles(_KLL_QS)
     # exact rank interval of every estimate in ONE aggregate pass:
     # the q-quantile target must fall within [count(<v)+1, count(<=v)]
     # up to eps*n slack. n counts exactly what the sketch ingested —

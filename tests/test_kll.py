@@ -300,3 +300,23 @@ def test_grouped_tree_merge_rounds(spark):
         assert a[g].count == len(vals)
         for q in QS:
             assert rank_err(vals, q, a[g].quantile(q)) <= 4.0 * len(vals) / 128
+
+
+def test_ungrouped_query_all_null_column(spark, tmp_path):
+    """Companion to the grouped sketchless-group fix: an all-null
+    value column yields vacuous within_bound=TRUE rows, not a raised
+    'empty sketch'."""
+    import pandas as pd
+
+    from scip_spark.functions.quantile_queries import (
+        _KLL_QS,
+        kll_quantile_prices,
+    )
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {"l_extendedprice": [None, float("nan"), None]}
+    ).to_parquet(f"{sf}/lineitem.parquet")
+    rows = kll_quantile_prices(spark, sf).collect()
+    assert [r["q"] for r in rows] == _KLL_QS
+    assert all(r["within_bound"] for r in rows)
