@@ -39,7 +39,8 @@ def main() -> int:
             if not ok:
                 failures.append(name)
         elif res["values_match"]:
-            print(f"{'ok':>14}  {name}: rows={res['rows_spark']} [{dt:.1f}s]")
+            tag = "ok(golden)" if res.get("golden") else "ok"
+            print(f"{tag:>14}  {name}: rows={res['rows_spark']} [{dt:.1f}s]")
         else:
             print(f"{'FAIL':>14}  {name}: {res} [{dt:.1f}s]")
             failures.append(name)
