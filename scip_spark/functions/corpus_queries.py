@@ -9,6 +9,8 @@ window + broadcast offsets) computes the identical shard ids.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from scip_spark.functions.corpus import (
     SPLIT_BUCKETS,
     hash_sample,
@@ -266,3 +268,53 @@ def corpus_weighted_sample(spark, sf_dir):
     return weighted_systematic_sample(docs, _WS_K, weight_col="w").select(
         "doc_id", "w", F.col("multiplicity").cast("long").alias("multiplicity")
     )
+
+
+_ORDER_SEED, _ORDER_STEP = "order-v1", 128
+_ORDER_H = (
+    "CAST(('0x' || substr(md5('order-v1|' || CAST(doc_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "corpus_training_order",
+    f"""
+    WITH h AS (SELECT doc_id, {_ORDER_H} AS hk FROM documents)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS BIGINT) AS order_id,
+           CAST((ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1)
+                // {_ORDER_STEP} AS BIGINT) AS step_shard
+    FROM h ORDER BY order_id
+    """,
+    doc="deterministic resumable training order: every document gets a "
+    "global 1-based order_id by md5(seed|doc_id) — a seeded global "
+    "shuffle that is a pure function of (seed, key), so a restarted "
+    "job reproduces the identical permutation and `WHERE step_shard "
+    ">= k` resumes mid-epoch without replaying. The rank comes from "
+    "the distributed construction (functions/ranking.py) — no "
+    "single-partition window over the corpus, unlike the oracle's "
+    "ROW_NUMBER, which is the point: identical output, cluster-safe "
+    "plan.",
+)
+def corpus_training_order(spark, sf_dir):
+    from scip_spark.functions.ranking import with_global_rank
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(_ORDER_SEED), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked = with_global_rank(
+        docs.withColumn("hk", h), "hk", "doc_id", out_col="order_id"
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("order_id").cast("long").alias("order_id"),
+        ((F.col("order_id") - 1) / _ORDER_STEP).cast("long").alias("step_shard"),
+    ).orderBy("order_id")
