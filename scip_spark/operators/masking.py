@@ -126,15 +126,27 @@ def _otsu_fronts(imgs: list[np.ndarray]) -> list[np.ndarray]:
     front is bit-identical to the single-image chain (mask equality
     pinned in tests/test_masking.py)."""
     xs: list[np.ndarray] = []
+    digitized: list[bool] = []
     for x in imgs:
         if x.max() > 512:
             edges = np.histogram_bin_edges(x.ravel(), bins=512)
             x = np.digitize(x, bins=edges).astype(np.float64)
+            digitized.append(True)
+        else:
+            digitized.append(False)
         xs.append(x)
     out: list[np.ndarray] = [None] * len(xs)  # type: ignore[list-item]
-    for (_, _), idxs in _shape_groups(xs).items():
+    # group by (shape, dtype, digitized): a digitized group's values
+    # are ints in [0, 513], so its FIRST median can take the int16
+    # gather path too (bit-identical; real uint16 microscopy channels
+    # always digitize). Raw-float groups keep the float64 median and
+    # never pay the int path's pad+cast+compare probe.
+    groups: dict = {}
+    for i, x in enumerate(xs):
+        groups.setdefault((x.shape, x.dtype.str, digitized[i]), []).append(i)
+    for (_, _, dig), idxs in groups.items():
         X = np.stack([xs[i] for i in idxs])
-        P = K.median_disk_batch(X, 5)
+        P = (K.median_disk_batch_int if dig else K.median_disk_batch)(X, 5)
         P = X.astype(np.float64) - P
         P = K.gaussian_batch(P, 0.5)
         P = K.sobel_batch(P)

@@ -261,3 +261,24 @@ def test_median_disk_batch_int_bit_identical_and_fallback():
     np.testing.assert_array_equal(
         K.median_disk_batch_int(Xn, 5), K.median_disk_batch(Xn, 5)
     )
+
+
+def test_otsu_front_digitized_path_identical_and_faster_path_used():
+    """A >512-valued (digitize-path) channel and a raw-float channel
+    produce masks identical to the per-image 2-D chain after the
+    digitized group's first median takes the int16 gather path."""
+    import numpy as np
+
+    from scip_spark.operators import masking as M
+
+    rng = np.random.default_rng(9)
+    # digitize path: uint16-scale values
+    big = [rng.random((11, 12)) * 40_000 for _ in range(6)]
+    # raw-float path
+    small = [rng.random((11, 12)) * 200 for _ in range(6)]
+    fronts = M._otsu_fronts(big + small)
+    for i, ch in enumerate(big + small):
+        single = M._otsu_fronts([ch])[0]
+        np.testing.assert_array_equal(fronts[i], single)
+        # and against the full mask chain
+        np.testing.assert_array_equal(M._mask_otsu(ch), M._otsu_tail(fronts[i])[0])
