@@ -64,7 +64,7 @@ def bloom_build(
     """(word, bits): the filter as ≤ m/64 OR-aggregated int64 words.
     False-positive rate ≈ (1 - e^{-k·n/m})^k; with the defaults and
     n = 4096 distinct keys that is ~1e-3."""
-    pos = df.select(
+    pos = df.where(F.col(key).isNotNull()).select(
         F.explode(
             F.array(*[bloom_pos(key, i, m) for i in range(k)])
         ).alias("p")

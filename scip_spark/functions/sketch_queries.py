@@ -635,7 +635,7 @@ def _bloom_sql(k: int = BLOOM_K, m: int = BLOOM_M) -> str:
       GROUP BY e.doc_id, e.text
     )
     SELECT p.doc_id, p.bloom_hit,
-           (p.text IN (SELECT text FROM train)) AS exact_hit
+           COALESCE(p.text IN (SELECT text FROM train), FALSE) AS exact_hit
     FROM probe p
     ORDER BY p.doc_id
     """
@@ -792,20 +792,40 @@ def bloom_screen_streaming(spark, sf_dir):
     )
 
 
-def _stream_fold(spark, src_dir: str, schema: str, build_part, merge, row_schema: str, to_rows):
+def _stream_fold(
+    spark,
+    src_dir: str,
+    schema: str,
+    build_part,
+    merge,
+    row_schema: str,
+    to_rows,
+    fold_every: int = 8,
+):
     """availableNow file-stream fold of a semilattice sketch: each
     micro-batch contributes a partial relation (collected — partials
-    are sketch-sized by construction), the running state merges
-    driver-side, and the final rows come back as a local DataFrame.
-    Exactness is the operator's own merge==direct property."""
-    running: list = []
+    are sketch-sized by construction) which is APPENDED to a pending
+    list; pending partials collapse through ``merge`` only once every
+    ``fold_every`` micro-batches (and once at the end), so the driver
+    runs O(batches / fold_every) merge jobs over bounded-size stacks
+    instead of one per batch — a 100k-file stream costs ~batches/8
+    sketch-sized jobs, not a per-batch driver hot loop. Merge order is
+    irrelevant by the semilattice property (merge==direct pinned per
+    operator), so the result stays bit-identical to the batch build."""
+    pending: list[list] = []
+
+    def collapse():
+        stacked = spark.createDataFrame(
+            [r for part in pending for r in part], row_schema
+        )
+        pending[:] = [to_rows(merge(stacked))]
 
     def fold(batch_df, _bid):
         rows = to_rows(build_part(batch_df))
-        if not rows:
-            return
-        stacked = spark.createDataFrame(running + rows, row_schema)
-        running[:] = to_rows(merge(stacked))
+        if rows:
+            pending.append(rows)
+        if len(pending) >= fold_every:
+            collapse()
 
     q = (
         spark.readStream.schema(schema)
@@ -821,7 +841,8 @@ def _stream_fold(spark, src_dir: str, schema: str, build_part, merge, row_schema
         # still-running query) — fail loudly instead
         q.stop()
         raise RuntimeError("stream fold did not finish within 600s")
-    return spark.createDataFrame(running, row_schema)
+    collapse()  # final merge (no-op on an already-collapsed single part)
+    return spark.createDataFrame(pending[0], row_schema)
 
 
 def _split_to_tmp(df, parts: int = 3, key: str | None = None):

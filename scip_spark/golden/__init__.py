@@ -52,7 +52,9 @@ def save_golden(name: str, sf_dir: str, df: pd.DataFrame) -> Path:
     p = golden_path(name, sf_dir)
     if p is None:
         raise ValueError(f"no sf tag in {sf_dir!r}")
-    rows = json.loads(df.to_json(orient="records"))
+    # double_precision=15 (pandas max): goldens pin EXACT values, and the
+    # default 10 would silently truncate any future float column.
+    rows = json.loads(df.to_json(orient="records", double_precision=15))
     p.write_text(
         json.dumps({"query": name, "sf": sf_tag(sf_dir), "rows": rows}, indent=1)
         + "\n"

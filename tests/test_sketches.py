@@ -132,6 +132,36 @@ def test_bloom_streaming_fold_matches_batch(spark, tmp_path):
     assert sorted(running) == _rows(bloom_build(df, "key"))
 
 
+def test_stream_fold_every_k_batches_matches_batch(spark, tmp_path):
+    """_stream_fold's bounded driver merge: with 18 one-file micro-
+    batches and fold_every=4 (so pending crosses the collapse threshold
+    several times plus a final partial stack), the folded filter is
+    bit-identical to the batch build — driver merge jobs are
+    O(batches/K), not one per batch."""
+    from scip_spark.functions.sketch_queries import _stream_fold
+
+    keys = [f"fk_{i}" for i in range(3600)]
+    df = _keys_df(spark, keys)
+    src = str(tmp_path / "fold_stream")
+    n_files = 18
+    for p in range(n_files):
+        df.filter(F.abs(F.xxhash64("key")) % n_files == p).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    folded = _stream_fold(
+        spark,
+        src,
+        "key string",
+        lambda bdf: bloom_build(bdf, "key"),
+        bloom_merge,
+        "word bigint, bits bigint",
+        lambda d: [(r["word"], r["bits"]) for r in d.collect()],
+        fold_every=4,
+    )
+    assert _rows(folded) == _rows(bloom_build(df, "key"))
+
+
 def test_bloom_probe_inline_matches_grouped_probe(spark):
     """The zero-shuffle inline probe returns the same booleans as the
     grouped probe, and its plan shuffles NOTHING on the probe side —
