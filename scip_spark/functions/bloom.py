@@ -30,11 +30,71 @@ probed by eval sets) and join pre-filtering.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BLOOM_K = 4        # hash functions: four 24-bit md5 chunks
 BLOOM_M = 1 << 16  # filter bits (1024 int64 words)
+
+#: positions are 24-bit md5 chunks, so m may never exceed 2^24 — above
+#: that the chunks stop covering the bit space and FPR math breaks.
+_BLOOM_M_MAX = 1 << 24
+
+
+def bloom_required_m(n: int, k: int = BLOOM_K, target_fpr: float = 1e-3) -> int:
+    """Smallest power-of-two bit count with predicted FPR
+    ``(1 - e^{-k*n/m})^k <= target_fpr`` at ``n`` distinct keys.
+
+    Solving for m: ``m >= k*n / -ln(1 - target_fpr^{1/k})``. Clamped to
+    [2^10, 2^24] — the upper bound is the 24-bit position-chunk space;
+    beyond ~800k distinct keys per filter at 1e-3, shard the keyspace
+    into multiple filters (hash-prefix partitions) instead of growing m.
+    """
+    if n <= 0:
+        return 1 << 10
+    need = k * n / -math.log(1.0 - target_fpr ** (1.0 / k))
+    return min(_BLOOM_M_MAX, 1 << max(10, math.ceil(math.log2(need))))
+
+
+def bloom_auto_m(
+    df: DataFrame,
+    key: str,
+    k: int = BLOOM_K,
+    target_fpr: float = 1e-3,
+    kmv_k: int = 1024,
+) -> int:
+    """Auto-size the filter from a KMV distinct-count estimate of the
+    key column (sketches.py hashing): distinct 48-bit hashes →
+    TakeOrdered bottom-k (distributed partial top-k per partition, a
+    bounded kmv_k-value driver collect — never the keys themselves) →
+    ``(k-1)/kth_min_fraction`` → :func:`bloom_required_m`. The estimate
+    is md5-deterministic, so auto-sized builds reproduce exactly."""
+    from scip_spark.functions.sketches import _HASH_SPACE, kmv_hash
+
+    hashed = (
+        df.where(F.col(key).isNotNull())
+        .select(kmv_hash(key).alias("h"))
+        .distinct()
+    )
+    mins = [r["h"] for r in hashed.orderBy("h").limit(kmv_k).collect()]
+    if len(mins) < kmv_k:
+        n = len(mins)  # exact: the whole distinct set fit in the sketch
+    else:
+        n = (kmv_k - 1) / (mins[-1] / _HASH_SPACE)
+    return bloom_required_m(math.ceil(n), k, target_fpr)
+
+
+def bloom_m_of(bloom: DataFrame, default: int = BLOOM_M) -> int:
+    """The bit count an auto-sized filter was built with (stamped as a
+    constant ``m`` column by ``bloom_build(..., m="auto")``); filters
+    built with an explicit m have no such column and probe with the
+    caller-supplied value."""
+    if "m" not in bloom.columns:
+        return default
+    row = bloom.select("m").limit(1).collect()
+    return int(row[0]["m"]) if row else default
 
 
 def bloom_pos(col: Column | str, i: int, m: int = BLOOM_M) -> Column:
@@ -59,27 +119,49 @@ def _word_mask() -> list[Column]:
 
 
 def bloom_build(
-    df: DataFrame, key: str, k: int = BLOOM_K, m: int = BLOOM_M
+    df: DataFrame,
+    key: str,
+    k: int = BLOOM_K,
+    m: int | str = BLOOM_M,
+    target_fpr: float = 1e-3,
 ) -> DataFrame:
-    """(word, bits): the filter as ≤ m/64 OR-aggregated int64 words.
+    """(word, bits): the filter as ≤ m/32 OR-aggregated int64 words.
     False-positive rate ≈ (1 - e^{-k·n/m})^k; with the defaults and
-    n = 4096 distinct keys that is ~1e-3."""
+    n = 4096 distinct keys that is ~1e-3.
+
+    A FIXED m saturates at real cardinalities: once n ≫ m the bits all
+    fill and every probe hits (still correct downstream — FPs must be
+    re-verified — but the pre-filter stops filtering). Pass
+    ``m="auto"`` to size m from a KMV distinct estimate of the key
+    column (:func:`bloom_auto_m`); the chosen power-of-two is stamped
+    on the relation as a constant ``m`` column so probes can recover it
+    (:func:`bloom_m_of` / ``m="auto"`` on the probe side)."""
+    auto = m == "auto"
+    if auto:
+        m = bloom_auto_m(df, key, k, target_fpr)
     pos = df.where(F.col(key).isNotNull()).select(
         F.explode(
             F.array(*[bloom_pos(key, i, m) for i in range(k)])
         ).alias("p")
     )
-    return (
+    built = (
         pos.select(*_word_mask())
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
+    return built.withColumn("m", F.lit(int(m)).cast("long")) if auto else built
 
 
 def bloom_merge(parts: DataFrame) -> DataFrame:
     """Union of filters (stack part relations with unionByName first):
     bitwise OR per word — bit-identical to building over the unioned
-    inputs (idempotent semilattice; see module doc)."""
+    inputs (idempotent semilattice; see module doc). Auto-sized filters
+    carry their ``m`` stamp through (merging filters of DIFFERENT m is
+    undefined — positions don't align; all parts must share one m)."""
+    if "m" in parts.columns:
+        return parts.groupBy("word").agg(
+            F.bit_or("bits").alias("bits"), F.max("m").alias("m")
+        )
     return parts.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
@@ -88,7 +170,7 @@ def bloom_probe_inline(
     key: str,
     bloom: DataFrame,
     k: int = BLOOM_K,
-    m: int = BLOOM_M,
+    m: int | str = BLOOM_M,
     out_col: str = "bloom_hit",
 ) -> DataFrame:
     """``df`` plus ``out_col`` with ZERO shuffle of ``df``: the filter
@@ -97,7 +179,11 @@ def bloom_probe_inline(
     over the k (word, mask) pairs — the join-pre-filter shape, where
     the probe side is the 100 TB relation and must stay map-side
     (bloom_probe's grouped bool_and would shuffle it). The SURVEY §1.5
-    scalar-broadcast pattern."""
+    scalar-broadcast pattern. ``m="auto"`` reads the stamp an
+    auto-sized build left on the filter relation."""
+    if m == "auto":
+        m = bloom_m_of(bloom)
+    bloom = bloom.select("word", "bits")
     packed = bloom.groupBy().agg(
         F.map_from_arrays(
             F.collect_list("word"), F.collect_list("bits")
@@ -122,7 +208,7 @@ def bloom_probe(
     key: str,
     bloom: DataFrame,
     k: int = BLOOM_K,
-    m: int = BLOOM_M,
+    m: int | str = BLOOM_M,
     out_col: str = "bloom_hit",
 ) -> DataFrame:
     """``df`` plus a boolean ``out_col``: True iff all k of the key's
@@ -134,7 +220,11 @@ def bloom_probe(
     NOTE: the groupBy collapses fully-duplicate probe ROWS to one
     output row (a set semantic). When input multiplicity must be
     preserved — or the probe side is too big to shuffle at all — use
-    :func:`bloom_probe_inline`, which is a pure projection."""
+    :func:`bloom_probe_inline`, which is a pure projection.
+    ``m="auto"`` reads the stamp an auto-sized build left."""
+    if m == "auto":
+        m = bloom_m_of(bloom)
+    bloom = bloom.select("word", "bits")
     cols = df.columns
     expanded = df.select(
         *cols,

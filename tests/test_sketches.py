@@ -132,6 +132,70 @@ def test_bloom_streaming_fold_matches_batch(spark, tmp_path):
     assert sorted(running) == _rows(bloom_build(df, "key"))
 
 
+def test_bloom_saturation_and_auto_sizing(spark):
+    """n ≫ m saturates a fixed-size filter (FPR → ~1: degradation is
+    graceful — no false negatives, the pre-filter just stops
+    filtering), and m='auto' sizes from the KMV distinct estimate to
+    restore the target FPR."""
+    from scip_spark.functions.bloom import (
+        bloom_auto_m,
+        bloom_m_of,
+        bloom_required_m,
+    )
+
+    n = 40_000
+    inserted = _keys_df(spark, [f"sat_{i}" for i in range(n)])
+    absent = _keys_df(spark, [f"abs_{i}" for i in range(3000)])
+
+    # forced-small filter: m=2^10 bits << 4*40000 set attempts
+    small = bloom_build(inserted, "key", m=1 << 10)
+    sat_fp = np.mean(
+        [r["bloom_hit"] for r in bloom_probe(absent, "key", small, m=1 << 10).collect()]
+    )
+    assert sat_fp > 0.9, sat_fp  # saturated: pre-filter no longer filters
+    hits = bloom_probe(inserted, "key", small, m=1 << 10).collect()
+    assert all(r["bloom_hit"] for r in hits)  # but still no false negatives
+
+    # auto-sized: KMV estimate -> required power-of-two m
+    auto = bloom_build(inserted, "key", m="auto")
+    m_eff = bloom_m_of(auto)
+    assert m_eff >= bloom_required_m(int(n * 0.8))  # estimate within KMV error
+    assert m_eff & (m_eff - 1) == 0  # power of two
+    auto_fp = np.mean(
+        [r["bloom_hit"] for r in bloom_probe(absent, "key", auto, m="auto").collect()]
+    )
+    assert auto_fp < 0.01, (m_eff, auto_fp)
+    inline_fp = [
+        r["bloom_hit"]
+        for r in __import__(
+            "scip_spark.functions.bloom", fromlist=["bloom_probe_inline"]
+        ).bloom_probe_inline(absent, "key", auto, m="auto").collect()
+    ]
+    assert np.mean(inline_fp) == auto_fp  # both probe paths agree on m
+    # auto-sized parts merge with the m stamp intact
+    merged = bloom_merge(auto.unionByName(auto))
+    assert bloom_m_of(merged) == m_eff
+    assert _rows(merged.select("word", "bits")) == _rows(auto.select("word", "bits"))
+
+
+def test_bloom_required_m_formula(spark):
+    """Closed form: the chosen m's PREDICTED FPR meets the target and
+    m/2's does not (tightness), across decades of n."""
+    import math
+
+    from scip_spark.functions.bloom import bloom_required_m
+
+    def fpr(n, m, k=4):
+        return (1.0 - math.exp(-k * n / m)) ** k
+
+    for n in (100, 4096, 100_000, 700_000):
+        m = bloom_required_m(n)
+        assert fpr(n, m) <= 1e-3
+        if m > 1 << 10:
+            assert fpr(n, m // 2) > 1e-3
+    assert bloom_required_m(10**9) == 1 << 24  # clamped at the chunk space
+
+
 def test_stream_fold_every_k_batches_matches_batch(spark, tmp_path):
     """_stream_fold's bounded driver merge: with 18 one-file micro-
     batches and fold_every=4 (so pending crosses the collapse threshold
