@@ -452,11 +452,51 @@ def _sobel_stats(sob: np.ndarray, mask: np.ndarray) -> list[float]:
     return [0.0] * 4
 
 
+_ZERO11 = [0.0] * len(INTENSITY_PROPS)
+
+#: zero-view marker in deferred token rows — a dedicated sentinel, NOT
+#: None (shape empty-default rows legitimately contain None = null)
+_ZERO_VIEW = object()
+
+
+def _resolve_features(tokens: list, stats: list[list[float]]) -> list:
+    """Expand a deferred _record_features token row: floats/None pass
+    through, ``_ZERO_VIEW`` splices the 11-zero row, an int handle
+    splices the corresponding :func:`_stats11_many` result."""
+    vals: list = []
+    for e in tokens:
+        if e is _ZERO_VIEW:
+            vals += _ZERO11
+        elif type(e) is int:
+            vals += stats[e]
+        else:
+            vals.append(e)
+    return vals
+
+
 def _record_features(
-    a, m, cm, bg, cbg, bbox, families: list[str], nchannels: int
-) -> list[float]:
-    out: list[float] = []
-    ZERO11 = [0.0] * len(INTENSITY_PROPS)
+    a, m, cm, bg, cbg, bbox, families: list[str], nchannels: int,
+    jobs: list | None = None,
+) -> list:
+    """One record's feature row. With ``jobs=None`` (the standalone
+    API): resolved floats, exactly as always. With a caller-owned
+    ``jobs`` list: a TOKEN row (floats + int handles into ``jobs`` +
+    ``None`` zero-markers) whose _stats11 work is deferred — the caller
+    stacks every record of an Arrow batch into ONE
+    :func:`_stats11_many` call and expands rows via
+    :func:`_resolve_features`. Cross-record grouping is bit-identical
+    per vector (which rows share a _stats11_batch stack cannot change
+    any row's values — the pinned batch property), so deferral only
+    changes dispatch count, never results."""
+    defer = jobs is not None
+    if jobs is None:
+        jobs = []
+    out: list = []
+
+    def _job(v: np.ndarray) -> int:
+        jobs.append(v)
+        return len(jobs) - 1
+
     if cm is not None:
         cm_any = cm
     elif m is not None:
@@ -493,17 +533,12 @@ def _record_features(
         _edge_of = {
             c: _mask_of(c) ^ _eroded[1 + i] for i, c in enumerate(_need_edge)
         }
-        # two passes so every channel's/view's vector lands in ONE
-        # length-grouped _stats11_many call (same-record vectors share
-        # lengths heavily: the 3 channels of one mask view are always
-        # equal-length) — per-view values bit-identical to the former
-        # per-call _stats11 (see _stats11_batch docstring + pin test)
-        jobs: list[np.ndarray] = []
+        # every channel's/view's vector lands in ONE length-grouped
+        # _stats11_many call (same-record vectors share lengths heavily:
+        # the 3 channels of one mask view are always equal-length) —
+        # per-view values bit-identical to the former per-call _stats11
+        # (see _stats11_batch docstring + pin test)
         specs: list[dict[str, object]] = []
-
-        def _job(v: np.ndarray) -> int:
-            jobs.append(v)
-            return len(jobs) - 1
 
         for c in range(nchannels):
             chan = a[c]
@@ -555,14 +590,14 @@ def _record_features(
                     spec["combined_edge"] = "zero"
                     spec["combined_bgcorr_edge"] = "zero"
             specs.append(spec)
-        stats = _stats11_many(jobs)
         for spec in specs:
             for v in INTENSITY_VIEWS:
                 s = spec[v]
-                out += ZERO11 if s == "zero" else stats[s]  # type: ignore[index]
+                out.append(_ZERO_VIEW if s == "zero" else s)
     if "raw" in families:
-        # the 3 full-channel vectors share length H*W: one batched call
-        out += [x for row in _stats11_many(list(a)) for x in row]
+        # the full-channel vectors share length H*W: one length group
+        for c in range(nchannels):
+            out.append(_job(a[c]))
     if "shape" in families:
         # combined row first, then one row per channel (shape.py:143-148)
         shape_cm = _shape_row(cm_any)
@@ -607,7 +642,9 @@ def _record_features(
         for mi in t_emit:
             base, sob_tail = t_meta[mi]
             out += t_props[base] + t_props[base + 1] + sob_tail
-    return out
+    if defer:
+        return out
+    return _resolve_features(out, _stats11_many(jobs))
 
 
 DEFAULT_FAMILIES = ["bbox", "intensity", "raw", "shape", "texture"]
@@ -633,7 +670,14 @@ def extract_features(df: DataFrame, nchannels: int, families: list[str] | None =
             col("regions"), col("combined_mask"), col("background"),
             col("combined_background"), col("bbox"),
         )
-        rows = []
+        # cross-RECORD _stats11 batching: every record's intensity/raw
+        # vectors accumulate into ONE batch-wide jobs list (token rows
+        # come back with handles), so the length-grouped batch kernel
+        # sees group sizes of the whole Arrow batch instead of one
+        # record — identical values (see _record_features docstring),
+        # ~batch-size× fewer _stats11_batch dispatch rounds.
+        jobs: list[np.ndarray] = []
+        pending: list[tuple[dict, list | None]] = []
         for i in range(len(pdf)):
             meta = {
                 "path": paths[i],
@@ -644,7 +688,7 @@ def extract_features(df: DataFrame, nchannels: int, families: list[str] | None =
             }
             a, m = pixels[i], masks[i]
             if a is None:
-                rows.append({**meta, **{c: None for c in feat_cols}})
+                pending.append((meta, None))
                 continue
             cm_flat = cms[i]
             cm = (
@@ -652,7 +696,7 @@ def extract_features(df: DataFrame, nchannels: int, families: list[str] | None =
                 if cm_flat is not None
                 else None
             )
-            vals = _record_features(
+            tokens = _record_features(
                 a,
                 m,
                 cm,
@@ -661,8 +705,18 @@ def extract_features(df: DataFrame, nchannels: int, families: list[str] | None =
                 bboxes[i],
                 families,
                 nchannels,
+                jobs=jobs,
             )
-            rows.append({**meta, **dict(zip(feat_cols, vals))})
+            pending.append((meta, tokens))
+        stats = _stats11_many(jobs)
+        rows = []
+        for meta, tokens in pending:
+            if tokens is None:
+                rows.append({**meta, **{c: None for c in feat_cols}})
+            else:
+                rows.append(
+                    {**meta, **dict(zip(feat_cols, _resolve_features(tokens, stats)))}
+                )
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return map_events(df, batch, schema)
