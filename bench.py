@@ -142,26 +142,10 @@ def main() -> None:
     import scip_spark.entry_queries  # noqa: F401
     from scip_spark.queries import REGISTRY
 
-    # Round-9 audit: exactly three headline queries run a partition-
-    # less window, each over a provably BOUNDED post-agg relation (the
-    # whitelist + proofs live in tests/test_plans.py
-    # _BOUNDED_GLOBAL_WINDOWS): corpus_pack_shards / corpus_chunk_pack
-    # (exclusive prefix over the n_buckets-row bucket-totals relation)
-    # and sliding_distinct_users (calendar-range window over per-day
-    # sketches). None admits a natural partitionBy — global prefix
-    # sums and cross-boundary calendar slides need global order — so
-    # the intentional-and-bounded cases are adjudicated in the test
-    # whitelist and ONLY WindowExec's warning is silenced here to keep
-    # the bench tail readable. Any NEW partition-less window on a
-    # data-scale relation still fails test_no_partitionless_window_in_registry.
-    try:
-        jvm = spark._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
-    except Exception:
-        pass  # logging backend differs: warnings are cosmetic anyway
+    # audited bounded-window WARN silence (see the helper's docstring)
+    from scip_spark.session import silence_bounded_window_warning
+
+    silence_bounded_window_warning(spark)
 
     # warm the JVM, parquet footers and codegen paths once so per-query
     # numbers measure the plan, not session startup

@@ -22,6 +22,9 @@ def main() -> int:
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     names = [a for a in args if "/" not in a] or list(queries.REGISTRY)
     spark = get_spark("oracle-check", shuffle_partitions=8)
+    from scip_spark.session import silence_bounded_window_warning
+
+    silence_bounded_window_warning(spark)
     failures = []
     for name in names:
         t0 = time.time()
