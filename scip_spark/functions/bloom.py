@@ -55,7 +55,13 @@ def bloom_required_m(n: int, k: int = BLOOM_K, target_fpr: float = 1e-3) -> int:
     if n <= 0:
         return 1 << 10
     need = k * n / -math.log(1.0 - target_fpr ** (1.0 / k))
-    return min(_BLOOM_M_MAX, 1 << max(10, math.ceil(math.log2(need))))
+    # comparison ladder, not ceil(log2(need)): the SQL oracle mirrors
+    # this selection, and float log2 could flip the ceil in the last
+    # ulp between engines — integer-vs-double compares cannot
+    m = 1 << 10
+    while m < need and m < _BLOOM_M_MAX:
+        m <<= 1
+    return m
 
 
 def bloom_auto_m(

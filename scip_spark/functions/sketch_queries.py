@@ -737,6 +737,103 @@ def bloom_prefilter_join(spark, sf_dir):
     )
 
 
+def _bloom_auto_sql(k: int = BLOOM_K, target_fpr: float = 1e-3, kmv_k: int = 128) -> str:
+    import math
+
+    # the -ln(1 - fpr^{1/k}) constant is inlined as a full-precision
+    # literal so the oracle never evaluates pow/log (libm differs in
+    # the last ulp across engines); every remaining op in the m
+    # selection — division, 4*n, ceil, int-vs-double compare — is
+    # bit-identical IEEE in both engines
+    c = -math.log(1.0 - target_fpr ** (1.0 / k))
+    powers = ", ".join(f"({1 << p})" for p in range(10, 25))
+    idx = ", ".join(f"({i})" for i in range(k))
+    pos = (
+        "CAST(('0x' || substr(md5(text), 1 + 6 * i, 6)) AS BIGINT)"
+        " % (SELECT m FROM msel)"
+    )
+    return f"""
+    WITH train AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+    eval AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    hashes AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+      FROM train WHERE text IS NOT NULL
+    ),
+    kmins AS (SELECT h FROM hashes ORDER BY h LIMIT {kmv_k}),
+    est AS (
+      SELECT CASE WHEN COUNT(*) < {kmv_k} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(kmv_k - 1)!r} / (MAX(h) / 281474976710656.0)
+             END AS n
+      FROM kmins
+    ),
+    msel AS (
+      SELECT COALESCE(
+        (SELECT MIN(p) FROM (VALUES {powers}) pw(p)
+          WHERE CAST(p AS DOUBLE) >= ({k} * ceil(est.n)) / {c!r}),
+        16777216) AS m
+      FROM est
+    ),
+    tpos AS (
+      SELECT {pos} AS p FROM train, (VALUES {idx}) AS t(i)
+    ),
+    bloom AS (
+      SELECT CAST(p // 32 AS BIGINT) AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM tpos GROUP BY 1
+    ),
+    epos AS (
+      SELECT doc_id, CAST(({pos}) // 32 AS BIGINT) AS word,
+             (1::BIGINT << CAST(({pos}) % 32 AS INT)) AS mask
+      FROM eval, (VALUES {idx}) AS t(i)
+    )
+    SELECT e.doc_id,
+           bool_and(b.bits IS NOT NULL AND (b.bits & e.mask) = e.mask)
+             AS bloom_hit,
+           CAST((SELECT m FROM msel) AS BIGINT) AS m_bits
+    FROM epos e LEFT JOIN bloom b ON e.word = b.word
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """
+
+
+@register(
+    "bloom_autosized_screen",
+    _bloom_auto_sql(),
+    doc="Bloom auto-sizing proven CROSS-ENGINE: both engines derive m "
+    "from the same deterministic KMV bottom-128 distinct estimate of "
+    "the train split ((k-1)/kth-min-fraction over 48-bit md5 hashes), "
+    "pick the same power-of-two via the same comparison ladder "
+    "(m >= k*ceil(n)/c with c inlined as a literal — no pow/log on "
+    "either side), then hash-match the per-doc screen booleans AND "
+    "the chosen m_bits itself. A fixed m saturates at n >> m "
+    "(tests/test_sketches.py pins FPR > 0.9 at n=40k vs m=2^10 and "
+    "the auto path restoring < 1e-3); this entry is the oracle-paired "
+    "witness that the auto path reproduces exactly at any corpus "
+    "size. Scale shape: the KMV estimate is a TakeOrdered bottom-k "
+    "(bounded driver collect), build/probe identical to "
+    "bloom_contamination_screen.",
+)
+def bloom_autosized_screen(spark, sf_dir):
+    from scip_spark.functions.bloom import (
+        bloom_auto_m,
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 < 8).select("text")
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+    m = bloom_auto_m(train, "text", kmv_k=128)
+    bloom = bloom_build(train, "text", m=m)
+    return (
+        bloom_probe(ev.select("doc_id", "text"), "text", bloom, m=m)
+        .select(
+            "doc_id", "bloom_hit", F.lit(m).cast("long").alias("m_bits")
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "bloom_screen_streaming",
     _bloom_sql(),

@@ -603,3 +603,50 @@ def test_stats11_many_bit_identical_to_per_call():
     assert len(got) == len(want)
     for g, w in zip(got, want):  # NaN-positional equality, exact values
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_record_features_deferred_equals_standalone():
+    """Cross-record deferral (extract_features' batch path): token rows
+    resolved against ONE shared _stats11_many call are element-identical
+    to per-record standalone _record_features — across records with
+    empty channel masks, shared combined masks (None-valued shape
+    defaults must survive the token encoding), and distinct per-channel
+    masks."""
+    from scip_spark.operators.features import (
+        _record_features,
+        _resolve_features,
+        _stats11_many,
+    )
+
+    rng = np.random.default_rng(23)
+    fams = ["bbox", "intensity", "raw", "shape", "texture"]
+    nch = 2
+    records = []
+    for t in range(8):
+        a = (rng.random((nch, 14, 16)) * 100).astype(np.float32)
+        m = np.zeros((nch, 14, 16), dtype=bool)
+        m[0, 3:10, 4:12] = True
+        if t % 3 == 0:
+            m[1] = m[0]          # channel mask == combined (shared path)
+        elif t % 3 == 1:
+            m[1, 1:6, 2:7] = True  # distinct channel mask
+        # t % 3 == 2: channel 1 mask empty (zero views + shape defaults)
+        cm = m.any(axis=0)
+        bg = rng.random(nch) * 5
+        records.append((a, m, cm, bg, bg * 0.5, [3, 4, 10, 12]))
+
+    jobs: list = []
+    tokens = [
+        _record_features(a, m, cm, bg, cbg, bb, fams, nch, jobs=jobs)
+        for a, m, cm, bg, cbg, bb in records
+    ]
+    stats = _stats11_many(jobs)
+    for tok, (a, m, cm, bg, cbg, bb) in zip(tokens, records):
+        got = _resolve_features(tok, stats)
+        want = _record_features(a, m, cm, bg, cbg, bb, fams, nch)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            if w is None:
+                assert g is None
+            else:
+                np.testing.assert_array_equal(g, w)
