@@ -103,6 +103,70 @@ def quota_per_group(
     )
 
 
+def stratified_exact_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "strat-v1",
+) -> DataFrame:
+    """EXACTLY ``k`` rows, stratified proportionally to group sizes via
+    Hamilton (largest-remainder) apportionment — the standard way to
+    cut a fixed-size eval set that mirrors the corpus mix: every group
+    gets ``floor(k·c_g/C)`` seats, and the ``k − Σfloor`` residual
+    seats go to the largest remainders ``(k·c_g) mod C`` (ties broken
+    by group name). Per-group membership is then the deterministic
+    md5-order top-quota, so the sample is rerun-stable and every step
+    is integer/md5 arithmetic — bit-reproducible in any engine.
+
+    Plan shape: group counts are one map-side-combined aggregation to a
+    G-row relation; the apportionment window runs over those G rows
+    (bounded — G = #groups, not data); quotas broadcast back onto the
+    per-group hash-order row_number, whose rank filter triggers
+    WindowGroupLimit pushdown exactly like :func:`quota_per_group`
+    (map-local top-quota before the exchange)."""
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("c"))
+    totals = counts.agg(F.sum("c").cast("long").alias("total"))
+    seats = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            F.expr(f"({k}L * c) div total").alias("base"),
+            F.expr(f"({k}L * c) % total").alias("rem"),
+        )
+    )
+    # residual seats: rank the G-row relation by remainder (bounded
+    # partition-less window — G groups, never data-scale; whitelisted
+    # in tests/test_plans.py _BOUNDED_GLOBAL_WINDOWS)
+    base_tot = seats.agg(F.sum("base").cast("long").alias("base_tot"))
+    wr = W.orderBy(F.col("rem").desc(), F.col(group_col).asc())
+    quotas = (
+        seats.crossJoin(F.broadcast(base_tot))
+        .select(
+            group_col,
+            (
+                F.col("base")
+                + (
+                    F.row_number().over(wr) <= F.lit(k) - F.col("base_tot")
+                ).cast("long")
+            ).alias("quota"),
+        )
+    )
+    order = hash_bucket(F.col(key_col), seed)
+    w = W.partitionBy(group_col).orderBy(order.asc(), F.col(key_col).asc())
+    # the LITERAL k rank filter (quota <= k always) is what triggers
+    # the WindowGroupLimit map-local pushdown; the exact per-group
+    # quota cut happens against the broadcast G-row relation after
+    ranked = df.withColumn("srank", F.row_number().over(w)).filter(
+        F.col("srank") <= k
+    )
+    return (
+        ranked.join(F.broadcast(quotas), group_col)
+        .filter(F.col("srank") <= F.col("quota"))
+        .drop("srank", "quota")
+    )
+
+
 def mixture_upsample(
     df: DataFrame,
     epochs_by_group: dict[str, int],

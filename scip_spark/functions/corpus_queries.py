@@ -96,6 +96,64 @@ def corpus_mixture_upsample(spark, sf_dir):
     return mixture_upsample(docs, _EPOCHS).select("doc_id", "source", "epoch")
 
 
+_STRAT_K = 60
+# DuckDB twin of the strat-v1 hash order
+_STRAT_ORDER = _BUCKET.format(seed="strat-v1", key="doc_id")
+
+
+@register(
+    "corpus_stratified_eval",
+    f"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+    seats AS (
+      SELECT lang, ({_STRAT_K} * c) // total AS base,
+             ({_STRAT_K} * c) % total AS rem
+      FROM c, t
+    ),
+    bt AS (SELECT CAST(SUM(base) AS BIGINT) AS base_tot FROM seats),
+    quotas AS (
+      SELECT lang,
+             base + CASE WHEN ROW_NUMBER()
+                            OVER (ORDER BY rem DESC, lang ASC)
+                          <= {_STRAT_K} - base_tot
+                    THEN 1 ELSE 0 END AS quota
+      FROM seats, bt
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_STRAT_ORDER} ASC, doc_id ASC
+             ) AS srank
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN quotas q USING (lang)
+    WHERE r.srank <= q.quota
+    ORDER BY r.lang, r.doc_id
+    """,
+    doc="EXACTLY-K stratified eval set via Hamilton largest-remainder "
+    "apportionment: floor(K*c_g/C) seats per lang plus residual seats "
+    "to the largest (K*c_g) mod C remainders, members chosen by "
+    "deterministic md5 order — every step integer/md5 arithmetic, "
+    "hash-matched cross-engine. Plan: counts are one map-side-combined "
+    "agg to G rows; the apportionment window is partition-less over "
+    "that BOUNDED G-row relation (whitelisted with proof in "
+    "tests/test_plans.py); the data-scale rank is keyed by lang with "
+    "a literal-K rank filter that triggers WindowGroupLimit map-local "
+    "pushdown before the exchange.",
+)
+def corpus_stratified_eval(spark, sf_dir):
+    from scip_spark.functions.corpus import stratified_exact_sample
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_exact_sample(docs, _STRAT_K).orderBy("lang", "doc_id")
+
+
 @register(
     "corpus_temperature_mix",
     """

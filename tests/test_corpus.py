@@ -581,3 +581,35 @@ def test_temperature_mixture_flattens(spark):
     assert out["small"]["epochs_x4"] >= 8  # >= 2 epochs
     # exact quarter-epoch values: u_d = (w_d / share_d)
     assert out["small"]["epochs_x4"] == 12  # 3.0x exactly (4*(1/7)/(2500/52500))
+
+
+def test_stratified_exact_sample(spark):
+    """Hamilton apportionment: exactly k rows total, per-group counts
+    within 1 of the exact proportional share (the largest-remainder
+    guarantee), rerun-stable membership, and the data-scale rank keeps
+    its WindowGroupLimit map-local pushdown (literal-k filter)."""
+    import math
+
+    from scip_spark.functions.corpus import stratified_exact_sample
+
+    rows = [(i, f"lang{i % 7}") for i in range(997)]  # uneven shares
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    k = 100
+    out = stratified_exact_sample(d, k)
+    got = out.collect()
+    assert len(got) == k
+    by_lang = {}
+    for r in got:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    from collections import Counter
+
+    sizes = Counter(lang for _, lang in rows)
+    total = sum(sizes.values())
+    for lang, c in sizes.items():
+        exact = k * c / total
+        assert math.floor(exact) <= by_lang.get(lang, 0) <= math.ceil(exact)
+    # deterministic: rerun picks the same doc_ids
+    again = sorted(r["doc_id"] for r in stratified_exact_sample(d, k).collect())
+    assert again == sorted(r["doc_id"] for r in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:1500]

@@ -208,6 +208,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "sliding_distinct_users",
     # RRF rank over the 20-row post-LIMIT BM25 result (bounded by k)
     "hybrid_search_rrf",
+    # Hamilton apportionment rank over the G-row per-lang seats
+    # relation (bounded by #langs; corpus.py stratified_exact_sample —
+    # the data-scale rank in the same query is partitioned by lang)
+    "corpus_stratified_eval",
 }
 
 
