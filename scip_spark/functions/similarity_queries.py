@@ -616,3 +616,73 @@ def embedding_doc_consistency(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("chars"),
         )
     )
+
+
+@register(
+    "embedding_sq8_checksum",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ext AS (
+      SELECT CAST(r.range AS INT) AS i,
+             MIN(emb[r.range]) AS mn, MAX(emb[r.range]) AS mx
+      FROM v, range(1, 65) r GROUP BY 1
+    ),
+    codes AS (
+      SELECT vec_id,
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(floor((emb[i] - mn) / (mx - mn) * 255) AS BIGINT)
+             END AS code
+      FROM v CROSS JOIN ext
+    )
+    SELECT vec_id,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           CAST(SUM(code * code) AS BIGINT) AS code_sqsum
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+    """,
+    doc="scalar int8 quantization (the FAISS SQ8 memory-reduction "
+    "shape): per-dim [min,max] extents train the quantizer, each "
+    "vector compresses to 64 uint8 codes = 4x smaller than float32 "
+    "before any PQ machinery. Exactness: extents are order-free "
+    "min/max; code = floor((x-mn)/(mx-mn)*255) uses only IEEE "
+    "sub/div/mul (no libm), so both engines floor the identical "
+    "double — per-vector integer checksums hash-match. Scale shape: "
+    "extents via posexplode + map-side-combined 64-key agg (shuffle "
+    "bounded at 64*tasks rows), then a bounded 64-row collect "
+    "broadcast as literal arrays into a zip_with projection — the "
+    "corpus shuffles ZERO rows for the encode itself (SURVEY J3 "
+    "broadcast-extents pattern); staged projections keep the HOF "
+    "lambda from recomputing per consumer.",
+)
+def embedding_sq8_checksum(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # per-dim extents: 64-key agg (map-side combine), bounded collect
+    ext = (
+        emb.select(F.posexplode("emb").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mn = F.array(*[F.lit(r["mn"]) for r in ext])
+    mx = F.array(*[F.lit(r["mx"]) for r in ext])
+    coded = emb.select(
+        "vec_id",
+        F.zip_with(
+            F.zip_with("emb", mn, lambda x, lo: x - lo),
+            F.zip_with(mx, mn, lambda hi, lo: hi - lo),
+            lambda d, span: F.when(span == 0, F.lit(0).cast("long")).otherwise(
+                F.floor(d / span * 255)
+            ),
+        ).alias("codes"),
+    )
+    return coded.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c * c
+        ).alias("code_sqsum"),
+    ).orderBy("vec_id")
