@@ -946,3 +946,90 @@ def lsh_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8)
+# ---------------------------------------------------------------------------
+
+
+def sq8_extents(candidates: DataFrame, emb_col: str = "embedding") -> list:
+    """Per-dimension [min, max] training of the scalar quantizer: one
+    map-side-combined dim-keyed aggregation (shuffle bounded at
+    dim × tasks rows), collected as the bounded dim-row relation —
+    the SURVEY J3 broadcast-extents pattern."""
+    return (
+        candidates.select(
+            F.posexplode(F.col(emb_col).cast("array<double>")).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+
+
+def sq8_recon(emb_col, ext) -> "Column":
+    """Midpoint-dequantized SQ8 reconstruction of ``emb_col``:
+    code = floor((x−mn)/span·255), recon = mn + (code+0.5)·span/255 —
+    only IEEE sub/div/mul (no libm), so the reconstructed doubles are
+    bit-identical in any engine given the same extents. Span-0 dims
+    reconstruct to mn exactly."""
+    c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    mn_a = F.array(*[F.lit(float(r["mn"])) for r in ext])
+    sp_a = F.array(*[F.lit(float(r["mx"] - r["mn"])) for r in ext])
+
+    def one(x, i):
+        idx = (i + F.lit(1)).cast("int")
+        mn = F.element_at(mn_a, idx)
+        sp = F.element_at(sp_a, idx)
+        code = F.floor((x - mn) / sp * 255)
+        return F.when(sp == 0, mn).otherwise(
+            mn + ((code + F.lit(0.5)) * sp) / F.lit(255.0)
+        )
+
+    return F.transform(c, one)
+
+
+def sq8_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN via scalar quantization: candidates compress to uint8 codes
+    (4× smaller than float32 — the memory-resident scale path), the
+    approximate pass scores queries against midpoint reconstructions,
+    and the top-``rerank`` shortlist re-ranks exactly (shared PQ-family
+    tail). Fully deterministic: unlike IVF/PQ (k-means-dependent), the
+    SQ8 shortlist is a closed-form function of the data, so the final
+    top-k is hash-matchable cross-engine, not just recall-bounded.
+
+    Scale shape: extents are a bounded dim-row collect; the encode /
+    reconstruction is a pure projection (zero corpus shuffle); the
+    approximate pass is one broadcast-queries scan, identical to
+    brute_force_topk's plan but over 1-byte-per-dim state."""
+    ext = sq8_extents(candidates, emb_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).cast("array<double>").alias("q_emb"),
+    )
+    # staged projection: r_emb must reach the cosine as a bound
+    # attribute (3 consumers — dot + both norms — would otherwise
+    # inline the whole transform 3x; no CSE inside lambdas)
+    recon = candidates.select(
+        F.col(id_col).alias("c_id"),
+        sq8_recon(F.col(emb_col).cast("array<double>"), ext).alias("r_emb"),
+    )
+    approx = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine(F.col("q_emb"), F.col("r_emb")).alias("approx_sim"),
+        )
+    )
+    return _shortlist_and_rerank(approx, queries, candidates, k, rerank, id_col, emb_col)
