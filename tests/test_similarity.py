@@ -379,3 +379,43 @@ def test_lsh_multiprobe_recall_at_least_single(spark, emb, exact):
     assert r_multi >= r_single
     # probing must add SOME candidates on this corpus (not a no-op)
     assert len(multi) >= len(single)
+
+
+def test_sq8_topk_recall_and_reconstruction(spark):
+    """SQ8 shortlist+rerank: 8-bit midpoint reconstruction is accurate
+    enough that recall@5 vs exact brute force is near-perfect on the
+    test corpus, reconstructions stay within half a quantization step
+    per dim, and the result is rerun-deterministic."""
+    import numpy as np
+
+    from scip_spark.functions.similarity import (
+        brute_force_topk,
+        sq8_extents,
+        sq8_recon,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    got = sq8_topk(q, emb, k=5, rerank=20).collect()
+    exact = brute_force_topk(q, emb, k=5).collect()
+    hits = {(r["q_id"], r["c_id"]) for r in got} & {
+        (r["q_id"], r["c_id"]) for r in exact
+    }
+    assert len(hits) / len(exact) >= 0.9, len(hits) / len(exact)
+    again = sq8_topk(q, emb, k=5, rerank=20).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+    # per-dim reconstruction error <= span/255/2 + eps (midpoint dequant)
+    ext = sq8_extents(emb)
+    one = (
+        emb.limit(16)
+        .select(
+            F.col("embedding").cast("array<double>").alias("e"),
+            sq8_recon(F.col("embedding").cast("array<double>"), ext).alias("r"),
+        )
+        .collect()
+    )
+    spans = np.array([r["mx"] - r["mn"] for r in ext])
+    for row in one:
+        err = np.abs(np.array(row["e"]) - np.array(row["r"]))
+        assert np.all(err <= spans / 255 / 2 + 1e-12), err.max()
