@@ -64,6 +64,8 @@ HEADLINE = [
     "pit_join_lineitem_scd2",
     "dyadic_hist_price_quantiles",
     "bloom_prefilter_join",
+    "ann_sq8_topk",
+    "corpus_temperature_mix",
     "dedup_setsim_join",
     "dedup_containment_pairs",
     "winnow_dup_pairs",
