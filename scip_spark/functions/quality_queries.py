@@ -292,3 +292,63 @@ def token_budget_by_domain(spark, sf_dir):
             ),
         )
     )
+
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@register(
+    "contamination_normalized",
+    f"""
+    WITH train AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+    eval AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    tr AS (SELECT DISTINCT md5(text) AS h FROM train),
+    tn AS (SELECT DISTINCT md5({_NORM_TEXT}) AS hn FROM train),
+    e AS (
+      SELECT doc_id, md5(text) AS h, md5({_NORM_TEXT}) AS hn FROM eval
+    )
+    SELECT e.doc_id,
+           tr.h IS NOT NULL AS exact_hit,
+           tn.hn IS NOT NULL AS norm_hit
+    FROM e LEFT JOIN tr ON e.h = tr.h LEFT JOIN tn ON e.hn = tn.hn
+    ORDER BY e.doc_id
+    """,
+    doc="normalization-robust contamination screen: exact train/eval "
+    "text matching is defeated by trivial edits (case, whitespace, "
+    "punctuation), so eval docs are ALSO matched on the normalized "
+    "form (lowercase, non-alphanumeric runs collapsed to single "
+    "spaces, trimmed) — norm_hit ⊇ exact_hit by construction "
+    "(pinned in pytest with variant docs exact matching misses). "
+    "Scale shape: both sides join on md5 fingerprints, so the "
+    "shuffle carries 32-char hashes, never document text; the "
+    "distinct train fingerprint relations are corpus-unique-sized.",
+)
+def contamination_normalized(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    def norm(c):
+        return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+    tr = train.select(F.md5("text").alias("h")).distinct().withColumn(
+        "e1", F.lit(True)
+    )
+    tn = (
+        train.select(F.md5(norm(F.col("text"))).alias("hn"))
+        .distinct()
+        .withColumn("e2", F.lit(True))
+    )
+    evh = ev.select(
+        "doc_id", F.md5("text").alias("h"), F.md5(norm(F.col("text"))).alias("hn")
+    )
+    return (
+        evh.join(tr, "h", "left")
+        .join(tn, "hn", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e1", F.lit(False)).alias("exact_hit"),
+            F.coalesce("e2", F.lit(False)).alias("norm_hit"),
+        )
+        .orderBy("doc_id")
+    )

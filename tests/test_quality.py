@@ -123,3 +123,32 @@ def test_score_documents_null_text(spark):
         model_name="len-model-2",
     ).collect()}
     assert got == {1: 0.0, 2: 2.0}  # null text scores as empty, never crashes
+
+
+def test_contamination_normalized_catches_variants(spark, tmp_path):
+    """norm_hit ⊇ exact_hit, and case/whitespace/punctuation variants
+    of a train doc — which exact matching misses — are norm-flagged."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    rows = []
+    # train docs (doc_id % 10 < 8)
+    rows.append((0, "The quick brown fox jumps over the lazy dog"))
+    rows.append((1, "completely unrelated training text"))
+    # eval docs (doc_id % 10 >= 8)
+    rows.append((8, "The quick brown fox jumps over the lazy dog"))   # exact
+    rows.append((18, "the QUICK  brown fox, jumps over the lazy dog!"))  # variant
+    rows.append((28, "genuinely novel evaluation document"))           # clean
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["contamination_normalized"].fn(spark, sf).collect()
+    }
+    assert out[8]["exact_hit"] and out[8]["norm_hit"]
+    assert not out[18]["exact_hit"] and out[18]["norm_hit"]  # the point
+    assert not out[28]["exact_hit"] and not out[28]["norm_hit"]
+    assert all(r["norm_hit"] or not r["exact_hit"] for r in out.values())
