@@ -613,3 +613,69 @@ def test_stratified_exact_sample(spark):
     assert again == sorted(r["doc_id"] for r in got)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_hamilton_apportionment_property(spark):
+    """stratified_exact_sample's seat allocation equals a pure-Python
+    Hamilton reference across randomized strata shapes (exact-k,
+    floor/ceil quota rule, remainder tie-break by group name)."""
+    import random
+
+    rng = random.Random(5)
+    for trial in range(6):
+        g = rng.randint(2, 9)
+        sizes = {f"s{j}": rng.randint(1, 120) for j in range(g)}
+        total = sum(sizes.values())
+        k = rng.randint(1, total)
+        rows = [
+            (f"{lang}_{i}", lang) for lang, c in sizes.items() for i in range(c)
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "lang"])
+        from scip_spark.functions.corpus import stratified_exact_sample
+
+        got = {}
+        for r in stratified_exact_sample(d, k).collect():
+            got[r["lang"]] = got.get(r["lang"], 0) + 1
+        # pure-Python Hamilton reference
+        base = {lang: k * c // total for lang, c in sizes.items()}
+        rem = {lang: (k * c) % total for lang, c in sizes.items()}
+        extra = k - sum(base.values())
+        order = sorted(sizes, key=lambda lang: (-rem[lang], lang))
+        want = {
+            lang: base[lang] + (1 if i < extra else 0)
+            for i, lang in enumerate(order)
+        }
+        want = {lang: n for lang, n in want.items() if n}
+        assert got == want, (trial, k, sizes, got, want)
+
+
+def test_temperature_mixture_matches_python_reference(spark):
+    """weight_fp / epochs_x4 equal the exact integer reference across
+    randomized source masses (including span-dominant and near-equal
+    mixes)."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    from scip_spark.functions.corpus import temperature_mixture
+
+    for trial in range(5):
+        g = rng.randint(2, 8)
+        masses = {f"d{j}": rng.randint(1, 5000) for j in range(g)}
+        rows = []
+        for s, m in masses.items():
+            # split mass into a few docs
+            left, i = m, 0
+            while left > 0:
+                take = min(left, rng.randint(1, max(1, m // 3)))
+                rows.append((s, take))
+                left -= take
+                i += 1
+        d = spark.createDataFrame(rows, ["source", "n_chars"])
+        got = {r["source"]: r for r in temperature_mixture(d).collect()}
+        sq = {s: math.floor(math.sqrt(float(m)) * 256) for s, m in masses.items()}
+        T, C = sum(sq.values()), sum(masses.values())
+        for s, m in masses.items():
+            assert got[s]["chars"] == m
+            assert got[s]["weight_fp"] == sq[s] * (1 << 30) // T, s
+            assert got[s]["epochs_x4"] == (4 * sq[s] * C) // (T * m), s
