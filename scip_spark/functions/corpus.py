@@ -223,6 +223,19 @@ def temperature_mixture(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(size_col).cast("long").alias("chars"),
     )
+    return mixture_weights_from_sizes(sizes, group_col, sqrt_grid, weight_grid)
+
+
+def mixture_weights_from_sizes(
+    sizes: DataFrame,
+    group_col: str = "source",
+    sqrt_grid: int = 256,
+    weight_grid: int = 1 << 30,
+) -> DataFrame:
+    """:func:`temperature_mixture`'s tail over a pre-aggregated
+    ``(group, n_docs, chars)`` relation — shared by the batch op and
+    its streaming twin (per-micro-batch count partials fold exactly:
+    integer sums are order-free)."""
     sized = sizes.withColumn(
         "sqrtfp",
         F.floor(F.sqrt(F.col("chars").cast("double")) * sqrt_grid).cast("long"),

@@ -154,9 +154,7 @@ def corpus_stratified_eval(spark, sf_dir):
     return stratified_exact_sample(docs, _STRAT_K).orderBy("lang", "doc_id")
 
 
-@register(
-    "corpus_temperature_mix",
-    """
+_TEMP_MIX_SQL = """
     WITH s AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS chars
@@ -177,7 +175,12 @@ def corpus_stratified_eval(spark, sf_dir):
            CAST((4 * sqrtfp * t_chars) // (t_sqrt * chars) AS BIGINT)
              AS epochs_x4
     FROM q, t ORDER BY source
-    """,
+    """
+
+
+@register(
+    "corpus_temperature_mix",
+    _TEMP_MIX_SQL,
     doc="temperature-sampled mixture weights at T=2 (α=0.5 — the "
     "multilingual-pretraining flattening): per-source weight ∝ "
     "√(token mass). √ is the ONE power IEEE requires correctly "
@@ -191,6 +194,54 @@ def corpus_stratified_eval(spark, sf_dir):
 def corpus_temperature_mix(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
     return temperature_mixture(docs).orderBy("source")
+
+
+@register(
+    "corpus_temperature_mix_stream",
+    _TEMP_MIX_SQL,
+    doc="corpus_temperature_mix with its per-source size statistics "
+    "built by STRUCTURED STREAMING: each micro-batch contributes "
+    "(source, n_docs, chars) count partials, folded through an "
+    "integer-sum merge (order-free and exact — counts are the "
+    "simplest mergeable statistic), then the shared "
+    "mixture_weights_from_sizes tail computes identical weights, so "
+    "the streaming entry shares the batch oracle SQL verbatim and "
+    "the driver hash-checks streamed mixture weights. Extends the "
+    "driver-checked streaming family (bloom/dyadic/CMS/KMV) to the "
+    "corpus-construction operators.",
+)
+def corpus_temperature_mix_stream(spark, sf_dir):
+    import shutil
+
+    from scip_spark.functions.corpus import mixture_weights_from_sizes
+    from scip_spark.functions.sketch_queries import (
+        _split_to_tmp,
+        _stream_fold,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("source", "n_chars")
+    tmp = _split_to_tmp(docs, key="n_chars")
+    try:
+        sizes = _stream_fold(
+            spark,
+            tmp,
+            "source string, n_chars bigint",
+            lambda bdf: bdf.groupBy("source").agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            ),
+            lambda parts: parts.groupBy("source").agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("chars").cast("long").alias("chars"),
+            ),
+            "source string, n_docs bigint, chars bigint",
+            lambda df: [
+                (r["source"], r["n_docs"], r["chars"]) for r in df.collect()
+            ],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return mixture_weights_from_sizes(sizes).orderBy("source")
 
 
 _PACK_BUDGET = 50_000
