@@ -1033,3 +1033,56 @@ def sq8_topk(
         )
     )
     return _shortlist_and_rerank(approx, queries, candidates, k, rerank, id_col, emb_col)
+
+
+def ivfsq8_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF + scalar quantization — the production billion-scale FAISS
+    configuration (IndexIVFScalarQuantizer): candidates partition into
+    IVF lists AND compress to SQ8 codes, queries probe their ``nprobe``
+    nearest lists scoring against midpoint reconstructions (1 byte/dim
+    of state per candidate in the scan), the top-``rerank`` shortlist
+    re-ranks exactly. Combines ivf_topk's list-pruned candidate scan
+    with sq8_topk's memory story; the shared PQ-family tail fetches raw
+    vectors for the shortlist only."""
+    ext = sq8_extents(candidates, emb_col)
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    bc = queries.sparkSession.sparkContext.broadcast(cn)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(emb: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ bc.value.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).cast("array<double>").alias("q_emb"),
+        probes(F.col(emb_col)).alias("probe_lists"),
+    ).select("q_id", "q_emb", F.explode("probe_lists").alias("ivf_list"))
+    # staged projection (see sq8_topk): r_emb must be a bound attribute
+    cands = ivf_assign(candidates, centroids, id_col, emb_col).select(
+        F.col(id_col).alias("c_id"),
+        sq8_recon(F.col(emb_col).cast("array<double>"), ext).alias("r_emb"),
+        "ivf_list",
+    )
+    approx = (
+        cands.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id", "c_id", cosine(F.col("q_emb"), F.col("r_emb")).alias("approx_sim")
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.max("approx_sim").alias("approx_sim"))  # dedupe multi-probe hits
+    )
+    return _shortlist_and_rerank(approx, queries, candidates, k, rerank, id_col, emb_col)

@@ -751,3 +751,42 @@ def ann_sq8_topk(spark, sf_dir):
 
     emb = tbl(spark, sf_dir, "embeddings")
     return sq8_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, rerank=20)
+
+
+@register(
+    "ann_ivfsq8_topk",
+    """
+    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="IVF + SQ8 — the production billion-scale FAISS configuration "
+    "(IndexIVFScalarQuantizer): list-pruned candidate scan over "
+    "1-byte-per-dim scalar-quantized state, exact re-rank of the "
+    "shortlist. k-means-dependent like the rest of the IVF family, so "
+    "the oracle checks the recall@5 invariant vs Spark-exact brute "
+    "force (the same bound form as ann_ivf_topk); the SQ8 "
+    "reconstruction itself is hash-matched by ann_sq8_topk.",
+)
+def ann_ivfsq8_topk(spark, sf_dir):
+    from scip_spark.functions.similarity import ivf_centroids, ivfsq8_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb, k=8)
+    approx = ivfsq8_topk(q, emb, cents, k=5, nprobe=3, rerank=20).select(
+        "q_id", "c_id"
+    )
+    exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
+    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            (
+                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.45
+            ).alias("recall_ok"),
+        )
+    )

@@ -419,3 +419,24 @@ def test_sq8_topk_recall_and_reconstruction(spark):
     for row in one:
         err = np.abs(np.array(row["e"]) - np.array(row["r"]))
         assert np.all(err <= spans / 255 / 2 + 1e-12), err.max()
+
+
+def test_ivfsq8_topk_recall(spark):
+    """IVF+SQ8 compose: recall@5 vs exact brute force clears the same
+    floor as the other IVF rungs, and the scan stage carries SQ8
+    reconstructions, not raw embeddings (staged r_emb projection)."""
+    from scip_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivfsq8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    cents = ivf_centroids(emb, k=8)
+    got = ivfsq8_topk(q, emb, cents, k=5, nprobe=3, rerank=20).collect()
+    exact = brute_force_topk(q, emb, k=5).collect()
+    hits = {(r["q_id"], r["c_id"]) for r in got} & {
+        (r["q_id"], r["c_id"]) for r in exact
+    }
+    assert len(hits) / len(exact) >= 0.45, len(hits) / len(exact)
