@@ -172,3 +172,31 @@ def test_empty_input_bloom(spark):
         r["bloom_hit"]
         for r in bloom_probe_inline(probes, "key", empty).collect()
     )
+
+
+def test_empty_input_round10_ops(spark):
+    """Round-10 operators over emptied relations: temperature mixture
+    and stratified sampling return zero rows (no divide-by-null blowup
+    from the empty-agg totals row), auto-sized bloom falls back to the
+    floor m, SQ8 handles an empty candidate side."""
+    from scip_spark.functions.bloom import bloom_auto_m, bloom_build
+    from scip_spark.functions.corpus import (
+        stratified_exact_sample,
+        temperature_mixture,
+    )
+    from scip_spark.functions.similarity import sq8_extents, sq8_topk
+
+    docs = spark.createDataFrame([], "source string, n_chars bigint")
+    assert temperature_mixture(docs).count() == 0
+
+    d2 = spark.createDataFrame([], "doc_id string, lang string")
+    assert stratified_exact_sample(d2, 10).count() == 0
+
+    keys = spark.createDataFrame([], "key string")
+    assert bloom_auto_m(keys, "key") == 1 << 10  # n=0 floor
+    assert bloom_build(keys, "key", m="auto").count() == 0
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert sq8_extents(emb) == []
+    q = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(2)
+    assert sq8_topk(q, emb, k=3).count() == 0
