@@ -352,3 +352,72 @@ def contamination_normalized(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "bigram_surprisal_scores",
+    f"""
+    WITH tokenized AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bi AS (SELECT doc_id, unnest({_sql_ngrams(2)}) AS bg FROM tokenized),
+    uni AS (SELECT unnest(toks) AS w FROM tokenized),
+    bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY 1),
+    uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+    rate AS (
+      SELECT bg, (c1 * 1048576) // c2 AS s
+      FROM bgc JOIN uc ON split_part(bgc.bg, ' ', 1) = uc.w
+    ),
+    sel AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(s) AS BIGINT) AS surprisal_fp
+      FROM bi b JOIN rate USING (bg) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, surprisal_fp,
+           surprisal_fp // n_bigrams AS mean_surprisal_fp
+    FROM sel ORDER BY doc_id
+    """,
+    doc="perplexity-style quality scoring (the CCNet filter shape) "
+    "with EXACT integer arithmetic: per-bigram surprisal is the "
+    "inverse conditional frequency c(w1)·2^20 div c(w1w2) — a "
+    "harmonic rarity score instead of -log p, chosen because integer "
+    "division hash-matches cross-engine where libm log cannot; docs "
+    "ranking high contain improbable transitions (gibberish, OCR "
+    "noise, boilerplate splice points). Scale shape: unigram/bigram "
+    "counts are map-side-combined aggs; the unigram join touches "
+    "only the DISTINCT-bigram relation (vocab-bounded, not corpus "
+    "occurrences), then one bg-keyed join prices each occurrence — "
+    "Zipf-hot bigram keys split under AQE since the rate side is one "
+    "row per key.",
+)
+def bigram_surprisal_scores(spark, sf_dir):
+    from scip_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    bi = docs.select("doc_id", F.explode(_ngram_col(2)).alias("bg"))
+    uc = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    bgc = bi.groupBy("bg").agg(F.count("*").cast("long").alias("c2"))
+    rate = (
+        bgc.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(uc, F.col("w1") == F.col("w"))
+        .select("bg", F.expr(f"(c1 * {1 << 20}L) div c2").alias("s"))
+    )
+    return (
+        bi.join(rate, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("s").cast("long").alias("surprisal_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_fp",
+            F.expr("surprisal_fp div n_bigrams").alias("mean_surprisal_fp"),
+        )
+        .orderBy("doc_id")
+    )
