@@ -152,3 +152,35 @@ def test_contamination_normalized_catches_variants(spark, tmp_path):
     assert not out[18]["exact_hit"] and out[18]["norm_hit"]  # the point
     assert not out[28]["exact_hit"] and not out[28]["norm_hit"]
     assert all(r["norm_hit"] or not r["exact_hit"] for r in out.values())
+
+
+def test_bigram_surprisal_ranks_gibberish_above_repetition(spark, tmp_path):
+    """A doc of improbable transitions (every bigram unique) must
+    out-score a doc that repeats one high-frequency pattern, and
+    per-bigram surprisal is exactly c(w1)*2^20 div c(bigram)."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    common = "the cat sat on the mat " * 20           # probable transitions
+    gibberish = " ".join(f"w{i} q{i * 7 % 13}" for i in range(40))
+    rows = [(0, common.strip()), (1, gibberish)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["bigram_surprisal_scores"].fn(spark, sf).collect()
+    }
+    assert out[1]["mean_surprisal_fp"] > out[0]["mean_surprisal_fp"]
+    # exact check on a tiny corpus: doc "a b a b" -> c(a)=c(b)=2,
+    # c('a b')=2, c('b a')=1 -> s('a b')=2*2^20//2=2^20, s('b a')=2*2^20
+    spark.createDataFrame(
+        [(0, "a b a b", "en", "s0", 7)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    r = REGISTRY["bigram_surprisal_scores"].fn(spark, sf).collect()[0]
+    assert r["n_bigrams"] == 3
+    assert r["surprisal_fp"] == (1 << 20) * 2 + (1 << 21)  # 2x 'a b' + 1x 'b a'
+    assert r["mean_surprisal_fp"] == r["surprisal_fp"] // 3
