@@ -207,7 +207,7 @@ def temperature_mixture(
     exact integer arithmetic: per-group ``sqrtfp = floor(√c ·
     sqrt_grid)`` (exact: power-of-two scale), integer-summed totals
     (order-free), and integer division for the outputs —
-    ``weight_fp = sqrtfp · weight_grid div ΣsqrtfP`` (the normalized
+    ``weight_fp = sqrtfp · weight_grid div Σsqrtfp`` (the normalized
     weight on the 2^30 grid) and ``epochs_x4 = 4 · sqrtfp · C div
     (Σsqrtfp · c)`` (the upsample factor weight/natural-share in
     quarter-epoch granularity, what mixture_upsample consumes).

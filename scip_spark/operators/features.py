@@ -480,8 +480,8 @@ def _record_features(
 ) -> list:
     """One record's feature row. With ``jobs=None`` (the standalone
     API): resolved floats, exactly as always. With a caller-owned
-    ``jobs`` list: a TOKEN row (floats + int handles into ``jobs`` +
-    ``None`` zero-markers) whose _stats11 work is deferred — the caller
+    ``jobs`` list: a TOKEN row (floats/None literals + int handles into
+    ``jobs`` + ``_ZERO_VIEW`` markers) whose _stats11 work is deferred — the caller
     stacks every record of an Arrow batch into ONE
     :func:`_stats11_many` call and expands rows via
     :func:`_resolve_features`. Cross-record grouping is bit-identical
