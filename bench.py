@@ -66,6 +66,7 @@ HEADLINE = [
     "bloom_prefilter_join",
     "ann_sq8_topk",
     "corpus_temperature_mix",
+    "bigram_surprisal_scores",
     "dedup_setsim_join",
     "dedup_containment_pairs",
     "winnow_dup_pairs",
