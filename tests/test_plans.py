@@ -301,3 +301,31 @@ def test_join_hints_control_strategy(spark):
            FROM hint_cust JOIN hint_orders ON c_custkey = o_custkey"""
     )
     assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bigram_surprisal_rate_join_is_vocab_bounded(spark):
+    """The unigram join must price the DISTINCT-bigram relation (both
+    join inputs are post-aggregate), never the corpus-occurrence
+    explode — at 100 TB that's the difference between a vocab-bounded
+    and a corpus-sized join. The occurrence side then joins the priced
+    rate relation once, on bg."""
+    plan = formatted_plan(spark, "bigram_surprisal_scores")
+    assert "CartesianProduct" not in plan
+    # the w1==w join consumes two aggregated relations: bigram counts
+    # and unigram counts — so the plan has >= 3 aggregates before the
+    # final per-doc rollup (bgc, uc, per-doc)
+    assert plan.count("HashAggregate") >= 3 or plan.count("SortAggregate") >= 3
+
+
+def test_sq8_candidates_never_shuffle_before_shortlist(spark):
+    """ann_sq8_topk's approximate pass: queries broadcast onto the
+    candidate scan (reconstruction is a pure projection), so the only
+    non-broadcast exchange of candidate rows is the per-query top-k
+    window partitioned by q_id — never a hash shuffle of raw
+    embeddings keyed by candidate."""
+    plan = formatted_plan(spark, "ann_sq8_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "q_id" in line, line  # only query-keyed exchanges
