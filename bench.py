@@ -71,7 +71,18 @@ HEADLINE = [
     "dedup_containment_pairs",
     "winnow_dup_pairs",
     "imaging_pipeline_e2e",
+    # r11 additions (VERDICT r10 #5): the heaviest registry queries that
+    # were invisible to BENCH (rfm_segmentation 5.2 s / time_to_conversion
+    # 1.5 s at the r10 1x probe — costlier than half the prior headline
+    # set), plus the round's new sharded-bloom operator
+    "rfm_segmentation",
+    "time_to_conversion",
+    "bloom_sharded_screen",
 ]
+
+#: headline-list changes by round — totals across a change are not
+#: comparable raw; compare per-query or on the shared subset
+HEADLINE_CHANGES = "r11: +rfm_segmentation +time_to_conversion +bloom_sharded_screen"
 
 # heavyweight end-to-end pipelines: one timed pass only (their runtime
 # dwarfs the box's noise band, and a second 100-s pass would double the
@@ -217,6 +228,7 @@ def main() -> None:
         # numpy workload every round — divide query times by
         # (calib_sec / reference calib) to compare rounds fairly.
         "calib_sec": _calibrate(),
+        "headline_changes": HEADLINE_CHANGES,
     }
     if errors:
         out["errors"] = errors

@@ -1198,8 +1198,14 @@ def frequent_item_pairs(spark, sf_dir):
     )
     item_cnt = basket.groupBy("item").agg(F.count("*").alias("cnt"))
     frequent = item_cnt.filter(F.col("cnt") >= minsup).select("item", "cnt")
-    # apriori prune: only items that could appear in a >= minsup pair
-    pruned = basket.join(F.broadcast(frequent.select("item")), "item")
+    # apriori prune: only items that could appear in a >= minsup pair.
+    # NO forced broadcast hint (VERDICT r10 #4): at a permissive minsup
+    # the "frequent" relation approaches the full item vocabulary, and
+    # a forced broadcast of a vocabulary-sized relation is a
+    # driver/executor memory bomb at real scale — let Catalyst/AQE pick
+    # the strategy from measured size (it still broadcasts whenever the
+    # relation is actually small, e.g. at any realistic minsup).
+    pruned = basket.join(frequent.select("item"), "item")
     a = pruned.select("okey", F.col("item").alias("item_a"))
     b = pruned.select("okey", F.col("item").alias("item_b"))
     pair_cnt = (
@@ -1212,9 +1218,11 @@ def frequent_item_pairs(spark, sf_dir):
     n_orders = basket.agg(F.countDistinct("okey").alias("n"))
     ca = frequent.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
     cb = frequent.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    # same reasoning: ca/cb are the vocabulary-sized relation — unhinted
+    # (the 1-row n_orders broadcast stays forced; it can never be big)
     return (
-        pair_cnt.join(F.broadcast(ca), "item_a")
-        .join(F.broadcast(cb), "item_b")
+        pair_cnt.join(ca, "item_a")
+        .join(cb, "item_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "item_a",

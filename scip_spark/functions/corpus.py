@@ -211,9 +211,15 @@ def temperature_mixture(
     weight on the 2^30 grid) and ``epochs_x4 = 4 · sqrtfp · C div
     (Σsqrtfp · c)`` (the upsample factor weight/natural-share in
     quarter-epoch granularity, what mixture_upsample consumes).
-    Exactness bound: products stay < 2^63 for corpora up to ~30 TB of
-    text at the default grids; beyond that, halve sqrt_grid (the op
-    itself never overflows testdata by ~9 orders of magnitude).
+
+    Overflow discipline (ADVICE r10): the epochs_x4 NUMERATOR
+    ``4·sqrtfp·t_chars`` grows as 1024·C^1.5 and would pass 2^63 near
+    C ≈ 2^35.3 chars (~40 GB — far below real corpora), where non-ANSI
+    Spark wraps silently while DuckDB raises. Both intermediates
+    therefore run on 38-digit exact integer types — DECIMAL(38,0) in
+    Spark, HUGEINT in the DuckDB oracle — good to C ≈ 10^23 chars
+    (~100 ZB); the QUOTIENTS are bounded (weight_fp ≤ 2^30,
+    epochs_x4 ≤ 4·C < 2^63) so the outputs stay exact BIGINTs.
 
     Plan shape: one partial-agg groupBy (map-side combine, G rows out),
     a 1-row total broadcast onto the G-row relation — no data-scale
@@ -244,12 +250,21 @@ def mixture_weights_from_sizes(
         F.sum("sqrtfp").cast("long").alias("t_sqrt"),
         F.sum("chars").cast("long").alias("t_chars"),
     )
+    # intermediates on DECIMAL(38,0): 4·sqrtfp·t_chars ~ 1024·C^1.5
+    # overflows int64 at ~40 GB of chars (see docstring); div's long
+    # result is exact because the quotients are bounded
+    dec = "cast({} as decimal(38,0))"
     return sized.crossJoin(F.broadcast(totals)).select(
         group_col,
         "n_docs",
         "chars",
-        F.expr(f"sqrtfp * {weight_grid}L div t_sqrt").alias("weight_fp"),
-        F.expr("(4 * sqrtfp * t_chars) div (t_sqrt * chars)").alias("epochs_x4"),
+        F.expr(
+            f"{dec.format('sqrtfp')} * {weight_grid} div t_sqrt"
+        ).cast("long").alias("weight_fp"),
+        F.expr(
+            f"{dec.format(4)} * sqrtfp * t_chars"
+            f" div ({dec.format('t_sqrt')} * chars)"
+        ).cast("long").alias("epochs_x4"),
     )
 
 

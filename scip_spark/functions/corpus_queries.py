@@ -171,9 +171,13 @@ _TEMP_MIX_SQL = """
       FROM q
     )
     SELECT source, n_docs, chars,
-           CAST((sqrtfp * 1073741824) // t_sqrt AS BIGINT) AS weight_fp,
-           CAST((4 * sqrtfp * t_chars) // (t_sqrt * chars) AS BIGINT)
-             AS epochs_x4
+           -- HUGEINT intermediates mirror Spark's DECIMAL(38,0): the
+           -- epochs numerator ~1024*C^1.5 passes int64 at ~40 GB of
+           -- chars; quotients are bounded so BIGINT outputs are exact
+           CAST((sqrtfp::HUGEINT * 1073741824) // t_sqrt AS BIGINT)
+             AS weight_fp,
+           CAST((4::HUGEINT * sqrtfp * t_chars)
+                // (t_sqrt::HUGEINT * chars) AS BIGINT) AS epochs_x4
     FROM q, t ORDER BY source
     """
 

@@ -1086,3 +1086,73 @@ def ivfsq8_topk(
         .agg(F.max("approx_sim").alias("approx_sim"))  # dedupe multi-probe hits
     )
     return _shortlist_and_rerank(approx, queries, candidates, k, rerank, id_col, emb_col)
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    fxp: int = 1 << 40,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985) — the
+    2-approximation diversity-selection primitive a training-data
+    pipeline uses to pick a maximally-spread representative subset
+    (coreset distillation, eval-set seeding, dedup anchors).
+
+    Deterministic construction: the seed is the smallest id; every
+    subsequent center is the point FARTHEST (cosine distance) from the
+    selected set, ties broken by smallest id. Distances compare on the
+    floor(d·2^40) fixed-point grid — floor + power-of-two scaling are
+    exact in any IEEE engine, so the argmax (and hence the whole
+    selection) reproduces bit-identically cross-engine and the oracle
+    can hash-match both the chosen ids AND each selection's radius.
+
+    Returns the k-row relation (sel_order, vec_id, radius_fp): the
+    coreset in selection order, radius_fp = the point's distance to
+    the previously-selected set at selection time (non-increasing; the
+    seed's is 0 by convention). The output is k rows BY DESIGN — the
+    driver-side loop collects exactly one (id, emb, mind) row per
+    iteration via TakeOrdered (map-side partial top-1, never a sort).
+
+    Scale shape: k sequential passes over the corpus — inherent to the
+    greedy algorithm, each pass one whole-stage-codegen projection
+    (least(running mind, dist-to-newest-center) against a broadcast
+    64-double literal) + a TakeOrdered reduce; no shuffle of the
+    corpus, ever. The running-mind lineage grows one `least` per
+    iteration; for production k (hundreds) localCheckpoint every ~16
+    iterations to keep the plan bounded."""
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    )
+    seed = v.orderBy(F.col("vec_id").asc()).limit(1).collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], "sel_order int, vec_id bigint, radius_fp bigint"
+        )
+    chosen = [(0, int(seed[0]["vec_id"]), 0)]
+    center = seed[0]["emb"]
+    cur = v
+    for i in range(1, k):
+        carr = F.array(*[F.lit(float(x)) for x in center])
+        d = F.floor(
+            (F.lit(1.0) - cosine(F.col("emb"), carr)) * F.lit(float(fxp))
+        ).cast("long")
+        cur = cur.withColumn(
+            "mind", d if i == 1 else F.least(F.col("mind"), d)
+        )
+        nxt = (
+            cur.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
+            .orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not nxt:  # fewer than k points
+            break
+        chosen.append((i, int(nxt[0]["vec_id"]), int(nxt[0]["mind"])))
+        center = nxt[0]["emb"]
+    return spark.createDataFrame(
+        chosen, "sel_order int, vec_id bigint, radius_fp bigint"
+    )

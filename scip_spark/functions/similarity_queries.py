@@ -149,25 +149,126 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+#: measured recall@5 hit totals for the k-means-dependent ANN family
+#: (VERDICT r10 ask #3): every pipeline is md5-seeded and fully
+#: deterministic, so the hit count over the 10 eval queries is a FIXED
+#: integer per corpus — pinning it exactly (entry -> corpus fingerprint
+#: -> total hits; n_exact is always 5·n_queries) catches a silent
+#: assignment regression that drops recall 0.9 -> 0.5 while still
+#: clearing the generic floor. The fingerprint is
+#: SUM(floor(embedding[0]·2^40)) — an order-free exact-integer reduce
+#: both engines compute identically (row COUNT cannot discriminate:
+#: sf0.001 and sf0.01 both carry 500 embeddings with different
+#: values). Unknown corpora (a future sf) emit the -1 sentinel on
+#: BOTH engines, so new data falls back to the floor invariant instead
+#: of false-failing. Regenerate with tools/pin_ann_recall.py after any
+#: intentional algorithm change.
+_ANN_PINNED: dict[str, dict[int, int]] = {
+    "ann_ivf_topk": {
+        -1609633136864: 46, 1190061827648: 46, 1683148066696: 40},
+    "ann_pq_topk": {
+        -1609633136864: 50, 1190061827648: 50, 1683148066696: 47},
+    "ann_ivfpq_topk": {
+        -1609633136864: 46, 1190061827648: 48, 1683148066696: 39},
+    "ann_ivfpq_residual_topk": {
+        -1609633136864: 47, 1190061827648: 48, 1683148066696: 40},
+    "ann_opq_topk": {
+        -1609633136864: 50, 1190061827648: 50, 1683148066696: 50},
+    "ann_ivfsq8_topk": {
+        -1609633136864: 46, 1190061827648: 46, 1683148066696: 40},
+}
+
+#: the 2^40 fixed-point grid of the corpus fingerprint (floor + power-
+#: of-two scaling are exact in both engines; see embedding_centroid_drift)
+_FP_GRID = 1099511627776
+
+#: tools/pin_ann_recall.py (and the pytest that documents measured
+#: recall) set this True to read raw hit totals at any corpus size.
+_ANN_PIN_MEASURE = False
+
+
+def _recall_sql(name: str) -> str:
+    """Oracle for a recall-pinned ANN entry: n_queries/n_exact are
+    data-derived; n_hit is the pinned constant selected by the corpus
+    fingerprint (both engines agree on the -1 sentinel for unknown
+    corpora, where the Spark side's floor invariant still gates)."""
+    pinned = _ANN_PINNED.get(name, {})
+    case = " ".join(f"WHEN {c} THEN {h}" for c, h in sorted(pinned.items()))
+    hit = f"CASE (SELECT c FROM nc) {case} ELSE -1 END" if case else "-1"
+    return f"""
+    WITH nq AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS q
+                FROM embeddings WHERE vec_id < 10),
+    nc AS (SELECT SUM(CAST(floor(embedding[1]::DOUBLE * {_FP_GRID})
+                           AS BIGINT)) AS c
+           FROM embeddings)
+    SELECT (SELECT q FROM nq) AS n_queries,
+           CAST({hit} AS BIGINT) AS n_hit,
+           CAST(5 * (SELECT q FROM nq) AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    """
+
+
+def _recall_agg(exact, approx, emb, floor: float, name: str):
+    """(n_queries, n_hit, n_exact, recall_ok) for an approximate-vs-
+    brute-force comparison. n_hit is the measured hit total when the
+    corpus size is in the entry's pinned table (hash-matched against
+    the oracle's constant — the exact-recall pin), the -1 sentinel
+    otherwise; recall_ok keeps the semantic floor on the measured
+    value either way. All aggregates are over the bounded 10-query
+    relation; the 1-row corpus count broadcasts."""
+    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
+    n_corpus = emb.groupBy().agg(
+        F.sum(
+            F.floor(
+                F.element_at(F.col("embedding"), 1).cast("double") * _FP_GRID
+            ).cast("long")
+        ).alias("n_corpus")
+    )
+    agg = (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum(F.coalesce("n_hit", F.lit(0))).cast("long").alias("nh"),
+            F.sum("n_exact").cast("long").alias("ne"),
+        )
+        .crossJoin(F.broadcast(n_corpus))
+    )
+    known = list(_ANN_PINNED.get(name, {}))
+    pin = (
+        F.col("nh")
+        if _ANN_PIN_MEASURE
+        else F.when(
+            F.col("n_corpus").isin(known) if known else F.lit(False),
+            F.col("nh"),
+        ).otherwise(F.lit(-1))
+    )
+    return agg.select(
+        "n_queries",
+        pin.cast("long").alias("n_hit"),
+        F.col("ne").alias("n_exact"),
+        ((F.col("nh") / F.col("ne")) >= floor).alias("recall_ok"),
+    )
+
+
 @register(
     "ann_ivf_topk",
-    """
-    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
-    doc="IVF (k-means lists, nprobe) approximate top-k, verified via an "
-    "oracle-checkable invariant: recall@5 vs Spark-exact brute force "
-    "must clear the 0.45 floor the pytest recall test also enforces; "
-    "the oracle emits the literal bound",
+    _recall_sql("ann_ivf_topk"),
+    doc="IVF (k-means lists, nprobe) approximate top-k, verified via "
+    "an EXACT-recall pin: the md5-seeded pipeline is deterministic, so "
+    "the recall@5 hit total vs Spark-exact brute force is a fixed "
+    "integer per corpus, hash-matched against the oracle's pinned "
+    "constant (unknown corpus sizes fall back to the 0.45 floor "
+    "invariant via a shared -1 sentinel)",
 )
 def ann_ivf_topk(spark, sf_dir):
-    """Returns one row (n_queries, recall_ok). The approximate top-k
-    itself comes from ivf_topk (the user-facing API, exercised by the
-    pytest recall test); here its hits are joined against the exact
-    brute-force top-5 so the driver's hash check verifies the recall
-    invariant rather than k-means-dependent rankings no SQL engine can
-    reproduce."""
+    """Returns one row (n_queries, n_hit, n_exact, recall_ok). The
+    approximate top-k itself comes from ivf_topk (the user-facing API,
+    exercised by the pytest recall test); its hits are joined against
+    the exact brute-force top-5 so the driver's hash check pins the
+    measured recall rather than k-means-dependent rankings no SQL
+    engine can reproduce."""
     from scip_spark.functions.similarity import ivf_centroids, ivf_topk
 
     emb = tbl(spark, sf_dir, "embeddings")
@@ -175,18 +276,7 @@ def ann_ivf_topk(spark, sf_dir):
     cents = ivf_centroids(emb, k=8)
     approx = ivf_topk(q, emb, cents, k=5, nprobe=3).select("q_id", "c_id")
     exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
-    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
-    return (
-        exact.groupBy("q_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
-        .agg(
-            F.count("*").cast("long").alias("n_queries"),
-            (
-                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.45
-            ).alias("recall_ok"),
-        )
-    )
+    return _recall_agg(exact, approx, emb, 0.45, "ann_ivf_topk")
 
 
 @register(
@@ -252,23 +342,19 @@ def kmeans_embeddings(spark, sf_dir):
 
 @register(
     "ann_pq_topk",
-    """
-    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
+    _recall_sql("ann_pq_topk"),
     doc="product-quantization ANN (per-subspace codebooks, byte codes, "
     "ADC lookup-table scoring in pure column algebra, exact re-rank of "
     "the shortlist) — the memory-resident billion-vector index path; "
-    "verified via the same oracle-checkable invariant as IVF: "
-    "recall@5 vs Spark-exact brute force must clear 0.6 (re-rank "
-    "makes PQ tighter than raw IVF)",
+    "verified via the EXACT-recall pin (see ann_ivf_topk): the "
+    "measured recall@5 hit total hash-matches the oracle's pinned "
+    "constant, with the 0.6 floor as the unknown-corpus fallback",
 )
 def ann_pq_topk(spark, sf_dir):
-    """One row (n_queries, recall_ok): pq_topk's hits joined against
-    exact brute-force top-5 (see ann_ivf_topk for the pattern — the
-    codebook-dependent rankings themselves are not SQL-reproducible,
-    the recall floor is)."""
+    """One row (n_queries, n_hit, n_exact, recall_ok): pq_topk's hits
+    joined against exact brute-force top-5 (see ann_ivf_topk for the
+    pattern — the codebook-dependent rankings themselves are not
+    SQL-reproducible, the deterministic hit TOTAL is)."""
     from scip_spark.functions.similarity import pq_fit, pq_topk
 
     emb = tbl(spark, sf_dir, "embeddings")
@@ -276,18 +362,7 @@ def ann_pq_topk(spark, sf_dir):
     cb = pq_fit(emb, m=8, ksub=64)
     approx = pq_topk(q, emb, cb, k=5, rerank=200).select("q_id", "c_id")
     exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
-    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
-    return (
-        exact.groupBy("q_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
-        .agg(
-            F.count("*").cast("long").alias("n_queries"),
-            (
-                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.6
-            ).alias("recall_ok"),
-        )
-    )
+    return _recall_agg(exact, approx, emb, 0.6, "ann_pq_topk")
 
 
 def _semantic_keep_sql() -> str:
@@ -355,17 +430,12 @@ def dedup_semantic_keep(spark, sf_dir):
 
 @register(
     "ann_ivfpq_topk",
-    """
-    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
+    _recall_sql("ann_ivfpq_topk"),
     doc="IVF-PQ (coarse k-means lists prune the scan to nprobe "
     "inverted lists; PQ byte codes ADC-score the survivors; exact "
     "re-rank of the shortlist) — the FAISS-style production layout "
-    "for billion-vector search; recall@5 vs exact brute force must "
-    "clear 0.5 (probing trades a little recall for reading ~nprobe/K "
-    "of the corpus)",
+    "for billion-vector search; EXACT-recall-pinned (see ann_ivf_topk) "
+    "with the 0.5 floor as the unknown-corpus fallback",
 )
 def ann_ivfpq_topk(spark, sf_dir):
     from scip_spark.functions.similarity import ivf_centroids, ivfpq_topk, pq_fit
@@ -378,31 +448,16 @@ def ann_ivfpq_topk(spark, sf_dir):
         "q_id", "c_id"
     )
     exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
-    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
-    return (
-        exact.groupBy("q_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
-        .agg(
-            F.count("*").cast("long").alias("n_queries"),
-            (
-                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.5
-            ).alias("recall_ok"),
-        )
-    )
+    return _recall_agg(exact, approx, emb, 0.5, "ann_ivfpq_topk")
 
 
 @register(
     "ann_ivfpq_residual_topk",
-    """
-    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
+    _recall_sql("ann_ivfpq_residual_topk"),
     doc="residual-encoding IVF-PQ (codes quantize x - centroid; ADC = "
     "per-(query,list) base dot + table lookups) — tighter reconstruction "
-    "than raw-encoding at equal bits; recall@5 vs exact brute force "
-    "must clear 0.5 (same invariant family as ann_ivfpq_topk)",
+    "than raw-encoding at equal bits; EXACT-recall-pinned (see "
+    "ann_ivf_topk) with the 0.5 floor as the unknown-corpus fallback",
 )
 def ann_ivfpq_residual_topk(spark, sf_dir):
     from scip_spark.functions.similarity import (
@@ -421,31 +476,17 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
         "q_id", "c_id"
     )
     exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
-    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
-    return (
-        exact.groupBy("q_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
-        .agg(
-            F.count("*").cast("long").alias("n_queries"),
-            (
-                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.5
-            ).alias("recall_ok"),
-        )
-    )
+    return _recall_agg(exact, approx, emb, 0.5, "ann_ivfpq_residual_topk")
 
 
 @register(
     "ann_opq_topk",
-    """
-    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
+    _recall_sql("ann_opq_topk"),
     doc="OPQ ANN (learned orthogonal rotation balances variance across "
     "PQ subspaces before encoding — Ge et al. 2013; rotation preserves "
     "dot products so ADC and the exact re-rank run in rotated space "
-    "unchanged); recall@5 vs exact brute force must clear 0.6",
+    "unchanged); EXACT-recall-pinned (see ann_ivf_topk) with the 0.6 "
+    "floor as the unknown-corpus fallback",
 )
 def ann_opq_topk(spark, sf_dir):
     from scip_spark.functions.similarity import opq_fit, opq_rotate, pq_topk
@@ -460,18 +501,76 @@ def ann_opq_topk(spark, sf_dir):
     exact = brute_force_topk(
         emb.filter(F.col("vec_id") < 10), emb, k=5
     ).select("q_id", "c_id")
-    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
-    return (
-        exact.groupBy("q_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
-        .agg(
-            F.count("*").cast("long").alias("n_queries"),
-            (
-                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.6
-            ).alias("recall_ok"),
+    return _recall_agg(exact, approx, emb, 0.6, "ann_opq_topk")
+
+
+def _kcenter_sql(k: int = 4, fxp: int = 1 << 40) -> str:
+    """Unrolled Gonzalez k-center: k staged CTE pairs (d_i = running
+    min distance, c_i = argmax pick) — no recursion needed because k
+    is a literal. Distances on the floor(d·2^40) grid, so every pick
+    and radius hash-matches the Spark loop bit-exactly."""
+
+    def dist(e: str, c: str) -> str:
+        return (
+            f"CAST(floor((1 - {_DOT.format(a=e, b=c)}"
+            f" / ({_NORM.format(a=e)} * {_NORM.format(a=c)}))"
+            f" * {float(fxp)!r}) AS BIGINT)"
         )
+
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        "c0 AS (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT v.vec_id, v.emb, {dist('v.emb', 'c0.emb')} AS mind"
+        " FROM v, c0)",
+    ]
+    outs = ["SELECT CAST(0 AS INT) AS sel_order, vec_id,"
+            " CAST(0 AS BIGINT) AS radius_fp FROM c0"]
+    for i in range(1, k):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(i)
+        )
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, emb, mind FROM d{i}"
+            f" WHERE vec_id NOT IN ({prior})"
+            " ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"d{i + 1} AS (SELECT d{i}.vec_id, d{i}.emb,"
+                f" LEAST(d{i}.mind, {dist(f'd{i}.emb', f'c{i}.emb')}) AS mind"
+                f" FROM d{i}, c{i})"
+            )
+        outs.append(
+            f"SELECT CAST({i} AS INT), vec_id, mind FROM c{i}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT * FROM (" + " UNION ALL ".join(outs)
+        + ") ORDER BY sel_order"
     )
+
+
+@register(
+    "coreset_kcenter",
+    _kcenter_sql(),
+    doc="greedy k-center coreset selection (Gonzalez 1985, the classic "
+    "2-approximation) — the diversity-selection primitive for coreset "
+    "distillation / eval-set seeding over an embedding corpus: seed = "
+    "smallest id, every next center is the point FARTHEST (cosine) "
+    "from the selected set, ties by id. Distances compare on the "
+    "floor(d*2^40) fixed-point grid, so the selection AND each pick's "
+    "radius hash-match the oracle's unrolled CTE chain bit-exactly. "
+    "Scale shape: k sequential whole-stage-codegen passes (least of "
+    "running mind and distance-to-newest-broadcast-center) + one "
+    "TakeOrdered top-1 reduce each — the corpus never shuffles, the "
+    "output is k rows by construction; production k localCheckpoints "
+    "every ~16 iterations to bound the lineage.",
+)
+def coreset_kcenter(spark, sf_dir):
+    from scip_spark.functions.similarity import kcenter_coreset
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=4).orderBy("sel_order")
 
 
 def _multiprobe_sql(n_planes: int = 8) -> str:
@@ -755,18 +854,14 @@ def ann_sq8_topk(spark, sf_dir):
 
 @register(
     "ann_ivfsq8_topk",
-    """
-    SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
+    _recall_sql("ann_ivfsq8_topk"),
     doc="IVF + SQ8 — the production billion-scale FAISS configuration "
     "(IndexIVFScalarQuantizer): list-pruned candidate scan over "
     "1-byte-per-dim scalar-quantized state, exact re-rank of the "
     "shortlist. k-means-dependent like the rest of the IVF family, so "
-    "the oracle checks the recall@5 invariant vs Spark-exact brute "
-    "force (the same bound form as ann_ivf_topk); the SQ8 "
-    "reconstruction itself is hash-matched by ann_sq8_topk.",
+    "EXACT-recall-pinned (see ann_ivf_topk) with the 0.45 floor as "
+    "the unknown-corpus fallback; the SQ8 reconstruction itself is "
+    "hash-matched by ann_sq8_topk.",
 )
 def ann_ivfsq8_topk(spark, sf_dir):
     from scip_spark.functions.similarity import ivf_centroids, ivfsq8_topk
@@ -778,15 +873,4 @@ def ann_ivfsq8_topk(spark, sf_dir):
         "q_id", "c_id"
     )
     exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
-    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
-    return (
-        exact.groupBy("q_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
-        .agg(
-            F.count("*").cast("long").alias("n_queries"),
-            (
-                (F.sum(F.coalesce("n_hit", F.lit(0))) / F.sum("n_exact")) >= 0.45
-            ).alias("recall_ok"),
-        )
-    )
+    return _recall_agg(exact, approx, emb, 0.45, "ann_ivfsq8_topk")

@@ -834,6 +834,135 @@ def bloom_autosized_screen(spark, sf_dir):
     )
 
 
+def _bloom_sharded_sql(
+    k: int = BLOOM_K,
+    target_fpr: float = 1e-3,
+    kmv_k: int = 128,
+    m_max: int = 1 << 14,
+) -> str:
+    import math
+
+    # same inlined -ln(1 - fpr^{1/k}) literal as _bloom_auto_sql — no
+    # pow/log in either engine; S and m selections are double-division
+    # + ceil + compare ladders, IEEE-identical cross-engine
+    c = -math.log(1.0 - target_fpr ** (1.0 / k))
+    powers = ", ".join(f"({1 << p})" for p in range(10, m_max.bit_length()))
+    shard_powers = ", ".join(f"({1 << p})" for p in range(0, 15))
+    idx = ", ".join(f"({i})" for i in range(k))
+    pos = (
+        "CAST(('0x' || substr(md5(text), 1 + 6 * i, 6)) AS BIGINT)"
+        " % (SELECT m FROM msel)"
+    )
+    shard = (
+        f"CAST(('0x' || substr(md5(text), {1 + 6 * k}, 6)) AS BIGINT)"
+        " % (SELECT s FROM ssel)"
+    )
+    return f"""
+    WITH train AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+    eval AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    hashes AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+      FROM train WHERE text IS NOT NULL
+    ),
+    kmins AS (SELECT h FROM hashes ORDER BY h LIMIT {kmv_k}),
+    est AS (
+      SELECT CASE WHEN COUNT(*) < {kmv_k} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(kmv_k - 1)!r} / (MAX(h) / 281474976710656.0)
+             END AS n
+      FROM kmins
+    ),
+    ssel AS (
+      SELECT COALESCE(
+        (SELECT MIN(sp) FROM (VALUES {shard_powers}) sh(sp)
+          WHERE ({k} * ceil(est.n / sp)) / {c!r}
+                <= CAST({m_max} AS DOUBLE)),
+        32768) AS s
+      FROM est
+    ),
+    msel AS (
+      SELECT COALESCE(
+        (SELECT MIN(p) FROM (VALUES {powers}) pw(p)
+          WHERE CAST(p AS DOUBLE)
+                >= ({k} * ceil(est.n / (SELECT s FROM ssel))) / {c!r}),
+        {m_max}) AS m
+      FROM est
+    ),
+    tpos AS (
+      SELECT {shard} AS shard, {pos} AS p
+      FROM train, (VALUES {idx}) AS t(i)
+    ),
+    bloom AS (
+      SELECT shard, CAST(p // 32 AS BIGINT) AS word,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM tpos GROUP BY 1, 2
+    ),
+    epos AS (
+      SELECT doc_id, {shard} AS shard,
+             CAST(({pos}) // 32 AS BIGINT) AS word,
+             (1::BIGINT << CAST(({pos}) % 32 AS INT)) AS mask
+      FROM eval, (VALUES {idx}) AS t(i)
+    )
+    SELECT e.doc_id,
+           bool_and(b.bits IS NOT NULL AND (b.bits & e.mask) = e.mask)
+             AS bloom_hit,
+           CAST((SELECT m FROM msel) AS BIGINT) AS m_bits,
+           CAST((SELECT s FROM ssel) AS BIGINT) AS n_shards
+    FROM epos e LEFT JOIN bloom b ON e.shard = b.shard AND e.word = b.word
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """
+
+
+@register(
+    "bloom_sharded_screen",
+    _bloom_sharded_sql(),
+    doc="keyspace-SHARDED Bloom screen — the past-the-2^24-clamp "
+    "regime (functions/bloom.py:bloom_build_sharded): one filter's m "
+    "cannot exceed the 24-bit md5 position-chunk space (~800k keys at "
+    "1e-3 FPR), so a 100-TB contamination screen (10^9+ train docs) "
+    "hash-partitions the KEYS into S independent filters instead — "
+    "route = md5 chunk k mod S, disjoint from the position chunks, so "
+    "probes route identically and no-false-negatives holds per shard. "
+    "Proven CROSS-ENGINE end to end: both engines derive the KMV "
+    "distinct estimate, the shard-count ladder AND the per-shard-m "
+    "ladder from the same md5-deterministic arithmetic, then "
+    "hash-match the per-doc booleans plus the chosen (m_bits, "
+    "n_shards) themselves. This entry lowers m_max to 2^14 so the "
+    "shard ladder ENGAGES at test scale (S=8 at sf0.01, 128 at "
+    "sf0.1); the production default keeps m_max=2^24, where sharding "
+    "starts at ~800k distinct keys — the real-clamp regime is pinned "
+    "in tests/test_sketches.py at n=1M with restored FPR and zero "
+    "false negatives. Scale shape: identical map-side-collapsing "
+    "build as bloom_build with shard prepended to the grouping key; "
+    "the filter relation is ≤ S·m/32 rows at any corpus size.",
+)
+def bloom_sharded_screen(spark, sf_dir):
+    from scip_spark.functions.bloom import (
+        bloom_build_sharded,
+        bloom_probe_sharded,
+        bloom_m_of,
+        bloom_s_of,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 < 8).select("text")
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+    bloom = bloom_build_sharded(
+        train, "text", shards="auto", m="auto", m_max=1 << 14, kmv_k=128
+    ).localCheckpoint()  # reused by probe + both stamp reads
+    m, s = bloom_m_of(bloom), bloom_s_of(bloom)
+    return (
+        bloom_probe_sharded(ev.select("doc_id", "text"), "text", bloom)
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.lit(m).cast("long").alias("m_bits"),
+            F.lit(s).cast("long").alias("n_shards"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "bloom_screen_streaming",
     _bloom_sql(),
@@ -938,8 +1067,9 @@ def _stream_fold(
         # still-running query) — fail loudly instead
         q.stop()
         raise RuntimeError("stream fold did not finish within 600s")
-    collapse()  # final merge (no-op on an already-collapsed single part)
-    return spark.createDataFrame(pending[0], row_schema)
+    if len(pending) > 1:  # single/zero-part stacks need no merge job
+        collapse()
+    return spark.createDataFrame(pending[0] if pending else [], row_schema)
 
 
 def _split_to_tmp(df, parts: int = 3, key: str | None = None):

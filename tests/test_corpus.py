@@ -679,3 +679,37 @@ def test_temperature_mixture_matches_python_reference(spark):
             assert got[s]["chars"] == m
             assert got[s]["weight_fp"] == sq[s] * (1 << 30) // T, s
             assert got[s]["epochs_x4"] == (4 * sq[s] * C) // (T * m), s
+
+
+def test_temperature_mixture_past_int64_overflow(spark):
+    """ADVICE r10 (medium): the epochs_x4 numerator 4·sqrtfp·t_chars
+    grows as 1024·C^1.5 and passes 2^63 near C ≈ 40 GB of chars when
+    one source dominates — int64 arithmetic would wrap silently in
+    Spark and raise in DuckDB. The DECIMAL(38,0) intermediates must
+    match Python's exact bignum reference well past that point."""
+    import math
+
+    from scip_spark.functions.corpus import mixture_weights_from_sizes
+
+    # one dominant 60 GB source (past the ~2^35.3-char wrap point) plus
+    # small tails — the exact shape the advisory flags
+    masses = {
+        "web": 60_000_000_000,
+        "code": 3_000_000_000,
+        "wiki": 40_000_000,
+        "tiny": 12_345,
+    }
+    sizes = spark.createDataFrame(
+        [(s, 1, c) for s, c in masses.items()],
+        "source string, n_docs long, chars long",
+    )
+    got = {r["source"]: r for r in mixture_weights_from_sizes(sizes).collect()}
+    sq = {s: math.floor(math.sqrt(float(c)) * 256) for s, c in masses.items()}
+    T, C = sum(sq.values()), sum(masses.values())
+    assert 4 * sq["web"] * C > 2**63  # the numerator really is past int64
+    for s, c in masses.items():
+        assert got[s]["weight_fp"] == sq[s] * (1 << 30) // T, s
+        assert got[s]["epochs_x4"] == (4 * sq[s] * C) // (T * c), s
+    # flattening still holds: the tiny source is upsampled, the giant
+    # source downsampled below one epoch-quarter granularity unit
+    assert got["tiny"]["epochs_x4"] > 4 > got["web"]["epochs_x4"]
