@@ -421,3 +421,117 @@ def bigram_surprisal_scores(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_DSIR_B = 4096          # hashed bigram buckets (md5 24-bit chunk % B)
+_DSIR_GRID = 1 << 20    # fixed-point grid for the likelihood ratios
+_DSIR_TARGET = ("src0", "src1")  # stand-in curated target domain
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH tokenized AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, source IN {_DSIR_TARGET} AS is_t,
+             unnest({_sql_ngrams(2)}) AS bg
+      FROM tokenized
+    ),
+    bb AS (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substr(md5(bg), 1, 6)) AS BIGINT) % {_DSIR_B} AS b
+      FROM bi
+    ),
+    cnt AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+      FROM bb GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns
+      FROM cnt
+    ),
+    rate AS (
+      SELECT b,
+             CAST(((ct + 1)::HUGEINT * (ns + {_DSIR_B}) * {_DSIR_GRID})
+                  // ((cs + 1)::HUGEINT * (nt + {_DSIR_B})) AS BIGINT) AS r
+      FROM cnt, tot
+    ),
+    sel AS (
+      SELECT bb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(r::HUGEINT) AS s
+      FROM bb JOIN rate USING (b) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(s // n_bigrams AS BIGINT) AS mean_importance_fp
+    FROM sel ORDER BY doc_id
+    """,
+    doc="DSIR-shaped data selection (Xie et al. 2023, 'Data Selection "
+    "via Importance Resampling'): score every document by how much a "
+    "hashed-bigram bag model of a curated TARGET domain prefers it "
+    "over the raw-pool model — the importance weight that drives "
+    "domain-matched pretraining sampling. Integer-exact variant: "
+    "per-bucket likelihood ratios (ct+1)(Ns+B)*2^20 div (cs+1)(Nt+B) "
+    "(Laplace-smoothed, arithmetic-mean aggregation) instead of "
+    "sum-of-logs, because integer division hash-matches cross-engine "
+    "where libm log cannot; intermediates on DECIMAL(38,0)/HUGEINT so "
+    "nothing wraps at corpus scale (same discipline as "
+    "temperature_mixture). Scale shape: the bucket counts collapse "
+    "MAP-SIDE to B=4096 rows regardless of corpus size, the priced "
+    "rate relation broadcasts, and the only corpus-scale shuffle is "
+    "the per-doc rollup keyed by doc_id.",
+)
+def dsir_importance_weights(spark, sf_dir):
+    from scip_spark.functions.text import tokens
+
+    # staged projections: toks materializes as a bound attribute before
+    # the n-gram explode (InferFiltersFromGenerate would otherwise
+    # substitute the whole lambda chain into a scan-level filter)
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_t"),
+        tokens("text").alias("toks"),
+    )
+    bb = docs.select(
+        "doc_id", "is_t", F.explode(_ngram_col(2)).alias("bg")
+    ).select(
+        "doc_id",
+        "is_t",
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 6), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    cnt = bb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("cs"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cs").cast("long").alias("ns"),
+    )
+    rate = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"cast(ct + 1 as decimal(38,0)) * (ns + {_DSIR_B})"
+            f" * {_DSIR_GRID}"
+            f" div (cast(cs + 1 as decimal(38,0)) * (nt + {_DSIR_B}))"
+        ).cast("long").alias("r"),
+    )
+    return (
+        bb.join(F.broadcast(rate), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.expr("cast(r as decimal(38,0))")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("s div n_bigrams").cast("long").alias("mean_importance_fp"),
+        )
+        .orderBy("doc_id")
+    )

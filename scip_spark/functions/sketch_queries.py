@@ -964,6 +964,75 @@ def bloom_sharded_screen(spark, sf_dir):
 
 
 @register(
+    "bloom_sharded_screen_streaming",
+    _bloom_sharded_sql(),
+    doc="bloom_sharded_screen with its S per-shard filters built by "
+    "STRUCTURED STREAMING: geometry (S, per-shard m) is derived once "
+    "from the same md5-deterministic KMV estimate (in production a "
+    "config step — the estimate itself has a driver-checked streaming "
+    "twin, kmv_stream_distinct_by_priority), then every micro-batch "
+    "contributes stamp-compatible (shard, word, bits, m, s) partials "
+    "folded through bloom_merge — the per-(shard, word) OR semilattice "
+    "makes the fold bit-identical to the batch build, so this entry "
+    "shares the batch oracle SQL verbatim and the driver hash-checks "
+    "streamed sharded-filter booleans AND geometry. bloom_merge's "
+    "mixed-geometry guard (ADVICE r10) is load-bearing here: a batch "
+    "built with drifted m/s fails loudly instead of silently "
+    "corrupting the fold.",
+)
+def bloom_sharded_screen_streaming(spark, sf_dir):
+    import shutil
+
+    from scip_spark.functions.bloom import (
+        bloom_auto_shards,
+        bloom_build_sharded,
+        bloom_merge,
+        bloom_probe_sharded,
+        bloom_required_m,
+        _kmv_estimate,
+    )
+    import math
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 < 8).select("text")
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    # geometry once, from the deterministic KMV estimate (mirrors the
+    # batch entry's lowered m_max so the shard ladder engages)
+    m_max = 1 << 14
+    n_est = _kmv_estimate(train, "text", kmv_k=128)
+    s = bloom_auto_shards(n_est, m_max=m_max)
+    m = bloom_required_m(math.ceil(n_est / s), m_max=m_max)
+
+    tmp = _split_to_tmp(train, key="text")
+    try:
+        bloom = _stream_fold(
+            spark,
+            tmp,
+            "text string",
+            lambda bdf: bloom_build_sharded(bdf, "text", shards=s, m=m),
+            bloom_merge,
+            "shard bigint, word bigint, bits bigint, m bigint, s bigint",
+            lambda df: [
+                (r["shard"], r["word"], r["bits"], r["m"], r["s"])
+                for r in df.collect()
+            ],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        bloom_probe_sharded(ev.select("doc_id", "text"), "text", bloom)
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.lit(m).cast("long").alias("m_bits"),
+            F.lit(s).cast("long").alias("n_shards"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "bloom_screen_streaming",
     _bloom_sql(),
     doc="the contamination screen with its filter built by STRUCTURED "

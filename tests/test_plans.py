@@ -329,3 +329,53 @@ def test_sq8_candidates_never_shuffle_before_shortlist(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "q_id" in line, line  # only query-keyed exchanges
+
+
+def test_bloom_sharded_build_sketch_sized_shuffle(spark):
+    """The sharded build keeps bloom_build's scale property: one
+    Exchange moving (shard, word, partial bit_or) sketch rows — the
+    key explode collapses map-side and the key column never moves."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.bloom import bloom_build_sharded
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)], ["key"]
+    )
+    built = bloom_build_sharded(df, "key", shards=4, m=1 << 12)
+    plan = built._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "key" not in line.split("[")[-1], line
+
+
+def test_kcenter_pass_is_shuffle_free(spark):
+    """Each k-center iteration must be a pure projection over the
+    corpus + a TakeOrdered reduce — never a shuffle or global sort of
+    the embeddings (the corpus-never-shuffles claim in the entry doc).
+    Reconstructs one iteration's argmax plan exactly as
+    kcenter_coreset builds it."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.similarity import cosine
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    center = v.orderBy("vec_id").limit(1).collect()[0]["emb"]
+    carr = F.array(*[F.lit(float(x)) for x in center])
+    d = F.floor(
+        (F.lit(1.0) - cosine(F.col("emb"), carr)) * F.lit(float(1 << 40))
+    ).cast("long")
+    step = (
+        v.withColumn("mind", d)
+        .filter(~F.col("vec_id").isin([0]))
+        .orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+        .limit(1)
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # map-side partial top-1 only

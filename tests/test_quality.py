@@ -184,3 +184,43 @@ def test_bigram_surprisal_ranks_gibberish_above_repetition(spark, tmp_path):
     assert r["n_bigrams"] == 3
     assert r["surprisal_fp"] == (1 << 20) * 2 + (1 << 21)  # 2x 'a b' + 1x 'b a'
     assert r["mean_surprisal_fp"] == r["surprisal_fp"] // 3
+
+
+def test_dsir_importance_separates_target_domain(spark, tmp_path):
+    """DSIR-shaped importance: with disjoint target/pool vocabularies,
+    every target-vocabulary document must outscore every
+    pool-vocabulary document (its bigram buckets carry target mass),
+    and a held-out doc MIXING both lands strictly between the pure
+    extremes' means."""
+    import pandas as pd
+
+    from scip_spark.functions.quality_queries import dsir_importance_weights
+
+    t_text = "alpha beta gamma delta alpha beta gamma delta"
+    p_text = "zeta eta theta iota zeta eta theta iota"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [t_text, t_text, p_text, p_text, p_text, p_text,
+                     "alpha beta zeta eta alpha beta zeta eta",
+                     t_text],
+            "lang": ["en"] * 8,
+            "source": ["src0", "src1", "src5", "src6", "src7", "src8",
+                       "src9", "src9"],
+            "n_chars": [len(t_text)] * 2 + [len(p_text)] * 4 + [40, 47],
+        }
+    )
+    d = tmp_path / "dsir"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    rows = {
+        r["doc_id"]: r["mean_importance_fp"]
+        for r in dsir_importance_weights(spark, str(d)).collect()
+    }
+    target_like = rows[7]       # pure target vocabulary, pool source
+    pool_like = min(rows[i] for i in (2, 3, 4, 5))
+    mixed = rows[6]
+    assert target_like > mixed > max(rows[i] for i in (2, 3, 4, 5))
+    assert all(v > 0 for v in rows.values())
+    assert len(rows) == 8
+    assert pool_like < target_like
