@@ -176,6 +176,28 @@ def bloom_s_of(bloom: DataFrame, default: int | None = None) -> int:
     return default if default is not None else 1
 
 
+def _resolve_probe_m(bloom: DataFrame, m: int | str) -> int:
+    """Probe-side m resolution with BOTH mismatch directions guarded:
+    ``m="auto"`` requires a stamped filter (bloom_m_of raises
+    otherwise), and an EXPLICIT m against a stamped filter must equal
+    the stamp — a silent mismatch in either direction yields wrong bit
+    positions and hence false negatives. The stamp read is a bounded
+    1-row collect; explicit-m probes of unstamped filters cost
+    nothing."""
+    if m == "auto":
+        return bloom_m_of(bloom)
+    if "m" in bloom.columns:
+        stamped = bloom_m_of(bloom, default=int(m))
+        if stamped != int(m):
+            raise ValueError(
+                f"bloom probe: explicit m={int(m)} does not match the "
+                f"filter's stamped m={stamped} — probing with a "
+                "mismatched m would produce false negatives; pass "
+                "m='auto' (or the stamped value)"
+            )
+    return int(m)
+
+
 def bloom_pos(col: Column | str, i: int, m: int = BLOOM_M) -> Column:
     """Bit position of hash ``i``: the i-th 24-bit chunk of md5(key)
     mod ``m`` — reproducible in any engine with md5 + substr."""
@@ -273,9 +295,9 @@ def bloom_probe_inline(
     the probe side is the 100 TB relation and must stay map-side
     (bloom_probe's grouped bool_and would shuffle it). The SURVEY §1.5
     scalar-broadcast pattern. ``m="auto"`` reads the stamp an
-    auto-sized build left on the filter relation."""
-    if m == "auto":
-        m = bloom_m_of(bloom)
+    auto-sized build left on the filter relation; explicit m is
+    cross-checked against any stamp (:func:`_resolve_probe_m`)."""
+    m = _resolve_probe_m(bloom, m)
     bloom = bloom.select("word", "bits")
     packed = bloom.groupBy().agg(
         F.map_from_arrays(
@@ -444,9 +466,9 @@ def bloom_probe(
     output row (a set semantic). When input multiplicity must be
     preserved — or the probe side is too big to shuffle at all — use
     :func:`bloom_probe_inline`, which is a pure projection.
-    ``m="auto"`` reads the stamp an auto-sized build left."""
-    if m == "auto":
-        m = bloom_m_of(bloom)
+    ``m="auto"`` reads the stamp an auto-sized build left; explicit m
+    is cross-checked against any stamp (:func:`_resolve_probe_m`)."""
+    m = _resolve_probe_m(bloom, m)
     bloom = bloom.select("word", "bits")
     cols = df.columns
     expanded = df.select(

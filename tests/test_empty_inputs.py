@@ -200,3 +200,51 @@ def test_empty_input_round10_ops(spark):
     assert sq8_extents(emb) == []
     q = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(2)
     assert sq8_topk(q, emb, k=3).count() == 0
+
+
+def test_empty_input_round11_ops(spark):
+    """Round-11 operators over emptied relations: sharded bloom builds
+    an empty (stamped) relation whose probes all-miss, the k-center
+    coreset of nothing is the empty selection, and DSIR's rate/rollup
+    pipeline returns zero rows without divide-by-null blowups."""
+    from scip_spark.functions.bloom import (
+        bloom_build_sharded,
+        bloom_probe_sharded,
+        bloom_probe_sharded_inline,
+    )
+    from scip_spark.functions.similarity import kcenter_coreset
+
+    keys = spark.createDataFrame([], "key string")
+    empty = bloom_build_sharded(keys, "key")
+    assert empty.count() == 0
+    assert set(empty.columns) == {"shard", "word", "bits", "m", "s"}
+    probes = spark.createDataFrame([("a",), ("b",)], ["key"])
+    assert not any(
+        r["bloom_hit"]
+        for r in bloom_probe_sharded(probes, "key", empty).collect()
+    )
+    assert not any(
+        r["bloom_hit"]
+        for r in bloom_probe_sharded_inline(probes, "key", empty).collect()
+    )
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert kcenter_coreset(emb, k=3).count() == 0
+
+    import os
+
+    import pandas as pd
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.functions.quality_queries import dsir_importance_weights
+
+    d = "/tmp/empty_dsir_docs"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype="object"),
+         "lang": pd.Series([], dtype="object"),
+         "source": pd.Series([], dtype="object"),
+         "n_chars": pd.Series([], dtype="int64")}
+    ).to_parquet(f"{d}/documents.parquet")
+    assert dsir_importance_weights(spark, d).count() == 0

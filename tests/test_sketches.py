@@ -296,6 +296,17 @@ def test_bloom_geometry_guards(spark):
     with pytest.raises(ValueError, match="no 's' stamp"):
         bloom_probe_sharded(keys, "key", auto_small)
 
+    # the mirror direction: an explicit m that contradicts the stamp
+    # (the BLOOM_M default vs the auto-chosen m) must raise too
+    m_stamp = bloom_m_of(auto_small)
+    assert m_stamp != 1 << 16 and m_stamp != 1 << 12
+    with pytest.raises(ValueError, match="stamped m"):
+        bloom_probe(keys, "key", auto_small)  # default m=2^16 != stamp
+    with pytest.raises(ValueError, match="stamped m"):
+        bloom_probe_inline(keys, "key", auto_small, m=1 << 12)
+    # matching explicit m passes through
+    assert bloom_probe(keys, "key", auto_small, m=m_stamp).count() == 100
+
 
 def test_bloom_required_m_formula(spark):
     """Closed form: the chosen m's PREDICTED FPR meets the target and
