@@ -122,6 +122,8 @@ EXTRA_PASS = {
     "boilerplate_chunk_scrub",
     "frequent_item_pairs",
     "quantile_sketch_prices",
+    # r11: +42% drift with untouched code in same-session A/B
+    "quality_repetition",
 }
 
 
