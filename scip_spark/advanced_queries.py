@@ -538,6 +538,63 @@ def zorder_key_lineitem(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout key: the better-locality sibling of Z-order
+# (lakehouse "liquid clustering") — staged CTE chain mirroring the
+# staged projections in functions/scale.py::with_hilbert_key.
+# ---------------------------------------------------------------------------
+def _hilbert_sql(xexpr: str, yexpr: str, keys: str, bits: int = 16) -> str:
+    n1 = (1 << bits) - 1
+    ctes = [
+        f"h{bits} AS (SELECT {keys},"
+        f" CAST({xexpr} AS BIGINT) & {n1} AS x,"
+        f" CAST({yexpr} AS BIGINT) & {n1} AS y,"
+        " CAST(0 AS BIGINT) AS d FROM lineitem)"
+    ]
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx, ry = f"((x >> {b}) & 1)", f"((y >> {b}) & 1)"
+        ctes.append(
+            f"h{b} AS (SELECT {keys},"
+            f" CASE WHEN {ry} = 1 THEN x WHEN {rx} = 1 THEN {n1} - y"
+            f" ELSE y END AS x,"
+            f" CASE WHEN {ry} = 1 THEN y WHEN {rx} = 1 THEN {n1} - x"
+            f" ELSE x END AS y,"
+            f" d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM h{b + 1})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT {keys}, d AS hkey FROM h0"
+    )
+
+
+@register(
+    "hilbert_key_lineitem",
+    _hilbert_sql(
+        "l_partkey", "l_suppkey",
+        "l_orderkey, l_linenumber, l_partkey, l_suppkey",
+    ),
+    doc="Hilbert-curve layout key over (partkey, suppkey) — the "
+    "better-locality 2-D file-clustering key (liquid-clustering "
+    "style): consecutive Hilbert indices are always unit-step "
+    "neighbors, so clustered files get strictly tighter min/max "
+    "bounding boxes than Z-order's quadrant-boundary jumps (locality "
+    "superiority pinned quantitatively in tests/test_scale.py). "
+    "Implementation: 16 staged map-side projections of pure integer "
+    "column algebra (the conditional frame swap would double the "
+    "expression tree per level if inlined) — zero shuffle, "
+    "whole-stage codegen, hash-matched against the identical staged "
+    "CTE chain in DuckDB.",
+)
+def hilbert_key_lineitem(spark, sf_dir):
+    from scip_spark.functions.scale import with_hilbert_key
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return with_hilbert_key(li, "l_partkey", "l_suppkey", out="hkey")
+
+
 @register(
     "grouping_sets_revenue",
     """

@@ -423,6 +423,112 @@ def bigram_surprisal_scores(spark, sf_dir):
     )
 
 
+@register(
+    "kn_surprisal_scores",
+    f"""
+    WITH tokenized AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bi AS (SELECT doc_id, unnest({_sql_ngrams(2)}) AS bg FROM tokenized),
+    bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY 1),
+    sp AS (
+      SELECT bg, c2, split_part(bg, ' ', 1) AS w1,
+             split_part(bg, ' ', 2) AS w2
+      FROM bgc
+    ),
+    lft AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS ctx,
+             CAST(COUNT(*) AS BIGINT) AS nfollow
+      FROM sp GROUP BY 1
+    ),
+    rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nprec FROM sp GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bgc),
+    rate AS (
+      SELECT bg,
+             CAST((4::HUGEINT * ctx * n * 65536)
+                  // (GREATEST(4 * c2 - 3, 0)::HUGEINT * n
+                      + 3::HUGEINT * nfollow * nprec) AS BIGINT) AS s
+      FROM sp JOIN lft USING (w1) JOIN rgt USING (w2), nn
+    ),
+    sel AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(s::HUGEINT) AS t
+      FROM bi JOIN rate USING (bg) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(t // n_bigrams AS BIGINT) AS mean_kn_surprisal_fp
+    FROM sel ORDER BY doc_id
+    """,
+    doc="Kneser-Ney-smoothed bigram surprisal — the proper interpolated "
+    "KN estimate (Chen & Goodman 1999) instead of bigram_surprisal's "
+    "raw inverse conditional frequency: P(w2|w1) = (max(c2-D,0) + "
+    "D·N1+(w1·)·N1+(·w2)/N1+(··)) / ctx(w1) at the standard D=0.75, "
+    "which with D=3/4 is the ALL-INTEGER rational "
+    "(max(4c2-3,0)·N + 3·nfollow·nprec) / (4·ctx·N) — the per-bigram "
+    "rarity score 1/P lands on a 2^16 grid via one integer division, "
+    "hash-matching cross-engine where a log/float KN cannot. "
+    "Continuation mass rewards bigrams whose w2 follows MANY contexts "
+    "(novel-word repetition scores saner than raw frequency). Scoring "
+    "is corpus-self-referential so every scored bigram is observed "
+    "(the unseen-event backoff case never arises). Scale shape: all "
+    "model relations (bigram counts, left/right continuation counts) "
+    "are vocab-bounded map-side-combined aggs; the only corpus-scale "
+    "join prices occurrences against the one-row-per-bigram rate "
+    "relation, then one doc-keyed rollup — same audited shape as "
+    "bigram_surprisal_scores. Intermediates on DECIMAL(38,0)/HUGEINT "
+    "(ctx·N·2^16 products pass int64 long before real corpus sizes); "
+    "per-bigram quotients stay under int64 up to ~3e13 occurrences of "
+    "a single context token.",
+)
+def kn_surprisal_scores(spark, sf_dir):
+    from scip_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    bi = docs.select("doc_id", F.explode(_ngram_col(2)).alias("bg"))
+    bgc = bi.groupBy("bg").agg(F.count("*").cast("long").alias("c2"))
+    sp = bgc.select(
+        "bg",
+        "c2",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    lft = sp.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("ctx"),
+        F.count("*").cast("long").alias("nfollow"),
+    )
+    rgt = sp.groupBy("w2").agg(F.count("*").cast("long").alias("nprec"))
+    nn = bgc.agg(F.count("*").cast("long").alias("n"))
+    rate = (
+        sp.join(lft, "w1")
+        .join(rgt, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "bg",
+            F.expr(
+                "cast(4 as decimal(38,0)) * ctx * n * 65536"
+                " div (cast(greatest(4 * c2 - 3, 0) as decimal(38,0)) * n"
+                "      + cast(3 as decimal(38,0)) * nfollow * nprec)"
+            ).cast("long").alias("s"),
+        )
+    )
+    return (
+        bi.join(rate, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.expr("cast(s as decimal(38,0))")).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("t div n_bigrams").cast("long").alias(
+                "mean_kn_surprisal_fp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _DSIR_B = 4096          # hashed bigram buckets (md5 24-bit chunk % B)
 _DSIR_GRID = 1 << 20    # fixed-point grid for the likelihood ratios
 _DSIR_TARGET = ("src0", "src1")  # stand-in curated target domain

@@ -98,6 +98,65 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     return z
 
 
+def with_hilbert_key(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = 16,
+    out: str = "hkey",
+) -> DataFrame:
+    """2-D Hilbert-curve layout key over the low ``bits`` bits of two
+    int columns — the better-locality sibling of :func:`zorder_key`
+    (what lakehouse "liquid clustering" uses): consecutive Hilbert
+    indices are ALWAYS unit-step neighbors in (x, y), where the Z-order
+    curve takes long diagonal jumps at quadrant boundaries, so
+    Hilbert-clustered files get strictly tighter per-file min/max
+    bounding boxes and better row-group skipping on both dimensions.
+
+    Implementation is the classic top-bit-down quadrant walk (Hilbert
+    1891; the xy2d form): per level, the quadrant digit (3·rx) XOR ry
+    contributes s²·digit to the index, then the frame reflects/swaps.
+    The reflection uses the FULL-grid constant (2^bits − 1 − v), which
+    keeps every intermediate in [0, 2^bits) — identical output to the
+    textbook s−1 form (lower bits match; pinned against a pure-Python
+    reference in tests) but with no transiently-negative values to
+    worry about in either engine's bigint semantics.
+
+    Each level is staged as its own projection (bound attributes — the
+    conditional x/y swap would otherwise double the expression tree
+    per level into 2^bits nodes): ``bits`` chained map-side selects,
+    pure integer column algebra, whole-stage-codegen friendly, zero
+    shuffle, and bit-identical in ANSI SQL (>> & CASE xor)."""
+    n1 = (1 << bits) - 1
+    keep = df.columns
+    cur = df.select(
+        *keep,
+        F.col(xcol).cast("long").bitwiseAND(F.lit(n1)).alias("_hx"),
+        F.col(ycol).cast("long").bitwiseAND(F.lit(n1)).alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx = F.shiftright(F.col("_hx"), b).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), b).bitwiseAND(F.lit(1))
+        quad = (rx * 3).bitwiseXOR(ry)  # gray-coded quadrant digit
+        nd = F.col("_hd") + F.lit(s * s).cast("long") * quad
+        nx = (
+            F.when(ry == 1, F.col("_hx"))
+            .when(rx == 1, F.lit(n1) - F.col("_hy"))
+            .otherwise(F.col("_hy"))
+        )
+        ny = (
+            F.when(ry == 1, F.col("_hy"))
+            .when(rx == 1, F.lit(n1) - F.col("_hx"))
+            .otherwise(F.col("_hx"))
+        )
+        cur = cur.select(
+            *keep, nx.alias("_hx"), ny.alias("_hy"), nd.alias("_hd")
+        )
+    return cur.select(*keep, F.col("_hd").alias(out))
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

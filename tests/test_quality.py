@@ -224,3 +224,59 @@ def test_dsir_importance_separates_target_domain(spark, tmp_path):
     assert all(v > 0 for v in rows.values())
     assert len(rows) == 8
     assert pool_like < target_like
+
+
+def test_kn_surprisal_continuation_mass_beats_raw(spark, tmp_path):
+    """The KN property raw inverse-frequency cannot express: two docs
+    each end in a count-1 bigram with the same left context, but one
+    continuation word follows MANY distinct contexts (high N1+(·w2))
+    while the other follows only this one. Raw bigram surprisal scores
+    the two bigrams identically (same c1/c2); interpolated KN gives
+    the versatile continuation more probability mass, so that doc must
+    score a strictly LOWER mean surprisal."""
+    import pandas as pd
+
+    from scip_spark.functions.quality_queries import (
+        bigram_surprisal_scores,
+        kn_surprisal_scores,
+    )
+
+    # "hub" follows a b c d (4 distinct contexts); "spoke" follows only
+    # x. Docs 10/11 differ ONLY in their final bigram: "x hub" vs
+    # "x spoke" — both count-1 bigrams with the identical left context.
+    texts = {
+        0: "a hub b hub c hub d hub",
+        10: "q q q x hub",
+        11: "q q q x spoke",
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    d = tmp_path / "kn"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    kn = {
+        r["doc_id"]: r["mean_kn_surprisal_fp"]
+        for r in kn_surprisal_scores(spark, str(d)).collect()
+    }
+    raw = {
+        r["doc_id"]: r["mean_surprisal_fp"]
+        for r in bigram_surprisal_scores(spark, str(d)).collect()
+    }
+    assert raw[10] == raw[11]  # raw scoring is blind to continuations
+    assert kn[10] < kn[11]     # KN rewards the versatile continuation
+
+    # exact value vs the all-integer KN rational for one bigram:
+    # corpus bigrams: (a hub)(hub b)(b hub)(hub c)(c hub)(hub d)(d hub)
+    # + (q q)x2 (q x)(x hub) for doc 10 + (q q)x2 (q x)(x spoke) -> N
+    # distinct = 11; "x hub": c2=1, ctx(x)=2, nfollow(x)=2,
+    # nprec(hub)=5, n=11 -> P=(1*11+3*2*5)/(4*2*11)=41/88
+    rate_x_hub = (4 * 2 * 11 * 65536) // (1 * 11 + 3 * 2 * 5)
+    assert rate_x_hub == (88 * 65536) // 41

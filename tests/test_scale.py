@@ -717,3 +717,67 @@ def test_cms_merged_equals_direct_and_overcounts_bounded(spark):
         est = min(direct[(i, r[f"b{i}"])] for i in range(4))
         assert est >= exact[r["t"]]  # CMS never undercounts
         assert est - exact[r["t"]] <= bound
+
+
+def test_hilbert_key_matches_reference_and_beats_zorder_locality(spark):
+    """with_hilbert_key vs the textbook xy2d reference on a full
+    order-4 grid (bijection onto 0..255 comes free with equality), and
+    the quantitative locality claim behind the layout choice:
+    consecutive Hilbert indices are ALWAYS unit-step neighbors in
+    (x, y), while consecutive Z-order indices jump up to half the grid
+    diagonal at quadrant boundaries."""
+    from pyspark.sql import functions as F
+
+    from scip_spark.functions.scale import with_hilbert_key, zorder_key
+
+    def xy2d(order, x, y):
+        n1 = (1 << order) - 1
+        d, s = 0, 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) else 0
+            ry = 1 if (y & s) else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n1 - x, n1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    n = 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in with_hilbert_key(grid, "x", "y", bits=4).collect()
+    }
+    assert got == {
+        (x, y): xy2d(4, x, y) for x in range(n) for y in range(n)
+    }
+
+    # full-width keys agree with the reference too (16-bit inputs)
+    pts = [(12345, 54321), (65535, 0), (0, 65535), (40000, 1)]
+    wide = spark.createDataFrame(pts, "x long, y long")
+    for r in with_hilbert_key(wide, "x", "y").collect():
+        assert r["hkey"] == xy2d(16, r["x"], r["y"])
+
+    # locality: max (x, y) step between consecutive curve positions
+    by_h = [xy for _, xy in sorted((d, xy) for xy, d in got.items())]
+    hilbert_max = max(
+        abs(a[0] - b[0]) + abs(a[1] - b[1])
+        for a, b in zip(by_h, by_h[1:])
+    )
+    zvals = {
+        (r["x"], r["y"]): r["zkey"]
+        for r in grid.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=4).alias("zkey")
+        ).collect()
+    }
+    by_z = [xy for _, xy in sorted((d, xy) for xy, d in zvals.items())]
+    zorder_max = max(
+        abs(a[0] - b[0]) + abs(a[1] - b[1])
+        for a, b in zip(by_z, by_z[1:])
+    )
+    assert hilbert_max == 1          # the Hilbert property
+    assert zorder_max > 4            # Z jumps at quadrant boundaries
