@@ -30,6 +30,9 @@ from scip_spark.session import get_spark  # noqa: E402
 
 OPS = [
     "bloom_sharded_screen",
+    "coreset_kcenter",
+    "dsir_importance_weights",
+    "kn_surprisal_scores",
 ]
 
 
