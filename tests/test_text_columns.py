@@ -298,3 +298,21 @@ def test_containment_join_matches_bruteforce(spark):
     assert (1, 2) not in got                       # asymmetric
     assert (2, 5) in got and (5, 2) in got         # mutual duplicates
     assert (3, 1) in got and got[(3, 1)] == 0.8
+
+
+def test_dedup_method_agreement_scurve_promise(spark):
+    """The agreement audit on real testdata: at the r=2, b=4 S-curve
+    design point, every exact shingle-Jaccard>=0.95 pair must be
+    LSH-candidate-covered (recall 1.0 on the 2^20 grid — a missed pair
+    would be a permanent dedup escape), with precision in (0, 1]
+    (candidates may include sub-threshold pairs; verification prunes
+    them)."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    row = REGISTRY["dedup_method_agreement"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_true"] > 0  # the corpus does contain near-dupes
+    assert row["recall_fp"] == 1 << 20, dict(row.asDict())
+    assert 0 < row["precision_fp"] <= 1 << 20
