@@ -534,9 +534,7 @@ _DSIR_GRID = 1 << 20    # fixed-point grid for the likelihood ratios
 _DSIR_TARGET = ("src0", "src1")  # stand-in curated target domain
 
 
-@register(
-    "dsir_importance_weights",
-    f"""
+_DSIR_SQL = f"""
     WITH tokenized AS (
       SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
     ),
@@ -574,7 +572,12 @@ _DSIR_TARGET = ("src0", "src1")  # stand-in curated target domain
     SELECT doc_id, n_bigrams,
            CAST(s // n_bigrams AS BIGINT) AS mean_importance_fp
     FROM sel ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "dsir_importance_weights",
+    _DSIR_SQL,
     doc="DSIR-shaped data selection (Xie et al. 2023, 'Data Selection "
     "via Importance Resampling'): score every document by how much a "
     "hashed-bigram bag model of a curated TARGET domain prefers it "
@@ -591,17 +594,27 @@ _DSIR_TARGET = ("src0", "src1")  # stand-in curated target domain
     "the per-doc rollup keyed by doc_id.",
 )
 def dsir_importance_weights(spark, sf_dir):
+    bb = _dsir_bb(tbl(spark, sf_dir, "documents"))
+    cnt = bb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("cs"),
+    )
+    return _dsir_tail(bb, cnt)
+
+
+def _dsir_bb(docs):
+    """(doc_id, is_t, bucket) — one row per bigram OCCURRENCE. Staged
+    projections: toks materializes as a bound attribute before the
+    n-gram explode (InferFiltersFromGenerate would otherwise
+    substitute the whole lambda chain into a scan-level filter)."""
     from scip_spark.functions.text import tokens
 
-    # staged projections: toks materializes as a bound attribute before
-    # the n-gram explode (InferFiltersFromGenerate would otherwise
-    # substitute the whole lambda chain into a scan-level filter)
-    docs = tbl(spark, sf_dir, "documents").select(
+    staged = docs.select(
         "doc_id",
         F.col("source").isin(*_DSIR_TARGET).alias("is_t"),
         tokens("text").alias("toks"),
     )
-    bb = docs.select(
+    return staged.select(
         "doc_id", "is_t", F.explode(_ngram_col(2)).alias("bg")
     ).select(
         "doc_id",
@@ -611,10 +624,12 @@ def dsir_importance_weights(spark, sf_dir):
             % _DSIR_B
         ).alias("b"),
     )
-    cnt = bb.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("cs"),
-    )
+
+
+def _dsir_tail(bb, cnt):
+    """Rate pricing + per-doc rollup over a (b, ct, cs) model relation
+    — shared by the batch op and its streaming twin (count partials
+    fold exactly: integer sums are order-free)."""
     tot = cnt.agg(
         F.sum("ct").cast("long").alias("nt"),
         F.sum("cs").cast("long").alias("ns"),
@@ -641,3 +656,52 @@ def dsir_importance_weights(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dsir_importance_weights_stream",
+    _DSIR_SQL,
+    doc="dsir_importance_weights with its hashed-bigram MODEL built by "
+    "STRUCTURED STREAMING: each micro-batch of documents contributes "
+    "(bucket, ct, cs) count partials folded through an integer-sum "
+    "merge (order-free and exact — the same mergeable-statistic "
+    "property as the temperature-mix twin), then the shared "
+    "_dsir_tail prices the full corpus identically, so this entry "
+    "shares the batch oracle SQL verbatim and the driver hash-checks "
+    "a STREAMED importance-weight model. The realistic shape: the "
+    "target/pool model accretes as corpus shards land; scoring is a "
+    "batch pass against the current model.",
+)
+def dsir_importance_weights_stream(spark, sf_dir):
+    import shutil
+
+    from scip_spark.functions.sketch_queries import (
+        _split_to_tmp,
+        _stream_fold,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    tmp = _split_to_tmp(docs, key="doc_id")
+    try:
+        cnt = _stream_fold(
+            spark,
+            tmp,
+            "doc_id bigint, text string, source string",
+            lambda bdf: _dsir_bb(bdf)
+            .groupBy("b")
+            .agg(
+                F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+                .cast("long").alias("ct"),
+                F.sum(F.when(F.col("is_t"), 0).otherwise(1))
+                .cast("long").alias("cs"),
+            ),
+            lambda parts: parts.groupBy("b").agg(
+                F.sum("ct").cast("long").alias("ct"),
+                F.sum("cs").cast("long").alias("cs"),
+            ),
+            "b bigint, ct bigint, cs bigint",
+            lambda df: [(r["b"], r["ct"], r["cs"]) for r in df.collect()],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _dsir_tail(_dsir_bb(tbl(spark, sf_dir, "documents")), cnt)
