@@ -1094,6 +1094,7 @@ def kcenter_coreset(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     fxp: int = 1 << 40,
+    checkpoint_every: int = 16,
 ) -> DataFrame:
     """Greedy k-center coreset selection (Gonzalez 1985) — the
     2-approximation diversity-selection primitive a training-data
@@ -1120,8 +1121,11 @@ def kcenter_coreset(
     (least(running mind, dist-to-newest-center) against a broadcast
     64-double literal) + a TakeOrdered reduce; no shuffle of the
     corpus, ever. The running-mind lineage grows one `least` per
-    iteration; for production k (hundreds) localCheckpoint every ~16
-    iterations to keep the plan bounded."""
+    iteration; every ``checkpoint_every`` iterations the running
+    relation localCheckpoints, so production k (hundreds) keeps a
+    bounded plan — selection is checkpoint-invariant (pinned in
+    tests: the checkpoint only materializes the same deterministic
+    mind values). Pass 0 to disable."""
     spark = df.sparkSession
     v = df.select(
         F.col(id_col).alias("vec_id"),
@@ -1143,6 +1147,8 @@ def kcenter_coreset(
         cur = cur.withColumn(
             "mind", d if i == 1 else F.least(F.col("mind"), d)
         )
+        if checkpoint_every and i % checkpoint_every == 0:
+            cur = cur.localCheckpoint()  # bound the `least` lineage
         nxt = (
             cur.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
             .orderBy(F.col("mind").desc(), F.col("vec_id").asc())

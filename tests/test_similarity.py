@@ -530,3 +530,24 @@ def test_kcenter_coreset_small_corpus(spark):
     )
     rows = kcenter_coreset(df, k=4).collect()
     assert sorted(r["vec_id"] for r in rows) == [1, 2]
+
+
+def test_kcenter_checkpoint_invariance(spark):
+    """Production-k lineage bounding: localCheckpointing the running
+    min-distance relation every few iterations must not change the
+    selection — the checkpoint only materializes deterministic values."""
+    import numpy as np
+
+    from scip_spark.functions.similarity import kcenter_coreset
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 6)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    a = [tuple(r) for r in
+         kcenter_coreset(df, k=12, checkpoint_every=3).collect()]
+    b = [tuple(r) for r in
+         kcenter_coreset(df, k=12, checkpoint_every=0).collect()]
+    assert a == b and len(a) == 12
