@@ -423,9 +423,7 @@ def bigram_surprisal_scores(spark, sf_dir):
     )
 
 
-@register(
-    "kn_surprisal_scores",
-    f"""
+_KN_SQL = f"""
     WITH tokenized AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     bi AS (SELECT doc_id, unnest({_sql_ngrams(2)}) AS bg FROM tokenized),
     bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY 1),
@@ -456,7 +454,12 @@ def bigram_surprisal_scores(spark, sf_dir):
     SELECT doc_id, n_bigrams,
            CAST(t // n_bigrams AS BIGINT) AS mean_kn_surprisal_fp
     FROM sel ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "kn_surprisal_scores",
+    _KN_SQL,
     doc="Kneser-Ney-smoothed bigram surprisal — the proper interpolated "
     "KN estimate (Chen & Goodman 1999) instead of bigram_surprisal's "
     "raw inverse conditional frequency: P(w2|w1) = (max(c2-D,0) + "
@@ -479,13 +482,26 @@ def bigram_surprisal_scores(spark, sf_dir):
     "a single context token.",
 )
 def kn_surprisal_scores(spark, sf_dir):
+    bi = _kn_bi(tbl(spark, sf_dir, "documents"))
+    bgc = bi.groupBy("bg").agg(F.count("*").cast("long").alias("c2"))
+    return _kn_tail(bi, bgc)
+
+
+def _kn_bi(docs):
+    """(doc_id, bg) — one row per bigram occurrence (staged toks
+    projection, see _dsir_bb)."""
     from scip_spark.functions.text import tokens
 
-    docs = tbl(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
-    bi = docs.select("doc_id", F.explode(_ngram_col(2)).alias("bg"))
-    bgc = bi.groupBy("bg").agg(F.count("*").cast("long").alias("c2"))
+    staged = docs.select("doc_id", tokens("text").alias("toks"))
+    return staged.select("doc_id", F.explode(_ngram_col(2)).alias("bg"))
+
+
+def _kn_tail(bi, bgc):
+    """KN rate pricing + per-doc rollup over a (bg, c2) count relation
+    — shared by the batch op and its streaming twin (bigram counts are
+    the mergeable statistic: integer sums fold exactly, and every
+    derived KN relation — contexts, continuation counts, N — is a pure
+    function of the folded counts)."""
     sp = bgc.select(
         "bg",
         "c2",
@@ -527,6 +543,52 @@ def kn_surprisal_scores(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "kn_surprisal_scores_stream",
+    _KN_SQL,
+    doc="kn_surprisal_scores with its bigram-count MODEL built by "
+    "STRUCTURED STREAMING: each micro-batch contributes (bg, c2) count "
+    "partials folded through an integer-sum merge; every derived KN "
+    "relation (per-context totals, left/right continuation counts, the "
+    "distinct-bigram N) is a pure function of the folded counts, so "
+    "the shared _kn_tail prices identically and this entry shares the "
+    "batch oracle SQL verbatim — ninth driver-hash-checked streaming "
+    "entry. The realistic shape: the LM accretes as corpus shards "
+    "land; quality scoring is a batch pass against the current model. "
+    "NOTE the partial relation is vocab-bounded (distinct bigrams), "
+    "not sketch-bounded — each fold collect is the model itself, the "
+    "same size class as the broadcast rate relation the batch op "
+    "already ships.",
+)
+def kn_surprisal_scores_stream(spark, sf_dir):
+    import shutil
+
+    from scip_spark.functions.sketch_queries import (
+        _split_to_tmp,
+        _stream_fold,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _split_to_tmp(docs, key="doc_id")
+    try:
+        bgc = _stream_fold(
+            spark,
+            tmp,
+            "doc_id bigint, text string",
+            lambda bdf: _kn_bi(bdf)
+            .groupBy("bg")
+            .agg(F.count("*").cast("long").alias("c2")),
+            lambda parts: parts.groupBy("bg").agg(
+                F.sum("c2").cast("long").alias("c2")
+            ),
+            "bg string, c2 bigint",
+            lambda df: [(r["bg"], r["c2"]) for r in df.collect()],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _kn_tail(_kn_bi(tbl(spark, sf_dir, "documents")), bgc)
 
 
 _DSIR_B = 4096          # hashed bigram buckets (md5 24-bit chunk % B)
