@@ -280,3 +280,103 @@ def test_kn_surprisal_continuation_mass_beats_raw(spark, tmp_path):
     # nprec(hub)=5, n=11 -> P=(1*11+3*2*5)/(4*2*11)=41/88
     rate_x_hub = (4 * 2 * 11 * 65536) // (1 * 11 + 3 * 2 * 5)
     assert rate_x_hub == (88 * 65536) // 41
+
+
+def test_kn_and_dsir_match_exact_python_reference(spark, tmp_path):
+    """Randomized (seeded) corpora vs pure-Python EXACT integer
+    references for both round-11 scoring kernels — every division is
+    floor-division on the same grid, so equality is exact, not
+    approximate."""
+    import random
+
+    import pandas as pd
+
+    from scip_spark.functions.quality_queries import (
+        _DSIR_B,
+        _DSIR_GRID,
+        _DSIR_TARGET,
+        dsir_importance_weights,
+        kn_surprisal_scores,
+    )
+    import hashlib
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {}
+    sources = {}
+    for i in range(14):
+        docs[i] = [rng.choice(vocab) for _ in range(rng.randint(3, 12))]
+        sources[i] = "src0" if i % 5 == 0 else f"src{2 + i % 4}"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": [" ".join(t) for t in docs.values()],
+            "lang": ["en"] * len(docs),
+            "source": [sources[i] for i in docs],
+            "n_chars": [len(" ".join(t)) for t in docs.values()],
+        }
+    )
+    d = tmp_path / "ref"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    bigrams = {
+        i: [f"{t[j]} {t[j+1]}" for j in range(len(t) - 1)]
+        for i, t in docs.items()
+    }
+
+    # --- KN reference (all-integer rational, D = 3/4, 2^16 grid) ---
+    from collections import Counter
+
+    c2 = Counter(bg for bs in bigrams.values() for bg in bs)
+    ctx = Counter()
+    nfollow = Counter()
+    nprec = Counter()
+    for bg in c2:
+        w1, w2 = bg.split(" ")
+        ctx[w1] += c2[bg]
+        nfollow[w1] += 1
+        nprec[w2] += 1
+    n = len(c2)
+
+    def kn_rate(bg):
+        w1, w2 = bg.split(" ")
+        num = max(4 * c2[bg] - 3, 0) * n + 3 * nfollow[w1] * nprec[w2]
+        return (4 * ctx[w1] * n * 65536) // num
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_kn_surprisal_fp"])
+        for r in kn_surprisal_scores(spark, str(d)).collect()
+    }
+    for i, bs in bigrams.items():
+        if not bs:
+            assert i not in got
+            continue
+        assert got[i] == (len(bs), sum(kn_rate(bg) for bg in bs) // len(bs)), i
+
+    # --- DSIR reference (Laplace ratio on the 2^20 grid) ---
+    def bucket(bg):
+        return int(hashlib.md5(bg.encode()).hexdigest()[:6], 16) % _DSIR_B
+
+    ct = Counter()
+    cs = Counter()
+    for i, bs in bigrams.items():
+        tgt = sources[i] in _DSIR_TARGET
+        for bg in bs:
+            (ct if tgt else cs)[bucket(bg)] += 1
+    nt, ns = sum(ct.values()), sum(cs.values())
+
+    def ratio(b):
+        return ((ct[b] + 1) * (ns + _DSIR_B) * _DSIR_GRID) // (
+            (cs[b] + 1) * (nt + _DSIR_B)
+        )
+
+    got2 = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_importance_fp"])
+        for r in dsir_importance_weights(spark, str(d)).collect()
+    }
+    for i, bs in bigrams.items():
+        if not bs:
+            continue
+        want = sum(ratio(bucket(bg)) for bg in bs) // len(bs)
+        assert got2[i] == (len(bs), want), i
