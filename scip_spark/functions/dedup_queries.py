@@ -363,6 +363,76 @@ def dedup_connected_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+def _cluster_split_sql() -> str:
+    from scip_spark.functions.corpus import SPLIT_BUCKETS
+
+    bucket = (
+        "CAST(('0x' || substr(md5('split-v2|' || CAST(root AS VARCHAR)),"
+        f" 1, 12)) AS BIGINT) % {SPLIT_BUCKETS}"
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, band_{i} AS digest FROM sigs"
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE sigs AS ({_minhash_sql()}),
+    buckets AS ({bands_union}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
+    ),
+    {CC_FROM_PAIRS},
+    roots AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS root
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node_id
+    )
+    SELECT doc_id, root,
+           CASE WHEN {bucket} < 9800 THEN 'train'
+                WHEN {bucket} < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM roots ORDER BY doc_id
+    """
+
+
+@register(
+    "corpus_cluster_safe_split",
+    _cluster_split_sql(),
+    doc="LEAKAGE-SAFE train/val/test split — the constructive fix for "
+    "what split_leakage_pairs audits: a per-document hash split puts "
+    "near-duplicate documents on opposite sides of the train/eval "
+    "boundary (eval contamination no downstream screen can undo), so "
+    "this splits by the DUPLICATE-CLUSTER root instead — connected "
+    "components over the LSH candidate pairs, every member of a "
+    "cluster follows its root's hash bucket, singletons hash on their "
+    "own id. Zero cross-split candidate pairs BY CONSTRUCTION (pinned "
+    "in pytest). Same stable 98/1/1 hash-boundary machinery as "
+    "corpus_split_assign (backfill never moves existing docs unless "
+    "new data merges their clusters — the unavoidable tradeoff of "
+    "leakage safety, noted here explicitly). Scale shape: the LSH "
+    "pair join and O(diameter) label-propagation rounds are the "
+    "already-audited dedup_connected_components plan; the split "
+    "itself is one left join + a projection.",
+)
+def corpus_cluster_safe_split(spark, sf_dir):
+    from scip_spark.functions.corpus import split_assign
+    from scip_spark.functions.dedup import connected_components
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+    comp = connected_components(pairs)
+    roots = docs.join(
+        comp, docs.doc_id == comp.node_id, "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("root")
+    )
+    return (
+        split_assign(roots, key_col="root", seed="split-v2")
+        .select("doc_id", "root", "split")
+        .orderBy("doc_id")
+    )
+
+
 def _boilerplate_sql(chunk: int = 4, max_docs: int = 2) -> str:
     return f"""
     WITH tok AS (

@@ -713,3 +713,39 @@ def test_temperature_mixture_past_int64_overflow(spark):
     # flattening still holds: the tiny source is upsampled, the giant
     # source downsampled below one epoch-quarter granularity unit
     assert got["tiny"]["epochs_x4"] > 4 > got["web"]["epochs_x4"]
+
+
+def test_cluster_safe_split_has_zero_cross_split_pairs(spark):
+    """The leakage-safe split's defining property: no LSH candidate
+    pair straddles a split boundary (every cluster member follows its
+    root), and the split respects the 98/1/1 hash boundaries."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.functions.dedup import lsh_candidate_pairs
+    from scip_spark.queries import REGISTRY, tbl
+
+    sf = "/root/testdata/sf0.001"
+    split = REGISTRY["corpus_cluster_safe_split"].fn(spark, sf)
+    pairs = lsh_candidate_pairs(tbl(spark, sf, "documents"))
+    sa = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    crossing = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert crossing == 0
+    assert pairs.count() > 0  # the property is non-vacuous
+    # every doc assigned exactly once; all three splits nonempty at
+    # 98/1/1 is not guaranteed on 500 docs, but train must dominate
+    n = split.count()
+    n_train = split.filter(F.col("split") == "train").count()
+    assert n == 500 and n_train > 0.9 * n
+    # cluster members share their root's split
+    per_root = split.groupBy("root").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert per_root.filter(F.col("k") > 1).count() == 0
