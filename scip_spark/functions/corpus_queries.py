@@ -471,3 +471,110 @@ def corpus_training_order(spark, sf_dir):
         F.col("order_id").cast("long").alias("order_id"),
         ((F.col("order_id") - 1) / _ORDER_STEP).cast("long").alias("step_shard"),
     ).orderBy("order_id")
+
+
+_DRIFT_GRID = 1 << 20
+
+
+@register(
+    "corpus_drift_chi2",
+    f"""
+    WITH snap AS (
+      SELECT source, n_chars,
+             {_BUCKET.format(seed='drift-v1', key='doc_id')} % 2 AS half
+      FROM documents
+    ),
+    cells AS (
+      SELECT source,
+             CAST(floor(log2(GREATEST(n_chars, 1))) AS BIGINT) AS bkt,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM snap GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM cells GROUP BY 1
+    ),
+    contrib AS (
+      SELECT c.source, c.a, c.b,
+             -- two-step fixed-point: q = D*2^20 // (na*nb) is bounded by
+             -- 2^21 (|D| <= na*nb), so q*D // (a+b) never passes int128
+             ((ABS(c.a * t.nb - c.b * t.na)::HUGEINT * {_DRIFT_GRID})
+                // (t.na::HUGEINT * t.nb))
+               * ABS(c.a * t.nb - c.b * t.na)::HUGEINT
+               // (c.a + c.b) AS x
+      FROM cells c JOIN tot t USING (source)
+      WHERE t.na > 0 AND t.nb > 0
+    )
+    SELECT c.source,
+           CAST(SUM(c.a) AS BIGINT) AS n_a,
+           CAST(SUM(c.b) AS BIGINT) AS n_b,
+           CAST(SUM(x) AS BIGINT) AS chi2_fp
+    FROM contrib c GROUP BY 1 ORDER BY 1
+    """,
+    doc="two-snapshot distribution-DRIFT monitor (the ingestion health "
+    "check a 100-TB pipeline runs between batches): per source, the "
+    "two-sample chi-square statistic between snapshot A and snapshot "
+    "B (md5 hash-half of doc_id as the stand-in batch split — doc_id "
+    "PARITY would correlate perfectly with the source assignment in "
+    "this testdata) over log2-length "
+    "cells, via the all-integer identity chi2 = sum_i D_i^2 / "
+    "(Na*Nb*(a_i+b_i)) with D_i = a_i*Nb - b_i*Na. Fixed-point on the "
+    "2^20 grid in TWO divisions per cell — q = |D|*2^20 div (Na*Nb) "
+    "is bounded by 2^21 since |D| <= Na*Nb, so q*|D| div (a_i+b_i) "
+    "stays inside int128 even at 10^10-row snapshots where a "
+    "single-division D^2 numerator (~N^4) would overflow; both "
+    "engines floor identically at each step so the statistic "
+    "hash-matches. floor(log2) is exact on integers in both engines "
+    "(n_chars >= 1 clamped). Scale shape: one map-side-combined agg "
+    "to (source x ~40 length-bucket) cells, a G-row totals join, "
+    "projection — no data-scale shuffle beyond the cell aggregation.",
+)
+def corpus_drift_chi2(spark, sf_dir):
+    from scip_spark.functions.corpus import hash_bucket
+
+    docs = tbl(spark, sf_dir, "documents")
+    snap = docs.select(
+        "source",
+        "n_chars",
+        (hash_bucket(F.col("doc_id"), "drift-v1") % 2).alias("half"),
+    )
+    cells = snap.groupBy(
+        "source",
+        F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
+        .cast("long").alias("bkt"),
+    ).agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long").alias("b"),
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    contrib = (
+        cells.join(tot, "source")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "source",
+            "a",
+            "b",
+            F.expr(
+                f"(abs(cast(a as decimal(38,0)) * nb - cast(b as decimal(38,0)) * na)"
+                f" * {_DRIFT_GRID}"
+                f" div (cast(na as decimal(38,0)) * nb))"
+                f" * abs(cast(a as decimal(38,0)) * nb - cast(b as decimal(38,0)) * na)"
+                f" div (a + b)"
+            ).alias("x"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.sum("a").cast("long").alias("n_a"),
+            F.sum("b").cast("long").alias("n_b"),
+            F.sum("x").cast("long").alias("chi2_fp"),
+        )
+        .orderBy("source")
+    )

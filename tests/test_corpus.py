@@ -749,3 +749,45 @@ def test_cluster_safe_split_has_zero_cross_split_pairs(spark):
         F.count_distinct("split").alias("k")
     )
     assert per_root.filter(F.col("k") > 1).count() == 0
+
+
+def test_drift_chi2_detects_planted_shift(spark, tmp_path):
+    """Plant a length-distribution shift in one source's snapshot-B
+    half (the md5 hash-half the operator splits on, computed here in
+    Python) and none in another: the drifted source's chi-square must
+    dominate, the stable source's must stay near zero."""
+    import hashlib
+
+    import pandas as pd
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    def half(doc_id):
+        h = hashlib.md5(f"drift-v1|{doc_id}".encode()).hexdigest()[:12]
+        return (int(h, 16) % 10_000) % 2
+
+    rows = []
+    for i in range(400):
+        src = "stable" if i < 200 else "drifted"
+        if src == "stable" or half(i) == 0:
+            n = 64 + (i % 7)          # one tight length bucket
+        else:
+            n = 4096 + (i % 7)        # snapshot B of "drifted" shifts
+        rows.append((i, "x " * 3, "en", src, n))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "drift"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    got = {
+        r["source"]: r
+        for r in REGISTRY["corpus_drift_chi2"].fn(spark, str(d)).collect()
+    }
+    assert got["stable"]["chi2_fp"] == 0  # identical length buckets
+    # the drifted source's halves occupy DISJOINT buckets: chi2 = N
+    nd = got["drifted"]["n_a"] + got["drifted"]["n_b"]
+    assert abs(got["drifted"]["chi2_fp"] - nd * (1 << 20)) < nd * 16
+    assert got["drifted"]["chi2_fp"] > 100 * (1 << 20)
