@@ -476,9 +476,7 @@ def corpus_training_order(spark, sf_dir):
 _DRIFT_GRID = 1 << 20
 
 
-@register(
-    "corpus_drift_chi2",
-    f"""
+_DRIFT_SQL = f"""
     WITH snap AS (
       SELECT source, n_chars,
              {_BUCKET.format(seed='drift-v1', key='doc_id')} % 2 AS half
@@ -511,7 +509,12 @@ _DRIFT_GRID = 1 << 20
            CAST(SUM(c.b) AS BIGINT) AS n_b,
            CAST(SUM(x) AS BIGINT) AS chi2_fp
     FROM contrib c GROUP BY 1 ORDER BY 1
-    """,
+    """
+
+
+@register(
+    "corpus_drift_chi2",
+    _DRIFT_SQL,
     doc="two-snapshot distribution-DRIFT monitor (the ingestion health "
     "check a 100-TB pipeline runs between batches): per source, the "
     "two-sample chi-square statistic between snapshot A and snapshot "
@@ -531,15 +534,22 @@ _DRIFT_GRID = 1 << 20
     "projection — no data-scale shuffle beyond the cell aggregation.",
 )
 def corpus_drift_chi2(spark, sf_dir):
+    cells = _drift_cells(tbl(spark, sf_dir, "documents"))
+    return _drift_tail(cells)
+
+
+def _drift_cells(docs):
+    """(source, log2-length bucket, a, b) — the bounded cell counts
+    (G sources x ~40 buckets), a mergeable statistic: integer sums
+    fold exactly across any partition of the corpus."""
     from scip_spark.functions.corpus import hash_bucket
 
-    docs = tbl(spark, sf_dir, "documents")
     snap = docs.select(
         "source",
         "n_chars",
         (hash_bucket(F.col("doc_id"), "drift-v1") % 2).alias("half"),
     )
-    cells = snap.groupBy(
+    return snap.groupBy(
         "source",
         F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
         .cast("long").alias("bkt"),
@@ -549,6 +559,11 @@ def corpus_drift_chi2(spark, sf_dir):
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
         .cast("long").alias("b"),
     )
+
+
+def _drift_tail(cells):
+    """chi-square pricing over a folded cell relation — shared by the
+    batch op and its streaming twin."""
     tot = cells.groupBy("source").agg(
         F.sum("a").cast("long").alias("na"),
         F.sum("b").cast("long").alias("nb"),
@@ -578,3 +593,47 @@ def corpus_drift_chi2(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_drift_chi2_stream",
+    _DRIFT_SQL,
+    doc="corpus_drift_chi2 with its (source, length-bucket, a, b) CELL "
+    "COUNTS built by STRUCTURED STREAMING: each micro-batch "
+    "contributes cell-count partials folded through an integer-sum "
+    "merge (order-free and exact), then the shared _drift_tail prices "
+    "the identical chi-square — tenth driver-hash-checked streaming "
+    "entry, batch oracle shared verbatim. The realistic shape: drift "
+    "cells accrete per ingestion batch; the alarm query is a bounded "
+    "G-row pass over the current cells.",
+)
+def corpus_drift_chi2_stream(spark, sf_dir):
+    import shutil
+
+    from scip_spark.functions.sketch_queries import (
+        _split_to_tmp,
+        _stream_fold,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tmp = _split_to_tmp(docs, key="doc_id")
+    try:
+        cells = _stream_fold(
+            spark,
+            tmp,
+            "doc_id bigint, source string, n_chars bigint",
+            _drift_cells,
+            lambda parts: parts.groupBy("source", "bkt").agg(
+                F.sum("a").cast("long").alias("a"),
+                F.sum("b").cast("long").alias("b"),
+            ),
+            "source string, bkt bigint, a bigint, b bigint",
+            lambda df: [
+                (r["source"], r["bkt"], r["a"], r["b"]) for r in df.collect()
+            ],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _drift_tail(cells)

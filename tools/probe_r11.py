@@ -33,6 +33,8 @@ OPS = [
     "coreset_kcenter",
     "dsir_importance_weights",
     "kn_surprisal_scores",
+    "corpus_cluster_safe_split",
+    "corpus_drift_chi2",
 ]
 
 
