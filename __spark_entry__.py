@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --- GEN:rotation begin ---
 # Union of queries any past driver CORRECTNESS run has verified green
-# (r07 ∪ ... ∪ r10). Listing checked queries LAST (stalest-
+# (r07 ∪ ... ∪ r11). Listing checked queries LAST (stalest-
 # verified first among them) rotates the driver's ~50-query budget onto
 # the least-recently-verified entries. Regenerate with tools/gen_rotation.py.
 _DRIVER_CHECKED = {
@@ -52,13 +52,16 @@ _DRIVER_CHECKED = {
     "audio_window_plan", "bigram_merge_candidates",
     "bigram_surprisal_scores", "bloom_autosized_screen",
     "bloom_contamination_screen", "bloom_prefilter_join",
-    "bloom_screen_streaming", "bm25_topk", "boilerplate_chunk_scrub",
-    "bot_burst_users", "bpe_compression", "cdc_apply_merge",
-    "cms_stream_token_counts", "cms_token_counts", "cohort_retention",
-    "column_profile_customer", "conditional_aggregation",
-    "contamination_ngram", "contamination_normalized",
-    "contrastive_negatives", "corpus_chunk_pack", "corpus_chunk_windows",
-    "corpus_clean", "corpus_hash_sample", "corpus_lang_quota",
+    "bloom_screen_streaming", "bloom_sharded_screen",
+    "bloom_sharded_screen_streaming", "bm25_topk",
+    "boilerplate_chunk_scrub", "bot_burst_users", "bpe_compression",
+    "cdc_apply_merge", "cms_stream_token_counts", "cms_token_counts",
+    "cohort_retention", "column_profile_customer",
+    "conditional_aggregation", "contamination_ngram",
+    "contamination_normalized", "contrastive_negatives", "coreset_kcenter",
+    "corpus_chunk_pack", "corpus_chunk_windows", "corpus_clean",
+    "corpus_cluster_safe_split", "corpus_drift_chi2",
+    "corpus_drift_chi2_stream", "corpus_hash_sample", "corpus_lang_quota",
     "corpus_mixture_upsample", "corpus_pack_shards", "corpus_split_assign",
     "corpus_stratified_eval", "corpus_temperature_mix",
     "corpus_temperature_mix_stream", "corpus_training_order",
@@ -67,25 +70,28 @@ _DRIVER_CHECKED = {
     "cusum_revenue_shift", "datetime_functions", "dedup_cluster_sizes",
     "dedup_connected_components", "dedup_containment_pairs",
     "dedup_embedding_cosine", "dedup_exact", "dedup_incremental",
-    "dedup_lsh_pairs", "dedup_lsh_pairs_skew", "dedup_minhash_signatures",
-    "dedup_ngram_jaccard", "dedup_semantic_keep", "dedup_setsim_join",
-    "dedup_simhash", "dedup_triangle_count", "distinct_groups",
-    "doc_fingerprint", "dyadic_hist_price_quantiles",
-    "dyadic_stream_price_quantiles", "embedding_centroid_drift",
-    "embedding_doc_consistency", "embedding_sq8_checksum",
-    "embedding_stats", "entity_resolution_customers",
-    "event_transition_matrix", "explode_tokens", "feature_hash_docs",
-    "fk_integrity_audit", "frequent_item_pairs", "full_outer_join_balance",
-    "funnel_conversion", "gapfill_monthly_revenue", "global_stats",
-    "group_minmax_normalize", "grouping_sets_revenue",
-    "heavy_hitter_tokens", "higher_moments_by_flag", "hll_distinct_users",
+    "dedup_lsh_pairs", "dedup_lsh_pairs_skew", "dedup_method_agreement",
+    "dedup_minhash_signatures", "dedup_ngram_jaccard",
+    "dedup_semantic_keep", "dedup_setsim_join", "dedup_simhash",
+    "dedup_triangle_count", "distinct_groups", "doc_fingerprint",
+    "dsir_importance_weights", "dsir_importance_weights_stream",
+    "dyadic_hist_price_quantiles", "dyadic_stream_price_quantiles",
+    "embedding_centroid_drift", "embedding_doc_consistency",
+    "embedding_sq8_checksum", "embedding_stats",
+    "entity_resolution_customers", "event_transition_matrix",
+    "explode_tokens", "feature_hash_docs", "fk_integrity_audit",
+    "frequent_item_pairs", "full_outer_join_balance", "funnel_conversion",
+    "gapfill_monthly_revenue", "global_stats", "group_minmax_normalize",
+    "grouping_sets_revenue", "heavy_hitter_tokens",
+    "higher_moments_by_flag", "hilbert_key_lineitem", "hll_distinct_users",
     "hybrid_search_rrf", "imaging_pipeline_e2e", "interval_overlap_orders",
     "join_size_estimate", "json_extract_events", "key_skew_profile",
     "keyed_branch_concat", "kll_quantile_prices",
     "kll_quantiles_by_priority", "kmeans_embeddings",
     "kmv_difference_estimate", "kmv_distinct_by_priority",
     "kmv_intersection_estimate", "kmv_stream_distinct_by_priority",
-    "kmv_union_estimate", "l_diversity_audit", "lang_id_heuristic",
+    "kmv_union_estimate", "kn_surprisal_scores",
+    "kn_surprisal_scores_stream", "l_diversity_audit", "lang_id_heuristic",
     "lateral_topk_orders", "lsh_scurve_design", "mad_by_flag",
     "map_explode_props", "masked_extent_by_group", "math_functions",
     "mean_tensor_by_group", "median_price_by_flag",
@@ -129,74 +135,81 @@ _LAST_GREEN_ROUND = {
     9, "ann_ivfpq_topk": 9, "ann_ivfsq8_topk": 10, "ann_lsh_buckets": 8,
     "ann_lsh_multiprobe_topk": 9, "ann_lsh_topk": 8, "ann_opq_topk": 9,
     "ann_pq_topk": 9, "ann_sq8_topk": 10, "approx_percentile_prices": 10,
-    "array_functions": 7, "asof_join_events": 9, "attribution_touchpoints":
-    7, "audio_window_plan": 7, "bigram_merge_candidates": 9,
+    "array_functions": 11, "asof_join_events": 9, "attribution_touchpoints":
+    11, "audio_window_plan": 11, "bigram_merge_candidates": 9,
     "bigram_surprisal_scores": 10, "bloom_autosized_screen": 10,
     "bloom_contamination_screen": 9, "bloom_prefilter_join": 9,
-    "bloom_screen_streaming": 9, "bm25_topk": 9, "boilerplate_chunk_scrub":
-    9, "bot_burst_users": 7, "bpe_compression": 9, "cdc_apply_merge": 7,
-    "cms_stream_token_counts": 9, "cms_token_counts": 9, "cohort_retention":
-    9, "column_profile_customer": 9, "conditional_aggregation": 9,
-    "contamination_ngram": 8, "contamination_normalized": 10,
-    "contrastive_negatives": 9, "corpus_chunk_pack": 8,
-    "corpus_chunk_windows": 8, "corpus_clean": 8, "corpus_hash_sample": 8,
-    "corpus_lang_quota": 8, "corpus_mixture_upsample": 8,
-    "corpus_pack_shards": 8, "corpus_split_assign": 8,
-    "corpus_stratified_eval": 10, "corpus_temperature_mix": 10,
-    "corpus_temperature_mix_stream": 10, "corpus_training_order": 9,
-    "corpus_weighted_sample": 9, "correlated_scalar_subquery": 7,
-    "correlation_pricing": 7, "cosine_topk": 8,
-    "cube_returnflag_linestatus": 9, "cusum_revenue_shift": 7,
-    "datetime_functions": 7, "dedup_cluster_sizes": 9,
-    "dedup_connected_components": 8, "dedup_containment_pairs": 9,
-    "dedup_embedding_cosine": 8, "dedup_exact": 8, "dedup_incremental": 9,
-    "dedup_lsh_pairs": 8, "dedup_lsh_pairs_skew": 8,
+    "bloom_screen_streaming": 9, "bloom_sharded_screen": 11,
+    "bloom_sharded_screen_streaming": 11, "bm25_topk": 9,
+    "boilerplate_chunk_scrub": 9, "bot_burst_users": 11, "bpe_compression":
+    9, "cdc_apply_merge": 11, "cms_stream_token_counts": 9,
+    "cms_token_counts": 9, "cohort_retention": 9, "column_profile_customer":
+    9, "conditional_aggregation": 9, "contamination_ngram": 8,
+    "contamination_normalized": 10, "contrastive_negatives": 9,
+    "coreset_kcenter": 11, "corpus_chunk_pack": 8, "corpus_chunk_windows":
+    8, "corpus_clean": 8, "corpus_cluster_safe_split": 11,
+    "corpus_drift_chi2": 11, "corpus_drift_chi2_stream": 11,
+    "corpus_hash_sample": 8, "corpus_lang_quota": 8,
+    "corpus_mixture_upsample": 8, "corpus_pack_shards": 8,
+    "corpus_split_assign": 8, "corpus_stratified_eval": 10,
+    "corpus_temperature_mix": 10, "corpus_temperature_mix_stream": 10,
+    "corpus_training_order": 9, "corpus_weighted_sample": 9,
+    "correlated_scalar_subquery": 11, "correlation_pricing": 11,
+    "cosine_topk": 8, "cube_returnflag_linestatus": 9,
+    "cusum_revenue_shift": 11, "datetime_functions": 11,
+    "dedup_cluster_sizes": 9, "dedup_connected_components": 8,
+    "dedup_containment_pairs": 9, "dedup_embedding_cosine": 8,
+    "dedup_exact": 8, "dedup_incremental": 9, "dedup_lsh_pairs": 8,
+    "dedup_lsh_pairs_skew": 8, "dedup_method_agreement": 11,
     "dedup_minhash_signatures": 8, "dedup_ngram_jaccard": 8,
     "dedup_semantic_keep": 9, "dedup_setsim_join": 9, "dedup_simhash": 8,
     "dedup_triangle_count": 9, "distinct_groups": 9, "doc_fingerprint": 8,
+    "dsir_importance_weights": 11, "dsir_importance_weights_stream": 11,
     "dyadic_hist_price_quantiles": 9, "dyadic_stream_price_quantiles": 9,
     "embedding_centroid_drift": 9, "embedding_doc_consistency": 9,
     "embedding_sq8_checksum": 10, "embedding_stats": 8,
     "entity_resolution_customers": 9, "event_transition_matrix": 9,
     "explode_tokens": 9, "feature_hash_docs": 10, "fk_integrity_audit": 9,
-    "frequent_item_pairs": 7, "full_outer_join_balance": 7,
-    "funnel_conversion": 10, "gapfill_monthly_revenue": 7, "global_stats":
+    "frequent_item_pairs": 11, "full_outer_join_balance": 11,
+    "funnel_conversion": 10, "gapfill_monthly_revenue": 11, "global_stats":
     10, "group_minmax_normalize": 10, "grouping_sets_revenue": 10,
-    "heavy_hitter_tokens": 8, "higher_moments_by_flag": 7,
-    "hll_distinct_users": 8, "hybrid_search_rrf": 10,
-    "imaging_pipeline_e2e": 8, "interval_overlap_orders": 7,
-    "join_size_estimate": 9, "json_extract_events": 10, "key_skew_profile":
-    9, "keyed_branch_concat": 10, "kll_quantile_prices": 9,
-    "kll_quantiles_by_priority": 9, "kmeans_embeddings": 8,
-    "kmv_difference_estimate": 8, "kmv_distinct_by_priority": 8,
-    "kmv_intersection_estimate": 8, "kmv_stream_distinct_by_priority": 9,
-    "kmv_union_estimate": 8, "l_diversity_audit": 7, "lang_id_heuristic": 8,
-    "lateral_topk_orders": 7, "lsh_scurve_design": 9, "mad_by_flag": 7,
-    "map_explode_props": 7, "masked_extent_by_group": 8, "math_functions":
-    7, "mean_tensor_by_group": 8, "median_price_by_flag": 10,
+    "heavy_hitter_tokens": 8, "higher_moments_by_flag": 11,
+    "hilbert_key_lineitem": 11, "hll_distinct_users": 8,
+    "hybrid_search_rrf": 10, "imaging_pipeline_e2e": 8,
+    "interval_overlap_orders": 11, "join_size_estimate": 9,
+    "json_extract_events": 10, "key_skew_profile": 9, "keyed_branch_concat":
+    10, "kll_quantile_prices": 9, "kll_quantiles_by_priority": 9,
+    "kmeans_embeddings": 8, "kmv_difference_estimate": 8,
+    "kmv_distinct_by_priority": 8, "kmv_intersection_estimate": 8,
+    "kmv_stream_distinct_by_priority": 9, "kmv_union_estimate": 8,
+    "kn_surprisal_scores": 11, "kn_surprisal_scores_stream": 11,
+    "l_diversity_audit": 11, "lang_id_heuristic": 8, "lateral_topk_orders":
+    11, "lsh_scurve_design": 9, "mad_by_flag": 11, "map_explode_props": 11,
+    "masked_extent_by_group": 8, "math_functions": 11,
+    "mean_tensor_by_group": 8, "median_price_by_flag": 10,
     "merge_upsert_emulation": 10, "model_quality_scores": 10,
-    "monthly_order_rollup": 10, "moving_median_revenue": 7,
+    "monthly_order_rollup": 10, "moving_median_revenue": 11,
     "multimodal_meta": 10, "numeric_profile_lineitem": 9,
-    "order_gaps_ntile": 10, "order_seasonality": 7, "pagerank_suppliers": 8,
-    "phrase_search_docs": 10, "pii_scrub_customers": 7,
-    "pit_join_lineitem_scd2": 7, "pivot_channels": 10,
-    "pseudonymize_events": 7, "q10_returned_items": 7,
-    "q11_important_stock": 8, "q12_priority_shipping": 7,
-    "q13_customer_distribution": 7, "q14_promo_effect": 7,
-    "q15_top_supplier": 7, "q16_parts_supplier": 7,
-    "q17_small_quantity_avg": 7, "q18_large_volume_customer": 7,
+    "order_gaps_ntile": 10, "order_seasonality": 11, "pagerank_suppliers":
+    8, "phrase_search_docs": 10, "pii_scrub_customers": 11,
+    "pit_join_lineitem_scd2": 11, "pivot_channels": 10,
+    "pseudonymize_events": 11, "q10_returned_items": 11,
+    "q11_important_stock": 8, "q12_priority_shipping": 11,
+    "q13_customer_distribution": 11, "q14_promo_effect": 11,
+    "q15_top_supplier": 11, "q16_parts_supplier": 11,
+    "q17_small_quantity_avg": 11, "q18_large_volume_customer": 11,
     "q19_discounted_revenue": 8, "q1_pricing_summary": 10,
-    "q20_potential_promotion": 8, "q21_waiting_orders": 7,
-    "q22_global_sales_opportunity": 7, "q2_min_cost_supplier": 7,
-    "q3_shipping_priority": 10, "q4_order_priority": 7,
-    "q5_local_supplier_volume": 10, "q6_forecast_revenue": 7,
-    "q7_volume_shipping": 7, "q8_market_share": 8, "q9_product_type_profit":
-    8, "quality_quantile_bins": 9, "quality_repetition": 8,
-    "quantile_sketch_prices": 9, "quantile_sketch_rollup": 9,
-    "range_join_quantity_bands": 10, "recursive_order_streaks": 7,
-    "regression_trend_by_priority": 7, "revenue_anomaly_days": 7,
-    "rfm_segmentation": 10, "rollup_order_date": 10,
-    "running_sum_per_customer": 10, "salted_token_counts": 10,
+    "q20_potential_promotion": 8, "q21_waiting_orders": 11,
+    "q22_global_sales_opportunity": 11, "q2_min_cost_supplier": 11,
+    "q3_shipping_priority": 10, "q4_order_priority": 11,
+    "q5_local_supplier_volume": 10, "q6_forecast_revenue": 11,
+    "q7_volume_shipping": 11, "q8_market_share": 8,
+    "q9_product_type_profit": 8, "quality_quantile_bins": 9,
+    "quality_repetition": 8, "quantile_sketch_prices": 9,
+    "quantile_sketch_rollup": 9, "range_join_quantity_bands": 10,
+    "recursive_order_streaks": 7, "regression_trend_by_priority": 7,
+    "revenue_anomaly_days": 7, "rfm_segmentation": 10, "rollup_order_date":
+    10, "running_sum_per_customer": 10, "salted_token_counts": 10,
     "sample_exact_k": 10, "sample_with_replacement": 9,
     "scd2_customer_orders": 7, "semi_anti_join": 10, "sessionize_events":
     10, "set_ops_customers": 10, "sliding_distinct_users": 10,

@@ -322,7 +322,19 @@ def bloom_shard(col: Column | str, s: int, k: int = BLOOM_K) -> Column:
     """Shard route of a key: md5 chunk ``k`` (the first chunk NOT used
     for bit positions — chars 25–30 at the default k=4) mod the shard
     count. Independent of the position bits by md5 chunk disjointness,
-    so per-shard FPR math is unaffected by the routing."""
+    so per-shard FPR math is unaffected by the routing.
+
+    md5 is 32 hex chars = five full 6-char chunks (indices 0–4), so
+    the routing chunk exists only for ``k <= 4``: at k=5 substring
+    returns 2 chars (8-bit routing) and at k>=6 an empty string —
+    NULL/degenerate shards that silently break the per-shard
+    no-false-negative guarantee. Fail loudly instead."""
+    if k > 4:
+        raise ValueError(
+            f"bloom_shard needs md5 chunk {k} for routing, but md5 has "
+            "only five full 6-char chunks (k <= 4); use a second hash "
+            "or reduce k"
+        )
     return bloom_pos(col, k, s)
 
 

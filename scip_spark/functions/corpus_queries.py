@@ -484,7 +484,11 @@ _DRIFT_SQL = f"""
     ),
     cells AS (
       SELECT source,
-             CAST(floor(log2(GREATEST(n_chars, 1))) AS BIGINT) AS bkt,
+             -- exact-integer floor(log2): bit length via the binary
+             -- string (no libm log2 — Spark's Log2 is an ln-ratio,
+             -- DuckDB's std::log2; last-ulp drift could flip a floor
+             -- at bucket boundaries)
+             CAST(length(bin(GREATEST(n_chars, 1))) - 1 AS BIGINT) AS bkt,
              CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
              CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
       FROM snap GROUP BY 1, 2
@@ -496,10 +500,14 @@ _DRIFT_SQL = f"""
     contrib AS (
       SELECT c.source, c.a, c.b,
              -- two-step fixed-point: q = D*2^20 // (na*nb) is bounded by
-             -- 2^21 (|D| <= na*nb), so q*D // (a+b) never passes int128
-             ((ABS(c.a * t.nb - c.b * t.na)::HUGEINT * {_DRIFT_GRID})
+             -- 2^21 (|D| <= na*nb), so q*D // (a+b) never passes int128.
+             -- The HUGEINT cast is INSIDE the multiply (a::HUGEINT*nb),
+             -- not on ABS's result — cast-after-ABS would evaluate the
+             -- product in BIGINT and overflow at ~3e9-row snapshots,
+             -- diverging from the Spark decimal(38,0) intermediates.
+             ((ABS(c.a::HUGEINT * t.nb - c.b::HUGEINT * t.na) * {_DRIFT_GRID})
                 // (t.na::HUGEINT * t.nb))
-               * ABS(c.a * t.nb - c.b * t.na)::HUGEINT
+               * ABS(c.a::HUGEINT * t.nb - c.b::HUGEINT * t.na)
                // (c.a + c.b) AS x
       FROM cells c JOIN tot t USING (source)
       WHERE t.na > 0 AND t.nb > 0
@@ -528,8 +536,9 @@ _DRIFT_SQL = f"""
     "stays inside int128 even at 10^10-row snapshots where a "
     "single-division D^2 numerator (~N^4) would overflow; both "
     "engines floor identically at each step so the statistic "
-    "hash-matches. floor(log2) is exact on integers in both engines "
-    "(n_chars >= 1 clamped). Scale shape: one map-side-combined agg "
+    "hash-matches. The length bucket is the exact-integer bit length "
+    "(length(bin(n))-1, n_chars >= 1 clamped) — no libm log2 in "
+    "either engine. Scale shape: one map-side-combined agg "
     "to (source x ~40 length-bucket) cells, a G-row totals join, "
     "projection — no data-scale shuffle beyond the cell aggregation.",
 )
@@ -551,7 +560,11 @@ def _drift_cells(docs):
     )
     return snap.groupBy(
         "source",
-        F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
+        # exact-integer floor(log2(n)) = bit_length(n) - 1 via the
+        # binary-string length: Spark's Log2 is an ln-ratio while
+        # DuckDB uses std::log2, so a float floor could flip in the
+        # last ulp at bucket boundaries; bin() is pure integer in both
+        (F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))) - 1)
         .cast("long").alias("bkt"),
     ).agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0))

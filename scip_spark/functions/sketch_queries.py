@@ -847,7 +847,12 @@ def _bloom_sharded_sql(
     # + ceil + compare ladders, IEEE-identical cross-engine
     c = -math.log(1.0 - target_fpr ** (1.0 / k))
     powers = ", ".join(f"({1 << p})" for p in range(10, m_max.bit_length()))
-    shard_powers = ", ".join(f"({1 << p})" for p in range(0, 15))
+    # shard ladder mirrors bloom_auto_shards exactly: powers 2^0..2^24
+    # with a 2^24 terminal fallback (the Python while-loop stops at
+    # s == _BLOOM_M_MAX even if the fit condition never holds) — a
+    # truncated ladder would silently pick a different S than the
+    # engine once the corpus needs S past its top rung
+    shard_powers = ", ".join(f"({1 << p})" for p in range(0, 25))
     idx = ", ".join(f"({i})" for i in range(k))
     pos = (
         "CAST(('0x' || substr(md5(text), 1 + 6 * i, 6)) AS BIGINT)"
@@ -876,7 +881,7 @@ def _bloom_sharded_sql(
         (SELECT MIN(sp) FROM (VALUES {shard_powers}) sh(sp)
           WHERE ({k} * ceil(est.n / sp)) / {c!r}
                 <= CAST({m_max} AS DOUBLE)),
-        32768) AS s
+        16777216) AS s
       FROM est
     ),
     msel AS (

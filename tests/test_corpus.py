@@ -791,3 +791,68 @@ def test_drift_chi2_detects_planted_shift(spark, tmp_path):
     nd = got["drifted"]["n_a"] + got["drifted"]["n_b"]
     assert abs(got["drifted"]["chi2_fp"] - nd * (1 << 20)) < nd * 16
     assert got["drifted"]["chi2_fp"] > 100 * (1 << 20)
+
+
+def test_drift_oracle_int128_safe_at_3e9_snapshots():
+    """ADVICE r11: the DuckDB oracle's chi-square numerator must cast
+    to HUGEINT BEFORE the multiply (a::HUGEINT*nb), not on ABS's
+    result — cast-after-ABS evaluates a*nb in BIGINT and overflows at
+    ~3e9-row snapshots. Drive the exact oracle expression at planted
+    3e9-scale cell counts and pin it to pure-Python int math."""
+    import duckdb
+
+    a, b = 2_900_000_000, 3_100_000_000
+    na, nb = 3_000_000_000, 3_050_000_000
+    grid = 1 << 20
+    d = abs(a * nb - b * na)
+    want = (d * grid) // (na * nb) * d // (a + b)
+    got = duckdb.sql(
+        f"""
+        SELECT ((ABS(c.a::HUGEINT * t.nb - c.b::HUGEINT * t.na) * {grid})
+                  // (t.na::HUGEINT * t.nb))
+                 * ABS(c.a::HUGEINT * t.nb - c.b::HUGEINT * t.na)
+                 // (c.a + c.b) AS x
+        FROM (SELECT {a}::BIGINT a, {b}::BIGINT b) c,
+             (SELECT {na}::BIGINT na, {nb}::BIGINT nb) t
+        """
+    ).fetchone()[0]
+    assert int(got) == want
+    # and the expression actually appears in the shipped oracle SQL
+    from scip_spark.functions.corpus_queries import _DRIFT_SQL
+
+    assert "ABS(c.a::HUGEINT * t.nb - c.b::HUGEINT * t.na)" in _DRIFT_SQL
+    assert "ABS(c.a * t.nb" not in _DRIFT_SQL  # the overflowing shape
+
+
+def test_drift_length_bucket_exact_integer(spark):
+    """ADVICE r11: the log2-length bucket is computed as the exact
+    integer bit length (length(bin(n))-1) in BOTH engines — no libm
+    log2 whose last-ulp drift could flip a floor at power-of-two
+    boundaries. Sweep every boundary up to 2^40 plus off-boundary
+    values and pin both engines to Python's n.bit_length()-1."""
+    import duckdb
+
+    vals = sorted(
+        {1, 2, 3}
+        | {(1 << p) + d for p in range(1, 41) for d in (-1, 0, 1)}
+    )
+    want = [v.bit_length() - 1 for v in vals]
+    got_spark = [
+        r["bkt"]
+        for r in spark.createDataFrame([(v,) for v in vals], "n_chars long")
+        .select(
+            (F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))) - 1)
+            .cast("long").alias("bkt")
+        )
+        .collect()
+    ]
+    assert got_spark == want
+    got_duck = [
+        int(r[0])
+        for r in duckdb.sql(
+            "SELECT CAST(length(bin(GREATEST(n, 1))) - 1 AS BIGINT) "
+            "FROM (SELECT unnest(?::BIGINT[]) n)",
+            params=[vals],
+        ).fetchall()
+    ]
+    assert got_duck == want

@@ -432,3 +432,30 @@ def test_bloom_bits_match_pure_python_reference(spark):
             p = int(hx[6 * i : 6 * i + 6], 16) % BLOOM_M
             want[p >> 5] = want.get(p >> 5, 0) | (1 << (p % 32))
     assert got == want
+
+
+def test_bloom_shard_routing_chunk_guard(spark):
+    """ADVICE r11: md5 has only five full 6-char chunks, so the shard
+    routing chunk exists only for k <= 4 — at k=5 substring degrades
+    to 8-bit routing and at k>=6 it is empty (NULL shards, broken
+    no-false-negative guarantee). Non-default k must fail loudly in
+    bloom_shard and everything routed through it (build + both
+    probes); k=4 (default) and below stay fine."""
+    import pytest
+
+    from scip_spark.functions.bloom import (
+        bloom_build_sharded,
+        bloom_shard,
+    )
+
+    keys = _keys_df(spark, [f"rk_{i}" for i in range(50)])
+    for bad_k in (5, 6, 9):
+        with pytest.raises(ValueError, match="five full 6-char chunks"):
+            bloom_shard("key", 8, k=bad_k)
+        with pytest.raises(ValueError, match="five full 6-char chunks"):
+            bloom_build_sharded(keys, "key", k=bad_k, shards=4, m=1 << 12)
+    # default and reduced k still build and route every row
+    for ok_k in (4, 3):
+        built = bloom_build_sharded(keys, "key", k=ok_k, shards=4, m=1 << 12)
+        assert built.filter(F.col("shard").isNull()).count() == 0
+        assert built.count() > 0
