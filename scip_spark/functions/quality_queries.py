@@ -767,3 +767,249 @@ def dsir_importance_weights_stream(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _dsir_tail(_dsir_bb(tbl(spark, sf_dir, "documents")), cnt)
+
+
+# ---------------------------------------------------------------------------
+# Published heuristic-rule bundles (Gopher / C4) — the standard first-pass
+# document filters of a web-scale pretraining pipeline. Every rule is
+# integer cross-multiplication (never a float ratio), so both engines
+# agree bit-exactly and the flags hash-match.
+# ---------------------------------------------------------------------------
+
+#: Gopher rule-set stopwords (Rae et al. 2021, table A1): a doc must
+#: contain at least 2 distinct words from this set.
+_GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_GOPHER_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             COALESCE(text, '') AS text,
+             {_SQL_TOKS.replace("text", "COALESCE(text, '')")} AS toks,
+             string_split(COALESCE(text, ''), chr(10)) AS lines
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len,
+             CAST(len(list_filter(toks,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha,
+             CAST(len(list_intersect(list_transform(toks, x -> lower(x)),
+                  {_GOPHER_STOP!r})) AS BIGINT) AS n_stop,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                      AS BIGINT)
+               + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+               AS n_sym,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                  l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+               AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines,
+                  l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ell
+      FROM t
+    )
+    SELECT doc_id, n_words, sum_len, n_alpha, n_stop, n_sym,
+           (n_words BETWEEN 50 AND 100000) AS f_word_count,
+           (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+             AS f_mean_word_len,
+           (10 * n_sym < n_words) AS f_symbol_ratio,
+           (5 * n_alpha > 4 * n_words) AS f_alpha_words,
+           (n_stop >= 2) AS f_stopwords,
+           (10 * n_bullet < 9 * n_lines) AS f_bullet_lines,
+           (10 * n_ell < 3 * n_lines) AS f_ellipsis_lines,
+           ((n_words BETWEEN 50 AND 100000)
+            AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+            AND 10 * n_sym < n_words
+            AND 5 * n_alpha > 4 * n_words
+            AND n_stop >= 2
+            AND 10 * n_bullet < 9 * n_lines
+            AND 10 * n_ell < 3 * n_lines) AS keep
+    FROM c ORDER BY doc_id
+    """
+
+
+def _occurrences(text, needle: str):
+    """Exact count of non-overlapping ``needle`` occurrences — the
+    length-difference identity (both engines replace greedily
+    left-to-right, so counts agree exactly)."""
+    gone = F.length(text) - F.length(F.replace(text, F.lit(needle)))
+    return (gone / len(needle)).cast("long")
+
+
+@register(
+    "quality_gopher_rules",
+    _GOPHER_SQL,
+    doc="the Gopher heuristic rule bundle (Rae et al. 2021 table A1 — "
+    "the standard web-scale first-pass filter, also the skeleton of "
+    "RefinedWeb/FineWeb filtering): word-count bounds, mean word "
+    "length in [3,10], symbol-to-word ratio (#/ellipsis) < 0.1, >80% "
+    "words alphabetic, >=2 distinct required stopwords, <90% bullet "
+    "lines, <30% ellipsis-ended lines. Every threshold is an integer "
+    "CROSS-MULTIPLICATION (10*n_sym < n_words, never a float "
+    "division), so flags hash-match cross-engine with no ulp traps "
+    "and no div-by-zero on empty docs. Scale shape: one scan, pure "
+    "per-row column algebra inside whole-stage codegen — nothing "
+    "shuffles at any corpus size (the same per-record filter stage as "
+    "reference src/scip/masking/filters/__init__.py:21-38, lifted to "
+    "document corpora).",
+)
+def quality_gopher_rules(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOP])
+    staged = docs.select(
+        "doc_id",
+        "text",
+        tokens("text").alias("toks"),
+        F.split("text", "\n", -1).alias("lines"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.size(
+            F.filter("toks", lambda x: x.rlike("[A-Za-z]"))
+        ).cast("long").alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.transform("toks", F.lower), stop_arr
+            )
+        ).cast("long").alias("n_stop"),
+        (
+            _occurrences(F.col("text"), "#")
+            + _occurrences(F.col("text"), "...")
+            + _occurrences(F.col("text"), "…")
+        ).alias("n_sym"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                "lines",
+                lambda l: l.startswith("- ")
+                | l.startswith("* ")
+                | l.startswith("• "),
+            )
+        ).cast("long").alias("n_bullet"),
+        F.size(
+            F.filter(
+                "lines", lambda l: l.endswith("...") | l.endswith("…")
+            )
+        ).cast("long").alias("n_ell"),
+    )
+    f_word = F.col("n_words").between(50, 100000)
+    f_mlen = (3 * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    f_sym = 10 * F.col("n_sym") < F.col("n_words")
+    f_alpha = 5 * F.col("n_alpha") > 4 * F.col("n_words")
+    f_stop = F.col("n_stop") >= 2
+    f_bullet = 10 * F.col("n_bullet") < 9 * F.col("n_lines")
+    f_ell = 10 * F.col("n_ell") < 3 * F.col("n_lines")
+    return staged.select(
+        "doc_id", "n_words", "sum_len", "n_alpha", "n_stop", "n_sym",
+        f_word.alias("f_word_count"),
+        f_mlen.alias("f_mean_word_len"),
+        f_sym.alias("f_symbol_ratio"),
+        f_alpha.alias("f_alpha_words"),
+        f_stop.alias("f_stopwords"),
+        f_bullet.alias("f_bullet_lines"),
+        f_ell.alias("f_ellipsis_lines"),
+        (f_word & f_mlen & f_sym & f_alpha & f_stop & f_bullet & f_ell)
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+_C4_SQL = """
+    WITH t AS (
+      SELECT doc_id, COALESCE(text, '') AS text,
+             string_split(COALESCE(text, ''), chr(10)) AS lines
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                  l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+                        OR l LIKE '%"')
+                   AND len(list_filter(string_split_regex(l, '\\s+'),
+                           w -> w <> '')) >= 5)) AS BIGINT)
+               AS n_retained_lines,
+             CAST((length(text) - length(replace(text, '.', '')))
+                + (length(text) - length(replace(text, '!', '')))
+                + (length(text) - length(replace(text, '?', '')))
+               AS BIGINT) AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{') AS has_brace,
+             contains(lower(text), 'javascript') AS has_js
+      FROM t
+    )
+    SELECT doc_id, n_lines, n_retained_lines, n_sentences,
+           has_lorem, has_brace, has_js,
+           (n_sentences >= 3 AND n_retained_lines >= 1
+            AND NOT has_lorem AND NOT has_brace AND NOT has_js) AS keep
+    FROM c ORDER BY doc_id
+    """
+
+
+@register(
+    "quality_c4_filters",
+    _C4_SQL,
+    doc="the C4 cleaning heuristics (Raffel et al. 2020 §2.2): retain "
+    "only lines ending in terminal punctuation with >= 5 words, drop "
+    "pages with < 3 sentences, any 'lorem ipsum', a curly brace, or "
+    "'javascript'. All counts are exact integers (punctuation counts "
+    "via the length-difference identity; line retention via one "
+    "nested HOF pass), keep is pure boolean algebra over them — "
+    "hash-matched cross-engine. Scale shape: one scan, per-row "
+    "column algebra, zero shuffle at any corpus size.",
+)
+def quality_c4_filters(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    line_words = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(l, r"\s+", -1), lambda w: w != "")
+    )
+    staged = docs.select(
+        "doc_id",
+        "text",
+        F.split("text", "\n", -1).alias("lines"),
+    ).select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                "lines",
+                lambda l: (
+                    l.endswith(".")
+                    | l.endswith("!")
+                    | l.endswith("?")
+                    | l.endswith('"')
+                )
+                & (line_words(l) >= 5),
+            )
+        ).cast("long").alias("n_retained_lines"),
+        (
+            _occurrences(F.col("text"), ".")
+            + _occurrences(F.col("text"), "!")
+            + _occurrences(F.col("text"), "?")
+        ).alias("n_sentences"),
+        F.contains(F.lower("text"), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(F.col("text"), F.lit("{")).alias("has_brace"),
+        F.contains(F.lower("text"), F.lit("javascript")).alias("has_js"),
+    )
+    return staged.select(
+        "doc_id", "n_lines", "n_retained_lines", "n_sentences",
+        "has_lorem", "has_brace", "has_js",
+        (
+            (F.col("n_sentences") >= 3)
+            & (F.col("n_retained_lines") >= 1)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & ~F.col("has_js")
+        ).alias("keep"),
+    ).orderBy("doc_id")

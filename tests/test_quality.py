@@ -380,3 +380,88 @@ def test_kn_and_dsir_match_exact_python_reference(spark, tmp_path):
             continue
         want = sum(ratio(bucket(bg)) for bg in bs) // len(bs)
         assert got2[i] == (len(bs), want), i
+
+
+def _write_docs(spark, tmp_path, rows):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_gopher_rules_each_branch(spark, tmp_path):
+    """Plant one doc per Gopher rule violation (the synthetic corpus
+    exercises only a few branches) and one fully-passing doc; every
+    flag must flip exactly where planted."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    good = ("the cat and the dog have been to the house of that "
+            "friend with many fine words ") * 3  # 51+ words, stopwords
+    rows = [
+        (0, good),                                    # passes everything
+        (1, "short doc with the and of that"),        # word count < 50
+        (2, "a b c d e " * 12 + "the of"),            # mean word len < 3
+        (3, good + " " + "# " * 10),                  # symbol ratio >= 0.1
+        (4, good.replace("the", "123").replace("and", "456")
+             .replace("of", "789").replace("that", "000")
+             .replace("to", "111").replace("have", "222")
+             .replace("with", "333").replace("be", "444")),  # stopwords < 2
+        (5, "\n".join(["- " + good[:40]] * 10)),      # 100% bullet lines
+        (6, "\n".join([good[:40] + "..."] * 10)),     # 100% ellipsis lines
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["quality_gopher_rules"].fn(spark, sf).collect()
+    }
+    assert out[0]["keep"], out[0]
+    assert not out[1]["f_word_count"] and not out[1]["keep"]
+    assert not out[2]["f_mean_word_len"]
+    assert not out[3]["f_symbol_ratio"]
+    assert out[0]["f_symbol_ratio"]
+    assert not out[4]["f_stopwords"] and out[0]["f_stopwords"]
+    assert not out[5]["f_bullet_lines"] and out[0]["f_bullet_lines"]
+    assert not out[6]["f_ellipsis_lines"] and out[0]["f_ellipsis_lines"]
+    # alpha-fraction flag: mostly-numeric doc fails
+    sf2 = _write_docs(
+        spark, tmp_path, [(0, good), (1, ("12 34 56 78 90 " * 12) + "the of x")]
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in REGISTRY["quality_gopher_rules"].fn(spark, sf2).collect()
+    }
+    assert out2[0]["f_alpha_words"] and not out2[1]["f_alpha_words"]
+
+
+def test_c4_filters_each_branch(spark, tmp_path):
+    """C4 line retention and page-level flags flip exactly where
+    planted: terminal-punctuation+5-word lines retained, short or
+    unpunctuated lines dropped; lorem/brace/javascript kill the page."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    keepable = ("This line has five good words.\n"
+                "Another proper sentence sits right here!\n"
+                "Does this question line also count?")
+    rows = [
+        (0, keepable),                                  # 3 sentences, keep
+        (1, "Too short.\nNo punctuation line here five\nTiny."),  # no 5-word terminal line
+        (2, keepable + "\nlorem ipsum dolor sit amet."),  # lorem
+        (3, keepable + "\nvar x = {a: 1};"),              # brace
+        (4, keepable + "\nenable JavaScript to continue."),  # javascript
+        (5, "One sentence only right here."),             # < 3 sentences
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["quality_c4_filters"].fn(spark, sf).collect()
+    }
+    assert out[0]["keep"] and out[0]["n_retained_lines"] == 3
+    assert out[1]["n_retained_lines"] == 0 and not out[1]["keep"]
+    assert out[2]["has_lorem"] and not out[2]["keep"]
+    assert out[3]["has_brace"] and not out[3]["keep"]
+    assert out[4]["has_js"] and not out[4]["keep"]
+    assert out[5]["n_sentences"] < 3 and not out[5]["keep"]
