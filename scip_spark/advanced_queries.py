@@ -1703,3 +1703,248 @@ def cusum_from_daily(daily):
         F.element_at("s", F.col("i0") + 1).alias("cusum"),
         (F.element_at("s", F.col("i0") + 1) > 20 * F.col("target")).alias("shifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA anomaly detection over the daily-revenue series: the exponential
+# smoother e_t = floor((e_{t-1} + x_t) / 2) (alpha = 1/2) predicts each
+# day from the past; a day is anomalous when it deviates > 50% from the
+# prediction. Like CUSUM, the recurrence is a true sequential scan —
+# but the DAILY relation is calendar-bounded, so one in-memory array
+# fold is exact and cheap at any corpus size. Integer cents + shift
+# halving make the fold bit-identical in any engine (no double
+# accumulator to lose exactness past 2^53 at real revenue scales).
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    series AS (
+      SELECT list(day ORDER BY day) AS days, list(rev ORDER BY day) AS revs
+      FROM daily
+    ),
+    folded AS (
+      -- seed the fold with [x_1] (e_1 = x_1); each step floor-halves
+      -- the sum — revenues are non-negative so // 2 matches Spark's
+      -- shiftright exactly
+      SELECT days, revs,
+             list_reduce(
+               list_prepend([revs[1]],
+                            list_transform(revs[2:], x -> [x])),
+               (acc, x) -> list_append(acc, (acc[-1] + x[1]) // 2)
+             ) AS e
+      FROM series
+    )
+    SELECT days[u.i] AS day,
+           CAST(revs[u.i] AS BIGINT) AS rev,
+           CAST(e[u.i] AS BIGINT) AS ewma,
+           CASE WHEN u.i = 1 THEN FALSE
+                ELSE 2 * abs(revs[u.i] - e[u.i - 1]) > e[u.i - 1]
+           END AS anomaly
+    FROM folded, UNNEST(generate_series(1, len(days))) AS u(i)
+    """,
+    doc="EWMA (alpha=1/2) anomaly detection over daily revenue: "
+    "e_t = (e_{t-1} + x_t) >> 1 in exact integer cents, a day is "
+    "anomalous when it deviates more than 50% from the previous "
+    "smoothed level (2*|x_t - e_{t-1}| > e_{t-1}; integer "
+    "cross-multiplication, never a float ratio). The calendar-bounded "
+    "daily array folds in one row like cusum_revenue_shift; the "
+    "corpus-scale work is the one map-side-combined daily aggregation.",
+)
+def ewma_anomaly_days(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    return ewma_from_daily(daily)
+
+
+def ewma_from_daily(daily):
+    """EWMA finisher over a ``(day, rev_cents)`` relation — split out on
+    the cusum_from_daily model so a streamed per-day pre-aggregate can
+    feed the identical fold."""
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("sr")
+    )
+    folded = series.select(
+        "sr",
+        F.aggregate(
+            "sr",
+            F.array().cast("array<bigint>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(
+                        F.shiftright(
+                            F.try_element_at(acc, F.lit(-1)) + x["rev"], 1
+                        ),
+                        x["rev"],  # empty acc: e_1 = x_1
+                    )
+                ),
+            ),
+        ).alias("e"),
+    )
+    return folded.select(
+        F.posexplode("sr").alias("i0", "dr"), F.col("e")
+    ).select(
+        F.col("dr.day").alias("day"),
+        F.col("dr.rev").cast("long").alias("rev"),
+        F.element_at("e", F.col("i0") + 1).cast("long").alias("ewma"),
+        F.when(F.col("i0") == 0, F.lit(False))
+        .otherwise(
+            2 * F.abs(F.col("dr.rev") - F.element_at("e", F.greatest(F.col("i0"), F.lit(1))))
+            > F.element_at("e", F.greatest(F.col("i0"), F.lit(1)))
+        )
+        .alias("anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: Spark's built-in session_window generator (the
+# same operator the streaming sessionizer uses — streaming/windows.py)
+# driven in batch and hash-checked against a gaps-and-islands oracle.
+# sessionize_events covers the lag+cumsum FORMULATION; this covers the
+# built-in, which at scale is one hash-shuffle on user_id followed by a
+# per-partition in-sort merge — no window-function second pass.
+# Boundary semantics (probed): events exactly gap apart MERGE — a new
+# session starts only when the gap is strictly exceeded.
+# ---------------------------------------------------------------------------
+@register(
+    "session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="built-in session_window sessionization (30-min gap): session "
+    "start/end/count per user, hash-matched against the "
+    "gaps-and-islands oracle (strict-gap boundary — exactly-gap-apart "
+    "events merge, probed empirically). Scale shape: one shuffle on "
+    "user_id, sessions merged in-sort per partition; no second "
+    "window-function pass over the data.",
+)
+def session_window_native(spark, sf_dir):
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join, driver-hash-checked: the canonical
+# funnel-attribution join (each purchase matched to the same user's
+# clicks in the preceding hour) run through Structured Streaming's
+# symmetric-hash join with watermarked state on BOTH sides
+# (streaming/windows.py::purchase_click_join), then aggregated to a
+# deterministic per-purchase summary that shares the batch oracle.
+# The source is a single-file stream: one micro-batch, so no click
+# state is watermark-evicted mid-run and the result is exactly the
+# batch join (multi-batch eviction semantics are pinned separately in
+# tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id AS p_user, ts AS purchase_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id,
+           COUNT(*) AS n_clicks,
+           CAST(MAX(c.click_id) AS BIGINT) AS max_click_id
+    FROM purch p JOIN clicks c
+      ON p.p_user = c.c_user
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="stream-stream interval join (11th driver-hash-checked "
+    "streaming entry): purchases and clicks read as TWO watermarked "
+    "streams, joined by Structured Streaming's symmetric-hash "
+    "interval join (user equality + 1-hour preceding range), folded "
+    "to per-purchase click counts that hash-match the batch oracle. "
+    "Scale shape: state is bounded by the watermark horizon on both "
+    "sides — the 100-TB history never accumulates in the store.",
+)
+def stream_stream_attribution(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid
+
+    from scip_spark.queries import load_events
+    from scip_spark.streaming.windows import purchase_click_join
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ss_join_src_")
+    name = f"ss_attr_{uuid.uuid4().hex[:8]}"
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+        schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+        s1 = spark.readStream.schema(schema).parquet(tmp)
+        s2 = spark.readStream.schema(schema).parquet(tmp)
+        joined = purchase_click_join(s1, s2)
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .groupBy("purchase_id")
+            .agg(
+                F.count("*").alias("n_clicks"),
+                F.max("click_id").cast("long").alias("max_click_id"),
+            )
+            .orderBy("purchase_id")
+        )
+        # materialize before the temp source dir is removed
+        return spark.createDataFrame(
+            out.collect(),
+            "purchase_id bigint, n_clicks bigint, max_click_id bigint",
+        ).orderBy("purchase_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -465,3 +465,47 @@ def test_c4_filters_each_branch(spark, tmp_path):
     assert out[3]["has_brace"] and not out[3]["keep"]
     assert out[4]["has_js"] and not out[4]["keep"]
     assert out[5]["n_sentences"] < 3 and not out[5]["keep"]
+
+
+def test_ewma_fold_matches_pure_python_and_flags_spike(spark, tmp_path):
+    """The EWMA recurrence must equal the pure-Python integer fold
+    exactly (e_t = (e_{t-1}+x_t)>>1) and flag exactly the planted
+    50%+ deviation days."""
+    import datetime
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    revs = [10000] * 10 + [40000] + [10000] * 5 + [100] + [10000] * 3
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (i, 1, "O", revs[i] / 100.0, base + datetime.timedelta(days=i),
+         "1-URGENT", "c", 0, "x")
+        for i in range(len(revs))
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority",
+         "o_comment"],
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    out = sorted(
+        REGISTRY["ewma_anomaly_days"].fn(spark, sf).collect(),
+        key=lambda r: r["day"],
+    )
+    # pure-Python reference fold
+    e, want_e, want_flag = None, [], []
+    for x in revs:
+        flag = e is not None and 2 * abs(x - e) > e
+        e = x if e is None else (e + x) >> 1
+        want_e.append(e)
+        want_flag.append(flag)
+    assert [r["ewma"] for r in out] == want_e
+    assert [r["anomaly"] for r in out] == want_flag
+    flagged = {r["day"] for r in out if r["anomaly"]}
+    # spike + crash days, each followed by one echo flag (alpha=1/2
+    # pulls the level halfway to the outlier, so the return-to-normal
+    # day also deviates > 50% — inherent to heavy smoothing)
+    assert flagged == {"2024-01-11", "2024-01-12", "2024-01-17", "2024-01-18"}
