@@ -1089,3 +1089,71 @@ def lsh_scurve_design(spark, sf_dir):
     for _ in range(b - 1):
         miss = miss * one_minus
     return grid.select("s_tenths", (1 - miss).alias("p_collide"))
+
+
+def _keep_best_sql() -> str:
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, band_{i} AS digest FROM sigs"
+        for i in range(N_BANDS)
+    )
+    toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+    return f"""
+    WITH RECURSIVE sigs AS ({_minhash_sql()}),
+    buckets AS ({bands_union}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.digest = b.digest
+       AND a.doc_id < b.doc_id
+    ),
+    {CC_FROM_PAIRS},
+    scored AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS root,
+             CAST(len({toks}) AS BIGINT) AS score
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node_id
+    )
+    SELECT doc_id, root, score,
+           (ROW_NUMBER() OVER (PARTITION BY root
+                               ORDER BY score DESC, doc_id) = 1) AS keep
+    FROM scored ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_keep_best_quality",
+    _keep_best_sql(),
+    doc="quality-aware canonical selection: one KEEPER per duplicate "
+    "cluster, chosen as the HIGHEST-QUALITY member (integer token "
+    "count as the quality proxy; min doc_id tiebreak) rather than "
+    "dedup_semantic_keep's min-id policy — the real curation rule "
+    "(keep the longest/cleanest copy, drop truncated mirrors). "
+    "Clusters are connected components over the LSH candidate pairs; "
+    "singletons keep themselves. Scale shape: the already-audited CC "
+    "plan plus ONE shuffle by cluster root for the per-cluster "
+    "argmax window — the text column never moves (score computed at "
+    "scan, only (doc_id, root, score) shuffles).",
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from scip_spark.functions.dedup import connected_components
+    from scip_spark.functions.text import token_count
+
+    docs = tbl(spark, sf_dir, "documents")
+    comp = connected_components(lsh_candidate_pairs(docs))
+    scored = (
+        docs.select("doc_id", token_count("text").alias("score"))
+        .join(comp, docs["doc_id"] == comp["node_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("root"),
+            "score",
+        )
+    )
+    w = W.partitionBy("root").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "root", "score", "keep")
+        .orderBy("doc_id")
+    )

@@ -1013,3 +1013,155 @@ def quality_c4_filters(spark, sf_dir):
             & ~F.col("has_js")
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+_SB_GRID = 1 << 20
+
+_SB_SQL = f"""
+    WITH tokenized AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks, doc_id % 10 < 8 AS is_train
+      FROM documents
+    ),
+    tri_t AS (SELECT unnest({_sql_ngrams(3)}) AS tg FROM tokenized WHERE is_train),
+    bi_t  AS (SELECT unnest({_sql_ngrams(2)}) AS bg FROM tokenized WHERE is_train),
+    uni_t AS (SELECT unnest(toks) AS w FROM tokenized WHERE is_train),
+    c3 AS (SELECT tg, CAST(COUNT(*) AS BIGINT) AS c3 FROM tri_t GROUP BY 1),
+    c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi_t GROUP BY 1),
+    cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM uni_t GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni_t),
+    ev AS (
+      SELECT doc_id, unnest({_sql_ngrams(3)}) AS tg
+      FROM tokenized WHERE NOT is_train
+    ),
+    evd AS (
+      SELECT tg,
+             concat_ws(' ', split_part(tg, ' ', 1), split_part(tg, ' ', 2))
+               AS ctx12,
+             concat_ws(' ', split_part(tg, ' ', 2), split_part(tg, ' ', 3))
+               AS bg23,
+             split_part(tg, ' ', 2) AS w2,
+             split_part(tg, ' ', 3) AS w3
+      FROM (SELECT DISTINCT tg FROM ev)
+    ),
+    rate AS (
+      SELECT e.tg,
+             CASE WHEN t.c3 IS NOT NULL
+                    THEN t.c3 * {_SB_GRID} // b12.c12
+                  WHEN b23.c12 IS NOT NULL
+                    THEN 2 * b23.c12 * {_SB_GRID} // (5 * u2.cu)
+                  WHEN u3.cu IS NOT NULL
+                    THEN 4 * u3.cu * {_SB_GRID} // (25 * nn.n)
+                  ELSE 0 END AS s,
+             CASE WHEN t.c3 IS NOT NULL THEN 0
+                  WHEN b23.c12 IS NOT NULL THEN 1
+                  WHEN u3.cu IS NOT NULL THEN 2
+                  ELSE 3 END AS lvl
+      FROM evd e
+      LEFT JOIN c3 t ON e.tg = t.tg
+      LEFT JOIN c12 b12 ON e.ctx12 = b12.bg
+      LEFT JOIN c12 b23 ON e.bg23 = b23.bg
+      LEFT JOIN cu u2 ON e.w2 = u2.w
+      LEFT JOIN cu u3 ON e.w3 = u3.w, nn
+    )
+    SELECT v.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(r.s) AS BIGINT) AS score_fp,
+           CAST(SUM(CASE WHEN r.lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+           CAST(SUM(CASE WHEN r.lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+           CAST(SUM(CASE WHEN r.lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+           CAST(SUM(CASE WHEN r.lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM ev v JOIN rate r USING (tg)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "trigram_backoff_scores",
+    _SB_SQL,
+    doc="stupid-backoff trigram LM scoring (Brants et al. 2007 — the "
+    "web-scale LM that skips normalization): eval docs (doc_id%10>=8) "
+    "scored under a model counted from train docs, so unseen "
+    "trigrams/bigrams genuinely back off (trigram MLE -> 0.4 x bigram "
+    "-> 0.4^2 x unigram -> 0), with per-doc counts of each backoff "
+    "level. All-rational fixed point on the 2^20 grid with 0.4 = 2/5 "
+    "(c3*G div c12; 2*c23*G div (5*c2); 4*cu*G div (25*N)) — integer "
+    "division hash-matches cross-engine where libm log/pow cannot. "
+    "Scale shape: model counts are map-side-combined aggs over the "
+    "train partition; pricing joins touch only the DISTINCT eval "
+    "trigram relation (vocab-bounded), then one tg-keyed join prices "
+    "each occurrence — the bigram_surprisal_scores plan one order up.",
+)
+def trigram_backoff_scores(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        (F.col("doc_id") % 10 < 8).alias("is_train"),
+    )
+    train = docs.filter("is_train")
+    c3 = (
+        train.select(F.explode(_ngram_col(3)).alias("tg"))
+        .groupBy("tg").agg(F.count("*").cast("long").alias("c3"))
+    )
+    c12 = (
+        train.select(F.explode(_ngram_col(2)).alias("bg"))
+        .groupBy("bg").agg(F.count("*").cast("long").alias("c12"))
+    )
+    cu = (
+        train.select(F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("long").alias("cu"))
+    )
+    nn = train.select(F.explode("toks").alias("w")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ev = docs.filter(~F.col("is_train")).select(
+        "doc_id", F.explode(_ngram_col(3)).alias("tg")
+    )
+    evd = ev.select("tg").distinct().select(
+        "tg",
+        F.concat_ws(
+            " ", F.substring_index("tg", " ", 1),
+            F.element_at(F.split("tg", " "), 2),
+        ).alias("ctx12"),
+        F.substring_index("tg", " ", -2).alias("bg23"),
+        F.element_at(F.split("tg", " "), 2).alias("w2"),
+        F.element_at(F.split("tg", " "), 3).alias("w3"),
+    )
+    rate = (
+        evd.join(c3, "tg", "left")
+        .join(c12.withColumnRenamed("bg", "ctx12").withColumnRenamed("c12", "cc12"), "ctx12", "left")
+        .join(c12.withColumnRenamed("bg", "bg23").withColumnRenamed("c12", "cc23"), "bg23", "left")
+        .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"), "w2", "left")
+        .join(cu.withColumnRenamed("w", "w3").withColumnRenamed("cu", "cu3"), "w3", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "tg",
+            F.expr(
+                f"""CASE WHEN c3 IS NOT NULL
+                          THEN c3 * {_SB_GRID}L div cc12
+                        WHEN cc23 IS NOT NULL
+                          THEN 2 * cc23 * {_SB_GRID}L div (5 * cu2)
+                        WHEN cu3 IS NOT NULL
+                          THEN 4 * cu3 * {_SB_GRID}L div (25 * n)
+                        ELSE 0 END"""
+            ).alias("s"),
+            F.expr(
+                """CASE WHEN c3 IS NOT NULL THEN 0
+                        WHEN cc23 IS NOT NULL THEN 1
+                        WHEN cu3 IS NOT NULL THEN 2
+                        ELSE 3 END"""
+            ).alias("lvl"),
+        )
+    )
+    return (
+        ev.join(rate, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum("s").cast("long").alias("score_fp"),
+            F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0)).cast("long").alias("n_tri"),
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0)).cast("long").alias("n_bi"),
+            F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0)).cast("long").alias("n_uni"),
+            F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )

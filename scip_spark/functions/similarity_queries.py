@@ -874,3 +874,109 @@ def ann_ivfsq8_topk(spark, sf_dir):
     )
     exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
     return _recall_agg(exact, approx, emb, 0.45, "ann_ivfsq8_topk")
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection: d -> k with a deterministic
+# ±1 sign matrix (Achlioptas 2003 — database-friendly projections: ±1
+# entries preserve pairwise distances like Gaussian ones, and make the
+# projection EXACT INTEGER arithmetic on the fixed-point grid). The
+# standard cheap dimension-reduction in front of LSH / clustering /
+# near-dup when 100-TB embedding columns are too wide to shuffle.
+# ---------------------------------------------------------------------------
+_JL_K = 16
+_JL_D = 64
+_JL_SEED = "jl-v1"
+
+
+def _jl_signs(d: int = _JL_D, k: int = _JL_K, seed: str = _JL_SEED):
+    """d x k ±1 sign matrix from md5(seed|i|j) parity — computed ONCE
+    in Python and inlined as literals into BOTH engines' plans, so the
+    projection is a pure function of (seed, d, k) with zero per-row
+    hashing cost and no cross-engine md5-expression drift."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[0], 16
+            ) % 2 == 0
+            else -1
+            for j in range(k)
+        ]
+        for i in range(d)
+    ]
+
+
+def _jl_sql(d: int = _JL_D, k: int = _JL_K) -> str:
+    signs = _jl_signs(d, k)
+    branches = []
+    for j in range(k):
+        col = ", ".join(str(signs[i][j]) for i in range(d))
+        branches.append(
+            f"""SELECT vec_id, {j} AS out_dim,
+           CAST(list_reduce(
+                  list_transform(list_zip(f, [{col}]::BIGINT[]),
+                                 p -> p[1] * p[2]),
+                  (a, b) -> a + b) AS BIGINT) AS y_fx
+         FROM fx"""
+        )
+    union = "\n    UNION ALL\n    ".join(branches)
+    return f"""
+    WITH fx AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x::DOUBLE * {_FXP}) AS BIGINT))
+               AS f
+      FROM embeddings WHERE len(embedding) = {d}
+    )
+    SELECT * FROM (
+    {union}
+    ) ORDER BY vec_id, out_dim
+    """
+
+
+@register(
+    "embedding_jl_projection",
+    _jl_sql(),
+    doc="Johnson-Lindenstrauss ±1 random projection 64 -> 16 "
+    "(Achlioptas 2003): each output dim is an exact integer signed "
+    "sum of the fixed-point (floor(x*2^40)) coordinates, sign matrix "
+    "md5-derived once and inlined as literals — the projection "
+    "hash-matches cross-engine bit-for-bit (no float dot products). "
+    "Distance preservation is property-tested against numpy. Scale "
+    "shape: zero shuffle — one staged projection computes the "
+    "fixed-point array, 16 zip_with/aggregate sums consume the BOUND "
+    "attribute (no lambda recompute), and the 4x-narrower output is "
+    "what downstream LSH/k-means shuffles instead of the wide vector.",
+)
+def embedding_jl_projection(spark, sf_dir):
+    signs = _jl_signs()
+    emb = tbl(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _JL_D
+    )
+    staged = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _FXP).cast("long"),
+        ).alias("f"),
+    )
+    sums = [
+        F.aggregate(
+            F.zip_with(
+                "f",
+                F.array(*[F.lit(signs[i][j]) for i in range(_JL_D)]),
+                lambda a, s: a * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(_JL_K)
+    ]
+    return (
+        staged.select("vec_id", F.posexplode(F.array(*sums)).alias("out_dim", "y_fx"))
+        .select("vec_id", F.col("out_dim").cast("int").alias("out_dim"), "y_fx")
+        .orderBy("vec_id", "out_dim")
+    )

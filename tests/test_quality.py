@@ -509,3 +509,62 @@ def test_ewma_fold_matches_pure_python_and_flags_spike(spark, tmp_path):
     # pulls the level halfway to the outlier, so the return-to-normal
     # day also deviates > 50% — inherent to heavy smoothing)
     assert flagged == {"2024-01-11", "2024-01-12", "2024-01-17", "2024-01-18"}
+
+
+def test_trigram_backoff_matches_pure_python(spark, tmp_path):
+    """Stupid-backoff pricing must equal the pure-Python integer
+    reference on a planted corpus that exercises every backoff level
+    (trigram hit, bigram backoff, unigram backoff, OOV -> 0)."""
+    from collections import Counter
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.functions.quality_queries import _SB_GRID
+    from scip_spark.queries import REGISTRY
+
+    train = [
+        (0, "a b c a b c a b d"),
+        (1, "x y z x y w"),
+    ]
+    evals = [
+        (8, "a b c"),          # trigram hit
+        (18, "c a b d x"),     # mix: hits + bigram-level
+        (28, "b d y z qqq"),   # bigram + unigram + OOV
+    ]
+    sf = _write_docs(spark, tmp_path, train + evals)
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["trigram_backoff_scores"].fn(spark, sf).collect()
+    }
+
+    toks = {i: t.split() for i, t in train + evals}
+    tri = Counter(
+        " ".join(toks[i][j:j + 3])
+        for i, _ in train for j in range(len(toks[i]) - 2)
+    )
+    bi = Counter(
+        " ".join(toks[i][j:j + 2])
+        for i, _ in train for j in range(len(toks[i]) - 1)
+    )
+    uni = Counter(w for i, _ in train for w in toks[i])
+    N = sum(uni.values())
+
+    def price(tg):
+        w1, w2, w3 = tg.split()
+        if tri[tg] > 0:
+            return tri[tg] * _SB_GRID // bi[f"{w1} {w2}"], 0
+        if bi[f"{w2} {w3}"] > 0:
+            return 2 * bi[f"{w2} {w3}"] * _SB_GRID // (5 * uni[w2]), 1
+        if uni[w3] > 0:
+            return 4 * uni[w3] * _SB_GRID // (25 * N), 2
+        return 0, 3
+
+    seen_lvls = set()
+    for i, _ in evals:
+        tgs = [" ".join(toks[i][j:j + 3]) for j in range(len(toks[i]) - 2)]
+        priced = [price(t) for t in tgs]
+        seen_lvls |= {l for _, l in priced}
+        assert out[i]["score_fp"] == sum(s for s, _ in priced), i
+        assert out[i]["n_trigrams"] == len(tgs)
+        for lvl, col in [(0, "n_tri"), (1, "n_bi"), (2, "n_uni"), (3, "n_oov")]:
+            assert out[i][col] == sum(1 for _, l in priced if l == lvl), (i, col)
+    assert seen_lvls == {0, 1, 2, 3}  # every backoff level exercised

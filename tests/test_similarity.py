@@ -551,3 +551,53 @@ def test_kcenter_checkpoint_invariance(spark):
     b = [tuple(r) for r in
          kcenter_coreset(df, k=12, checkpoint_every=0).collect()]
     assert a == b and len(a) == 12
+
+
+def test_jl_projection_exact_and_distance_preserving(spark):
+    """The JL projection must (a) equal the pure-numpy integer
+    reference bit-for-bit on the fixed-point grid and (b) preserve
+    pairwise squared distances in expectation: ||P(a-b)||^2 / k
+    concentrates around ||a-b||^2 (±1 signs, Achlioptas 2003)."""
+    import numpy as np
+
+    from scip_spark.functions.similarity_queries import (
+        _FXP,
+        _JL_D,
+        _JL_K,
+        _jl_signs,
+    )
+    from scip_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["embedding_jl_projection"].fn(spark, sf).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["vec_id"], [0] * _JL_K)[r["out_dim"]] = r["y_fx"]
+
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    S = np.array(_jl_signs(), dtype=object)  # object -> exact python ints
+    for vid in list(got)[:50]:
+        f = np.array(
+            [int(np.floor(float(x) * _FXP)) for x in emb[vid]], dtype=object
+        )
+        want = list(f @ S)
+        assert got[vid] == want, vid
+
+    # distance preservation on real float vectors (sampled pairs)
+    ids = sorted(emb)[:30]
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        va = np.array(emb[a], dtype=float)
+        vb = np.array(emb[b], dtype=float)
+        d2 = float(np.sum((va - vb) ** 2))
+        pa = np.array(got[a], dtype=float) / _FXP
+        pb = np.array(got[b], dtype=float) / _FXP
+        p2 = float(np.sum((pa - pb) ** 2)) / _JL_K
+        if d2 > 0:
+            ratios.append(p2 / d2)
+    med = float(np.median(ratios))
+    assert 0.5 < med < 2.0, med
+    assert all(0.05 < r < 20 for r in ratios), ratios
