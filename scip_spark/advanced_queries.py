@@ -1948,3 +1948,107 @@ def stream_stream_attribution(spark, sf_dir):
         ).orderBy("purchase_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "ewma_anomaly_days_stream",
+    None,  # replaced below — shares the batch oracle verbatim
+    doc="ewma_anomaly_days with the DAILY pre-aggregate built by "
+    "STRUCTURED STREAMING (12th driver-hash-checked streaming entry): "
+    "each micro-batch contributes (day, rev_cents) partials folded "
+    "through an integer-sum merge (order-free and exact), then the "
+    "shared ewma_from_daily finisher prices the identical fold — the "
+    "realistic shape: per-day revenue accretes per ingestion batch, "
+    "the anomaly sweep is a bounded pass over the folded days.",
+)
+def ewma_anomaly_days_stream(spark, sf_dir):
+    import shutil
+
+    from scip_spark.functions.sketch_queries import (
+        _split_to_tmp,
+        _stream_fold,
+    )
+
+    # pre-project to (key, day-string, cents) before writing the stream
+    # source: the tmp parquet then round-trips engine-neutral types
+    # (o_orderdate's physical encoding varies across testdata
+    # generations, like events.ts)
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = _split_to_tmp(orders, key="o_orderkey")
+
+    def build_daily(bdf):
+        return bdf.groupBy("day").agg(
+            F.sum("cents").cast("long").alias("rev")
+        )
+
+    try:
+        daily = _stream_fold(
+            spark,
+            tmp,
+            "o_orderkey bigint, day string, cents bigint",
+            build_daily,
+            lambda parts: parts.groupBy("day").agg(
+                F.sum("rev").cast("long").alias("rev")
+            ),
+            "day string, rev bigint",
+            lambda df: [(r["day"], r["rev"]) for r in df.collect()],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return ewma_from_daily(daily)
+
+
+# the streaming twin shares the batch oracle verbatim
+from scip_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_REG["ewma_anomaly_days_stream"].sql = _REG["ewma_anomaly_days"].sql
+
+
+@register(
+    "video_frame_plan",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, CAST(n_chars AS DOUBLE) / 100 AS dur
+      FROM documents
+    ),
+    n AS (
+      SELECT media_id, dur,
+             GREATEST(1, CAST(floor(dur / 2.0) AS BIGINT)) AS n_frames
+      FROM media
+    )
+    SELECT media_id,
+           CAST(u.i - 1 AS BIGINT) AS frame_idx,
+           CAST((u.i - 1) * 2.0 AS DOUBLE) AS frame_ts
+    FROM n, UNNEST(generate_series(1, n_frames)) AS u(i)
+    ORDER BY media_id, frame_idx
+    """,
+    doc="video frame-sampling PLAN from duration metadata (every 2 s, "
+    "at least one frame): the decode-free 1->N explode a video "
+    "pipeline computes BEFORE touching bytes — sampled timestamps "
+    "feed the (stubbed, injectable) decoder, so the 100-TB payload "
+    "column is read only at the chosen offsets. every_s = 2.0 keeps "
+    "the i*step timestamps exact doubles. Zero shuffle: per-row "
+    "sequence + explode inside the scan (functions/multimodal.py "
+    "frame_sample; same duration stand-in as audio_window_plan).",
+)
+def video_frame_plan(spark, sf_dir):
+    from scip_spark.functions.multimodal import frame_sample
+
+    media = tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars").cast("double") / 100).alias("meta_duration_s"),
+    )
+    out = frame_sample(media, every_s=2.0)
+    return (
+        out.select(
+            "media_id",
+            (F.col("frame_ts") / 2.0).cast("long").alias("frame_idx"),
+            F.col("frame_ts").cast("double").alias("frame_ts"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )

@@ -980,3 +980,112 @@ def embedding_jl_projection(spark, sf_dir):
         .select("vec_id", F.col("out_dim").cast("int").alias("out_dim"), "y_fx")
         .orderBy("vec_id", "out_dim")
     )
+
+
+_COV_GRID = 1 << 20  # covariance grid: fx products stay far inside int64
+
+
+@register(
+    "embedding_covariance_fp",
+    f"""
+    WITH fx AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x::DOUBLE * {_COV_GRID}) AS BIGINT))
+               AS f
+      FROM embeddings WHERE len(embedding) = {_JL_D}
+    ),
+    pairs AS (
+      SELECT u.i AS dim_i, v.j AS dim_j,
+             f[u.i] AS fi, f[v.j] AS fj
+      FROM fx,
+           UNNEST(generate_series(1, {_JL_D})) AS u(i),
+           UNNEST(generate_series(1, {_JL_D})) AS v(j)
+      WHERE u.i <= v.j
+    ),
+    agg AS (
+      SELECT dim_i, dim_j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(fi) AS BIGINT) AS si,
+             CAST(SUM(fj) AS BIGINT) AS sj,
+             CAST(SUM(fi * fj) AS BIGINT) AS cij
+      FROM pairs GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT *,
+             (n::HUGEINT * cij - si::HUGEINT * sj) AS v,
+             -- non-negative remainder first (DuckDB % keeps the
+             -- dividend sign), then hi = (v - lo)/m is an EXACT
+             -- division — sidesteps //'s truncate-toward-zero on
+             -- negatives, which differs from Spark's floor
+             ((((n::HUGEINT * cij - si::HUGEINT * sj) % 1073741824)
+               + 1073741824) % 1073741824) AS lo
+      FROM agg
+    )
+    SELECT dim_i, dim_j, n, si, sj, cij,
+           CAST((v - lo) // 1073741824 AS BIGINT) AS cov_hi,
+           CAST(lo AS BIGINT) AS cov_lo
+    FROM cov ORDER BY dim_i, dim_j
+    """,
+    doc="exact second-moment / covariance accumulation over the "
+    "embedding column — the input PCA/whitening needs (SemDeDup-style "
+    "semantic curation preprocessing): for every dim pair i<=j, the "
+    "integer sums (n, Si, Sj, Cij) on the 2^20 fixed-point grid plus "
+    "the centered co-moment n*Cij - Si*Sj as an exact hi/lo int64 "
+    "pair (the value passes 2^53, where a double would silently "
+    "round; DuckDB's % keeps the dividend sign, hence the double-mod "
+    "normalization). The eigen step runs driver-side on the 64x64 "
+    "result — property-tested against numpy in pytest. Scale shape: "
+    "the per-row d(d+1)/2 pair explode collapses MAP-SIDE (hash-agg "
+    "partials are <= 2080 rows per task), so the shuffle carries "
+    "tasks x 2080 sketch rows at any corpus size — the corpus itself "
+    "never shuffles.",
+)
+def embedding_covariance_fp(spark, sf_dir):
+    emb = tbl(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _JL_D
+    )
+    staged = emb.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _COV_GRID).cast("long"),
+        ).alias("f")
+    )
+    # build the i<=j pair array against the BOUND attribute f (staged
+    # projection — HOF lambdas get no CSE), then one explode
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_JL_D)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(_JL_D)),
+                lambda j: F.struct(
+                    i.alias("dim_i"),
+                    j.alias("dim_j"),
+                    F.element_at("f", i).alias("fi"),
+                    F.element_at("f", j).alias("fj"),
+                ),
+            ),
+        )
+    )
+    pairs = staged.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.dim_i").cast("long").alias("dim_i"),
+        F.col("p.dim_j").cast("long").alias("dim_j"),
+        F.col("p.fi").alias("fi"),
+        F.col("p.fj").alias("fj"),
+    )
+    agg = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("fi").cast("long").alias("si"),
+        F.sum("fj").cast("long").alias("sj"),
+        F.sum(F.col("fi") * F.col("fj")).cast("long").alias("cij"),
+    )
+    cov = (
+        F.col("n").cast("decimal(38,0)") * F.col("cij")
+        - F.col("si").cast("decimal(38,0)") * F.col("sj")
+    )
+    half = F.lit(1 << 30).cast("decimal(38,0)")
+    return agg.select(
+        "dim_i", "dim_j", "n", "si", "sj", "cij",
+        F.floor(cov / half).cast("long").alias("cov_hi"),
+        (((cov % half) + half) % half).cast("long").alias("cov_lo"),
+    ).orderBy("dim_i", "dim_j")

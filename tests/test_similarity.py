@@ -601,3 +601,39 @@ def test_jl_projection_exact_and_distance_preserving(spark):
     med = float(np.median(ratios))
     assert 0.5 < med < 2.0, med
     assert all(0.05 < r < 20 for r in ratios), ratios
+
+
+def test_covariance_fp_matches_numpy_and_supports_pca(spark):
+    """Reconstructing the exact integer co-moments (hi*2^30+lo) and
+    dividing by n^2*G^2 must match numpy's biased covariance of the
+    raw floats to fixed-point precision, and the driver-side eigen
+    step yields a valid PCA (PSD spectrum, orthonormal basis)."""
+    import numpy as np
+
+    from scip_spark.functions.similarity_queries import _COV_GRID, _JL_D
+    from scip_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["embedding_covariance_fp"].fn(spark, sf).collect()
+    n = rows[0]["n"]
+    C = np.zeros((_JL_D, _JL_D))
+    for r in rows:
+        v = r["cov_hi"] * (1 << 30) + r["cov_lo"]
+        c = v / (n * n * _COV_GRID * _COV_GRID)
+        C[r["dim_i"] - 1, r["dim_j"] - 1] = c
+        C[r["dim_j"] - 1, r["dim_i"] - 1] = c
+
+    X = np.array([
+        list(r["embedding"])
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        if len(r["embedding"]) == _JL_D
+    ], dtype=float)
+    ref = np.cov(X, rowvar=False, bias=True)
+    # fixed-point floor error per value is < 1/G per coordinate
+    assert np.max(np.abs(C - ref)) < 5e-5, np.max(np.abs(C - ref))
+
+    w, V = np.linalg.eigh(C)
+    assert w.min() > -1e-9              # PSD up to float noise
+    assert np.allclose(V.T @ V, np.eye(_JL_D), atol=1e-8)
+    # top component explains the most variance of any basis vector
+    assert w.max() >= C.diagonal().max() - 1e-9
