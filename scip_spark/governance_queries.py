@@ -540,3 +540,119 @@ def pit_join_lineitem_scd2(spark, sf_dir):
         "version",
         F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade: the GDPR erasure audit a 100-TB
+# warehouse runs — purge a deterministic forget-set of customers and
+# every row reachable from them (orders -> lineitem; events by user),
+# reporting per-table purge counts plus an order-independent checksum
+# of what REMAINS (the proof-of-erasure artifact).
+# ---------------------------------------------------------------------------
+_RTBF_MOD = 97  # forget set: custkey % 97 == 0 (deterministic stand-in)
+
+
+def _rtbf_branch_sql(tbl_name: str, src: str, purged: str, key: str) -> str:
+    """One per-table branch: purge/remaining counts + the
+    order-independent checksum of the REMAINING keys (48-bit md5
+    prefixes summed exactly as decimals, reduced mod 2^61-1)."""
+    return f"""
+      SELECT '{tbl_name}' AS tbl,
+             CAST(SUM(CASE WHEN {purged} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purged,
+             CAST(SUM(CASE WHEN {purged} THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_remaining,
+             CAST(CAST(SUM(CASE WHEN {purged} THEN 0
+                           ELSE CAST({_row_hash_sql(key)} AS DECIMAL(38,0))
+                      END) AS DECIMAL(38,0)) % {_M61} AS BIGINT)
+               AS remaining_checksum
+      FROM {src}
+    """
+
+
+_RTBF_SQL = f"""
+    WITH ords AS (
+      SELECT o_orderkey, o_custkey % {_RTBF_MOD} = 0 AS purged
+      FROM orders
+    ),
+    li AS (
+      SELECT concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                       CAST(l_linenumber AS VARCHAR)) AS k,
+             o.purged
+      FROM lineitem l JOIN ords o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT * FROM (
+    {_rtbf_branch_sql("customer", "customer",
+                      f"c_custkey % {_RTBF_MOD} = 0",
+                      "CAST(c_custkey AS VARCHAR)")}
+    UNION ALL
+    {_rtbf_branch_sql("orders", "ords", "purged",
+                      "CAST(o_orderkey AS VARCHAR)")}
+    UNION ALL
+    {_rtbf_branch_sql("lineitem", "li", "purged", "k")}
+    UNION ALL
+    {_rtbf_branch_sql("events", "events",
+                      f"user_id % {_RTBF_MOD} = 0",
+                      "CAST(event_id AS VARCHAR)")}
+    ) ORDER BY tbl
+    """
+
+
+@register(
+    "rtbf_cascade_delete",
+    _RTBF_SQL,
+    doc="right-to-be-forgotten CASCADE audit (GDPR art. 17 erasure "
+    "over a warehouse): purge a deterministic customer forget-set "
+    "and everything reachable from it — their orders, those orders' "
+    "lineitems (one key-only join), their events — and emit, per "
+    "table, purge/remaining counts plus the order-independent "
+    "48-bit-md5 checksum of the REMAINING keys (decimal-exact sum "
+    "mod 2^61-1, the table_checksum discipline) — the "
+    "proof-of-erasure artifact a regulator audit replays. Scale "
+    "shape: customer/orders/events purge by predicate at the scan "
+    "(no join); only lineitem needs the o_orderkey join, key-only "
+    "and map-side-combined to 4 result rows.",
+)
+def rtbf_cascade_delete(spark, sf_dir):
+    def khash(col):
+        return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+    def summary(name, df, purged_col, key_col):
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.sum(F.when(purged_col, 1).otherwise(0)).cast("long").alias("n_purged"),
+            F.sum(F.when(purged_col, 0).otherwise(1)).cast("long").alias("n_remaining"),
+            (
+                F.sum(
+                    F.when(purged_col, F.lit(0).cast("decimal(38,0)")).otherwise(
+                        khash(key_col).cast("decimal(38,0)")
+                    )
+                ).cast("decimal(38,0)")
+                % _M61
+            ).cast("long").alias("remaining_checksum"),
+        )
+
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % _RTBF_MOD == 0).alias("purged")
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+        "l_orderkey",
+    ).join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    ev = tbl(spark, sf_dir, "events")
+
+    out = (
+        summary("customer", cust, F.col("c_custkey") % _RTBF_MOD == 0,
+                F.col("c_custkey").cast("string"))
+        .unionByName(summary("orders", orders, F.col("purged"),
+                             F.col("o_orderkey").cast("string")))
+        .unionByName(summary("lineitem", li, F.col("purged"), F.col("k")))
+        .unionByName(summary("events", ev, F.col("user_id") % _RTBF_MOD == 0,
+                             F.col("event_id").cast("string")))
+    )
+    return out.orderBy("tbl")

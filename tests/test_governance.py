@@ -155,3 +155,45 @@ def test_interval_self_overlap_sweep_equals_bruteforce(spark):
     assert got == want
     assert want[("dominate", 3)] is True  # the running-max case
     assert want[("touch", 1)] is True
+
+
+def test_rtbf_cascade_invariants(spark):
+    """Erasure accounting must be complete and consistent: per table
+    purged+remaining == row count, lineitem purges exactly the
+    lineitems of purged orders, and the remaining checksum equals an
+    independently computed pure-Python checksum of the surviving keys."""
+    import hashlib
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.governance_queries import _M61, _RTBF_MOD
+    from scip_spark.queries import REGISTRY, tbl as _tbl
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["tbl"]: r for r in REGISTRY["rtbf_cascade_delete"].fn(spark, sf).collect()}
+
+    counts = {t: _tbl(spark, sf, t).count()
+              for t in ["customer", "orders", "lineitem", "events"]}
+    for t, n in counts.items():
+        assert out[t]["n_purged"] + out[t]["n_remaining"] == n, t
+
+    purged_cust = {
+        r["c_custkey"]
+        for r in _tbl(spark, sf, "customer").collect()
+        if r["c_custkey"] % _RTBF_MOD == 0
+    }
+    orders = _tbl(spark, sf, "orders").select("o_orderkey", "o_custkey").collect()
+    purged_orders = {r["o_orderkey"] for r in orders if r["o_custkey"] % _RTBF_MOD == 0}
+    assert out["orders"]["n_purged"] == len(purged_orders)
+    assert out["customer"]["n_purged"] == len(purged_cust)
+
+    li = _tbl(spark, sf, "lineitem").select("l_orderkey", "l_linenumber").collect()
+    assert out["lineitem"]["n_purged"] == sum(
+        1 for r in li if r["l_orderkey"] in purged_orders
+    )
+    # independent pure-Python checksum of the surviving lineitem keys
+    s = sum(
+        int(hashlib.md5(f"{r['l_orderkey']}|{r['l_linenumber']}".encode())
+            .hexdigest()[:12], 16)
+        for r in li if r["l_orderkey"] not in purged_orders
+    )
+    assert out["lineitem"]["remaining_checksum"] == s % _M61
