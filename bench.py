@@ -78,11 +78,19 @@ HEADLINE = [
     "rfm_segmentation",
     "time_to_conversion",
     "bloom_sharded_screen",
+    # r12 additions: the round's heaviest new operators at the 1x probe
+    # (dedup_keep_best_quality 9.1 s, embedding_covariance_fp 2.5 s,
+    # quality_gopher_rules 2.1 s, trigram_backoff_scores 1.4 s)
+    "dedup_keep_best_quality",
+    "embedding_covariance_fp",
+    "quality_gopher_rules",
+    "trigram_backoff_scores",
 ]
 
 #: headline-list changes by round — totals across a change are not
 #: comparable raw; compare per-query or on the shared subset
-HEADLINE_CHANGES = "r11: +rfm_segmentation +time_to_conversion +bloom_sharded_screen"
+HEADLINE_CHANGES = ("r12: +dedup_keep_best_quality +embedding_covariance_fp "
+    "+quality_gopher_rules +trigram_backoff_scores")
 
 # heavyweight end-to-end pipelines: one timed pass only (their runtime
 # dwarfs the box's noise band, and a second 100-s pass would double the

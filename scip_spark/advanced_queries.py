@@ -1932,20 +1932,21 @@ def stream_stream_attribution(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        out = (
+        # the memory sink has already materialized the joined rows, so
+        # the returned plan reads the sink table, not the (deleted) tmp
+        # source — no driver-side collect. The memory sink itself is
+        # the TEST-HARNESS shape (driver-bounded by design); the
+        # production path writes the same joined stream to a real sink
+        # and this aggregation runs over it there.
+        return (
             spark.table(name)
             .groupBy("purchase_id")
             .agg(
-                F.count("*").alias("n_clicks"),
+                F.count("*").cast("long").alias("n_clicks"),
                 F.max("click_id").cast("long").alias("max_click_id"),
             )
             .orderBy("purchase_id")
         )
-        # materialize before the temp source dir is removed
-        return spark.createDataFrame(
-            out.collect(),
-            "purchase_id bigint, n_clicks bigint, max_click_id bigint",
-        ).orderBy("purchase_id")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
