@@ -650,3 +650,74 @@ def corpus_drift_chi2_stream(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _drift_tail(cells)
+
+
+_ES_K = 50
+_ES_SEED = "es-v1"
+
+
+@register(
+    "corpus_es_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             LEAST(1 + n_chars // 512, 8) AS w
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, w,
+             (SELECT MAX(CAST(('0x' || substr(md5(
+                      '{_ES_SEED}|' || CAST(doc_id AS VARCHAR)
+                      || '|' || CAST(u.j AS VARCHAR)), 1, 12)) AS BIGINT))
+              FROM UNNEST(generate_series(1, w)) AS u(j)) AS es_key
+      FROM w
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS w, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {_ES_K}
+    """,
+    doc="weighted sampling WITHOUT replacement, distribution-exact and "
+    "hash-exact: Efraimidis-Spirakis (2006) selects the top-k by "
+    "u^(1/w) — and max of w iid uniforms has exactly the U^(1/w) "
+    "CDF (P(max<=x) = x^w), so the key is the MAX of w integer md5 "
+    "draws: no libm pow/ln anywhere, both engines agree to the bit. "
+    "Integer weights are clamped to [1,8] (1 + n_chars div 512); the "
+    "w-draw max is a per-row array fold, so key construction is "
+    "zero-shuffle and the top-k is one TakeOrdered — O(k) driver "
+    "rows at any corpus size. The systematic-multiplicity twin "
+    "(corpus_weighted_sample) covers the with-replacement/quota "
+    "shape; this is the exact no-duplicate draw an eval-set builder "
+    "needs.",
+)
+def corpus_es_sample(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(1 + F.col("n_chars") / F.lit(512), F.lit(8))
+        .cast("long")
+        .alias("w"),
+    )
+    draw = lambda j: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(_ES_SEED),
+                    F.col("doc_id").cast("string"),
+                    j.cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "w",
+        F.array_max(
+            F.transform(F.sequence(F.lit(1), F.col("w")), draw)
+        ).alias("es_key"),
+    )
+    return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(_ES_K)

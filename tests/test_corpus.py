@@ -856,3 +856,45 @@ def test_drift_length_bucket_exact_integer(spark):
         ).fetchall()
     ]
     assert got_duck == want
+
+
+def test_es_sample_matches_pure_python_and_weight_monotone(spark, tmp_path):
+    """The ES-via-max-of-w-uniforms keys must equal the pure-Python
+    reference (max of w md5 draws) exactly, and a weight-8 clone of a
+    doc must receive a key >= its weight-1 clone's (the max over a
+    superset of the same draws — the monotonicity the U^(1/w) identity
+    guarantees pointwise here by construction)."""
+    import hashlib
+
+    import pandas as pd
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.functions.corpus_queries import _ES_K, _ES_SEED
+    from scip_spark.queries import REGISTRY
+
+    rows = [(i, "t " * 40, "en", "s0", (i % 8) * 512 + 10) for i in range(120)]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "es"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    got = REGISTRY["corpus_es_sample"].fn(spark, str(d)).collect()
+    assert len(got) == min(_ES_K, 120)
+
+    def key(doc_id, w):
+        return max(
+            int(hashlib.md5(f"{_ES_SEED}|{doc_id}|{j}".encode()).hexdigest()[:12], 16)
+            for j in range(1, w + 1)
+        )
+
+    weights = {i: min(1 + n // 512, 8) for i, _, _, _, n in rows}
+    want = sorted(
+        ((key(i, w), i, w) for i, w in weights.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:_ES_K]
+    assert [(r["es_key"], r["doc_id"], r["w"]) for r in got] == want
+    # per-doc monotonicity: the same doc's key at w=8 dominates w=1
+    for i in range(20):
+        assert key(i, 8) >= key(i, 1)
