@@ -721,3 +721,119 @@ def corpus_es_sample(spark, sf_dir):
         ).alias("es_key"),
     )
     return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(_ES_K)
+
+
+_LB_CAP = 1024  # tokens per training batch
+_LB_SEED = "lenbatch-v1"
+_LB_NB = 64  # cumsum hash buckets (two-level prefix sum)
+
+
+@register(
+    "corpus_length_batches",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             GREATEST(CAST(len({_CHUNK_SQL_TOKS}) AS BIGINT), 1) AS t
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, t,
+             CAST(length(bin(t)) - 1 AS BIGINT) AS len_bucket,
+             {_BUCKET.format(seed=_LB_SEED, key='doc_id')} AS ord
+      FROM t
+    ),
+    c AS (
+      SELECT *,
+             SUM(t) OVER (PARTITION BY len_bucket ORDER BY ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM o
+    )
+    SELECT len_bucket,
+           CAST((cum - t) // {_LB_CAP} AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS sum_tokens,
+           CAST(MAX(t) AS BIGINT) AS max_tokens,
+           CAST(SUM(t) * 1048576 // (COUNT(*) * MAX(t)) AS BIGINT)
+             AS pad_efficiency_fp
+    FROM c GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="LENGTH-BUCKETED training-batch packing (the fairseq/HF "
+    "group-by-length dynamic batching that cuts padding waste): docs "
+    "bucket by exact integer token-count bit length, pack within "
+    "each bucket into ~1024-token batches along a deterministic md5 "
+    "order (batch = preceding-total div capacity), and each batch "
+    "reports its padding efficiency sum/(n*max) on the 2^20 grid. "
+    "Scale shape: the within-bucket running sum is the pack_shards "
+    "two-level cumsum — a (len_bucket, hash-range) local window plus "
+    "an exclusive prefix over the BOUNDED (buckets x {_LB_NB})-row "
+    "offsets relation, never a single-partition data-scale window; "
+    "verified batch-identical to the oracle's one-window-per-bucket "
+    "formulation.",
+)
+def corpus_length_batches(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from scip_spark.functions.corpus import SPLIT_BUCKETS, hash_bucket
+    from scip_spark.functions.text import token_count
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(token_count("text"), F.lit(1)).alias("t"),
+    )
+    o = docs.select(
+        "doc_id",
+        "t",
+        (F.length(F.bin("t")) - 1).cast("long").alias("len_bucket"),
+        hash_bucket(F.col("doc_id"), _LB_SEED).alias("ord"),
+    ).withColumn(
+        # contiguous hash ranges: pack_bucket is monotone in ord, so
+        # ordering by (len_bucket, pack_bucket, ord, doc_id) IS the
+        # per-len-bucket (ord, doc_id) order
+        "pb",
+        F.expr(f"ord * {_LB_NB} div {SPLIT_BUCKETS}"),
+    )
+    local_w = (
+        W.partitionBy("len_bucket", "pb")
+        .orderBy(F.col("ord").asc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = o.withColumn("local_cum", F.sum("t").over(local_w))
+    totals = o.groupBy("len_bucket", "pb").agg(
+        F.sum("t").cast("long").alias("pb_total")
+    )
+    # exclusive prefix over the bounded (len_buckets x NB)-row relation
+    off_w = (
+        W.partitionBy("len_bucket")
+        .orderBy("pb")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "pb_offset", F.coalesce(F.sum("pb_total").over(off_w), F.lit(0))
+    ).select("len_bucket", "pb", "pb_offset")
+    c = local.join(F.broadcast(offsets), ["len_bucket", "pb"]).withColumn(
+        "cum", F.col("pb_offset") + F.col("local_cum")
+    )
+    return (
+        c.groupBy(
+            "len_bucket",
+            F.expr(f"(cum - t) div {_LB_CAP}").cast("long").alias("batch_id"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("sum_tokens"),
+            F.max("t").cast("long").alias("max_tokens"),
+        )
+        .select(
+            "len_bucket",
+            "batch_id",
+            "n_docs",
+            "sum_tokens",
+            "max_tokens",
+            F.expr("sum_tokens * 1048576L div (n_docs * max_tokens)")
+            .cast("long")
+            .alias("pad_efficiency_fp"),
+        )
+        .orderBy("len_bucket", "batch_id")
+    )

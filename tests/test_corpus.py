@@ -898,3 +898,57 @@ def test_es_sample_matches_pure_python_and_weight_monotone(spark, tmp_path):
     # per-doc monotonicity: the same doc's key at w=8 dominates w=1
     for i in range(20):
         assert key(i, 8) >= key(i, 1)
+
+
+def test_length_batches_match_pure_python_packing(spark, tmp_path):
+    """The two-level distributed cumsum packing must equal the
+    single-threaded reference: per length bucket, docs in md5 order,
+    batch = preceding-total div capacity; per-batch stats and padding
+    efficiency exact."""
+    import hashlib
+
+    import pandas as pd
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.functions.corpus import SPLIT_BUCKETS
+    from scip_spark.functions.corpus_queries import _LB_CAP, _LB_SEED
+    from scip_spark.queries import REGISTRY
+
+    rows = [
+        (i, "w " * (3 + (i * 37) % 400), "en", "s0", 1) for i in range(300)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "lb"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+
+    got = {
+        (r["len_bucket"], r["batch_id"]): r
+        for r in REGISTRY["corpus_length_batches"].fn(spark, str(d)).collect()
+    }
+
+    def ordkey(i):
+        h = hashlib.md5(f"{_LB_SEED}|{i}".encode()).hexdigest()[:12]
+        return int(h, 16) % SPLIT_BUCKETS
+
+    per_bucket: dict = {}
+    for i, text, *_ in rows:
+        t = max(len(text.split()), 1)
+        per_bucket.setdefault(t.bit_length() - 1, []).append((ordkey(i), i, t))
+    want: dict = {}
+    for lb, docs in per_bucket.items():
+        cum = 0
+        for _, _, t in sorted(docs):
+            bid = cum // _LB_CAP
+            cum += t
+            key = (lb, bid)
+            n, s, m = want.get(key, (0, 0, 0))
+            want[key] = (n + 1, s + t, max(m, t))
+    assert set(got) == set(want)
+    for key, (n, s, m) in want.items():
+        r = got[key]
+        assert (r["n_docs"], r["sum_tokens"], r["max_tokens"]) == (n, s, m), key
+        assert r["pad_efficiency_fp"] == s * (1 << 20) // (n * m)
+        assert 0 < r["pad_efficiency_fp"] <= (1 << 20)
