@@ -1165,3 +1165,84 @@ def trigram_backoff_scores(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_CAL_W = 8     # equi-width score-bucket width (tokens)
+_CAL_MAXB = 255
+
+
+@register(
+    "quality_score_calibration",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS t
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source, t,
+             LEAST(t // {_CAL_W}, {_CAL_MAXB}) AS bkt
+      FROM s
+    ),
+    hist AS (
+      SELECT source, bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT source, bkt,
+             SUM(c) OVER (PARTITION BY source ORDER BY bkt
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM hist
+    )
+    SELECT b.doc_id, b.source, b.t,
+           CAST(cdf.cum * 1048576 // cdf.n AS BIGINT) AS cdf_fp
+    FROM b JOIN cdf USING (source, bkt)
+    ORDER BY b.doc_id
+    """,
+    doc="per-source score CALIBRATION via histogram CDF — the "
+    "cross-source normalization a curation pipeline applies before "
+    "one global quality threshold (raw scores aren't comparable "
+    "across crawls/domains): each doc maps to its source-conditional "
+    "CDF value P(score <= mine | source) on the 2^20 grid, computed "
+    "from an equi-width bucket histogram. The scalable formulation: "
+    "a per-source RANK window would put one reducer per source (G "
+    "partitions over 100 TB — a skew killer); the histogram CDF "
+    "map-side-combines to <= G x 256 cells, the cumulative window "
+    "runs over that BOUNDED relation, and docs get their value by a "
+    "broadcast join — the corpus never shuffles.",
+)
+def quality_score_calibration(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("t")
+    )
+    b = docs.select(
+        "doc_id",
+        "source",
+        "t",
+        F.least(F.expr(f"t div {_CAL_W}"), F.lit(_CAL_MAXB)).alias("bkt"),
+    )
+    hist = b.groupBy("source", "bkt").agg(F.count("*").cast("long").alias("c"))
+    cum_w = (
+        W.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_w = W.partitionBy("source")
+    cdf = hist.select(
+        "source",
+        "bkt",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(tot_w).alias("n"),
+    )
+    return (
+        b.join(F.broadcast(cdf), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "t",
+            F.expr("cum * 1048576L div n").cast("long").alias("cdf_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -568,3 +568,38 @@ def test_trigram_backoff_matches_pure_python(spark, tmp_path):
         for lvl, col in [(0, "n_tri"), (1, "n_bi"), (2, "n_uni"), (3, "n_oov")]:
             assert out[i][col] == sum(1 for _, l in priced if l == lvl), (i, col)
     assert seen_lvls == {0, 1, 2, 3}  # every backoff level exercised
+
+
+def test_score_calibration_cdf_properties(spark, tmp_path):
+    """Calibrated values must be a valid per-source CDF: monotone in
+    the raw score within each source, in (0, 2^20], hitting exactly
+    2^20 at each source's max bucket — and equal scores in DIFFERENT
+    sources calibrate differently when the distributions differ (the
+    operator's whole point)."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    rows = []
+    # source A: short docs (5..20 tokens); source B: long docs (100..400)
+    for i in range(100):
+        rows.append((i * 2, "w " * (5 + i % 16), "en", "A", 1))
+        rows.append((i * 2 + 1, "w " * (100 + (i * 3) % 300), "en", "B", 1))
+    # one doc in B with a SHORT text: low CDF in B though mid-pack in A
+    rows.append((9999, "w " * 10, "en", "B", 1))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = REGISTRY["quality_score_calibration"].fn(spark, sf).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["t"], r["cdf_fp"], r["doc_id"]))
+    for src, vals in by_src.items():
+        vals.sort()
+        cdfs = [c for _, c, _ in vals]
+        assert all(0 < c <= (1 << 20) for c in cdfs), src
+        assert cdfs == sorted(cdfs), src          # monotone in score
+        assert cdfs[-1] == (1 << 20), src          # max bucket -> 1.0
+    short_b = next(c for t, c, i in by_src["B"] if i == 9999)
+    same_t_a = [c for t, c, _ in by_src["A"] if t == 10]
+    assert short_b < min(same_t_a)  # same raw score, different calibration
