@@ -1089,3 +1089,157 @@ def embedding_covariance_fp(spark, sf_dir):
         F.floor(cov / half).cast("long").alias("cov_hi"),
         (((cov % half) + half) % half).cast("long").alias("cov_lo"),
     ).orderBy("dim_i", "dim_j")
+
+
+_JLA_GRID = 1 << 20  # ANN grid: keeps squared L2 sums inside int64
+_JLA_DIMS = 32       # projected width for the ANN shortlist (64 -> 32)
+_JLA_SHORTLIST = 96
+_JLA_K = 5
+
+
+def _jl_sql_cols(d: int, k: int, grid: int, src_alias: str) -> str:
+    """Projected integer vector of `src_alias`.f as a SQL list literal
+    expression — one signed sum per output dim, signs inlined."""
+    signs = _jl_signs(d, k)
+    sums = ", ".join(
+        "("
+        + " + ".join(
+            f"{'' if signs[i][j] == 1 else '-'}{src_alias}.f[{i + 1}]"
+            for i in range(d)
+        )
+        + ")"
+        for j in range(k)
+    )
+    return f"[{sums}]"
+
+
+def _ann_jl_sql() -> str:
+    proj_q = _jl_sql_cols(_JL_D, _JLA_DIMS, _JLA_GRID, "q")
+    proj_c = _jl_sql_cols(_JL_D, _JLA_DIMS, _JLA_GRID, "c")
+    return f"""
+    WITH fx AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x::DOUBLE * {_JLA_GRID}) AS BIGINT))
+               AS f
+      FROM embeddings WHERE len(embedding) = {_JL_D}
+    ),
+    q AS (SELECT vec_id AS q_id, f FROM fx WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, f FROM fx),
+    jl AS (
+      SELECT q.q_id, c.c_id,
+             list_reduce(list_transform(list_zip({proj_q}, {proj_c}),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (a, b) -> a + b) AS d2_jl
+      FROM q, c WHERE q.q_id <> c.c_id
+    ),
+    short AS (
+      SELECT q_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY d2_jl ASC, c_id ASC) AS srank
+      FROM jl
+    ),
+    rerank AS (
+      SELECT s.q_id, s.c_id,
+             list_reduce(list_transform(list_zip(q.f, c.f),
+                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (a, b) -> a + b) AS d2_fp
+      FROM short s
+      JOIN q ON s.q_id = q.q_id
+      JOIN c ON s.c_id = c.c_id
+      WHERE s.srank <= {_JLA_SHORTLIST}
+    )
+    SELECT q_id, c_id, d2_fp FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY d2_fp ASC, c_id ASC) AS rk
+      FROM rerank
+    ) WHERE rk <= {_JLA_K}
+    ORDER BY q_id, d2_fp, c_id
+    """
+
+
+@register(
+    "ann_jl_topk",
+    _ann_jl_sql(),
+    doc="JL-shortlisted ANN top-k, the ladder's only FULLY hash-exact "
+    "approximate member: candidates shortlist by exact integer "
+    "squared L2 in the 32-dim ±1-projected space (2x less arithmetic "
+    "and data motion per pair than the raw 64-dim vectors; these "
+    "SYNTHETIC near-random embeddings are JL's worst case — "
+    "near-equidistant points — so the shortlist is deliberately wide "
+    "at 96; clustered real embeddings need far less), "
+    "then the 32-candidate shortlist reranks by exact integer L2 in "
+    "full space — every distance is an integer on the 2^20 grid, so "
+    "approximation error lives ONLY in the shortlist (deterministic, "
+    "cross-engine identical), never in float arithmetic. Unlike the "
+    "k-means family (recall pinned per corpus), this entry's full "
+    "(q_id, c_id, d2_fp) output hash-matches. Scale shape: the probe "
+    "side here is a 10-query brute pass (broadcast queries, one scan); "
+    "at index scale the same projected vectors feed the banded-LSH / "
+    "IVF members of the ladder — JL is the width reducer in front.",
+)
+def ann_jl_topk(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    signs = _jl_signs(k=_JLA_DIMS)
+    emb = tbl(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _JL_D
+    )
+    fx = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _JLA_GRID).cast("long"),
+        ).alias("f"),
+    )
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                "f",
+                F.array(*[F.lit(signs[i][j]) for i in range(_JL_D)]),
+                lambda a, s: a * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(_JLA_DIMS)
+    ]
+    staged = fx.select("vec_id", "f", F.array(*proj).alias("y"))
+    q = staged.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("f").alias("qf"),
+        F.col("y").alias("qy"),
+    )
+    c = staged.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("f").alias("cf"),
+        F.col("y").alias("cy"),
+    )
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, z: (x - z) * (x - z)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    jl = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "qf", "cf", d2("qy", "cy").alias("d2_jl"))
+    )
+    short = jl.withColumn(
+        "srank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.col("d2_jl").asc(), F.col("c_id").asc())
+        ),
+    ).filter(F.col("srank") <= _JLA_SHORTLIST)
+    rer = short.select("q_id", "c_id", d2("qf", "cf").alias("d2_fp"))
+    return (
+        rer.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("d2_fp").asc(), F.col("c_id").asc())
+            ),
+        )
+        .filter(F.col("rk") <= _JLA_K)
+        .select("q_id", "c_id", "d2_fp")
+        .orderBy("q_id", "d2_fp", "c_id")
+    )

@@ -637,3 +637,60 @@ def test_covariance_fp_matches_numpy_and_supports_pca(spark):
     assert np.allclose(V.T @ V, np.eye(_JL_D), atol=1e-8)
     # top component explains the most variance of any basis vector
     assert w.max() >= C.diagonal().max() - 1e-9
+
+
+def test_ann_jl_topk_recall_vs_pure_python_exact(spark):
+    """ann_jl_topk must (a) return exactly the pure-Python pipeline's
+    answer (shortlist in JL space, rerank in full space — all integer)
+    and (b) keep recall@5 vs the exact full-space answer high (the
+    shortlist is the only approximation)."""
+    import numpy as np
+
+    from scip_spark.functions.similarity_queries import (
+        _JLA_DIMS,
+        _JLA_GRID,
+        _JLA_K,
+        _JLA_SHORTLIST,
+        _JL_D,
+        _jl_signs,
+    )
+    from scip_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in REGISTRY["ann_jl_topk"].fn(spark, sf).collect():
+        got.setdefault(r["q_id"], []).append((r["d2_fp"], r["c_id"]))
+
+    emb = {
+        r["vec_id"]: [int(np.floor(float(x) * _JLA_GRID)) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        if len(r["embedding"]) == _JL_D
+    }
+    S = _jl_signs(k=_JLA_DIMS)
+
+    def proj(f):
+        return [
+            sum(f[i] * S[i][j] for i in range(_JL_D))
+            for j in range(_JLA_DIMS)
+        ]
+
+    ys = {v: proj(f) for v, f in emb.items()}
+    recall_hits = 0
+    for qid in range(10):
+        cands = sorted(
+            (sum((ys[qid][j] - ys[c][j]) ** 2 for j in range(_JLA_DIMS)), c)
+            for c in emb if c != qid
+        )[:_JLA_SHORTLIST]
+        rer = sorted(
+            (sum((a - b) ** 2 for a, b in zip(emb[qid], emb[c])), c)
+            for _, c in cands
+        )[:_JLA_K]
+        assert got[qid] == rer, qid  # bit-exact vs pure Python
+        exact = {
+            c for _, c in sorted(
+                (sum((a - b) ** 2 for a, b in zip(emb[qid], emb[c])), c)
+                for c in emb if c != qid
+            )[:_JLA_K]
+        }
+        recall_hits += len(exact & {c for _, c in rer})
+    assert recall_hits >= 35, recall_hits  # >= 0.7 recall@5 over 10 queries
