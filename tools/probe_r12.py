@@ -48,6 +48,11 @@ OPS = [
     "embedding_covariance_fp",
     "trigram_backoff_scores",
     "video_frame_plan",
+    # second batch (added after the first probe run)
+    "corpus_es_sample",
+    "corpus_length_batches",
+    "quality_score_calibration",
+    "ann_jl_topk",
 ]
 REDUCED_OPS = ["dedup_keep_best_quality"]  # quadratic under verbatim copies
 REDUCED_N = 10
