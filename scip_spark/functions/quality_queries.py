@@ -1214,16 +1214,30 @@ _CAL_MAXB = 255
     "broadcast join — the corpus never shuffles.",
 )
 def quality_score_calibration(spark, sf_dir):
-    docs = tbl(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(tokens("text")).cast("long").alias("t")
-    )
-    b = docs.select(
+    b = _cal_bucketed(tbl(spark, sf_dir, "documents"))
+    hist = b.groupBy("source", "bkt").agg(F.count("*").cast("long").alias("c"))
+    return _cal_tail(b, hist)
+
+
+def _cal_bucketed(docs):
+    """(doc_id, source, t, bkt) — the equi-width score-bucket
+    assignment; the histogram over it is the mergeable statistic
+    (integer cell counts fold exactly across any corpus partition)."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("t"),
+    ).select(
         "doc_id",
         "source",
         "t",
         F.least(F.expr(f"t div {_CAL_W}"), F.lit(_CAL_MAXB)).alias("bkt"),
     )
-    hist = b.groupBy("source", "bkt").agg(F.count("*").cast("long").alias("c"))
+
+
+def _cal_tail(b, hist):
+    """CDF pricing over a folded histogram — shared by the batch op
+    and its streaming twin."""
     cum_w = (
         W.partitionBy("source")
         .orderBy("bkt")
@@ -1246,3 +1260,263 @@ def quality_score_calibration(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "quality_score_calibration_stream",
+    None,  # shares the batch oracle (spliced below)
+    doc="quality_score_calibration with its per-source histogram built "
+    "by STRUCTURED STREAMING (13th driver-hash-checked streaming "
+    "entry): each micro-batch contributes (source, bkt, c) cell-count "
+    "partials folded through an integer-sum merge (order-free and "
+    "exact), then the shared _cal_tail prices the identical CDF — the "
+    "realistic shape: calibration histograms accrete per ingestion "
+    "batch, scoring joins against the current folded cells.",
+)
+def quality_score_calibration_stream(spark, sf_dir):
+    import shutil
+
+    from scip_spark.functions.sketch_queries import (
+        _split_to_tmp,
+        _stream_fold,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tmp = _split_to_tmp(docs, key="doc_id")
+    try:
+        hist = _stream_fold(
+            spark,
+            tmp,
+            "doc_id bigint, source string, text string",
+            lambda bdf: _cal_bucketed(bdf)
+            .groupBy("source", "bkt")
+            .agg(F.count("*").cast("long").alias("c")),
+            lambda parts: parts.groupBy("source", "bkt").agg(
+                F.sum("c").cast("long").alias("c")
+            ),
+            "source string, bkt bigint, c bigint",
+            lambda df: [(r["source"], r["bkt"], r["c"]) for r in df.collect()],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _cal_tail(_cal_bucketed(tbl(spark, sf_dir, "documents")), hist)
+
+
+from scip_spark.queries import REGISTRY as _QREG  # noqa: E402
+
+_QREG["quality_score_calibration_stream"].sql = _QREG[
+    "quality_score_calibration"
+].sql
+
+
+def _run_char_stats(arr):
+    """Char-weighted per-ROW duplicate statistics of a gram array
+    (same sorted-run fold as :func:`_run_stats`, weights =
+    ``length(gram)`` including separator spaces — the definition both
+    engines share): struct(top = max over runs of run_count *
+    length(gram), dup = sum over runs with count >= 2, tot = sum over
+    all occurrences). Zero shuffle; O(n log n) per row."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+
+    def closed(acc):
+        # null-safe: before any run exists prev is NULL and w must be
+        # 0, not NULL (length(NULL) would poison every later fold step)
+        w = F.when(
+            acc["prev"].isNotNull(),
+            acc["run"] * F.length(acc["prev"]).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        return (
+            F.greatest(acc["top"], w),
+            acc["dup"]
+            + F.when(acc["run"] > 1, w).otherwise(F.lit(0).cast("long")),
+            acc["tot"] + w,
+        )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        t, d, s = closed(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["top"]).otherwise(t).alias("top"),
+            F.when(same, acc["dup"]).otherwise(d).alias("dup"),
+            F.when(same, acc["tot"]).otherwise(s).alias("tot"),
+        )
+
+    def finish(acc):
+        t, d, s = closed(acc)
+        return F.struct(
+            F.when(acc["prev"].isNull(), F.lit(0).cast("long"))
+            .otherwise(t).alias("top"),
+            F.when(acc["prev"].isNull(), F.lit(0).cast("long"))
+            .otherwise(d).alias("dup"),
+            F.when(acc["prev"].isNull(), F.lit(0).cast("long"))
+            .otherwise(s).alias("tot"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, finish)
+
+
+#: Gopher repetition thresholds (Rae et al. 2021 table A1), x100:
+#: top n-gram char fraction for n=2..4, duplicate n-gram char fraction
+#: for n=5..10, duplicate line count/char fractions.
+_REP_TOP = {2: 20, 3: 18, 4: 16}
+_REP_DUP = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def _rep_rules_sql() -> str:
+    ctes, outs, flags = [], [], []
+    for n in sorted(_REP_TOP):
+        thr = _REP_TOP[n]
+        ctes.append(
+            f"""g{n} AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM tokenized, unnest({_sql_ngrams(n)}) AS u(g)
+      GROUP BY doc_id, g
+    ),
+    s{n} AS (
+      SELECT doc_id,
+             COALESCE(MAX(c * length(g)), 0) AS top,
+             COALESCE(SUM(c * length(g)), 0) AS tot
+      FROM g{n} GROUP BY doc_id
+    )"""
+        )
+        outs.append(
+            f"CAST(CASE WHEN s{n}.tot > 0 THEN s{n}.top * 1048576 // s{n}.tot"
+            f" ELSE 0 END AS BIGINT) AS top{n}_fp"
+        )
+        flags.append(f"(s{n}.top * 100 <= {thr} * s{n}.tot) AS f_top{n}")
+    for n in sorted(_REP_DUP):
+        thr = _REP_DUP[n]
+        ctes.append(
+            f"""g{n} AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM tokenized, unnest({_sql_ngrams(n)}) AS u(g)
+      GROUP BY doc_id, g
+    ),
+    s{n} AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END), 0) AS dup,
+             COALESCE(SUM(c * length(g)), 0) AS tot
+      FROM g{n} GROUP BY doc_id
+    )"""
+        )
+        outs.append(
+            f"CAST(CASE WHEN s{n}.tot > 0 THEN s{n}.dup * 1048576 // s{n}.tot"
+            f" ELSE 0 END AS BIGINT) AS dup{n}_fp"
+        )
+        flags.append(f"(s{n}.dup * 100 <= {thr} * s{n}.tot) AS f_dup{n}")
+    joins = " ".join(f"LEFT JOIN s{n} USING (doc_id)" for n in
+                     sorted(_REP_TOP) + sorted(_REP_DUP))
+    keep = " AND ".join(f.split(" AS ")[0] for f in flags)
+    keep_line = ("(l.dupc * 10 <= 3 * l.nl AND l.dupw * 100 <= 20 * l.totw)")
+    return f"""
+    WITH tokenized AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks,
+             string_split(COALESCE(text, ''), chr(10)) AS lines
+      FROM documents
+    ),
+    lc AS (
+      SELECT doc_id, l, COUNT(*) AS c
+      FROM tokenized, unnest(lines) AS u(l)
+      GROUP BY doc_id, l
+    ),
+    l AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS dupc,
+             COALESCE(SUM(c), 0) AS nl,
+             COALESCE(SUM(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END), 0) AS dupw,
+             COALESCE(SUM(c * length(l)), 0) AS totw
+      FROM lc GROUP BY doc_id
+    ),
+    {', '.join(ctes)}
+    SELECT tokenized.doc_id,
+           CAST(l.dupc AS BIGINT) AS dup_lines,
+           CAST(l.nl AS BIGINT) AS n_lines,
+           {', '.join(outs)},
+           {', '.join(flags)},
+           ({keep_line}) AS f_lines,
+           ({keep} AND {keep_line}) AS keep
+    FROM tokenized LEFT JOIN l USING (doc_id) {joins}
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "quality_repetition_rules",
+    _rep_rules_sql(),
+    doc="the FULL Gopher repetition rule set (Rae et al. 2021 table "
+    "A1, the half quality_gopher_rules doesn't cover): top n-gram "
+    "character fraction for n=2..4 (thresholds 0.20/0.18/0.16), "
+    "duplicate n-gram character fraction for n=5..10 "
+    "(0.15..0.10), and duplicate-line count/char fractions "
+    "(0.30/0.20). Char weight = length(gram) incl. separators — the "
+    "one definition both engines share; every threshold an integer "
+    "cross-multiplication on the x100 grid, fractions reported on "
+    "2^20. Scale shape: all nine gram levels fold per ROW "
+    "(sorted-run char-weighted fold, _run_char_stats) — nothing "
+    "shuffles at any corpus size; the oracle's relational "
+    "per-(doc,gram) GROUP BYs are the semantic twin, not the plan.",
+)
+def quality_repetition_rules(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokens(F.coalesce("text", F.lit(""))).alias("toks"),
+        F.split(F.coalesce("text", F.lit("")), "\n", -1).alias("lines"),
+    )
+    # stage every gram array as a bound attribute first (HOF lambdas
+    # get no CSE), then fold each
+    gram_cols = {
+        n: _ngram_col(n).alias(f"a{n}") for n in list(_REP_TOP) + list(_REP_DUP)
+    }
+    staged = docs.select("doc_id", "lines", *gram_cols.values())
+    stats = staged.select(
+        "doc_id",
+        _run_char_stats(F.col("lines")).alias("ls"),
+        _run_stats(F.col("lines")).alias("lr"),
+        F.size("lines").cast("long").alias("nl"),
+        *[
+            _run_char_stats(F.col(f"a{n}")).alias(f"s{n}")
+            for n in list(_REP_TOP) + list(_REP_DUP)
+        ],
+    )
+    cols = [
+        "doc_id",
+        F.col("lr.dup").alias("dup_lines"),
+        F.col("nl").alias("n_lines"),
+    ]
+    keep = None
+    for n, thr in sorted(_REP_TOP.items()):
+        cols.append(
+            F.when(
+                F.col(f"s{n}.tot") > 0,
+                F.expr(f"s{n}.top * 1048576L div s{n}.tot"),
+            ).otherwise(F.lit(0)).cast("long").alias(f"top{n}_fp")
+        )
+        f = F.col(f"s{n}.top") * 100 <= thr * F.col(f"s{n}.tot")
+        cols.append(f.alias(f"f_top{n}"))
+        keep = f if keep is None else (keep & f)
+    for n, thr in sorted(_REP_DUP.items()):
+        cols.append(
+            F.when(
+                F.col(f"s{n}.tot") > 0,
+                F.expr(f"s{n}.dup * 1048576L div s{n}.tot"),
+            ).otherwise(F.lit(0)).cast("long").alias(f"dup{n}_fp")
+        )
+        f = F.col(f"s{n}.dup") * 100 <= thr * F.col(f"s{n}.tot")
+        cols.append(f.alias(f"f_dup{n}"))
+        keep = keep & f
+    f_lines = (F.col("lr.dup") * 10 <= 3 * F.col("nl")) & (
+        F.col("ls.dup") * 100 <= 20 * F.col("ls.tot")
+    )
+    cols.append(f_lines.alias("f_lines"))
+    cols.append((keep & f_lines).alias("keep"))
+    return stats.select(*cols).orderBy("doc_id")

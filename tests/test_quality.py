@@ -603,3 +603,43 @@ def test_score_calibration_cdf_properties(spark, tmp_path):
     short_b = next(c for t, c, i in by_src["B"] if i == 9999)
     same_t_a = [c for t, c, _ in by_src["A"] if t == 10]
     assert short_b < min(same_t_a)  # same raw score, different calibration
+
+
+def test_repetition_rules_each_level(spark, tmp_path):
+    """Plant one doc per repetition-rule violation: a repeated bigram
+    heavy doc (top-2gram), a doc that repeats one 5-gram block
+    (dup-5..10), duplicated lines, and a clean doc; fractions also
+    pinned against a pure-Python per-gram count on the planted docs."""
+    from collections import Counter
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    clean = " ".join(f"u{i} v{i * 3 % 17}" for i in range(40))
+    bigram_heavy = "ab cd " * 30 + clean[:40]
+    block = "p q r s t "
+    block_heavy = block * 12 + clean[:30]
+    dup_lines = "\n".join(["same line here"] * 8 + [clean[:30]])
+    rows = [(0, clean), (1, bigram_heavy), (2, block_heavy), (3, dup_lines)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["quality_repetition_rules"].fn(spark, sf).collect()
+    }
+    assert out[0]["keep"], out[0]
+    assert not out[1]["f_top2"] and not out[1]["keep"]
+    for n in range(5, 11):
+        assert not out[2][f"f_dup{n}"], n
+    assert not out[3]["f_lines"] and out[3]["dup_lines"] == 8
+
+    # exact fraction pin on the bigram-heavy doc
+    toks = bigram_heavy.split()
+    bigrams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+    cnt = Counter(bigrams)
+    tot = sum(c * len(g) for g, c in cnt.items())
+    top = max(c * len(g) for g, c in cnt.items())
+    assert out[1]["top2_fp"] == top * (1 << 20) // tot
