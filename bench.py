@@ -85,12 +85,13 @@ HEADLINE = [
     "embedding_covariance_fp",
     "quality_gopher_rules",
     "trigram_backoff_scores",
+    "quality_repetition_rules",
 ]
 
 #: headline-list changes by round — totals across a change are not
 #: comparable raw; compare per-query or on the shared subset
 HEADLINE_CHANGES = ("r12: +dedup_keep_best_quality +embedding_covariance_fp "
-    "+quality_gopher_rules +trigram_backoff_scores")
+    "+quality_gopher_rules +trigram_backoff_scores +quality_repetition_rules")
 
 # heavyweight end-to-end pipelines: one timed pass only (their runtime
 # dwarfs the box's noise band, and a second 100-s pass would double the
