@@ -248,3 +248,45 @@ def test_empty_input_round11_ops(spark):
          "n_chars": pd.Series([], dtype="int64")}
     ).to_parquet(f"{d}/documents.parquet")
     assert dsir_importance_weights(spark, d).count() == 0
+
+
+def test_empty_inputs_round12_ops(spark, tmp_path):
+    """Round-12 registry entries must survive EMPTY source tables (a
+    filter can kill every row): the rule bundles, EWMA, JL/covariance,
+    calibration, ES sampling, length batching, repetition rules, and
+    keep-best dedup all return empty (or a degenerate-but-defined
+    summary) instead of raising."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    empty_ok = [
+        "quality_gopher_rules",
+        "quality_c4_filters",
+        "quality_repetition_rules",
+        "quality_score_calibration",
+        "trigram_backoff_scores",
+        "ewma_anomaly_days",
+        "embedding_jl_projection",
+        "embedding_covariance_fp",
+        "ann_jl_topk",
+        "corpus_es_sample",
+        "corpus_length_batches",
+        "dedup_keep_best_quality",
+        "video_frame_plan",
+    ]
+    for name in empty_ok:
+        assert REGISTRY[name].fn(spark, sf).count() == 0, name
