@@ -1157,3 +1157,83 @@ def dedup_keep_best_quality(spark, sf_dir):
         .select("doc_id", "root", "score", "keep")
         .orderBy("doc_id")
     )
+
+
+_ED_BAND = 32    # length-band width (chars)
+_ED_MAXPCT = 10  # near-dup when edit distance <= 10% of max length
+
+
+@register(
+    "dedup_editdistance_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) // {_ED_BAND} AS band,
+             split_part(text, ' ', 1) AS tok0
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.text AS ta, b.text AS tb,
+             GREATEST(a.n, b.n) AS mx
+      FROM d a JOIN d b
+        ON a.tok0 = b.tok0
+       AND b.band BETWEEN a.band - 1 AND a.band + 1
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+           CAST(mx AS BIGINT) AS max_len
+    FROM cand
+    WHERE levenshtein(ta, tb) * 100 <= {_ED_MAXPCT} * mx
+    ORDER BY id_a, id_b
+    """,
+    doc="character-level fuzzy dedup — the edit-distance modality the "
+    "token-set (Jaccard/containment), fingerprint (minhash/simhash/"
+    "winnow) and embedding families cannot express (OCR noise, "
+    "single-character corruptions, near-identical boilerplate): "
+    "candidate pairs block on (first token, ±1 length band of "
+    f"{_ED_BAND} chars) — never all-pairs — and verify with exact "
+    "Wagner-Fischer levenshtein (pure integer, hash-exact in both "
+    "engines), keeping pairs whose distance is <= 10% of the longer "
+    "text by integer cross-multiplication. Scale shape: the blocking "
+    "join keys are (tok0, band) — Zipf-hot first tokens split under "
+    "AQE; verify cost is per-candidate O(len^2) CPU inside the "
+    "scanning task, the classic blocking/verify trade the "
+    "entity_resolution operator applies to names, lifted to "
+    "documents.",
+)
+def dedup_editdistance_pairs(spark, sf_dir):
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("n"),
+            F.expr(f"length(text) div {_ED_BAND}").alias("band"),
+            F.substring_index("text", " ", 1).alias("tok0"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("ta"),
+        F.col("n").alias("na"), F.col("band").alias("ba"), "tok0",
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("tb"),
+        F.col("n").alias("nb"), F.col("band").alias("bb"), "tok0",
+    )
+    cand = a.join(b, "tok0").filter(
+        (F.col("bb") >= F.col("ba") - 1)
+        & (F.col("bb") <= F.col("ba") + 1)
+        & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a", "id_b", "ta", "tb",
+        F.greatest("na", "nb").alias("mx"),
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
+        .filter(F.col("dist") * 100 <= _ED_MAXPCT * F.col("mx"))
+        .select("id_a", "id_b", "dist", F.col("mx").cast("long").alias("max_len"))
+        .orderBy("id_a", "id_b")
+    )

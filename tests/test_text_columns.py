@@ -316,3 +316,34 @@ def test_dedup_method_agreement_scurve_promise(spark):
     assert row["n_true"] > 0  # the corpus does contain near-dupes
     assert row["recall_fp"] == 1 << 20, dict(row.asDict())
     assert 0 < row["precision_fp"] <= 1 << 20
+
+
+def test_editdistance_pairs_finds_planted_corruption(spark, tmp_path):
+    """A single-character corruption of a doc must pair with its
+    original at the exact hand-computed distance; unrelated docs and
+    >10%-divergent docs must not pair; blocking must not lose a
+    same-first-token near-dup one length band away."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    base = "alpha " + "beta gamma delta epsilon zeta " * 4   # ~125 chars
+    rows = [
+        (0, base),
+        (1, base[:-1] + "X"),              # 1 substitution
+        (2, base + "tail words here xx"),  # longer, same tok0, ~15% away
+        (3, "omega " + base[6:]),          # different first token
+        (4, base[:60]),                    # same tok0 but far shorter
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in REGISTRY["dedup_editdistance_pairs"].fn(spark, sf).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)]["dist"] == 1
+    assert all(3 not in p for p in got)  # tok0 block separates doc 3
+    assert (0, 2) not in got             # 18-char insertion > 10% of len
+    assert (0, 4) not in got             # 10% threshold excludes truncation
