@@ -1169,7 +1169,8 @@ _ED_MAXPCT = 10  # near-dup when edit distance <= 10% of max length
     WITH d AS (
       SELECT doc_id, text, length(text) AS n,
              length(text) // {_ED_BAND} AS band,
-             split_part(text, ' ', 1) AS tok0
+             concat_ws(' ', split_part(text, ' ', 1),
+                       split_part(text, ' ', 2)) AS tok01
       FROM documents WHERE text IS NOT NULL AND text <> ''
     ),
     cand AS (
@@ -1177,7 +1178,7 @@ _ED_MAXPCT = 10  # near-dup when edit distance <= 10% of max length
              a.text AS ta, b.text AS tb,
              GREATEST(a.n, b.n) AS mx
       FROM d a JOIN d b
-        ON a.tok0 = b.tok0
+        ON a.tok01 = b.tok01
        AND b.band BETWEEN a.band - 1 AND a.band + 1
        AND a.doc_id < b.doc_id
     )
@@ -1192,16 +1193,21 @@ _ED_MAXPCT = 10  # near-dup when edit distance <= 10% of max length
     "token-set (Jaccard/containment), fingerprint (minhash/simhash/"
     "winnow) and embedding families cannot express (OCR noise, "
     "single-character corruptions, near-identical boilerplate): "
-    "candidate pairs block on (first token, ±1 length band of "
+    "candidate pairs block on (first TWO tokens, ±1 length band of "
     f"{_ED_BAND} chars) — never all-pairs — and verify with exact "
     "Wagner-Fischer levenshtein (pure integer, hash-exact in both "
     "engines), keeping pairs whose distance is <= 10% of the longer "
-    "text by integer cross-multiplication. Scale shape: the blocking "
-    "join keys are (tok0, band) — Zipf-hot first tokens split under "
-    "AQE; verify cost is per-candidate O(len^2) CPU inside the "
-    "scanning task, the classic blocking/verify trade the "
-    "entity_resolution operator applies to names, lifted to "
-    "documents.",
+    "text by integer cross-multiplication. The Spark verify is "
+    "THRESHOLD-CAPPED (levenshtein(l, r, t) band DP, O(len*t) not "
+    "O(len^2); t = maxlen div 10 from a 1-row extents collect) — "
+    "capped pairs return -1 and are excluded explicitly, and any pair "
+    "that passes the 10% filter has dist <= t by construction, so the "
+    "cap never changes the result (the oracle runs the uncapped "
+    "form). Scale shape: the blocking join keys are (tok01, band) — "
+    "Zipf-hot prefixes split under AQE; like the other exact joins, "
+    "verbatim-replica probes are quadratic BY DATA (every copy pairs "
+    "with every copy), so the probe uses the perturbed "
+    "disjoint-vocabulary replica (see SCALE_PROBE.md).",
 )
 def dedup_editdistance_pairs(spark, sf_dir):
     d = (
@@ -1212,18 +1218,23 @@ def dedup_editdistance_pairs(spark, sf_dir):
             "text",
             F.length("text").alias("n"),
             F.expr(f"length(text) div {_ED_BAND}").alias("band"),
-            F.substring_index("text", " ", 1).alias("tok0"),
+            F.substring_index("text", " ", 2).alias("tok01"),
         )
     )
+    # banded-DP cap: 10% of the longest doc (1-row bounded collect,
+    # the broadcast-extents pattern) — every pair that can pass the
+    # final 10%-of-pair-max filter is under this cap
+    max_n = d.agg(F.max("n")).first()[0] or 1
+    thr = max(1, max_n // _ED_MAXPCT)
     a = d.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("ta"),
-        F.col("n").alias("na"), F.col("band").alias("ba"), "tok0",
+        F.col("n").alias("na"), F.col("band").alias("ba"), "tok01",
     )
     b = d.select(
         F.col("doc_id").alias("id_b"), F.col("text").alias("tb"),
-        F.col("n").alias("nb"), F.col("band").alias("bb"), "tok0",
+        F.col("n").alias("nb"), F.col("band").alias("bb"), "tok01",
     )
-    cand = a.join(b, "tok0").filter(
+    cand = a.join(b, "tok01").filter(
         (F.col("bb") >= F.col("ba") - 1)
         & (F.col("bb") <= F.col("ba") + 1)
         & (F.col("id_a") < F.col("id_b"))
@@ -1232,8 +1243,11 @@ def dedup_editdistance_pairs(spark, sf_dir):
         F.greatest("na", "nb").alias("mx"),
     )
     return (
-        cand.withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
-        .filter(F.col("dist") * 100 <= _ED_MAXPCT * F.col("mx"))
+        cand.withColumn("dist", F.levenshtein("ta", "tb", thr).cast("long"))
+        .filter(
+            (F.col("dist") >= 0)
+            & (F.col("dist") * 100 <= _ED_MAXPCT * F.col("mx"))
+        )
         .select("id_a", "id_b", "dist", F.col("mx").cast("long").alias("max_len"))
         .orderBy("id_a", "id_b")
     )
