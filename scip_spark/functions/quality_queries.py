@@ -1520,3 +1520,70 @@ def quality_repetition_rules(spark, sf_dir):
     cols.append(f_lines.alias("f_lines"))
     cols.append((keep & f_lines).alias("keep"))
     return stats.select(*cols).orderBy("doc_id")
+
+
+#: demo policy blocklist (spam flavor) — the operator is the machinery;
+#: a production pipeline swaps in its own list (e.g. LDNOOBW for C4).
+_BLOCK_TOKENS = ["casino", "viagra", "xxx", "warez", "clickbait"]
+_BLOCK_PHRASES = ["click here to win", "limited time offer", "wire transfer fee"]
+
+
+@register(
+    "quality_blocklist_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, COALESCE(text, '') AS text,
+             {_SQL_TOKS.replace("text", "COALESCE(text, '')")} AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks,
+                x -> list_contains({_BLOCK_TOKENS!r}, lower(x))))
+             AS BIGINT) AS n_blocked_tokens,
+           CAST({' + '.join(f"CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END" for p in _BLOCK_PHRASES)}
+             AS BIGINT) AS n_blocked_phrases,
+           (len(list_filter(toks,
+                x -> list_contains({_BLOCK_TOKENS!r}, lower(x)))) = 0
+            AND NOT ({' OR '.join(f"contains(lower(text), '{p}')" for p in _BLOCK_PHRASES)}))
+             AS keep
+    FROM t ORDER BY doc_id
+    """,
+    doc="blocklist page filter (the C4 'bad words' component, shipped "
+    "with a neutral spam-flavored demo list — production swaps in its "
+    "own): per doc, the count of blocklisted TOKENS (exact lowercase "
+    "token match — substring matching would flag innocent words) plus "
+    "multi-word PHRASE hits via substring contains, keep = zero hits. "
+    "Pure per-row column algebra against broadcast literal arrays — "
+    "zero shuffle at any corpus size; integer counts hash-match "
+    "cross-engine.",
+)
+def quality_blocklist_filter(spark, sf_dir):
+    bl = F.array(*[F.lit(w) for w in _BLOCK_TOKENS])
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    staged = docs.select(
+        "doc_id",
+        F.lower("text").alias("lo"),
+        F.size(
+            F.filter(
+                tokens("text"), lambda x: F.array_contains(bl, F.lower(x))
+            )
+        ).cast("long").alias("n_blocked_tokens"),
+    )
+    phrase_hits = [
+        F.contains(F.col("lo"), F.lit(p)) for p in _BLOCK_PHRASES
+    ]
+    n_phrases = sum(
+        (F.when(h, 1).otherwise(0) for h in phrase_hits),
+        F.lit(0),
+    ).cast("long")
+    any_phrase = phrase_hits[0]
+    for h in phrase_hits[1:]:
+        any_phrase = any_phrase | h
+    return staged.select(
+        "doc_id",
+        "n_blocked_tokens",
+        n_phrases.alias("n_blocked_phrases"),
+        ((F.col("n_blocked_tokens") == 0) & ~any_phrase).alias("keep"),
+    ).orderBy("doc_id")

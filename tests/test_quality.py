@@ -643,3 +643,34 @@ def test_repetition_rules_each_level(spark, tmp_path):
     tot = sum(c * len(g) for g, c in cnt.items())
     top = max(c * len(g) for g, c in cnt.items())
     assert out[1]["top2_fp"] == top * (1 << 20) // tot
+
+
+def test_blocklist_filter_token_vs_phrase_semantics(spark, tmp_path):
+    """Token matches must be exact-token (no substring false positives
+    — 'classics' contains 'xxx'? no; 'maxxx' must NOT hit), phrase
+    matches must be substring-level, and keep flips on either."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    rows = [
+        (0, "a perfectly clean document with words"),
+        (1, "spam spam CASINO spam"),                 # token hit, case-folded
+        (2, "do not maxxx out or use casinos here"),  # substrings only -> clean
+        (3, "act now Limited Time Offer expires"),    # phrase hit, case-folded
+        (4, "casino and click here to win twice"),    # both
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["quality_blocklist_filter"].fn(spark, sf).collect()
+    }
+    assert out[0]["keep"]
+    assert out[1]["n_blocked_tokens"] == 1 and not out[1]["keep"]
+    assert out[2]["n_blocked_tokens"] == 0 and out[2]["keep"]  # no substring FPs
+    assert out[3]["n_blocked_phrases"] == 1 and not out[3]["keep"]
+    assert out[4]["n_blocked_tokens"] == 1
+    assert out[4]["n_blocked_phrases"] == 1 and not out[4]["keep"]
