@@ -1251,3 +1251,58 @@ def dedup_editdistance_pairs(spark, sf_dir):
         .select("id_a", "id_b", "dist", F.col("mx").cast("long").alias("max_len"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH fp AS (
+      SELECT doc_id, source, md5(text) AS h
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM fp GROUP BY 1)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1048576
+                // COUNT(*) AS BIGINT) AS dup_rate_fp,
+           CAST(COUNT(DISTINCT CASE WHEN c > 1 THEN h END) AS BIGINT)
+             AS n_dup_groups
+    FROM fp JOIN cnt USING (h)
+    GROUP BY source ORDER BY source
+    """,
+    doc="per-source duplicate-rate observability — the curation "
+    "dashboard number that tells you WHICH crawl is feeding you "
+    "copies before you pay for pair-level dedup: share of docs whose "
+    "exact md5 fingerprint occurs more than once (corpus-wide, so "
+    "cross-source mirrors count for both sides) on the 2^20 grid, "
+    "plus distinct duplicated-fingerprint groups per source. Scale "
+    "shape: fingerprint counts are one map-side-combined agg on the "
+    "32-char hash (text itself never shuffles), the doc join is "
+    "key-only, output is G rows.",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    fp = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.md5("text").alias("h"))
+    )
+    cnt = fp.groupBy("h").agg(F.count("*").cast("long").alias("c"))
+    return (
+        fp.join(cnt, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long").alias("n_dup_docs"),
+            F.expr(
+                "sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1048576L"
+                " div count(*)"
+            ).cast("long").alias("dup_rate_fp"),
+            F.count_distinct(
+                F.when(F.col("c") > 1, F.col("h"))
+            ).cast("long").alias("n_dup_groups"),
+        )
+        .orderBy("source")
+    )

@@ -347,3 +347,33 @@ def test_editdistance_pairs_finds_planted_corruption(spark, tmp_path):
     assert all(3 not in p for p in got)  # tok0 block separates doc 3
     assert (0, 2) not in got             # 18-char insertion > 10% of len
     assert (0, 4) not in got             # 10% threshold excludes truncation
+
+
+def test_dedup_rate_by_source_counts_planted_copies(spark, tmp_path):
+    """Planted copies must be counted per source with cross-source
+    mirrors flagged on BOTH sides, and rates exact on the 2^20 grid."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    rows = [
+        (0, "unique text zero", "A"),
+        (1, "copied text one", "A"),
+        (2, "copied text one", "A"),      # in-source dup pair
+        (3, "mirrored text two", "A"),
+        (4, "mirrored text two", "B"),    # cross-source mirror
+        (5, "unique text five", "B"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in REGISTRY["dedup_rate_by_source"].fn(spark, sf).collect()
+    }
+    assert out["A"]["n_docs"] == 4 and out["A"]["n_dup_docs"] == 3
+    assert out["A"]["n_dup_groups"] == 2          # "copied" + "mirrored"
+    assert out["A"]["dup_rate_fp"] == 3 * (1 << 20) // 4
+    assert out["B"]["n_dup_docs"] == 1            # the mirror side counts
+    assert out["B"]["n_dup_groups"] == 1
