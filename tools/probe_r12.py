@@ -53,6 +53,8 @@ OPS = [
     "corpus_length_batches",
     "quality_score_calibration",
     "ann_jl_topk",
+    "quality_blocklist_filter",
+    "dedup_rate_by_source",
 ]
 REDUCED_OPS = ["dedup_keep_best_quality"]  # quadratic under verbatim copies
 REDUCED_N = 10
