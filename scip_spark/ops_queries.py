@@ -357,3 +357,80 @@ def column_profile_customer(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_RS_K = 16  # target range partitions
+
+
+@register(
+    "balanced_range_splits",
+    f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rnk FROM v
+    ),
+    bounds AS (
+      SELECT u.i AS bi, r.v AS bv
+      FROM n, UNNEST(generate_series(1, {_RS_K - 1})) AS u(i)
+      JOIN ranked r
+        ON r.rnk = CAST(ceil((u.i * n.n) / {_RS_K}.0) AS BIGINT)
+    ),
+    assigned AS (
+      SELECT v.v,
+             (SELECT COUNT(*) FROM bounds b WHERE v.v > b.bv) AS bucket
+      FROM v
+    )
+    SELECT a.bucket AS bucket_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(b.bv) AS BIGINT) AS upper_cents
+    FROM assigned a
+    LEFT JOIN bounds b ON b.bi = a.bucket + 1
+    GROUP BY a.bucket ORDER BY a.bucket
+    """,
+    doc="balanced range-partitioning PLANNER — the exact version of "
+    "what Spark's RangePartitioner does by sampling before a global "
+    "sort/sorted write: the 15 boundary values at ranks "
+    "ceil(i*N/16) come from the O(log range) distributed-selection "
+    "ladder (exact_values_at_fracs — equal-width count passes, "
+    "O(64) driver state, never a global sort), rows assign to "
+    "buckets by value comparison (ties go low), and the report shows "
+    "the REALIZED per-bucket counts — the skew a sampled partitioner "
+    "can only estimate, exact. i/16 fracs are exact binary "
+    "fractions, so the double rank arithmetic is bit-identical "
+    "cross-engine. Scale shape: ~4-6 count scans for all cuts + one "
+    "map-side-combined bucket count; nothing sorts, nothing "
+    "shuffles beyond 16-row partials.",
+)
+def balanced_range_splits(spark, sf_dir):
+    from scip_spark.functions.ranking import exact_values_at_fracs
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    fracs = [i / _RS_K for i in range(1, _RS_K)]
+    cuts = exact_values_at_fracs(li, "v", fracs)
+    bounds = [cuts[f] for f in fracs]  # non-decreasing
+    bucket = sum(
+        (F.when(F.col("v") > b, 1).otherwise(0) for b in bounds),
+        F.lit(0),
+    ).cast("long")
+    upper = {i: bounds[i] for i in range(len(bounds))}
+    upper_col = F.create_map(
+        *[F.lit(x) for kv in upper.items() for x in kv]
+    )
+    return (
+        li.select(bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .select(
+            "bucket_id",
+            "n_rows",
+            F.element_at(upper_col, F.col("bucket_id")).cast("long")
+            .alias("upper_cents"),
+        )
+        .orderBy("bucket_id")
+    )

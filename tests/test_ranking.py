@@ -401,3 +401,39 @@ def test_dyadic_merge_equals_direct_randomized_overflow_mix(spark):
         assert {r["g"] for r in direct.select("g").distinct().collect()} == {
             "fit", "wide", "mid"
         }
+
+
+def test_balanced_range_splits_match_pure_python(spark):
+    """The planner's boundaries and realized bucket counts must equal
+    the pure-Python sort-based reference exactly, cover all rows, and
+    be near-balanced (each bucket within 2x of the ideal share on
+    this tie-light price data)."""
+    import math
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.ops_queries import _RS_K
+    from scip_spark.queries import REGISTRY, tbl as _tbl
+
+    sf = "/root/testdata/sf0.001"
+    out = sorted(
+        REGISTRY["balanced_range_splits"].fn(spark, sf).collect(),
+        key=lambda r: r["bucket_id"],
+    )
+    vals = sorted(
+        int(round(r["l_extendedprice"] * 100))
+        for r in _tbl(spark, sf, "lineitem").select("l_extendedprice").collect()
+    )
+    n = len(vals)
+    bounds = [vals[math.ceil(i * n / _RS_K) - 1] for i in range(1, _RS_K)]
+    counts = [0] * _RS_K
+    for v in vals:
+        counts[sum(1 for b in bounds if v > b)] += 1
+    want = [
+        (i, counts[i], bounds[i] if i < _RS_K - 1 else None)
+        for i in range(_RS_K) if counts[i] > 0
+    ]
+    assert [(r["bucket_id"], r["n_rows"], r["upper_cents"]) for r in out] == want
+    assert sum(r["n_rows"] for r in out) == n
+    ideal = math.ceil(n / _RS_K)
+    assert max(r["n_rows"] for r in out) <= 2 * ideal
+    assert bounds == sorted(bounds)
