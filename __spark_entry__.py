@@ -40,16 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --- GEN:rotation begin ---
 # Union of queries any past driver CORRECTNESS run has verified green
-# (r07 ∪ ... ∪ r11). Listing checked queries LAST (stalest-
+# (r08 ∪ ... ∪ r12). Listing checked queries LAST (stalest-
 # verified first among them) rotates the driver's ~50-query budget onto
 # the least-recently-verified entries. Regenerate with tools/gen_rotation.py.
 _DRIVER_CHECKED = {
     "ab_test_conversion", "ann_ivf_topk", "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk", "ann_ivfsq8_topk", "ann_lsh_buckets",
+    "ann_ivfpq_topk", "ann_ivfsq8_topk", "ann_jl_topk", "ann_lsh_buckets",
     "ann_lsh_multiprobe_topk", "ann_lsh_topk", "ann_opq_topk",
     "ann_pq_topk", "ann_sq8_topk", "approx_percentile_prices",
     "array_functions", "asof_join_events", "attribution_touchpoints",
-    "audio_window_plan", "bigram_merge_candidates",
+    "audio_window_plan", "balanced_range_splits", "bigram_merge_candidates",
     "bigram_surprisal_scores", "bloom_autosized_screen",
     "bloom_contamination_screen", "bloom_prefilter_join",
     "bloom_screen_streaming", "bloom_sharded_screen",
@@ -61,26 +61,30 @@ _DRIVER_CHECKED = {
     "contamination_normalized", "contrastive_negatives", "coreset_kcenter",
     "corpus_chunk_pack", "corpus_chunk_windows", "corpus_clean",
     "corpus_cluster_safe_split", "corpus_drift_chi2",
-    "corpus_drift_chi2_stream", "corpus_hash_sample", "corpus_lang_quota",
-    "corpus_mixture_upsample", "corpus_pack_shards", "corpus_split_assign",
-    "corpus_stratified_eval", "corpus_temperature_mix",
-    "corpus_temperature_mix_stream", "corpus_training_order",
-    "corpus_weighted_sample", "correlated_scalar_subquery",
-    "correlation_pricing", "cosine_topk", "cube_returnflag_linestatus",
-    "cusum_revenue_shift", "datetime_functions", "dedup_cluster_sizes",
+    "corpus_drift_chi2_stream", "corpus_es_sample", "corpus_hash_sample",
+    "corpus_lang_quota", "corpus_length_batches", "corpus_mixture_upsample",
+    "corpus_pack_shards", "corpus_split_assign", "corpus_stratified_eval",
+    "corpus_temperature_mix", "corpus_temperature_mix_stream",
+    "corpus_training_order", "corpus_weighted_sample",
+    "correlated_scalar_subquery", "correlation_pricing", "cosine_topk",
+    "cube_returnflag_linestatus", "cusum_revenue_shift",
+    "datetime_functions", "dedup_cluster_sizes",
     "dedup_connected_components", "dedup_containment_pairs",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_incremental",
-    "dedup_lsh_pairs", "dedup_lsh_pairs_skew", "dedup_method_agreement",
+    "dedup_editdistance_pairs", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_incremental", "dedup_keep_best_quality", "dedup_lsh_pairs",
+    "dedup_lsh_pairs_skew", "dedup_method_agreement",
     "dedup_minhash_signatures", "dedup_ngram_jaccard",
-    "dedup_semantic_keep", "dedup_setsim_join", "dedup_simhash",
-    "dedup_triangle_count", "distinct_groups", "doc_fingerprint",
-    "dsir_importance_weights", "dsir_importance_weights_stream",
-    "dyadic_hist_price_quantiles", "dyadic_stream_price_quantiles",
-    "embedding_centroid_drift", "embedding_doc_consistency",
-    "embedding_sq8_checksum", "embedding_stats",
+    "dedup_rate_by_source", "dedup_semantic_keep", "dedup_setsim_join",
+    "dedup_simhash", "dedup_triangle_count", "distinct_groups",
+    "doc_fingerprint", "dsir_importance_weights",
+    "dsir_importance_weights_stream", "dyadic_hist_price_quantiles",
+    "dyadic_stream_price_quantiles", "embedding_centroid_drift",
+    "embedding_covariance_fp", "embedding_doc_consistency",
+    "embedding_jl_projection", "embedding_sq8_checksum", "embedding_stats",
     "entity_resolution_customers", "event_transition_matrix",
-    "explode_tokens", "feature_hash_docs", "fk_integrity_audit",
-    "frequent_item_pairs", "full_outer_join_balance", "funnel_conversion",
+    "ewma_anomaly_days", "ewma_anomaly_days_stream", "explode_tokens",
+    "feature_hash_docs", "fk_integrity_audit", "frequent_item_pairs",
+    "full_outer_join_balance", "funnel_conversion",
     "gapfill_monthly_revenue", "global_stats", "group_minmax_normalize",
     "grouping_sets_revenue", "heavy_hitter_tokens",
     "higher_moments_by_flag", "hilbert_key_lineitem", "hll_distinct_users",
@@ -108,21 +112,26 @@ _DRIVER_CHECKED = {
     "q22_global_sales_opportunity", "q2_min_cost_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "quality_quantile_bins", "quality_repetition",
+    "q9_product_type_profit", "quality_blocklist_filter",
+    "quality_c4_filters", "quality_gopher_rules", "quality_quantile_bins",
+    "quality_repetition", "quality_repetition_rules",
+    "quality_score_calibration", "quality_score_calibration_stream",
     "quantile_sketch_prices", "quantile_sketch_rollup",
     "range_join_quantity_bands", "recursive_order_streaks",
     "regression_trend_by_priority", "revenue_anomaly_days",
-    "rfm_segmentation", "rollup_order_date", "running_sum_per_customer",
-    "salted_token_counts", "sample_exact_k", "sample_with_replacement",
-    "scd2_customer_orders", "semi_anti_join", "sessionize_events",
-    "set_ops_customers", "sliding_distinct_users", "sliding_window_events",
+    "rfm_segmentation", "rollup_order_date", "rtbf_cascade_delete",
+    "running_sum_per_customer", "salted_token_counts", "sample_exact_k",
+    "sample_with_replacement", "scd2_customer_orders", "semi_anti_join",
+    "session_window_native", "sessionize_events", "set_ops_customers",
+    "sliding_distinct_users", "sliding_window_events",
     "snapshot_diff_orders", "soft_delete_filter", "split_leakage_pairs",
-    "string_functions_part", "table_checksum", "text_quality", "tf_idf",
-    "time_to_conversion", "token_budget_by_domain", "token_count_bpe",
-    "top_event_paths", "topk_per_group", "tumbling_window_events",
+    "stream_stream_attribution", "string_functions_part", "table_checksum",
+    "text_quality", "tf_idf", "time_to_conversion",
+    "token_budget_by_domain", "token_count_bpe", "top_event_paths",
+    "topk_per_group", "trigram_backoff_scores", "tumbling_window_events",
     "union_sources", "unpivot_part_metrics", "variant_extract_events",
-    "vocab_novelty_by_batch", "winnow_dup_pairs", "winnow_dup_spans",
-    "winsorized_pricing", "zorder_key_lineitem"
+    "video_frame_plan", "vocab_novelty_by_batch", "winnow_dup_pairs",
+    "winnow_dup_spans", "winsorized_pricing", "zorder_key_lineitem"
 }
 
 
@@ -131,44 +140,50 @@ _DRIVER_CHECKED = {
 #: recently-verified rows). Regenerated each round from the
 #: CORRECTNESS_r*.json green rows by tools/gen_rotation.py.
 _LAST_GREEN_ROUND = {
-    "ab_test_conversion": 10, "ann_ivf_topk": 8, "ann_ivfpq_residual_topk":
-    9, "ann_ivfpq_topk": 9, "ann_ivfsq8_topk": 10, "ann_lsh_buckets": 8,
-    "ann_lsh_multiprobe_topk": 9, "ann_lsh_topk": 8, "ann_opq_topk": 9,
-    "ann_pq_topk": 9, "ann_sq8_topk": 10, "approx_percentile_prices": 10,
-    "array_functions": 11, "asof_join_events": 9, "attribution_touchpoints":
-    11, "audio_window_plan": 11, "bigram_merge_candidates": 9,
-    "bigram_surprisal_scores": 10, "bloom_autosized_screen": 10,
-    "bloom_contamination_screen": 9, "bloom_prefilter_join": 9,
-    "bloom_screen_streaming": 9, "bloom_sharded_screen": 11,
-    "bloom_sharded_screen_streaming": 11, "bm25_topk": 9,
-    "boilerplate_chunk_scrub": 9, "bot_burst_users": 11, "bpe_compression":
-    9, "cdc_apply_merge": 11, "cms_stream_token_counts": 9,
-    "cms_token_counts": 9, "cohort_retention": 9, "column_profile_customer":
-    9, "conditional_aggregation": 9, "contamination_ngram": 8,
-    "contamination_normalized": 10, "contrastive_negatives": 9,
-    "coreset_kcenter": 11, "corpus_chunk_pack": 8, "corpus_chunk_windows":
-    8, "corpus_clean": 8, "corpus_cluster_safe_split": 11,
-    "corpus_drift_chi2": 11, "corpus_drift_chi2_stream": 11,
-    "corpus_hash_sample": 8, "corpus_lang_quota": 8,
-    "corpus_mixture_upsample": 8, "corpus_pack_shards": 8,
-    "corpus_split_assign": 8, "corpus_stratified_eval": 10,
-    "corpus_temperature_mix": 10, "corpus_temperature_mix_stream": 10,
-    "corpus_training_order": 9, "corpus_weighted_sample": 9,
-    "correlated_scalar_subquery": 11, "correlation_pricing": 11,
-    "cosine_topk": 8, "cube_returnflag_linestatus": 9,
-    "cusum_revenue_shift": 11, "datetime_functions": 11,
-    "dedup_cluster_sizes": 9, "dedup_connected_components": 8,
-    "dedup_containment_pairs": 9, "dedup_embedding_cosine": 8,
-    "dedup_exact": 8, "dedup_incremental": 9, "dedup_lsh_pairs": 8,
-    "dedup_lsh_pairs_skew": 8, "dedup_method_agreement": 11,
-    "dedup_minhash_signatures": 8, "dedup_ngram_jaccard": 8,
+    "ab_test_conversion": 10, "ann_ivf_topk": 12, "ann_ivfpq_residual_topk":
+    9, "ann_ivfpq_topk": 9, "ann_ivfsq8_topk": 10, "ann_jl_topk": 12,
+    "ann_lsh_buckets": 12, "ann_lsh_multiprobe_topk": 9, "ann_lsh_topk": 12,
+    "ann_opq_topk": 9, "ann_pq_topk": 9, "ann_sq8_topk": 10,
+    "approx_percentile_prices": 10, "array_functions": 11,
+    "asof_join_events": 9, "attribution_touchpoints": 11,
+    "audio_window_plan": 11, "balanced_range_splits": 12,
+    "bigram_merge_candidates": 9, "bigram_surprisal_scores": 10,
+    "bloom_autosized_screen": 10, "bloom_contamination_screen": 9,
+    "bloom_prefilter_join": 9, "bloom_screen_streaming": 9,
+    "bloom_sharded_screen": 11, "bloom_sharded_screen_streaming": 11,
+    "bm25_topk": 9, "boilerplate_chunk_scrub": 9, "bot_burst_users": 11,
+    "bpe_compression": 9, "cdc_apply_merge": 11, "cms_stream_token_counts":
+    9, "cms_token_counts": 9, "cohort_retention": 9,
+    "column_profile_customer": 9, "conditional_aggregation": 9,
+    "contamination_ngram": 12, "contamination_normalized": 10,
+    "contrastive_negatives": 9, "coreset_kcenter": 11, "corpus_chunk_pack":
+    12, "corpus_chunk_windows": 12, "corpus_clean": 12,
+    "corpus_cluster_safe_split": 11, "corpus_drift_chi2": 11,
+    "corpus_drift_chi2_stream": 11, "corpus_es_sample": 12,
+    "corpus_hash_sample": 12, "corpus_lang_quota": 12,
+    "corpus_length_batches": 12, "corpus_mixture_upsample": 12,
+    "corpus_pack_shards": 12, "corpus_split_assign": 12,
+    "corpus_stratified_eval": 10, "corpus_temperature_mix": 10,
+    "corpus_temperature_mix_stream": 10, "corpus_training_order": 9,
+    "corpus_weighted_sample": 9, "correlated_scalar_subquery": 11,
+    "correlation_pricing": 11, "cosine_topk": 12,
+    "cube_returnflag_linestatus": 9, "cusum_revenue_shift": 11,
+    "datetime_functions": 11, "dedup_cluster_sizes": 9,
+    "dedup_connected_components": 12, "dedup_containment_pairs": 9,
+    "dedup_editdistance_pairs": 12, "dedup_embedding_cosine": 12,
+    "dedup_exact": 12, "dedup_incremental": 9, "dedup_keep_best_quality":
+    12, "dedup_lsh_pairs": 12, "dedup_lsh_pairs_skew": 12,
+    "dedup_method_agreement": 11, "dedup_minhash_signatures": 8,
+    "dedup_ngram_jaccard": 8, "dedup_rate_by_source": 12,
     "dedup_semantic_keep": 9, "dedup_setsim_join": 9, "dedup_simhash": 8,
     "dedup_triangle_count": 9, "distinct_groups": 9, "doc_fingerprint": 8,
     "dsir_importance_weights": 11, "dsir_importance_weights_stream": 11,
     "dyadic_hist_price_quantiles": 9, "dyadic_stream_price_quantiles": 9,
-    "embedding_centroid_drift": 9, "embedding_doc_consistency": 9,
+    "embedding_centroid_drift": 9, "embedding_covariance_fp": 12,
+    "embedding_doc_consistency": 9, "embedding_jl_projection": 12,
     "embedding_sq8_checksum": 10, "embedding_stats": 8,
     "entity_resolution_customers": 9, "event_transition_matrix": 9,
+    "ewma_anomaly_days": 12, "ewma_anomaly_days_stream": 12,
     "explode_tokens": 9, "feature_hash_docs": 10, "fk_integrity_audit": 9,
     "frequent_item_pairs": 11, "full_outer_join_balance": 11,
     "funnel_conversion": 10, "gapfill_monthly_revenue": 11, "global_stats":
@@ -204,24 +219,31 @@ _LAST_GREEN_ROUND = {
     "q3_shipping_priority": 10, "q4_order_priority": 11,
     "q5_local_supplier_volume": 10, "q6_forecast_revenue": 11,
     "q7_volume_shipping": 11, "q8_market_share": 8,
-    "q9_product_type_profit": 8, "quality_quantile_bins": 9,
-    "quality_repetition": 8, "quantile_sketch_prices": 9,
+    "q9_product_type_profit": 8, "quality_blocklist_filter": 12,
+    "quality_c4_filters": 12, "quality_gopher_rules": 12,
+    "quality_quantile_bins": 9, "quality_repetition": 8,
+    "quality_repetition_rules": 12, "quality_score_calibration": 12,
+    "quality_score_calibration_stream": 12, "quantile_sketch_prices": 9,
     "quantile_sketch_rollup": 9, "range_join_quantity_bands": 10,
-    "recursive_order_streaks": 7, "regression_trend_by_priority": 7,
-    "revenue_anomaly_days": 7, "rfm_segmentation": 10, "rollup_order_date":
-    10, "running_sum_per_customer": 10, "salted_token_counts": 10,
-    "sample_exact_k": 10, "sample_with_replacement": 9,
-    "scd2_customer_orders": 7, "semi_anti_join": 10, "sessionize_events":
+    "recursive_order_streaks": 12, "regression_trend_by_priority": 12,
+    "revenue_anomaly_days": 12, "rfm_segmentation": 10, "rollup_order_date":
+    10, "rtbf_cascade_delete": 12, "running_sum_per_customer": 10,
+    "salted_token_counts": 10, "sample_exact_k": 10,
+    "sample_with_replacement": 9, "scd2_customer_orders": 12,
+    "semi_anti_join": 10, "session_window_native": 12, "sessionize_events":
     10, "set_ops_customers": 10, "sliding_distinct_users": 10,
-    "sliding_window_events": 10, "snapshot_diff_orders": 7,
+    "sliding_window_events": 10, "snapshot_diff_orders": 12,
     "soft_delete_filter": 10, "split_leakage_pairs": 9,
-    "string_functions_part": 10, "table_checksum": 7, "text_quality": 8,
-    "tf_idf": 8, "time_to_conversion": 10, "token_budget_by_domain": 8,
-    "token_count_bpe": 8, "top_event_paths": 7, "topk_per_group": 10,
-    "tumbling_window_events": 10, "union_sources": 10,
-    "unpivot_part_metrics": 10, "variant_extract_events": 7,
-    "vocab_novelty_by_batch": 10, "winnow_dup_pairs": 7, "winnow_dup_spans":
-    7, "winsorized_pricing": 9, "zorder_key_lineitem": 10
+    "stream_stream_attribution": 12, "string_functions_part": 10,
+    "table_checksum": 12, "text_quality": 8, "tf_idf": 8,
+    "time_to_conversion": 10, "token_budget_by_domain": 8,
+    "token_count_bpe": 8, "top_event_paths": 12, "topk_per_group": 10,
+    "trigram_backoff_scores": 12, "tumbling_window_events": 10,
+    "union_sources": 10, "unpivot_part_metrics": 10,
+    "variant_extract_events": 12, "video_frame_plan": 12,
+    "vocab_novelty_by_batch": 10, "winnow_dup_pairs": 12,
+    "winnow_dup_spans": 12, "winsorized_pricing": 9, "zorder_key_lineitem":
+    10
 }
 # --- GEN:rotation end ---
 

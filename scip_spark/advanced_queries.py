@@ -758,7 +758,6 @@ def cohort_retention(spark, sf_dir):
             (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
         )
         .agg(F.count("*").cast("long").alias("n_active"))
-        .orderBy("cohort_week", "week_offset")
     )
 
 
@@ -796,7 +795,6 @@ def event_transition_matrix(spark, sf_dir):
             F.col("next_type").alias("to_type"),
         )
         .agg(F.count("*").cast("long").alias("n"))
-        .orderBy("from_type", "to_type")
     )
 
 
@@ -945,7 +943,6 @@ def rfm_segmentation(spark, sf_dir):
             F.count("*").cast("long").alias("n_customers"),
             F.sum(F.col("monetary").cast(DEC)).cast("double").alias("segment_value"),
         )
-        .orderBy("r_score", "f_score", "m_score")
     )
 
 
@@ -987,7 +984,7 @@ def order_seasonality(spark, sf_dir):
         F.col("revenue").cast("double").alias("revenue"),
         ma.cast("double").alias("ma7"),
         (F.col("revenue") - ma).cast(T.DecimalType(18, 6)).cast("double").alias("residual"),
-    ).orderBy("day")
+    )
 
 
 @register(
@@ -1128,7 +1125,7 @@ def moving_median_revenue(spark, sf_dir):
     lo = F.element_at(frame, ((m + 1) / 2).cast("int"))
     hi = F.element_at(frame, (m / 2 + 1).cast("int"))
     med = (lo + hi).cast("double") / 2
-    return daily.select("day", "rev", med.alias("med7")).orderBy("day")
+    return daily.select("day", "rev", med.alias("med7"))
 
 
 # ---------------------------------------------------------------------------
@@ -1861,7 +1858,6 @@ def session_window_native(spark, sf_dir):
             F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -1945,7 +1941,6 @@ def stream_stream_attribution(spark, sf_dir):
                 F.count("*").cast("long").alias("n_clicks"),
                 F.max("click_id").cast("long").alias("max_click_id"),
             )
-            .orderBy("purchase_id")
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -2051,5 +2046,4 @@ def video_frame_plan(spark, sf_dir):
             (F.col("frame_ts") / 2.0).cast("long").alias("frame_idx"),
             F.col("frame_ts").cast("double").alias("frame_ts"),
         )
-        .orderBy("media_id", "frame_idx")
     )

@@ -151,7 +151,7 @@ def corpus_stratified_eval(spark, sf_dir):
     from scip_spark.functions.corpus import stratified_exact_sample
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
-    return stratified_exact_sample(docs, _STRAT_K).orderBy("lang", "doc_id")
+    return stratified_exact_sample(docs, _STRAT_K)
 
 
 _TEMP_MIX_SQL = """
@@ -197,7 +197,7 @@ _TEMP_MIX_SQL = """
 )
 def corpus_temperature_mix(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
-    return temperature_mixture(docs).orderBy("source")
+    return temperature_mixture(docs)
 
 
 @register(
@@ -245,7 +245,7 @@ def corpus_temperature_mix_stream(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return mixture_weights_from_sizes(sizes).orderBy("source")
+    return mixture_weights_from_sizes(sizes)
 
 
 _PACK_BUDGET = 50_000
@@ -470,7 +470,7 @@ def corpus_training_order(spark, sf_dir):
         "doc_id",
         F.col("order_id").cast("long").alias("order_id"),
         ((F.col("order_id") - 1) / _ORDER_STEP).cast("long").alias("step_shard"),
-    ).orderBy("order_id")
+    )
 
 
 _DRIFT_GRID = 1 << 20
@@ -604,7 +604,6 @@ def _drift_tail(cells):
             F.sum("b").cast("long").alias("n_b"),
             F.sum("x").cast("long").alias("chi2_fp"),
         )
-        .orderBy("source")
     )
 
 
@@ -835,5 +834,4 @@ def corpus_length_batches(spark, sf_dir):
             .cast("long")
             .alias("pad_efficiency_fp"),
         )
-        .orderBy("len_bucket", "batch_id")
     )

@@ -429,7 +429,6 @@ def corpus_cluster_safe_split(spark, sf_dir):
     return (
         split_assign(roots, key_col="root", seed="split-v2")
         .select("doc_id", "root", "split")
-        .orderBy("doc_id")
     )
 
 
@@ -1155,7 +1154,6 @@ def dedup_keep_best_quality(spark, sf_dir):
     return (
         scored.withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "root", "score", "keep")
-        .orderBy("doc_id")
     )
 
 
@@ -1169,8 +1167,9 @@ _ED_MAXPCT = 10  # near-dup when edit distance <= 10% of max length
     WITH d AS (
       SELECT doc_id, text, length(text) AS n,
              length(text) // {_ED_BAND} AS band,
-             concat_ws(' ', split_part(text, ' ', 1),
-                       split_part(text, ' ', 2)) AS tok01
+             array_to_string(list_slice(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+               1, 2), ' ') AS tok01
       FROM documents WHERE text IS NOT NULL AND text <> ''
     ),
     cand AS (
@@ -1210,6 +1209,8 @@ _ED_MAXPCT = 10  # near-dup when edit distance <= 10% of max length
     "disjoint-vocabulary replica (see SCALE_PROBE.md).",
 )
 def dedup_editdistance_pairs(spark, sf_dir):
+    from scip_spark.functions.text import tokens
+
     d = (
         tbl(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.col("text") != ""))
@@ -1218,7 +1219,10 @@ def dedup_editdistance_pairs(spark, sf_dir):
             "text",
             F.length("text").alias("n"),
             F.expr(f"length(text) div {_ED_BAND}").alias("band"),
-            F.substring_index("text", " ", 2).alias("tok01"),
+            # first-2-TOKENS key via the shared whitespace tokenizer —
+            # substring_index would keep a trailing space on 1-token
+            # docs and split blocks differently from the oracle
+            F.array_join(F.slice(tokens("text"), 1, 2), " ").alias("tok01"),
         )
     )
     # banded-DP cap: 10% of the longest doc (1-row bounded collect,
@@ -1249,7 +1253,6 @@ def dedup_editdistance_pairs(spark, sf_dir):
             & (F.col("dist") * 100 <= _ED_MAXPCT * F.col("mx"))
         )
         .select("id_a", "id_b", "dist", F.col("mx").cast("long").alias("max_len"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -1304,5 +1307,109 @@ def dedup_rate_by_source(spark, sf_dir):
                 F.when(F.col("c") > 1, F.col("h"))
             ).cast("long").alias("n_dup_groups"),
         )
-        .orderBy("source")
+    )
+
+
+_SSW = 8  # exact-substring window width (tokens)
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+    win AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(list_slice(toks, u.i, u.i + {_SSW - 1}), ' ')) AS h
+      FROM base, UNNEST(generate_series(1, len(toks) - {_SSW - 1})) AS u(i)
+    ),
+    cnt AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT w.doc_id, tt.t
+      FROM win w JOIN cnt USING (h),
+           UNNEST(generate_series(w.pos, w.pos + {_SSW - 1})) AS tt(t)
+    ),
+    dup AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(d.dup_tokens, 0) AS dup_tokens,
+           CAST(CASE WHEN b.n_tokens > 0
+                     THEN COALESCE(d.dup_tokens, 0) * 1048576 // b.n_tokens
+                     ELSE 0 END AS BIGINT) AS dup_frac_fp
+    FROM base b LEFT JOIN dup d USING (doc_id)
+    """,
+    doc="exact-substring (suffix-window) dedup, Lee et al. 2022 "
+    f"'Deduplicating Training Data Makes Language Models Better' style "
+    f"— the SPAN-level modality the doc-pair families can't express: "
+    f"every {_SSW}-token window is md5-fingerprinted (exhaustive, not "
+    f"winnowing-sampled, so any shared run of >= {_SSW} tokens is "
+    f"caught by construction, within-doc repeats included); a window "
+    f"occurring >= 2 times corpus-wide marks its token positions "
+    f"duplicated, and the per-doc output is the union of covered "
+    f"positions — exactly the spans a Lee-style pass would excise — "
+    f"plus the duplicated fraction on the 2^20 grid. Scale shape: "
+    f"LINEAR by construction where pair emission would be quadratic "
+    f"on boilerplate — the only shuffles are the window-hash count "
+    f"(map-side combined) and the per-doc coverage distinct; output "
+    f"is one row per document. The windows explode is staged + "
+    f"explode_outer so InferFiltersFromGenerate cannot sink the HOF "
+    f"chain into a scan-level recompute (see winnow_dup_pairs).",
+)
+def dedup_substring_spans(spark, sf_dir):
+    from scip_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.coalesce("text", F.lit(""))).alias("toks")
+    )
+    base = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks"
+    )
+    # stage the windows array on the bound toks attribute (HOF lambdas
+    # get no CSE); sequence() DESCENDS when stop < start, so guard the
+    # short-doc case to a typed empty array
+    wins = F.when(
+        F.size("toks") >= _SSW,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_SSW - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice("toks", i, _SSW))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,h:string>>"))
+    staged = base.select("doc_id", wins.alias("wins"))
+    win = (
+        staged.select("doc_id", F.explode_outer("wins").alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
+    cnt = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    covered = (
+        win.join(cnt, "h")
+        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + (_SSW - 1))).alias("t"))
+        .distinct()
+    )
+    dup = covered.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dup_tokens")
+    )
+    out = base.select("doc_id", "n_tokens").join(dup, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("coalesce(dup_tokens, 0) * 1048576L div n_tokens"),
+        ).otherwise(F.lit(0)).cast("long").alias("dup_frac_fp"),
     )

@@ -350,7 +350,6 @@ def contamination_normalized(spark, sf_dir):
             F.coalesce("e1", F.lit(False)).alias("exact_hit"),
             F.coalesce("e2", F.lit(False)).alias("norm_hit"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -419,7 +418,6 @@ def bigram_surprisal_scores(spark, sf_dir):
             "surprisal_fp",
             F.expr("surprisal_fp div n_bigrams").alias("mean_surprisal_fp"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -541,7 +539,6 @@ def _kn_tail(bi, bgc):
                 "mean_kn_surprisal_fp"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -716,7 +713,6 @@ def _dsir_tail(bb, cnt):
             "n_bigrams",
             F.expr("s div n_bigrams").cast("long").alias("mean_importance_fp"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -920,7 +916,7 @@ def quality_gopher_rules(spark, sf_dir):
         f_ell.alias("f_ellipsis_lines"),
         (f_word & f_mlen & f_sym & f_alpha & f_stop & f_bullet & f_ell)
         .alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 _C4_SQL = """
@@ -1012,7 +1008,7 @@ def quality_c4_filters(spark, sf_dir):
             & ~F.col("has_brace")
             & ~F.col("has_js")
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 _SB_GRID = 1 << 20
@@ -1163,7 +1159,6 @@ def trigram_backoff_scores(spark, sf_dir):
             F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0)).cast("long").alias("n_uni"),
             F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0)).cast("long").alias("n_oov"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1258,7 +1253,6 @@ def _cal_tail(b, hist):
             "t",
             F.expr("cum * 1048576L div n").cast("long").alias("cdf_fp"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1389,11 +1383,18 @@ def _rep_rules_sql() -> str:
       FROM g{n} GROUP BY doc_id
     )"""
         )
+        # COALESCE: a doc shorter than n tokens has no s{n} row after
+        # the LEFT JOIN — it must pass the rule (Spark folds the empty
+        # gram array to top=dup=tot=0), not go NULL
         outs.append(
-            f"CAST(CASE WHEN s{n}.tot > 0 THEN s{n}.top * 1048576 // s{n}.tot"
+            f"CAST(CASE WHEN COALESCE(s{n}.tot, 0) > 0"
+            f" THEN s{n}.top * 1048576 // s{n}.tot"
             f" ELSE 0 END AS BIGINT) AS top{n}_fp"
         )
-        flags.append(f"(s{n}.top * 100 <= {thr} * s{n}.tot) AS f_top{n}")
+        flags.append(
+            f"(COALESCE(s{n}.top, 0) * 100 <= {thr} * COALESCE(s{n}.tot, 0))"
+            f" AS f_top{n}"
+        )
     for n in sorted(_REP_DUP):
         thr = _REP_DUP[n]
         ctes.append(
@@ -1410,17 +1411,21 @@ def _rep_rules_sql() -> str:
     )"""
         )
         outs.append(
-            f"CAST(CASE WHEN s{n}.tot > 0 THEN s{n}.dup * 1048576 // s{n}.tot"
+            f"CAST(CASE WHEN COALESCE(s{n}.tot, 0) > 0"
+            f" THEN s{n}.dup * 1048576 // s{n}.tot"
             f" ELSE 0 END AS BIGINT) AS dup{n}_fp"
         )
-        flags.append(f"(s{n}.dup * 100 <= {thr} * s{n}.tot) AS f_dup{n}")
+        flags.append(
+            f"(COALESCE(s{n}.dup, 0) * 100 <= {thr} * COALESCE(s{n}.tot, 0))"
+            f" AS f_dup{n}"
+        )
     joins = " ".join(f"LEFT JOIN s{n} USING (doc_id)" for n in
                      sorted(_REP_TOP) + sorted(_REP_DUP))
     keep = " AND ".join(f.split(" AS ")[0] for f in flags)
     keep_line = ("(l.dupc * 10 <= 3 * l.nl AND l.dupw * 100 <= 20 * l.totw)")
     return f"""
     WITH tokenized AS (
-      SELECT doc_id, {_SQL_TOKS} AS toks,
+      SELECT doc_id, {_SQL_TOKS.replace("text", "COALESCE(text, '')")} AS toks,
              string_split(COALESCE(text, ''), chr(10)) AS lines
       FROM documents
     ),
@@ -1450,6 +1455,150 @@ def _rep_rules_sql() -> str:
     """
 
 
+_REP_NS = sorted(list(_REP_TOP) + list(_REP_DUP))
+
+_REP_KERNEL_SCHEMA = (
+    "doc_id long, nl long, lr_dup long, ls_dup long, ls_tot long, "
+    + ", ".join(f"s{n}_top long, s{n}_dup long, s{n}_tot long" for n in _REP_NS)
+)
+
+
+def _rep_stats_kernel(batches):
+    """Arrow-batched twin of the nine `_run_char_stats` Catalyst folds
+    (r12 VERDICT #5: the folds re-sorted nine gram arrays per document
+    and cost 21 s / 16%% of the bench headline; one linear pass here
+    computes all levels at once). Semantics are bit-identical to the
+    fold path, pinned by test_quality.py::test_repetition_kernel_
+    matches_catalyst_fold: tokens = ASCII-\\s+ split minus empties
+    (Java regex \\s is ASCII-only — re.ASCII mirrors it), gram key =
+    the token-id window (join-with-space is injective since tokens
+    contain no whitespace), gram char weight = prefix-sum window + n-1
+    separators."""
+    import re as _re
+    from collections import Counter
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    for pdf in batches:
+        n_rows = len(pdf)
+        out = {c: [0] * n_rows for c in
+               ["nl", "lr_dup", "ls_dup", "ls_tot"]
+               + [f"s{n}_{k}" for n in _REP_NS for k in ("top", "dup", "tot")]}
+        for r, text in enumerate(pdf["text"]):
+            t = text if isinstance(text, str) else ""
+            # line stats: count-weighted dup (lr) + char-weighted (ls)
+            lines = t.split("\n")
+            lc = Counter(lines)
+            out["nl"][r] = len(lines)
+            out["lr_dup"][r] = sum(c for c in lc.values() if c > 1)
+            out["ls_dup"][r] = sum(
+                c * len(x) for x, c in lc.items() if c > 1
+            )
+            out["ls_tot"][r] = sum(c * len(x) for x, c in lc.items())
+            toks = [x for x in ws.split(t) if x]
+            # token-id encoding + char-length prefix sums: gram weight
+            # in O(1), gram identity as a small int tuple
+            tokmap: dict[str, int] = {}
+            ids = [tokmap.setdefault(x, len(tokmap)) for x in toks]
+            pre = [0]
+            for x in toks:
+                pre.append(pre[-1] + len(x))
+            for n in _REP_NS:
+                m = len(ids) - n + 1
+                if m <= 0:
+                    continue  # absent level: top=dup=tot=0 (passes)
+                cnt: dict[tuple, int] = {}
+                first_pos: dict[tuple, int] = {}
+                for i in range(m):
+                    g = tuple(ids[i : i + n])
+                    c = cnt.get(g)
+                    if c is None:
+                        cnt[g] = 1
+                        first_pos[g] = i
+                    else:
+                        cnt[g] = c + 1
+                top = dup = tot = 0
+                for g, c in cnt.items():
+                    i = first_pos[g]
+                    w = pre[i + n] - pre[i] + (n - 1)
+                    cw = c * w
+                    tot += cw
+                    if cw > top:
+                        top = cw
+                    if c > 1:
+                        dup += cw
+                out[f"s{n}_top"][r] = top
+                out[f"s{n}_dup"][r] = dup
+                out[f"s{n}_tot"][r] = tot
+        res = pdf[["doc_id"]].copy()
+        for c, vals in out.items():
+            res[c] = vals
+        yield res
+
+
+def _rep_rules_flags(stats):
+    """Shared flag algebra over the per-doc stats relation (flat
+    s{n}_top/dup/tot + nl/lr_dup/ls_dup/ls_tot columns) — used by both
+    the Arrow kernel path (registry) and the Catalyst fold path (the
+    A/B twin kept for parity testing)."""
+    cols = [
+        "doc_id",
+        F.col("lr_dup").alias("dup_lines"),
+        F.col("nl").alias("n_lines"),
+    ]
+    keep = None
+    for n, thr in sorted(_REP_TOP.items()):
+        cols.append(
+            F.when(
+                F.col(f"s{n}_tot") > 0,
+                F.expr(f"s{n}_top * 1048576L div s{n}_tot"),
+            ).otherwise(F.lit(0)).cast("long").alias(f"top{n}_fp")
+        )
+        f = F.col(f"s{n}_top") * 100 <= thr * F.col(f"s{n}_tot")
+        cols.append(f.alias(f"f_top{n}"))
+        keep = f if keep is None else (keep & f)
+    for n, thr in sorted(_REP_DUP.items()):
+        cols.append(
+            F.when(
+                F.col(f"s{n}_tot") > 0,
+                F.expr(f"s{n}_dup * 1048576L div s{n}_tot"),
+            ).otherwise(F.lit(0)).cast("long").alias(f"dup{n}_fp")
+        )
+        f = F.col(f"s{n}_dup") * 100 <= thr * F.col(f"s{n}_tot")
+        cols.append(f.alias(f"f_dup{n}"))
+        keep = keep & f
+    f_lines = (F.col("lr_dup") * 10 <= 3 * F.col("nl")) & (
+        F.col("ls_dup") * 100 <= 20 * F.col("ls_tot")
+    )
+    cols.append(f_lines.alias("f_lines"))
+    cols.append((keep & f_lines).alias("keep"))
+    return stats.select(*cols)
+
+
+def _rep_stats_fold(spark, sf_dir):
+    """Catalyst-fold twin of `_rep_stats_kernel` (the pre-r13 plan):
+    nine sorted-run char-weighted folds per row. Kept for the parity
+    test and as the no-Python fallback; ~6× slower at sf0.1."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokens(F.coalesce("text", F.lit(""))).alias("toks"),
+        F.split(F.coalesce("text", F.lit("")), "\n", -1).alias("lines"),
+    )
+    gram_cols = {n: _ngram_col(n).alias(f"a{n}") for n in _REP_NS}
+    staged = docs.select("doc_id", "lines", *gram_cols.values())
+    return staged.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("nl"),
+        _run_stats(F.col("lines"))["dup"].alias("lr_dup"),
+        _run_char_stats(F.col("lines"))["dup"].alias("ls_dup"),
+        _run_char_stats(F.col("lines"))["tot"].alias("ls_tot"),
+        *[
+            _run_char_stats(F.col(f"a{n}"))[k].alias(f"s{n}_{k}")
+            for n in _REP_NS
+            for k in ("top", "dup", "tot")
+        ],
+    )
+
+
 @register(
     "quality_repetition_rules",
     _rep_rules_sql(),
@@ -1461,65 +1610,17 @@ def _rep_rules_sql() -> str:
     "(0.30/0.20). Char weight = length(gram) incl. separators — the "
     "one definition both engines share; every threshold an integer "
     "cross-multiplication on the x100 grid, fractions reported on "
-    "2^20. Scale shape: all nine gram levels fold per ROW "
-    "(sorted-run char-weighted fold, _run_char_stats) — nothing "
-    "shuffles at any corpus size; the oracle's relational "
-    "per-(doc,gram) GROUP BYs are the semantic twin, not the plan.",
+    "2^20. Scale shape: all nine gram levels come from ONE linear "
+    "Arrow-batched pass per document (_rep_stats_kernel — token-id "
+    "windows + prefix-sum char weights; bit-parity with the Catalyst "
+    "fold twin pinned in pytest) — nothing shuffles at any corpus "
+    "size; the oracle's relational per-(doc,gram) GROUP BYs are the "
+    "semantic twin, not the plan.",
 )
 def quality_repetition_rules(spark, sf_dir):
-    docs = tbl(spark, sf_dir, "documents").select(
-        "doc_id",
-        tokens(F.coalesce("text", F.lit(""))).alias("toks"),
-        F.split(F.coalesce("text", F.lit("")), "\n", -1).alias("lines"),
-    )
-    # stage every gram array as a bound attribute first (HOF lambdas
-    # get no CSE), then fold each
-    gram_cols = {
-        n: _ngram_col(n).alias(f"a{n}") for n in list(_REP_TOP) + list(_REP_DUP)
-    }
-    staged = docs.select("doc_id", "lines", *gram_cols.values())
-    stats = staged.select(
-        "doc_id",
-        _run_char_stats(F.col("lines")).alias("ls"),
-        _run_stats(F.col("lines")).alias("lr"),
-        F.size("lines").cast("long").alias("nl"),
-        *[
-            _run_char_stats(F.col(f"a{n}")).alias(f"s{n}")
-            for n in list(_REP_TOP) + list(_REP_DUP)
-        ],
-    )
-    cols = [
-        "doc_id",
-        F.col("lr.dup").alias("dup_lines"),
-        F.col("nl").alias("n_lines"),
-    ]
-    keep = None
-    for n, thr in sorted(_REP_TOP.items()):
-        cols.append(
-            F.when(
-                F.col(f"s{n}.tot") > 0,
-                F.expr(f"s{n}.top * 1048576L div s{n}.tot"),
-            ).otherwise(F.lit(0)).cast("long").alias(f"top{n}_fp")
-        )
-        f = F.col(f"s{n}.top") * 100 <= thr * F.col(f"s{n}.tot")
-        cols.append(f.alias(f"f_top{n}"))
-        keep = f if keep is None else (keep & f)
-    for n, thr in sorted(_REP_DUP.items()):
-        cols.append(
-            F.when(
-                F.col(f"s{n}.tot") > 0,
-                F.expr(f"s{n}.dup * 1048576L div s{n}.tot"),
-            ).otherwise(F.lit(0)).cast("long").alias(f"dup{n}_fp")
-        )
-        f = F.col(f"s{n}.dup") * 100 <= thr * F.col(f"s{n}.tot")
-        cols.append(f.alias(f"f_dup{n}"))
-        keep = keep & f
-    f_lines = (F.col("lr.dup") * 10 <= 3 * F.col("nl")) & (
-        F.col("ls.dup") * 100 <= 20 * F.col("ls.tot")
-    )
-    cols.append(f_lines.alias("f_lines"))
-    cols.append((keep & f_lines).alias("keep"))
-    return stats.select(*cols).orderBy("doc_id")
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = docs.mapInPandas(_rep_stats_kernel, schema=_REP_KERNEL_SCHEMA)
+    return _rep_rules_flags(stats)
 
 
 #: demo policy blocklist (spam flavor) — the operator is the machinery;
@@ -1586,4 +1687,4 @@ def quality_blocklist_filter(spark, sf_dir):
         "n_blocked_tokens",
         n_phrases.alias("n_blocked_phrases"),
         ((F.col("n_blocked_tokens") == 0) & ~any_phrase).alias("keep"),
-    ).orderBy("doc_id")
+    )

@@ -243,7 +243,7 @@ def kll_quantile_prices(spark, sf_dir):
         # (same contract as the grouped variant's sketchless groups)
         return spark.createDataFrame(
             [(float(q), True) for q in _KLL_QS], "q double, within_bound boolean"
-        ).orderBy("q")
+        )
     ests = sk.quantiles(_KLL_QS)
     # exact rank interval of every estimate in ONE aggregate pass:
     # the q-quantile target must fall within [count(<v)+1, count(<=v)]
@@ -272,7 +272,6 @@ def kll_quantile_prices(spark, sf_dir):
     return (
         row.select(F.explode(F.array(*checks)).alias("s"))
         .select("s.q", "s.within_bound")
-        .orderBy("q")
     )
 
 
@@ -348,4 +347,4 @@ def kll_quantiles_by_priority(spark, sf_dir):
             err.cast("double") <= F.lit(_KLL_EPS) * F.col("n"),
             F.lit(True),
         ).alias("within_bound"),
-    ).orderBy("o_orderpriority", "q")
+    )

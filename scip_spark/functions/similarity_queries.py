@@ -570,7 +570,7 @@ def coreset_kcenter(spark, sf_dir):
     from scip_spark.functions.similarity import kcenter_coreset
 
     emb = tbl(spark, sf_dir, "embeddings")
-    return kcenter_coreset(emb, k=4).orderBy("sel_order")
+    return kcenter_coreset(emb, k=4)
 
 
 def _multiprobe_sql(n_planes: int = 8) -> str:
@@ -761,7 +761,7 @@ def embedding_sq8_checksum(spark, sf_dir):
         emb.select(F.posexplode("emb").alias("i", "x"))
         .groupBy("i")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .orderBy("i")
+        .orderBy("i")  # semantic: rows feed the mn/mx arrays POSITIONALLY
         .collect()
     )
     mn = F.array(*[F.lit(r["mn"]) for r in ext])
@@ -784,7 +784,7 @@ def embedding_sq8_checksum(spark, sf_dir):
         F.aggregate(
             "codes", F.lit(0).cast("long"), lambda a, c: a + c * c
         ).alias("code_sqsum"),
-    ).orderBy("vec_id")
+    )
 
 
 @register(
@@ -978,7 +978,6 @@ def embedding_jl_projection(spark, sf_dir):
     return (
         staged.select("vec_id", F.posexplode(F.array(*sums)).alias("out_dim", "y_fx"))
         .select("vec_id", F.col("out_dim").cast("int").alias("out_dim"), "y_fx")
-        .orderBy("vec_id", "out_dim")
     )
 
 
@@ -1084,11 +1083,16 @@ def embedding_covariance_fp(spark, sf_dir):
         - F.col("si").cast("decimal(38,0)") * F.col("sj")
     )
     half = F.lit(1 << 30).cast("decimal(38,0)")
+    # lo first (decimal % is exact), then hi from the EXACT division
+    # (cov - lo) / half — floor(cov / half) would ride on Spark's
+    # scale-6 HALF_UP decimal division and be off by one whenever the
+    # true remainder lands within ~2^30/2e6 of the modulus boundary
+    lo = ((cov % half) + half) % half
     return agg.select(
         "dim_i", "dim_j", "n", "si", "sj", "cij",
-        F.floor(cov / half).cast("long").alias("cov_hi"),
-        (((cov % half) + half) % half).cast("long").alias("cov_lo"),
-    ).orderBy("dim_i", "dim_j")
+        ((cov - lo) / half).cast("long").alias("cov_hi"),
+        lo.cast("long").alias("cov_lo"),
+    )
 
 
 _JLA_GRID = 1 << 20  # ANN grid: keeps squared L2 sums inside int64
@@ -1097,7 +1101,7 @@ _JLA_SHORTLIST = 96
 _JLA_K = 5
 
 
-def _jl_sql_cols(d: int, k: int, grid: int, src_alias: str) -> str:
+def _jl_sql_cols(d: int, k: int, src_alias: str) -> str:
     """Projected integer vector of `src_alias`.f as a SQL list literal
     expression — one signed sum per output dim, signs inlined."""
     signs = _jl_signs(d, k)
@@ -1114,8 +1118,8 @@ def _jl_sql_cols(d: int, k: int, grid: int, src_alias: str) -> str:
 
 
 def _ann_jl_sql() -> str:
-    proj_q = _jl_sql_cols(_JL_D, _JLA_DIMS, _JLA_GRID, "q")
-    proj_c = _jl_sql_cols(_JL_D, _JLA_DIMS, _JLA_GRID, "c")
+    proj_q = _jl_sql_cols(_JL_D, _JLA_DIMS, "q")
+    proj_c = _jl_sql_cols(_JL_D, _JLA_DIMS, "c")
     return f"""
     WITH fx AS (
       SELECT vec_id,
@@ -1168,7 +1172,7 @@ def _ann_jl_sql() -> str:
     "SYNTHETIC near-random embeddings are JL's worst case — "
     "near-equidistant points — so the shortlist is deliberately wide "
     "at 96; clustered real embeddings need far less), "
-    "then the 32-candidate shortlist reranks by exact integer L2 in "
+    f"then the {_JLA_SHORTLIST}-candidate shortlist reranks by exact integer L2 in "
     "full space — every distance is an integer on the 2^20 grid, so "
     "approximation error lives ONLY in the shortlist (deterministic, "
     "cross-engine identical), never in float arithmetic. Unlike the "
@@ -1241,5 +1245,4 @@ def ann_jl_topk(spark, sf_dir):
         )
         .filter(F.col("rk") <= _JLA_K)
         .select("q_id", "c_id", "d2_fp")
-        .orderBy("q_id", "d2_fp", "c_id")
     )

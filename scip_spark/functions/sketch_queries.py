@@ -320,7 +320,6 @@ def heavy_hitter_tokens(spark, sf_dir):
     return (
         exact_top5.join(sketch_items, "token", "left_semi")
         .select("token", "n", F.lit(True).alias("in_sketch_topk"))
-        .orderBy(F.desc("n"), "token")
     )
 
 
@@ -596,7 +595,7 @@ def cms_token_counts(spark, sf_dir):
         F.col("t").alias("token"),
         "exact_cnt",
         F.least(*[F.col(f"c{i}") for i in range(4)]).alias("cms_est"),
-    ).orderBy(F.desc("exact_cnt"), "token")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -674,7 +673,6 @@ def bloom_contamination_screen(spark, sf_dir):
             "bloom_hit",
             F.coalesce(F.col("exact_hit"), F.lit(False)).alias("exact_hit"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -733,7 +731,6 @@ def bloom_prefilter_join(spark, sf_dir):
             # the DECIMAL(18,2) sum is exact and order-free
             (dsum("o_totalprice") * 100).cast("long").alias("revenue_cents"),
         )
-        .orderBy("month")
     )
 
 
@@ -830,7 +827,6 @@ def bloom_autosized_screen(spark, sf_dir):
         .select(
             "doc_id", "bloom_hit", F.lit(m).cast("long").alias("m_bits")
         )
-        .orderBy("doc_id")
     )
 
 
@@ -964,7 +960,6 @@ def bloom_sharded_screen(spark, sf_dir):
             F.lit(m).cast("long").alias("m_bits"),
             F.lit(s).cast("long").alias("n_shards"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1033,7 +1028,6 @@ def bloom_sharded_screen_streaming(spark, sf_dir):
             F.lit(m).cast("long").alias("m_bits"),
             F.lit(s).cast("long").alias("n_shards"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1088,7 +1082,6 @@ def bloom_screen_streaming(spark, sf_dir):
             "bloom_hit",
             F.coalesce(F.col("exact_hit"), F.lit(False)).alias("exact_hit"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1260,7 +1253,7 @@ def cms_stream_token_counts(spark, sf_dir):
         F.col("t").alias("token"),
         "exact_cnt",
         F.least(*[F.col(f"c{i}") for i in range(4)]).alias("cms_est"),
-    ).orderBy(F.desc("exact_cnt"), "token")
+    )
 
 
 @register(

@@ -655,4 +655,4 @@ def rtbf_cascade_delete(spark, sf_dir):
         .unionByName(summary("events", ev, F.col("user_id") % _RTBF_MOD == 0,
                              F.col("event_id").cast("string")))
     )
-    return out.orderBy("tbl")
+    return out

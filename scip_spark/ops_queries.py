@@ -413,6 +413,11 @@ def balanced_range_splits(spark, sf_dir):
     )
     fracs = [i / _RS_K for i in range(1, _RS_K)]
     cuts = exact_values_at_fracs(li, "v", fracs)
+    if not cuts:  # empty input: no cut points, zero-row result
+        return li.groupBy(F.col("v").alias("bucket_id")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.max("v").cast("long").alias("upper_cents"),
+        )
     bounds = [cuts[f] for f in fracs]  # non-decreasing
     bucket = sum(
         (F.when(F.col("v") > b, 1).otherwise(0) for b in bounds),
@@ -432,5 +437,4 @@ def balanced_range_splits(spark, sf_dir):
             F.element_at(upper_col, F.col("bucket_id")).cast("long")
             .alias("upper_cents"),
         )
-        .orderBy("bucket_id")
     )

@@ -177,4 +177,4 @@ def imaging_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum(F.floor(F.col(c) * F.lit(float(2**20))).cast("long")).alias(f"sum_{c[5:]}")
         )
-    return feats.groupBy("group").agg(*aggs).orderBy("group")
+    return feats.groupBy("group").agg(*aggs)

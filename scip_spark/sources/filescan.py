@@ -111,6 +111,21 @@ def tiff_reader_stub(path: str) -> np.ndarray:
     )
 
 
+def default_tiff_reader() -> Callable[[str], np.ndarray]:
+    """The best available real decoder: tifffile when installed, else
+    the built-in pure-Python baseline codec (sources/tiffio.py — real
+    bytes, both byte orders, multi-frame; uncompressed subset only).
+    Since r13 the stub only fires for files the baseline codec rejects."""
+    try:  # pragma: no cover - tifffile absent in this container
+        from tifffile import imread
+
+        return imread
+    except ImportError:
+        from scip_spark.sources.tiffio import read_tiff
+
+        return read_tiff
+
+
 def synthetic_reader(path: str) -> np.ndarray:
     """Deterministic stand-in decoder: a 16×16 gradient tile seeded by
     the file name — lets the full pipeline (and CLI) run end-to-end in

@@ -272,6 +272,9 @@ def test_empty_inputs_round12_ops(spark, tmp_path):
         "o_totalprice double, o_orderdate date, o_orderpriority string, "
         "o_clerk string, o_shippriority int, o_comment string",
     ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [], "l_orderkey long, l_extendedprice double, l_quantity double"
+    ).write.parquet(f"{sf}/lineitem.parquet")
 
     empty_ok = [
         "quality_gopher_rules",
@@ -286,7 +289,9 @@ def test_empty_inputs_round12_ops(spark, tmp_path):
         "corpus_es_sample",
         "corpus_length_batches",
         "dedup_keep_best_quality",
+        "dedup_editdistance_pairs",
         "video_frame_plan",
+        "balanced_range_splits",
     ]
     for name in empty_ok:
         assert REGISTRY[name].fn(spark, sf).count() == 0, name

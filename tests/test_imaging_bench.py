@@ -146,3 +146,15 @@ def test_golden_files_cover_all_sfs():
             "sum_li_texture_combined_sobel_mean_c0",
         ):
             assert want in cols, (sf, want, cols)
+
+
+def test_golden_value_oracle_sf01(spark):
+    """VERDICT r12 #7: the bench-scale golden is ALSO a hard value
+    gate, not just a committed file — kernel drift at sf0.1 (where the
+    bench row is measured) fails here even if sf0.001 happens to
+    agree."""
+    from scip_spark.oracle import check_query
+
+    res = check_query(spark, "imaging_pipeline_e2e", "/root/testdata/sf0.1")
+    assert res.get("golden") is True, res
+    assert res["values_match"] is True, res

@@ -674,3 +674,34 @@ def test_blocklist_filter_token_vs_phrase_semantics(spark, tmp_path):
     assert out[3]["n_blocked_phrases"] == 1 and not out[3]["keep"]
     assert out[4]["n_blocked_tokens"] == 1
     assert out[4]["n_blocked_phrases"] == 1 and not out[4]["keep"]
+
+
+def test_repetition_kernel_matches_catalyst_fold(spark):
+    """The Arrow kernel (_rep_stats_kernel, the registry path since r13)
+    must be bit-identical to the Catalyst sorted-run fold twin on the
+    real corpus — every s{n}_top/dup/tot and line stat, every doc."""
+    from scip_spark.functions.quality_queries import (
+        _rep_stats_fold,
+        _rep_stats_kernel,
+        _REP_KERNEL_SCHEMA,
+    )
+    from scip_spark.queries import tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents").select("doc_id", "text")
+    kern = (
+        docs.mapInPandas(_rep_stats_kernel, schema=_REP_KERNEL_SCHEMA)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    fold = (
+        _rep_stats_fold(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sorted(kern.columns) == sorted(fold.columns)
+    for c in kern.columns:
+        mism = (kern[c].astype("int64") != fold[c].astype("int64"))
+        assert not mism.any(), (c, kern.loc[mism, ["doc_id", c]].head())

@@ -288,3 +288,122 @@ def test_stream_max_files_per_trigger_bounds_batches(spark, tmp_path):
     assert len(batches) >= 4
     got = sorted(r.id for r in spark.table("paced_out").collect())
     assert got == list(range(40))
+
+
+# ---------------------------------------------------------------------------
+# r13 (VERDICT r12 #4): REAL-bytes decode paths — no injected fakes.
+# Reference parity: test/loading/test_tiff.py:6-21 and test_zarr.py:23-31
+# read actual files; these do too, via the built-in pure-Python codecs.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def real_tiff_dir(tmp_path_factory):
+    """Actual TIFF bytes: 2 ids x 2 channels, mixed dtypes and BOTH
+    byte orders (a byte-order bug must fail here)."""
+    from scip_spark.sources.tiffio import write_tiff
+
+    d = tmp_path_factory.mktemp("real_tiffs")
+    rng = np.random.default_rng(7)
+    planes = {}
+    for rec, order in (("A", "<"), ("B", ">")):
+        for ch, dt in (("1", np.uint16), ("2", np.float32)):
+            arr = (rng.random((12, 10)) * 200).astype(dt)
+            write_tiff(str(d / f"test{rec}_{ch}.tiff"), arr, byteorder=order)
+            planes[(rec, ch)] = arr
+    return str(d), planes
+
+
+def test_tiff_real_bytes_roundtrip(real_tiff_dir):
+    """Codec-level: both byte orders, uint16 and float32, exact."""
+    from scip_spark.sources.tiffio import read_tiff
+
+    d, planes = real_tiff_dir
+    for (rec, ch), want in planes.items():
+        got = read_tiff(os.path.join(d, f"test{rec}_{ch}.tiff"))
+        assert got.dtype.kind == want.dtype.kind
+        np.testing.assert_array_equal(got.astype(np.float64), want.astype(np.float64))
+
+
+def test_tiff_meta_attach_real_bytes(spark, real_tiff_dir):
+    """S3+S4 end-to-end on real bytes: glob -> regex pivot -> Arrow-
+    batched decode through the production default reader (no fake)."""
+    from scip_spark.sources.filescan import default_tiff_reader
+
+    d, planes = real_tiff_dir
+    meta = tiff_meta(spark, d, REGEX, channels=["1", "2"])
+    out = attach_pixels(meta, ["1", "2"], default_tiff_reader()).toPandas()
+    assert len(out) == 2
+    for _, row in out.iterrows():
+        stack = np.array(row["pixels"], dtype=np.float32).reshape(row["pixels_shape"])
+        assert list(row["pixels_shape"]) == [2, 12, 10]
+        for ci, ch in enumerate(["1", "2"]):
+            np.testing.assert_allclose(
+                stack[ci], planes[(row["id"], ch)].astype(np.float32), rtol=0, atol=0
+            )
+
+
+def test_multiframe_tiff_real_bytes(spark, tmp_path):
+    """S5: frames-as-channels through a real multi-IFD chain — a
+    frame-seek bug (wrong next-IFD offset walk) fails here."""
+    from scip_spark.sources.filescan import default_tiff_reader
+    from scip_spark.sources.tiffio import write_tiff
+
+    frames = np.arange(3 * 6 * 5, dtype=np.uint8).reshape(3, 6, 5)
+    grp = tmp_path / "acq1"
+    grp.mkdir()
+    write_tiff(str(grp / "stack.tiff"), frames)
+    meta = multiframe_tiff_meta(spark, str(tmp_path))
+    out = attach_pixels(meta, ["path"], default_tiff_reader()).toPandas()
+    assert len(out) == 1 and out.iloc[0]["group"] == "acq1"
+    got = np.array(out.iloc[0]["pixels"], dtype=np.float32).reshape(
+        out.iloc[0]["pixels_shape"]
+    )
+    # attach stacks the per-path read on a new axis: (1, frames, H, W)
+    np.testing.assert_array_equal(got[0], frames.astype(np.float32))
+
+
+def test_zarr_real_bytes_ragged_store(spark, tmp_path):
+    """S6 end-to-end on a spec-level zarr v2 store (JSON metadata + raw
+    chunk files, multi-chunk so the chunk-grid math is exercised):
+    shapes from .zattrs -> zarr_meta -> zarr_attach_pixels fetching
+    REAL chunk bytes, channel selection included."""
+    from scip_spark.sources.zarrio import (
+        fetch_member,
+        group_member_shapes,
+        write_group,
+    )
+
+    rng = np.random.default_rng(11)
+    cells = [
+        (rng.random((2, 6, 7)) * 100).astype(np.float32),
+        (rng.random((2, 4, 9)) * 100).astype(np.float32),
+        (rng.random((2, 5, 5)) * 100).astype(np.float32),
+    ]
+    store = str(tmp_path / "cells.zarr")
+    write_group(store, cells, chunks=(1, 3, 4))  # forces multi-chunk reads
+    shapes = group_member_shapes(store)
+    assert shapes == [[2, 6, 7], [2, 4, 9], [2, 5, 5]]
+    meta = zarr_meta(spark, shapes, store, regex=r"^.*/(?P<name>\w+)\.zarr$")
+    out = zarr_attach_pixels(meta, fetch_member, channels=[1]).toPandas()
+    assert len(out) == 3
+    for i, row in out.sort_values("zarr_idx").reset_index(drop=True).iterrows():
+        got = np.array(row["pixels"], dtype=np.float32).reshape(row["pixels_shape"])
+        np.testing.assert_array_equal(got, cells[i][[1]])
+
+
+def test_zarr_chunk_grid_roundtrip(tmp_path):
+    """Codec-level: edge chunks (padded to full chunk shape per spec),
+    int and float dtypes, 1-D through 3-D."""
+    from scip_spark.sources.zarrio import read_array, write_array
+
+    rng = np.random.default_rng(3)
+    for shape, chunks, dt in [
+        ((7,), (3,), np.int32),
+        ((5, 6), (2, 4), np.uint16),
+        ((3, 5, 4), (2, 2, 3), np.float64),
+    ]:
+        arr = (rng.random(shape) * 50).astype(dt)
+        p = str(tmp_path / f"a_{len(shape)}d_{np.dtype(dt).name}.zarr")
+        write_array(p, arr, chunks=chunks)
+        np.testing.assert_array_equal(read_array(p), arr)

@@ -377,3 +377,58 @@ def test_dedup_rate_by_source_counts_planted_copies(spark, tmp_path):
     assert out["A"]["dup_rate_fp"] == 3 * (1 << 20) // 4
     assert out["B"]["n_dup_docs"] == 1            # the mirror side counts
     assert out["B"]["n_dup_groups"] == 1
+
+
+def test_substring_spans_match_pure_python(spark, tmp_path):
+    """dedup_substring_spans vs an exact pure-Python suffix-window
+    reference on planted docs: a cross-doc shared 10-token run, a doc
+    with INTERNAL repetition (within-doc windows count), and a clean
+    doc + a short doc (no windows)."""
+    import hashlib
+    from collections import Counter
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    W = 8
+    shared = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    docs = {
+        0: "intro words here " + shared + " trailing tail tokens x1 x2",
+        1: "other leading stuff before " + shared + " different ending",
+        2: ("loop alpha beta gamma delta eps zeta eta " * 3).strip(),  # internal repeat
+        3: " ".join(f"uniq{i}" for i in range(30)),                    # clean
+        4: "too few tokens",                                           # < W
+    }
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    # pure-Python reference
+    wins = {}
+    for i, t in docs.items():
+        toks = t.split()
+        wins[i] = [
+            (p, hashlib.md5(" ".join(toks[p : p + W]).encode()).hexdigest())
+            for p in range(len(toks) - W + 1)
+        ]
+    cnt = Counter(h for ws in wins.values() for _, h in ws)
+    want = {}
+    for i, t in docs.items():
+        cov = set()
+        for p, h in wins[i]:
+            if cnt[h] >= 2:
+                cov.update(range(p, p + W))
+        want[i] = (len(t.split()), len(cov))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac_fp"])
+        for r in REGISTRY["dedup_substring_spans"].fn(spark, sf).collect()
+    }
+    for i, (n, dup) in want.items():
+        assert got[i][0] == n and got[i][1] == dup, (i, got[i], (n, dup))
+        assert got[i][2] == (dup * (1 << 20) // n if n else 0)
+    assert want[0][1] > 0 and want[1][1] > 0   # cross-doc run caught
+    assert want[2][1] > 0                      # internal repetition caught
+    assert want[3][1] == 0 and want[4][1] == 0

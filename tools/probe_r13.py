@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Scale probe for the round-13 operators / rewrites.
+
+Expected shapes:
+- dedup_substring_spans: exhaustive window fingerprints are LINEAR in
+  tokens (one row per window); the shared-hash decision is a map-side-
+  combined count + one hash join whose output is again the window
+  relation, and coverage is a per-doc distinct — no pair emission, so
+  verbatim replication (which makes EVERY window corpus-shared) stays
+  linear where the pair families would go quadratic. rN ≈ linear.
+- quality_repetition_rules (Arrow kernel since r13): one linear
+  mapInPandas pass per doc, zero shuffle — rN ≈ linear-in-rows.
+
+Usage: python tools/probe_r13.py [N] [sf_dir]   (default N=100, sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+from scale_probe import replicate  # noqa: E402
+from scip_spark.session import get_spark  # noqa: E402
+
+OPS = [
+    "dedup_substring_spans",
+    "quality_repetition_rules",
+]
+
+
+def time_op(spark, fn, sf_dir: str, passes: int = 2) -> float:
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and "/" in args[-1]:
+        sf_dir = args.pop()
+    n = int(args[0]) if args else 100
+
+    spark = get_spark(
+        "probe-r13", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    big = f"/tmp/scale_probe_x{n}"
+    if not os.path.isdir(f"{big}/documents.parquet"):
+        print(f"replicating {n}x ...", file=sys.stderr, flush=True)
+        replicate(spark, sf_dir, n, big)
+    for name in OPS:
+        fn = REGISTRY[name].fn
+        t1 = time_op(spark, fn, sf_dir)
+        print(f"probe {name} @1x = {t1:.2f}s", file=sys.stderr, flush=True)
+        tn = time_op(spark, fn, big)
+        print(f"probe {name} @{n}x = {tn:.2f}s", file=sys.stderr, flush=True)
+        print(
+            f"| {name} | {t1:.2f} | {tn:.2f} | r{n}={tn / t1:.1f} |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
