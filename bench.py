@@ -167,7 +167,7 @@ def _overhead_probes(spark, sf_dir: str) -> dict:
                                        .mode("overwrite").save())
     # (c) 32-thread JVM CPU throughput: fixed integer fold, no IO
     cpu = spark.range(0, 256_000_000, 1, 32).selectExpr(
-        "sum(id * 2654435761) as s"
+        "sum(xxhash64(id) % 1048576) as s"  # bounded: no ANSI overflow
     )
     probes["cpu32_fold"] = best_of(3, lambda: cpu.write.format("noop")
                                    .mode("overwrite").save())

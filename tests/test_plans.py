@@ -379,3 +379,32 @@ def test_kcenter_pass_is_shuffle_free(spark):
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan  # map-side partial top-1 only
+
+
+def test_plan_audit_flags_global_sort(spark):
+    """VERDICT r12 #3: plan_audit's GLOBAL_SORT red flag must actually
+    fire on a deliberately-sorted corpus output (the r12 audit gap:
+    the docstring promised this check but audit() never looked at
+    Sort), and must NOT fire on a top-k (TakeOrderedAndProject)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_audit import audit
+
+    from scip_spark.queries import REGISTRY, QuerySpec
+
+    name = "zz_deliberate_global_sort"
+    REGISTRY[name] = QuerySpec(
+        fn=lambda s, sf: s.read.parquet(f"{sf}/orders.parquet").orderBy(
+            "o_orderkey"
+        ),
+        sql="SELECT 1",
+        doc="audit-teeth fixture",
+    )
+    try:
+        a = audit(spark, name, "/root/testdata/sf0.001")
+        assert "GLOBAL_SORT" in a["flags"], a
+    finally:
+        del REGISTRY[name]
+    b = audit(spark, "q3_shipping_priority", "/root/testdata/sf0.001")
+    assert "GLOBAL_SORT" not in b["flags"], b
