@@ -86,12 +86,14 @@ HEADLINE = [
     "quality_gopher_rules",
     "trigram_backoff_scores",
     "quality_repetition_rules",
+    # r13 addition: the round's heaviest new operator at the 1x probe
+    # (dedup_substring_spans 2.7 s)
+    "dedup_substring_spans",
 ]
 
 #: headline-list changes by round — totals across a change are not
 #: comparable raw; compare per-query or on the shared subset
-HEADLINE_CHANGES = ("r12: +dedup_keep_best_quality +embedding_covariance_fp "
-    "+quality_gopher_rules +trigram_backoff_scores +quality_repetition_rules")
+HEADLINE_CHANGES = "r13: +dedup_substring_spans"
 
 # heavyweight end-to-end pipelines: one timed pass only (their runtime
 # dwarfs the box's noise band, and a second 100-s pass would double the
