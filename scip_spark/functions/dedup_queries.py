@@ -1362,17 +1362,34 @@ _SSW = 8  # exact-substring window width (tokens)
     f"chain into a scan-level recompute (see winnow_dup_pairs).",
 )
 def dedup_substring_spans(spark, sf_dir):
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    base, win = _ss_windows(docs)
+    shared = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    return _ss_tail(base, win, shared)
+
+
+def _ss_windows(docs):
+    """(base, win) relations of the suffix-window family — works on a
+    batch OR streaming `docs(doc_id, text)` (pure column algebra).
+    base = (doc_id, n_tokens); win = one row per {_SSW}-token window
+    (doc_id, pos, h). Windows are staged on the bound toks attribute
+    (HOF lambdas get no CSE) and exploded with explode_outer so
+    InferFiltersFromGenerate cannot sink the chain below the scan;
+    sequence() DESCENDS when stop < start, so short docs guard to a
+    typed empty array."""
     from scip_spark.functions.text import tokens
 
-    docs = tbl(spark, sf_dir, "documents").select(
+    toked = docs.select(
         "doc_id", tokens(F.coalesce("text", F.lit(""))).alias("toks")
     )
-    base = docs.select(
+    base = toked.select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks"
     )
-    # stage the windows array on the bound toks attribute (HOF lambdas
-    # get no CSE); sequence() DESCENDS when stop < start, so guard the
-    # short-doc case to a typed empty array
     wins = F.when(
         F.size("toks") >= _SSW,
         F.transform(
@@ -1389,21 +1406,24 @@ def dedup_substring_spans(spark, sf_dir):
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
         .filter(F.col("h").isNotNull())
     )
-    cnt = (
-        win.groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("h")
-    )
+    return base.select("doc_id", "n_tokens"), win
+
+
+def _ss_tail(base, win, shared):
+    """Coverage pricing shared by the batch op and its streaming twin:
+    union of token positions covered by a shared window, per doc."""
     covered = (
-        win.join(cnt, "h")
-        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + (_SSW - 1))).alias("t"))
+        win.join(shared, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence("pos", F.col("pos") + (_SSW - 1))).alias("t"),
+        )
         .distinct()
     )
     dup = covered.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("dup_tokens")
     )
-    out = base.select("doc_id", "n_tokens").join(dup, "doc_id", "left")
+    out = base.join(dup, "doc_id", "left")
     return out.select(
         "doc_id",
         "n_tokens",
@@ -1413,3 +1433,66 @@ def dedup_substring_spans(spark, sf_dir):
             F.expr("coalesce(dup_tokens, 0) * 1048576L div n_tokens"),
         ).otherwise(F.lit(0)).cast("long").alias("dup_frac_fp"),
     )
+
+
+@register(
+    "dedup_substring_spans_stream",
+    None,  # shares the batch oracle (spliced below)
+    doc="dedup_substring_spans with the corpus-wide window-hash counts "
+    "built by STRUCTURED STREAMING (14th driver-hash-checked streaming "
+    "entry): the document stream's windows feed a STATEFUL streaming "
+    "groupBy(h).count() — executor-side state, not driver-folded "
+    "partials, because the window-count relation is corpus-sized (the "
+    "state-store shape RocksDB exists for), unlike the sketch twins — "
+    "drained update-mode to a sink where max(c) per hash is the final "
+    "count (counts only grow). The shared-hash set then prices the "
+    "identical _ss_tail coverage, so the streaming answer is "
+    "bit-identical to batch and shares its oracle SQL verbatim.",
+)
+def dedup_substring_spans_stream(spark, sf_dir):
+    import shutil
+    import uuid
+
+    from scip_spark.functions.sketch_queries import _split_to_tmp
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _split_to_tmp(docs, key="doc_id")
+    name = f"ss_spans_{uuid.uuid4().hex[:8]}"
+    try:
+        sdocs = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        _, win_s = _ss_windows(sdocs)
+        cnt_s = win_s.groupBy("h").agg(F.count("*").alias("c"))
+        q = (
+            cnt_s.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("substring-span stream did not finish in 600s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # update mode re-emits a hash's row on every batch that grows it;
+    # counts are monotone, so max(c) is the final corpus-wide count
+    shared = (
+        spark.table(name)
+        .groupBy("h")
+        .agg(F.max("c").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    base, win = _ss_windows(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return _ss_tail(base, win, shared)
+
+
+from scip_spark.queries import REGISTRY as _QREG  # noqa: E402
+
+_QREG["dedup_substring_spans_stream"].sql = _QREG["dedup_substring_spans"].sql

@@ -1159,3 +1159,24 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     occ = docs.select(F.explode(tokens("text")).alias("t"))
     direct = {(r["i"], r["b"]): r["cnt"] for r in cms_sketch(occ, "t").collect()}
     assert running == direct
+
+
+def test_streaming_substring_spans_matches_batch(spark):
+    """The 14th streaming twin: window-hash counts from a STATEFUL
+    streaming aggregation (executor-side state, not driver-folded
+    partials) must price the exact same per-doc duplicated-span
+    coverage as the batch op."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac_fp"])
+        for r in REGISTRY["dedup_substring_spans"].fn(spark, sf).collect()
+    }
+    stream = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac_fp"])
+        for r in REGISTRY["dedup_substring_spans_stream"].fn(spark, sf).collect()
+    }
+    assert batch == stream
+    assert any(v[1] > 0 for v in batch.values())  # corpus has real spans
