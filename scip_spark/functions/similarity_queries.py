@@ -1246,3 +1246,80 @@ def ann_jl_topk(spark, sf_dir):
         .filter(F.col("rk") <= _JLA_K)
         .select("q_id", "c_id", "d2_fp")
     )
+
+
+_KNN_K = 3
+
+
+@register(
+    "knn_graph_mutual",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {', '.join(f'CAST({_band_bucket_sql("embedding::DOUBLE[]", b)} AS BIGINT) AS b{b}' for b in range(_NEAR_DUP_BANDS))}
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+             {_DOT.format(a='a.emb', b='b.emb')}
+               / ({_NORM.format(a='a.emb')} * {_NORM.format(a='b.emb')}) AS sim
+      FROM v a JOIN v b
+        ON a.vec_id <> b.vec_id
+       AND ({' OR '.join(f'a.b{b} = b.b{b}' for b in range(_NEAR_DUP_BANDS))})
+    ),
+    ranked AS (
+      SELECT src, dst, sim,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY sim DESC, dst ASC) AS rk
+      FROM cand
+    ),
+    topk AS (SELECT * FROM ranked WHERE rk <= {_KNN_K})
+    SELECT x.src AS id_a, x.dst AS id_b, x.sim
+    FROM topk x JOIN topk y ON x.src = y.dst AND x.dst = y.src
+    WHERE x.src < x.dst
+    """,
+    doc=f"mutual k-NN graph over the embedding column (k={_KNN_K}) — "
+    "the edge set SemDeDup-style semantic clustering and graph-based "
+    "coreset selection consume: candidates from the banded sign-LSH "
+    "(never all-pairs), exact cosine on candidates, per-node top-k by "
+    "(sim desc, id), and an edge survives only when BOTH endpoints "
+    "rank each other (the mutuality filter that removes hub edges). "
+    "Deterministic end to end — md5-derived hyperplanes, "
+    "fold-order-identical doubles, id tie-breaks — so the full edge "
+    "list hash-matches the oracle. Scale shape: pairs shuffle as "
+    "(id, id, sim) triples only; the top-k window partitions by node "
+    "(no global sort) and the mutuality check is a self-join on the "
+    "k·N-bounded top-k relation.",
+)
+def knn_graph_mutual(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from scip_spark.functions.similarity import embedding_near_dup
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(emb, threshold=-2.0, n_bands=_NEAR_DUP_BANDS)
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "sim"
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    topk = (
+        directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .select("src", "dst", "sim")
+    )
+    x = topk.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "sim"
+    )
+    y = topk.select(
+        F.col("dst").alias("id_a"), F.col("src").alias("id_b"),
+        F.col("sim").alias("sim_back"),
+    )
+    return (
+        x.join(y, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim")
+    )

@@ -656,3 +656,85 @@ def rtbf_cascade_delete(spark, sf_dir):
                              F.col("event_id").cast("string")))
     )
     return out
+
+
+# ε-LDP randomized response: truth-telling probability p = 3/4 over a
+# 60-bit md5 coin (exact integer compare in both engines), so
+# ε = ln(p/(1-p)) = ln 3. The unbiased de-bias of the observed count is
+# est = (obs - (1-p)·n)/(2p-1) = (4·obs - n)/2 — an exact integer
+# rational reported on the 2^20 grid.
+_RR_COIN_BITS = 60
+_RR_THRESH = 3 * (1 << (_RR_COIN_BITS - 2))  # p = 3/4 of 2^60
+
+
+@register(
+    "dp_randomized_response",
+    f"""
+    WITH t AS (
+      SELECT c_mktsegment,
+             (c_acctbal < 0) AS truth,
+             CAST(('0x' || substr(md5('rr-v1|' || CAST(c_custkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS coin
+      FROM customer
+    ),
+    r AS (
+      SELECT c_mktsegment,
+             CASE WHEN coin < {_RR_THRESH} THEN truth ELSE NOT truth END
+               AS reported,
+             truth
+      FROM t
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN reported THEN 1 ELSE 0 END) AS BIGINT) AS obs_true,
+           CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS true_count,
+           CAST((4 * SUM(CASE WHEN reported THEN 1 ELSE 0 END) - COUNT(*))
+                * 1048576 // 2 AS BIGINT) AS est_true_fp
+    FROM r GROUP BY c_mktsegment
+    """,
+    doc="local-differential-privacy counting via randomized response "
+    "(Warner 1965; the local-DP primitive RAPPOR builds on): each row "
+    "reports its sensitive bit (negative balance) truthfully with "
+    "p = 3/4, flipped otherwise — ε = ln 3 per row — and the per-"
+    "segment release carries the observed noisy count plus the "
+    "unbiased de-bias (4·obs − n)/2 on the 2^20 grid. The coin is a "
+    "keyed 60-bit md5 draw compared as an exact integer, so the "
+    "'noise' is deterministic cross-engine and the release hash-"
+    "matches (a production run swaps the versioned salt per release; "
+    "true_count is emitted here only to make utility testable). "
+    "Scale shape: pure per-row column algebra + one map-side-combined "
+    "G-row aggregation — zero extra shuffle at any size.",
+)
+def dp_randomized_response(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rr-v1|"), F.col("c_custkey").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    t = cust.select(
+        "c_mktsegment",
+        (F.col("c_acctbal") < 0).alias("truth"),
+        coin.alias("coin"),
+    )
+    r = t.select(
+        "c_mktsegment",
+        "truth",
+        F.when(F.col("coin") < _RR_THRESH, F.col("truth"))
+        .otherwise(~F.col("truth"))
+        .alias("reported"),
+    )
+    obs = F.sum(F.when(F.col("reported"), 1).otherwise(0))
+    return r.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        obs.cast("long").alias("obs_true"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("true_count"),
+        F.expr(
+            "(4 * sum(CASE WHEN reported THEN 1 ELSE 0 END) - count(*))"
+            " * 1048576L div 2"
+        ).cast("long").alias("est_true_fp"),
+    )

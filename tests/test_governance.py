@@ -197,3 +197,24 @@ def test_rtbf_cascade_invariants(spark):
         for r in li if r["l_orderkey"] not in purged_orders
     )
     assert out["lineitem"]["remaining_checksum"] == s % _M61
+
+
+def test_dp_randomized_response_mechanism(spark):
+    """The ε=ln3 randomized-response release: flip rate near 1-p=1/4,
+    de-biased estimate within sampling error of the true count, and
+    the estimator identity est = (4·obs − n)/2 exact on every row."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    rows = REGISTRY["dp_randomized_response"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    n_tot = sum(r["n"] for r in rows)
+    assert n_tot >= 500
+    for r in rows:
+        assert r["est_true_fp"] == (4 * r["obs_true"] - r["n"]) * (1 << 20) // 2
+        # de-biased estimate within 4·sqrt(n) of truth (RR variance
+        # bound p(1-p)n/(2p-1)^2 = 3n/4 -> sd ~ 0.87*sqrt(n))
+        est = (4 * r["obs_true"] - r["n"]) / 2
+        assert abs(est - r["true_count"]) <= 4 * (r["n"] ** 0.5) + 2, r

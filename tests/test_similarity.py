@@ -694,3 +694,62 @@ def test_ann_jl_topk_recall_vs_pure_python_exact(spark):
         }
         recall_hits += len(exact & {c for _, c in rer})
     assert recall_hits >= 35, recall_hits  # >= 0.7 recall@5 over 10 queries
+
+
+def test_knn_graph_mutual_matches_numpy_reference(spark):
+    """knn_graph_mutual vs an independent numpy reconstruction of the
+    whole pipeline (band buckets -> candidate mask -> per-node top-k
+    with (sim desc, id) tie-break -> mutuality): exact edge-set
+    equality, plus the degree bound."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.functions.similarity import plane_weights
+    from scip_spark.functions.similarity_queries import (
+        _KNN_K,
+        _NEAR_DUP_BANDS,
+    )
+    from scip_spark.queries import REGISTRY, tbl
+
+    sf = "/root/testdata/sf0.001"
+    rows = tbl(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    planes = np.array(plane_weights(_NEAR_DUP_BANDS * 4, X.shape[1]))
+    bits = (X @ planes.T > 0).astype(int)
+    buckets = np.array(
+        [
+            [int((bits[:, b * 4 : (b + 1) * 4][i] * (2 ** np.arange(4))).sum())
+             for b in range(_NEAR_DUP_BANDS)]
+            for i in range(len(ids))
+        ]
+    )
+    sims = (X @ X.T) / (
+        np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(X, axis=1)[None, :]
+    )
+    n = len(ids)
+    cand = defaultdict(list)
+    for i in range(n):
+        for j in range(n):
+            if i != j and (buckets[i] == buckets[j]).any():
+                cand[i].append(j)
+    topk = {}
+    for i in range(n):
+        nb = sorted(cand[i], key=lambda j: (-sims[i, j], ids[j]))[:_KNN_K]
+        topk[i] = set(nb)
+    want = set()
+    for i in range(n):
+        for j in topk[i]:
+            if i in topk[j] and ids[i] < ids[j]:
+                want.add((ids[i], ids[j]))
+
+    got_rows = REGISTRY["knn_graph_mutual"].fn(spark, sf).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == want
+    deg = defaultdict(int)
+    for a, b in got:
+        deg[a] += 1
+        deg[b] += 1
+    assert max(deg.values()) <= 2 * _KNN_K  # each endpoint ranks the other
