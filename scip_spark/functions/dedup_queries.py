@@ -1496,3 +1496,107 @@ def dedup_substring_spans_stream(spark, sf_dir):
 from scip_spark.queries import REGISTRY as _QREG  # noqa: E402
 
 _QREG["dedup_substring_spans_stream"].sql = _QREG["dedup_substring_spans"].sql
+
+
+@register(
+    "dedup_substring_clean",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+    win AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(list_slice(toks, u.i, u.i + {_SSW - 1}), ' ')) AS h
+      FROM base, UNNEST(generate_series(1, len(toks) - {_SSW - 1})) AS u(i)
+    ),
+    cnt AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT w.doc_id, list_sort(list(DISTINCT tt.t)) AS cov
+      FROM win w JOIN cnt USING (h),
+           UNNEST(generate_series(w.pos, w.pos + {_SSW - 1})) AS tt(t)
+      GROUP BY w.doc_id
+    ),
+    clean AS (
+      SELECT b.doc_id, b.n_tokens,
+             list_filter(
+               list_transform(generate_series(1, len(b.toks)),
+                              i -> CASE WHEN NOT list_contains(
+                                          COALESCE(c.cov, []), i)
+                                        THEN b.toks[i] END),
+               x -> x IS NOT NULL) AS kept
+      FROM base b LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           -- COALESCE: DuckDB's array_to_string([]) is NULL where
+           -- Spark's array_join is '' — a fully-excised doc must hash
+           -- the empty string in both engines
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN len(kept) * 1048576 // n_tokens
+                     ELSE 1048576 END AS BIGINT) AS kept_frac_fp
+    FROM clean
+    """,
+    doc="the APPLY step of exact-substring dedup (Lee et al. 2022 "
+    "excise the duplicated spans, keep the rest): tokens whose "
+    "position falls in any corpus-shared window are dropped and the "
+    "cleaned text is re-joined — reported as (n_kept, md5(cleaned), "
+    "kept fraction on the 2^20 grid) so the corpus-sized string never "
+    "reaches the comparison. Shares the window/coverage machinery of "
+    "dedup_substring_spans; the per-doc positional filter is "
+    "O(n·|covered|) column algebra with both relations doc-bounded. "
+    "Scale shape: same linear window-count shuffle as the spans op "
+    "plus one doc-keyed join of the covered-position sets.",
+)
+def dedup_substring_clean(spark, sf_dir):
+    from scip_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select(
+        "doc_id", tokens(F.coalesce("text", F.lit(""))).alias("toks")
+    )
+    base = toked.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks"
+    )
+    _, win = _ss_windows(docs)
+    shared = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    cov = (
+        win.join(shared, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence("pos", F.col("pos") + (_SSW - 1))).alias("t"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("t").alias("cov"))
+    )
+    joined = base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.filter(
+            "toks",
+            lambda x, i: ~F.array_contains(
+                F.coalesce(F.col("cov"), F.array().cast("array<long>")),
+                i + F.lit(1).cast("long"),
+            ),
+        ).alias("kept"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("long").alias("n_kept"),
+        F.md5(F.array_join("kept", " ")).alias("cleaned_md5"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("size(kept) * 1048576L div n_tokens"),
+        ).otherwise(F.lit(1 << 20)).cast("long").alias("kept_frac_fp"),
+    )

@@ -1323,3 +1323,71 @@ def knn_graph_mutual(spark, sf_dir):
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sim")
     )
+
+
+@register(
+    "embedding_semantic_keep",
+    f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {', '.join(f'CAST({_band_bucket_sql("embedding::DOUBLE[]", b)} AS BIGINT) AS b{b}' for b in range(_NEAR_DUP_BANDS))}
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_DOT.format(a='a.emb', b='b.emb')}
+                 / ({_NORM.format(a='a.emb')} * {_NORM.format(a='b.emb')}) AS sim
+        FROM v a JOIN v b
+          ON a.vec_id < b.vec_id
+         AND ({' OR '.join(f'a.b{b} = b.b{b}' for b in range(_NEAR_DUP_BANDS))})
+      ) WHERE sim >= {_NEAR_DUP_TAU}
+    ),
+    {CC_FROM_PAIRS},
+    lab AS (
+      SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS root
+      FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node_id
+    ),
+    sz AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY root)
+    SELECT l.vec_id, l.root, (l.vec_id = l.root) AS keep, s.cluster_size
+    FROM lab l JOIN sz s USING (root)
+    """,
+    doc="SemDeDup-style semantic deduplication END-TO-END (Abbas et "
+    "al. 2023: prune semantic duplicates in embedding space): "
+    f"near-duplicate pairs from the banded sign-LSH + exact-cosine "
+    f"verify (tau={_NEAR_DUP_TAU}), clustered by the O(diameter) "
+    "label-propagation connected components, min-id canonical kept "
+    "per cluster, singletons kept trivially — one row per embedding "
+    "with (root, keep, cluster_size), the drop-list a curation "
+    "pipeline applies directly. Scale shape: only (id, id) pairs and "
+    "(id, root) labels ever shuffle; the corpus-sized relation never "
+    "moves after candidate generation.",
+)
+def embedding_semantic_keep(spark, sf_dir):
+    from scip_spark.functions.dedup import connected_components
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(
+        emb, threshold=_NEAR_DUP_TAU, n_bands=_NEAR_DUP_BANDS
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    lab = (
+        emb.select("vec_id")
+        .join(comp, emb["vec_id"] == comp["node_id"], "left")
+        .select(
+            "vec_id", F.coalesce("component", "vec_id").alias("root")
+        )
+    )
+    sz = lab.groupBy("root").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        lab.join(sz, "root")
+        .select(
+            "vec_id",
+            "root",
+            (F.col("vec_id") == F.col("root")).alias("keep"),
+            "cluster_size",
+        )
+    )

@@ -432,3 +432,52 @@ def test_substring_spans_match_pure_python(spark, tmp_path):
     assert want[0][1] > 0 and want[1][1] > 0   # cross-doc run caught
     assert want[2][1] > 0                      # internal repetition caught
     assert want[3][1] == 0 and want[4][1] == 0
+
+
+def test_substring_clean_consistent_with_spans(spark, tmp_path):
+    """The apply step must excise exactly the spans the report op
+    counts (n_tokens - n_kept == dup_tokens per doc), and the cleaned
+    text of a planted doc hashes to the hand-built excision."""
+    import hashlib
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    W = 8
+    shared = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    docs = {
+        0: "intro words here " + shared + " trailing tail tokens x1 x2",
+        1: "other leading stuff before " + shared + " different ending",
+        3: " ".join(f"uniq{i}" for i in range(30)),
+    }
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    spans = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_substring_spans"].fn(spark, sf).collect()
+    }
+    clean = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_substring_clean"].fn(spark, sf).collect()
+    }
+    for i in docs:
+        assert clean[i]["n_tokens"] - clean[i]["n_kept"] == spans[i]["dup_tokens"], i
+    # hand-built excision for doc 0: union of windows covering the
+    # shared 10-token run (positions 4..13 1-based; windows starting
+    # 4..6 wholly inside it... compute exactly like the engine does)
+    toks0 = docs[0].split()
+    toks1 = docs[1].split()
+    h0 = [" ".join(toks0[p : p + W]) for p in range(len(toks0) - W + 1)]
+    h1 = [" ".join(toks1[p : p + W]) for p in range(len(toks1) - W + 1)]
+    cov = set()
+    for p, g in enumerate(h0):
+        if h0.count(g) + h1.count(g) >= 2:
+            cov.update(range(p, p + W))
+    kept = [t for j, t in enumerate(toks0) if j not in cov]
+    want_md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+    assert clean[0]["cleaned_md5"] == want_md5
+    assert clean[3]["n_kept"] == 30 and spans[3]["dup_tokens"] == 0
