@@ -27,9 +27,20 @@ from scale_probe import replicate  # noqa: E402
 from scip_spark.session import get_spark  # noqa: E402
 
 OPS = [
-    "dedup_substring_spans",
-    "quality_repetition_rules",
+    # first batch (recorded in SCALE_PROBE.md round-13 table):
+    # dedup_substring_spans r100=16.2, quality_repetition_rules r100=3.9
+    "dedup_substring_clean",
+    "dp_randomized_response",
 ]
+#: verbatim embedding replicas pair every copy with every copy in the
+#: LSH candidate join (quadratic OUTPUT by data — the documented
+#: exact-join caveat), so the embedding-pair ops probe at a reduced
+#: factor like the setsim family
+REDUCED_OPS = [
+    "knn_graph_mutual",
+    "embedding_semantic_keep",
+]
+REDUCED_N = 10
 
 
 def time_op(spark, fn, sf_dir: str, passes: int = 2) -> float:
@@ -54,20 +65,21 @@ def main() -> None:
     import scip_spark.entry_queries  # noqa: F401
     from scip_spark.queries import REGISTRY
 
-    big = f"/tmp/scale_probe_x{n}"
-    if not os.path.isdir(f"{big}/documents.parquet"):
-        print(f"replicating {n}x ...", file=sys.stderr, flush=True)
-        replicate(spark, sf_dir, n, big)
-    for name in OPS:
-        fn = REGISTRY[name].fn
-        t1 = time_op(spark, fn, sf_dir)
-        print(f"probe {name} @1x = {t1:.2f}s", file=sys.stderr, flush=True)
-        tn = time_op(spark, fn, big)
-        print(f"probe {name} @{n}x = {tn:.2f}s", file=sys.stderr, flush=True)
-        print(
-            f"| {name} | {t1:.2f} | {tn:.2f} | r{n}={tn / t1:.1f} |",
-            flush=True,
-        )
+    for ops, factor in [(OPS, n), (REDUCED_OPS, REDUCED_N)]:
+        big = f"/tmp/scale_probe_x{factor}"
+        if not os.path.isdir(f"{big}/documents.parquet"):
+            print(f"replicating {factor}x ...", file=sys.stderr, flush=True)
+            replicate(spark, sf_dir, factor, big)
+        for name in ops:
+            fn = REGISTRY[name].fn
+            t1 = time_op(spark, fn, sf_dir)
+            print(f"probe {name} @1x = {t1:.2f}s", file=sys.stderr, flush=True)
+            tn = time_op(spark, fn, big)
+            print(f"probe {name} @{factor}x = {tn:.2f}s", file=sys.stderr, flush=True)
+            print(
+                f"| {name} | {t1:.2f} | {tn:.2f} | r{factor}={tn / t1:.1f} |",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -125,6 +125,19 @@ def replicate(spark, sf_dir: str, n: int, out: str) -> str:
         .write.parquet(f"{out}/embeddings.parquet")
     )
 
+    # customer: ADDING customers (re-keyed custkey), other columns
+    # verbatim — the per-segment/governance ops must stay G-row-bounded
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    (
+        cust.crossJoin(copies)
+        .select(
+            (F.col("c_custkey") * n + F.col("rep")).alias("c_custkey"),
+            *[c for c in cust.columns if c != "c_custkey"],
+        )
+        .repartition(32)
+        .write.parquet(f"{out}/customer.parquet")
+    )
+
     return out
 
 
