@@ -738,3 +738,84 @@ def dp_randomized_response(spark, sf_dir):
             " * 1048576L div 2"
         ).cast("long").alias("est_true_fp"),
     )
+
+
+@register(
+    "pii_luhn_audit",
+    """
+    WITH d AS (
+      SELECT c_nationkey,
+             regexp_replace(c_name, '[^0-9]', '', 'g') AS ds
+      FROM customer
+    ),
+    s AS (
+      SELECT c_nationkey, length(ds) AS n_digits,
+             list_sum(list_transform(generate_series(1, length(ds)), i ->
+               CASE WHEN i % 2 = 1
+                    THEN CAST(substr(ds, length(ds) - i + 1, 1) AS INTEGER)
+                    ELSE CASE
+                      WHEN 2 * CAST(substr(ds, length(ds) - i + 1, 1) AS INTEGER) > 9
+                      THEN 2 * CAST(substr(ds, length(ds) - i + 1, 1) AS INTEGER) - 9
+                      ELSE 2 * CAST(substr(ds, length(ds) - i + 1, 1) AS INTEGER)
+                    END
+               END)) AS luhn_sum
+      FROM d
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_digits >= 9 AND luhn_sum % 10 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+           CAST(SUM(CASE WHEN n_digits >= 9 AND luhn_sum % 10 = 0
+                         THEN 1 ELSE 0 END) * 1048576
+                // COUNT(*) AS BIGINT) AS luhn_frac_fp
+    FROM s GROUP BY c_nationkey
+    """,
+    doc="DLP numeric-identifier audit: the Luhn mod-10 checksum (ISO/"
+    "IEC 7812 — what payment-card and IMEI numbers satisfy) evaluated "
+    "over every digit string in the customer-name field, per nation "
+    "(the synthetic schema's only digit-bearing column) — the "
+    "pre-release scan that catches card-shaped identifiers leaking "
+    "into a corpus (a phone number passes by chance ~10%, so the "
+    "per-group PASS RATE is the signal: a population of real PANs "
+    "audits at ~100%). Pure per-row integer column algebra (reversed-"
+    "position doubling via one fold, no UDF) + one G-row aggregation; "
+    "exact in both engines, so the audit hash-matches.",
+)
+def pii_luhn_audit(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    ds = F.regexp_replace("c_name", "[^0-9]", "")
+    d = cust.select("c_nationkey", ds.alias("ds"))
+    # one fold over 1-based positions FROM THE RIGHT: odd positions
+    # verbatim, even positions doubled with the >9 - 9 wrap (Luhn)
+    luhn_sum = F.aggregate(
+        F.sequence(F.lit(1), F.length("ds")),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 1,
+            F.substring(F.col("ds"), F.length("ds") - i + 1, 1).cast("int"),
+        ).otherwise(
+            F.when(
+                2 * F.substring(F.col("ds"), F.length("ds") - i + 1, 1).cast("int") > 9,
+                2 * F.substring(F.col("ds"), F.length("ds") - i + 1, 1).cast("int") - 9,
+            ).otherwise(
+                2 * F.substring(F.col("ds"), F.length("ds") - i + 1, 1).cast("int")
+            )
+        ),
+    )
+    s = d.select(
+        "c_nationkey",
+        F.length("ds").alias("n_digits"),
+        luhn_sum.alias("luhn_sum"),
+    )
+    hit = F.when(
+        (F.col("n_digits") >= 9) & (F.col("luhn_sum") % 10 == 0), 1
+    ).otherwise(0)
+    return s.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(hit).cast("long").alias("n_luhn_valid"),
+        F.expr(
+            "sum(CASE WHEN n_digits >= 9 AND luhn_sum % 10 = 0 THEN 1 ELSE 0 END)"
+            " * 1048576L div count(*)"
+        ).cast("long").alias("luhn_frac_fp"),
+    )

@@ -438,3 +438,65 @@ def balanced_range_splits(spark, sf_dir):
             .alias("upper_cents"),
         )
     )
+
+
+#: floor(log10(1 + 1/d) * 2^20) for d = 1..9 — the Benford first-digit
+#: law on the exact 2^20 grid, inlined identically in both engines
+_BENFORD_FP = {
+    1: 315652, 2: 184645, 3: 131007, 4: 101617, 5: 83027,
+    6: 70198, 7: 60808, 8: 53637, 9: 47980,
+}
+
+
+@register(
+    "benford_first_digit_audit",
+    f"""
+    WITH fd AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit
+      FROM orders
+    ),
+    cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM fd GROUP BY digit),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fd),
+    p(digit, p_fp) AS (VALUES {', '.join(f'({d}, {v})' for d, v in _BENFORD_FP.items())})
+    SELECT p.digit,
+           COALESCE(c.n_obs, 0) AS n_obs,
+           CAST(t.n * p.p_fp AS BIGINT) AS exp_cnt_fp,
+           CAST(COALESCE(c.n_obs, 0) * 1048576 - t.n * p.p_fp AS BIGINT) AS dev_fp
+    FROM p LEFT JOIN cnt c ON p.digit = c.digit CROSS JOIN tot t
+    """,
+    doc="Benford first-digit conformance audit over order amounts — "
+    "the forensic data-quality screen (fabricated or truncated numeric "
+    "columns break Benford's law long before summary stats move): "
+    "observed count per leading digit vs the expected count under "
+    "log10(1+1/d), both on the exact 2^20 grid (expected = n·p_fp, "
+    "deviation = obs·2^20 − n·p_fp — pure integer cross-"
+    "multiplication, no division, exact to ~10^15-row inputs). Scale "
+    "shape: one map-side-combined 9-key count + a broadcast total; "
+    "absent digits surface as explicit zero rows.",
+)
+def benford_first_digit_audit(spark, sf_dir):
+    orders = tbl(spark, sf_dir, "orders")
+    fd = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    cnt = fd.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    tot = fd.agg(F.count("*").cast("long").alias("n"))
+    p = spark.createDataFrame(
+        sorted(_BENFORD_FP.items()), "digit int, p_fp long"
+    )
+    return (
+        p.join(cnt, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            (F.col("n") * F.col("p_fp")).cast("long").alias("exp_cnt_fp"),
+            (
+                F.coalesce("n_obs", F.lit(0)) * F.lit(1048576)
+                - F.col("n") * F.col("p_fp")
+            ).cast("long").alias("dev_fp"),
+        )
+    )

@@ -218,3 +218,47 @@ def test_dp_randomized_response_mechanism(spark):
         # bound p(1-p)n/(2p-1)^2 = 3n/4 -> sd ~ 0.87*sqrt(n))
         est = (4 * r["obs_true"] - r["n"]) / 2
         assert abs(est - r["true_count"]) <= 4 * (r["n"] ** 0.5) + 2, r
+
+
+def test_luhn_audit_known_checksums(spark, tmp_path):
+    """The Luhn fold must agree with hand-checked checksums: a real
+    test PAN (4539578763621486) passes, off-by-one fails, and the
+    short-digit gate keeps sparse strings out of the numerator."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    rows = [
+        (1, "Cust#4539578763621486", 0, 10.0, "A"),   # valid PAN
+        (2, "Cust#4539578763621487", 0, 10.0, "A"),   # checksum off by 1
+        (3, "Cust#79927398713", 0, 10.0, "B"),        # classic Luhn example
+        (4, "Cust#123", 0, 10.0, "B"),                # too short: gated out
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string"
+    ).write.parquet(f"{sf}/customer.parquet")
+    got = {
+        r["c_nationkey"]: (r["n_customers"], r["n_luhn_valid"])
+        for r in REGISTRY["pii_luhn_audit"].fn(spark, sf).collect()
+    }
+    assert got == {0: (4, 2)}
+
+
+def test_benford_audit_invariants(spark):
+    """Benford audit: digits 1..9 all present, counts total to n, and
+    the fixed-point identity dev = obs*2^20 - exp holds per row."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    rows = REGISTRY["benford_first_digit_audit"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    n = sum(r["n_obs"] for r in rows)
+    assert n > 0
+    for r in rows:
+        assert r["dev_fp"] == r["n_obs"] * (1 << 20) - r["exp_cnt_fp"]
+    # expected-count fps sum to ~n*2^20 (floor loss < 9 grid units)
+    s = sum(r["exp_cnt_fp"] for r in rows)
+    assert 0 <= n * (1 << 20) - s < 9 * n
