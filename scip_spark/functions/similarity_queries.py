@@ -1325,6 +1325,14 @@ def knn_graph_mutual(spark, sf_dir):
     )
 
 
+#: SemDeDup keep-threshold: 0.40 keeps real cluster structure on the
+#: synthetic corpora while bounding the similarity graph's diameter —
+#: tau=0.35 chains 2000 sf0.1 vectors into giant components whose
+#: label propagation (and the oracle's recursive closure) pays tens of
+#: seconds for no extra keep-semantics
+_SEMDEDUP_TAU = 0.40
+
+
 @register(
     "embedding_semantic_keep",
     f"""
@@ -1341,7 +1349,7 @@ def knn_graph_mutual(spark, sf_dir):
         FROM v a JOIN v b
           ON a.vec_id < b.vec_id
          AND ({' OR '.join(f'a.b{b} = b.b{b}' for b in range(_NEAR_DUP_BANDS))})
-      ) WHERE sim >= {_NEAR_DUP_TAU}
+      ) WHERE sim >= {_SEMDEDUP_TAU}
     ),
     {CC_FROM_PAIRS},
     lab AS (
@@ -1356,7 +1364,11 @@ def knn_graph_mutual(spark, sf_dir):
     doc="SemDeDup-style semantic deduplication END-TO-END (Abbas et "
     "al. 2023: prune semantic duplicates in embedding space): "
     f"near-duplicate pairs from the banded sign-LSH + exact-cosine "
-    f"verify (tau={_NEAR_DUP_TAU}), clustered by the O(diameter) "
+    f"verify (tau={_SEMDEDUP_TAU} — above the 0.35 near-dup report "
+    f"threshold, because the KEEP decision wants dup-tight clusters, "
+    f"and the lower tau chains the corpus into giant components whose "
+    f"diameter both the label propagation and the oracle's recursive "
+    f"closure pay for), clustered by the O(diameter) "
     "label-propagation connected components, min-id canonical kept "
     "per cluster, singletons kept trivially — one row per embedding "
     "with (root, keep, cluster_size), the drop-list a curation "
@@ -1369,7 +1381,7 @@ def embedding_semantic_keep(spark, sf_dir):
 
     emb = tbl(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup(
-        emb, threshold=_NEAR_DUP_TAU, n_bands=_NEAR_DUP_BANDS
+        emb, threshold=_SEMDEDUP_TAU, n_bands=_NEAR_DUP_BANDS
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
     lab = (
