@@ -1167,9 +1167,12 @@ _ED_MAXPCT = 10  # near-dup when edit distance <= 10% of max length
     WITH d AS (
       SELECT doc_id, text, length(text) AS n,
              length(text) // {_ED_BAND} AS band,
-             array_to_string(list_slice(
+             -- COALESCE: DuckDB array_to_string([]) is NULL where
+             -- Spark array_join is '' — a whitespace-only doc (zero
+             -- tokens) must land in the '' block in both engines
+             COALESCE(array_to_string(list_slice(
                list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
-               1, 2), ' ') AS tok01
+               1, 2), ' '), '') AS tok01
       FROM documents WHERE text IS NOT NULL AND text <> ''
     ),
     cand AS (
@@ -1364,19 +1367,14 @@ _SSW = 8  # exact-substring window width (tokens)
 def dedup_substring_spans(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     base, win = _ss_windows(docs)
-    shared = (
-        win.groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("h")
-    )
-    return _ss_tail(base, win, shared)
+    return _ss_tail(base, win, _ss_shared(win))
 
 
 def _ss_windows(docs):
     """(base, win) relations of the suffix-window family — works on a
     batch OR streaming `docs(doc_id, text)` (pure column algebra).
-    base = (doc_id, n_tokens); win = one row per {_SSW}-token window
+    base = (doc_id, n_tokens, toks) — the ONE tokenization every
+    family member builds on; win = one row per {_SSW}-token window
     (doc_id, pos, h). Windows are staged on the bound toks attribute
     (HOF lambdas get no CSE) and exploded with explode_outer so
     InferFiltersFromGenerate cannot sink the chain below the scan;
@@ -1406,13 +1404,24 @@ def _ss_windows(docs):
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
         .filter(F.col("h").isNotNull())
     )
-    return base.select("doc_id", "n_tokens"), win
+    return base, win
 
 
-def _ss_tail(base, win, shared):
-    """Coverage pricing shared by the batch op and its streaming twin:
-    union of token positions covered by a shared window, per doc."""
-    covered = (
+def _ss_shared(win):
+    """Corpus-shared window hashes (occurrence count >= 2): map-side-
+    combined count, hash-only shuffle."""
+    return (
+        win.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+
+
+def _ss_covered(win, shared):
+    """(doc_id, t) distinct token positions covered by a shared
+    window — the span union every family member prices."""
+    return (
         win.join(shared, "h")
         .select(
             "doc_id",
@@ -1420,10 +1429,15 @@ def _ss_tail(base, win, shared):
         )
         .distinct()
     )
-    dup = covered.groupBy("doc_id").agg(
+
+
+def _ss_tail(base, win, shared):
+    """Coverage pricing shared by the batch op and its streaming twin:
+    union of token positions covered by a shared window, per doc."""
+    dup = _ss_covered(win, shared).groupBy("doc_id").agg(
         F.count("*").cast("long").alias("dup_tokens")
     )
-    out = base.join(dup, "doc_id", "left")
+    out = base.select("doc_id", "n_tokens").join(dup, "doc_id", "left")
     return out.select(
         "doc_id",
         "n_tokens",
@@ -1444,20 +1458,25 @@ def _ss_tail(base, win, shared):
     "groupBy(h).count() — executor-side state, not driver-folded "
     "partials, because the window-count relation is corpus-sized (the "
     "state-store shape RocksDB exists for), unlike the sketch twins — "
-    "drained update-mode to a sink where max(c) per hash is the final "
-    "count (counts only grow). The shared-hash set then prices the "
+    "drained update-mode through a foreachBatch PARQUET sink (each "
+    "epoch's updated (h, c) rows land executor-side; a memory sink "
+    "would re-materialize the corpus-sized relation on the driver), "
+    "then max(c) per hash is the final count (counts only grow). Only "
+    "the duplicated-hash subset is pinned (localCheckpoint) before the "
+    "sink dir is removed. The shared-hash set then prices the "
     "identical _ss_tail coverage, so the streaming answer is "
     "bit-identical to batch and shares its oracle SQL verbatim.",
 )
 def dedup_substring_spans_stream(spark, sf_dir):
+    import os
     import shutil
-    import uuid
+    import tempfile
 
     from scip_spark.functions.sketch_queries import _split_to_tmp
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     tmp = _split_to_tmp(docs, key="doc_id")
-    name = f"ss_spans_{uuid.uuid4().hex[:8]}"
+    sink = tempfile.mkdtemp(prefix="ss_spans_sink_")
     try:
         sdocs = (
             spark.readStream.schema("doc_id bigint, text string")
@@ -1466,27 +1485,39 @@ def dedup_substring_spans_stream(spark, sf_dir):
         )
         _, win_s = _ss_windows(sdocs)
         cnt_s = win_s.groupBy("h").agg(F.count("*").alias("c"))
+
+        def sink_epoch(batch_df, epoch_id):
+            # idempotent per-epoch path: a retried epoch overwrites
+            # its own directory instead of double-appending
+            batch_df.write.mode("overwrite").parquet(f"{sink}/e{epoch_id}")
+
         q = (
             cnt_s.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
+            .foreachBatch(sink_epoch)
             .trigger(availableNow=True)
             .start()
         )
         if not q.awaitTermination(600):
             q.stop()
             raise RuntimeError("substring-span stream did not finish in 600s")
+        epochs = [f"{sink}/{d}" for d in os.listdir(sink) if d.startswith("e")]
+        if epochs:
+            # update mode re-emits a hash's row on every epoch that
+            # grows it; counts are monotone, so max(c) is final. Pin
+            # the (small) duplicated-hash subset so the sink dir can go.
+            shared = (
+                spark.read.parquet(*epochs)
+                .groupBy("h")
+                .agg(F.max("c").alias("c"))
+                .filter(F.col("c") >= 2)
+                .select("h")
+                .localCheckpoint(eager=True)
+            )
+        else:  # empty source: no epochs, no shared windows
+            shared = spark.createDataFrame([], "h string")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    # update mode re-emits a hash's row on every batch that grows it;
-    # counts are monotone, so max(c) is the final corpus-wide count
-    shared = (
-        spark.table(name)
-        .groupBy("h")
-        .agg(F.max("c").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("h")
-    )
+        shutil.rmtree(sink, ignore_errors=True)
     base, win = _ss_windows(
         tbl(spark, sf_dir, "documents").select("doc_id", "text")
     )
@@ -1553,29 +1584,10 @@ _QREG["dedup_substring_spans_stream"].sql = _QREG["dedup_substring_spans"].sql
     "plus one doc-keyed join of the covered-position sets.",
 )
 def dedup_substring_clean(spark, sf_dir):
-    from scip_spark.functions.text import tokens
-
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    toked = docs.select(
-        "doc_id", tokens(F.coalesce("text", F.lit(""))).alias("toks")
-    )
-    base = toked.select(
-        "doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks"
-    )
-    _, win = _ss_windows(docs)
-    shared = (
-        win.groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("h")
-    )
+    base, win = _ss_windows(docs)  # one tokenization for toks AND windows
     cov = (
-        win.join(shared, "h")
-        .select(
-            "doc_id",
-            F.explode(F.sequence("pos", F.col("pos") + (_SSW - 1))).alias("t"),
-        )
-        .distinct()
+        _ss_covered(win, _ss_shared(win))
         .groupBy("doc_id")
         .agg(F.collect_set("t").alias("cov"))
     )

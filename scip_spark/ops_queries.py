@@ -471,7 +471,8 @@ _BENFORD_FP = {
     "observed count per leading digit vs the expected count under "
     "log10(1+1/d), both on the exact 2^20 grid (expected = n·p_fp, "
     "deviation = obs·2^20 − n·p_fp — pure integer cross-"
-    "multiplication, no division, exact to ~10^15-row inputs). Scale "
+    "multiplication, no division, exact until n·p_fp passes int64 at "
+    "n ≈ 2.9·10^13 rows; widen to DECIMAL beyond that). Scale "
     "shape: one map-side-combined 9-key count + a broadcast total; "
     "absent digits surface as explicit zero rows.",
 )

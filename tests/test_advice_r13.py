@@ -70,12 +70,17 @@ def test_editdistance_blocking_single_token_docs(spark, tmp_path):
         (3, "  " + long_tok, "en", "web", 202),     # leading spaces
         (4, "alpha beta " + "q" * 180, "en", "web", 191),
         (5, "alpha beta " + "q" * 179 + "r", "en", "web", 191),
+        # zero-token docs: DuckDB array_to_string([]) is NULL (no join
+        # match) where Spark array_join is '' — both must block on ''
+        (6, " " * 40, "en", "web", 40),
+        (7, " " * 42, "en", "web", 42),
     ]
     sdf = _run_both(spark, tmp_path, "dedup_editdistance_pairs", rows)
     pairs = {(int(a), int(b)) for a, b in zip(sdf["id_a"], sdf["id_b"])}
     # the whitespace-token key puts all three z-docs in one block
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert (4, 5) in pairs
+    assert (6, 7) in pairs  # whitespace-only docs share the '' block
 
 
 @pytest.mark.parametrize(

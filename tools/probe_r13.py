@@ -67,7 +67,9 @@ def main() -> None:
 
     for ops, factor in [(OPS, n), (REDUCED_OPS, REDUCED_N)]:
         big = f"/tmp/scale_probe_x{factor}"
-        if not os.path.isdir(f"{big}/documents.parquet"):
+        # guard on the NEWEST table: replicas written by older probe
+        # tools lack customer.parquet and must be rebuilt
+        if not os.path.isdir(f"{big}/customer.parquet"):
             print(f"replicating {factor}x ...", file=sys.stderr, flush=True)
             replicate(spark, sf_dir, factor, big)
         for name in ops:
