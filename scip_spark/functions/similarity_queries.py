@@ -1403,3 +1403,114 @@ def embedding_semantic_keep(spark, sf_dir):
             "cluster_size",
         )
     )
+
+
+_MMR_K = 5
+_MMR_GRID = 1099511627776  # 2^40: floor(cos * grid) is exact cross-engine
+
+
+def _mmr_fp_sim(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    return (
+        f"CAST(floor({dot} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+        f" * {_MMR_GRID}) AS BIGINT)"
+    )
+
+
+def _mmr_sql(k: int = _MMR_K) -> str:
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        "q AS (SELECT vec_id AS qid, emb AS qe FROM v ORDER BY vec_id LIMIT 1)",
+        f"""base AS (
+      SELECT b.vec_id, b.emb, {_mmr_fp_sim('b.emb', 'q.qe')} AS rel_fp
+      FROM v b, q WHERE b.vec_id <> q.qid
+    )""",
+    ]
+    for n in range(1, k + 1):
+        if n == 1:
+            pen = "0"
+            excl = ""
+        else:
+            pen = "GREATEST(" + ", ".join(
+                _mmr_fp_sim("b.emb", f"s{j}.emb") for j in range(1, n)
+            ) + ")"
+            froms = ", ".join(f"s{j}" for j in range(1, n))
+            notin = " UNION ".join(f"SELECT vec_id FROM s{j}" for j in range(1, n))
+            excl = f", {froms} WHERE b.vec_id NOT IN ({notin})"
+        ctes.append(f"""s{n} AS (
+      SELECT b.vec_id, b.emb, b.rel_fp,
+             CAST(7 * b.rel_fp - 3 * ({pen}) AS BIGINT) AS mmr_fp
+      FROM base b{excl}
+      ORDER BY mmr_fp DESC, b.vec_id ASC LIMIT 1
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {n} AS sel_order, vec_id, rel_fp, mmr_fp FROM s{n}"
+        for n in range(1, k + 1)
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(sel_order AS BIGINT) AS sel_order, vec_id, rel_fp, mmr_fp
+    FROM ({sel})
+    """
+
+
+@register(
+    "mmr_diversified_topk",
+    _mmr_sql(),
+    doc="maximal-marginal-relevance diversified top-k (Carbonell & "
+    f"Goldstein 1998) — the retrieval-diversification primitive "
+    f"RAG/eval-set builders run after similarity search: greedy "
+    f"k={_MMR_K} selection maximizing 0.7·rel − 0.3·max-sim-to-"
+    f"selected, with BOTH terms as exact integers (floor(cos·2^40); "
+    f"0.7/0.3 as the exact rationals 7/10, 3/10 scaled out), so every "
+    f"pick and score hash-matches the oracle's unrolled CTE chain. "
+    f"Query = lowest-id vector (deterministic seed). Scale shape: "
+    f"k sequential whole-stage-codegen passes — relevance computed "
+    f"once, each round adds ONE broadcast-literal penalty column and a "
+    f"TakeOrdered top-1 reduce; the corpus never shuffles (the "
+    f"coreset_kcenter pattern).",
+)
+def mmr_diversified_topk(spark, sf_dir):
+    from scip_spark.functions.similarity import dot, l2_norm
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["emb"]])
+
+    def fp_sim(col, lit):
+        return F.floor(
+            dot(col, lit) / (l2_norm(col) * l2_norm(lit)) * F.lit(_MMR_GRID)
+        ).cast("long")
+
+    base = emb.filter(F.col("vec_id") != qrow["vec_id"]).select(
+        "vec_id", "emb", fp_sim(F.col("emb"), qlit).alias("rel_fp")
+    )
+    chosen: list[tuple] = []
+    for step in range(1, _MMR_K + 1):
+        sims = [
+            fp_sim(F.col("emb"), F.array(*[F.lit(float(x)) for x in e]))
+            for (_, _, _, _, e) in chosen
+        ]
+        if not sims:
+            pen = F.lit(0).cast("long")
+        elif len(sims) == 1:
+            pen = sims[0]
+        else:
+            pen = F.greatest(*sims)
+        cand = base.filter(
+            ~F.col("vec_id").isin([c[1] for c in chosen])
+        ).select(
+            "vec_id",
+            "emb",
+            "rel_fp",
+            (7 * F.col("rel_fp") - 3 * pen).cast("long").alias("mmr_fp"),
+        )
+        top = cand.orderBy(F.col("mmr_fp").desc(), F.col("vec_id").asc()).limit(1).collect()[0]
+        chosen.append((step, int(top["vec_id"]), int(top["rel_fp"]),
+                       int(top["mmr_fp"]), list(top["emb"])))
+    return spark.createDataFrame(
+        [(s, v, r, m) for (s, v, r, m, _) in chosen],
+        "sel_order long, vec_id long, rel_fp long, mmr_fp long",
+    )

@@ -753,3 +753,71 @@ def test_knn_graph_mutual_matches_numpy_reference(spark):
         deg[a] += 1
         deg[b] += 1
     assert max(deg.values()) <= 2 * _KNN_K  # each endpoint ranks the other
+
+
+def test_mmr_diversified_topk_matches_numpy_greedy(spark):
+    """MMR selection vs an independent pure-Python greedy on the exact
+    integer grid (sequential dot fold, the engines' reduce order):
+    identical picks, relevance and MMR scores at every step."""
+    import numpy as np
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.functions.similarity_queries import _MMR_GRID, _MMR_K
+    from scip_spark.queries import REGISTRY, tbl
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        tbl(spark, sf, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qi = 0  # lowest id is the query
+    import math
+
+    def seqdot(a, b):
+        # SEQUENTIAL fold, exactly the engines' list_reduce order —
+        # np.dot's blocked summation can differ in the last ulp and
+        # flip a floor() at a 2^40 grid boundary
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    norms = [norm(X[i]) for i in range(len(ids))]
+
+    def fp_sim(i, j):
+        return math.floor(
+            seqdot(X[i], X[j]) / (norms[i] * norms[j]) * _MMR_GRID
+        )
+
+    cand = [i for i in range(len(ids)) if i != qi]
+    rel = {i: fp_sim(qi, i) for i in cand}
+    chosen, want = [], []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for i in cand:
+            if i in chosen:
+                continue
+            pen = max((fp_sim(i, j) for j in chosen), default=0)
+            score = 7 * rel[i] - 3 * pen
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        chosen.append(best[1])
+        want.append((step, ids[best[1]], rel[best[1]], best[2]))
+
+    got = [
+        (r["sel_order"], r["vec_id"], r["rel_fp"], r["mmr_fp"])
+        for r in sorted(
+            REGISTRY["mmr_diversified_topk"].fn(spark, sf).collect(),
+            key=lambda r: r["sel_order"],
+        )
+    ]
+    assert got == want
