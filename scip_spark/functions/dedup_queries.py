@@ -1612,3 +1612,91 @@ def dedup_substring_clean(spark, sf_dir):
             F.expr("size(kept) * 1048576L div n_tokens"),
         ).otherwise(F.lit(1 << 20)).cast("long").alias("kept_frac_fp"),
     )
+
+
+_DECON_SEED = "decon-v1"
+_DECON_TRAIN = 9000  # bucket < 9000 of 10000 -> train, else eval
+
+
+def _decon_bucket_sql(key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{_DECON_SEED}|' || CAST({key} AS VARCHAR)),"
+        f" 1, 12)) AS BIGINT) % 10000"
+    )
+
+
+@register(
+    "decontaminate_train_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '') AS toks,
+             ({_decon_bucket_sql('doc_id')}) < {_DECON_TRAIN} AS is_train
+      FROM documents
+    ),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
+                    is_train FROM t),
+    win AS (
+      SELECT doc_id, is_train, u.i AS pos,
+             md5(array_to_string(list_slice(toks, u.i, u.i + {_SSW - 1}), ' ')) AS h
+      FROM base, UNNEST(generate_series(1, len(toks) - {_SSW - 1})) AS u(i)
+    ),
+    eh AS (SELECT DISTINCT h FROM win WHERE NOT is_train),
+    cov AS (
+      SELECT DISTINCT w.doc_id, tt.t
+      FROM win w JOIN eh USING (h),
+           UNNEST(generate_series(w.pos, w.pos + {_SSW - 1})) AS tt(t)
+      WHERE w.is_train
+    ),
+    dup AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS contam_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(d.contam_tokens, 0) AS contam_tokens,
+           CAST(CASE WHEN b.n_tokens > 0
+                     THEN COALESCE(d.contam_tokens, 0) * 1048576 // b.n_tokens
+                     ELSE 0 END AS BIGINT) AS contam_frac_fp
+    FROM base b LEFT JOIN dup d USING (doc_id)
+    WHERE b.is_train
+    """,
+    doc="benchmark DECONTAMINATION by exact substring (the cross-set "
+    f"variant of dedup_substring_spans, the standard pre-training "
+    f"hygiene pass): a deterministic md5 split carves a held-out eval "
+    f"set (bucket >= {_DECON_TRAIN} of 10000, seed {_DECON_SEED!r}); "
+    f"every {_SSW}-token train window whose fingerprint appears "
+    f"ANYWHERE in the eval set marks its positions contaminated, and "
+    f"each train doc reports the covered-token union + fraction — the "
+    f"spans to excise (or the docs to drop) before training, so eval "
+    f"numbers stay honest. Scale shape: identical to the spans op — "
+    f"window-hash semi-join, never pair emission; eval hashes are the "
+    f"small side and broadcast-eligible.",
+)
+def decontaminate_train_spans(spark, sf_dir):
+    from scip_spark.functions.corpus import hash_bucket
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    base, win = _ss_windows(docs)
+    is_train = hash_bucket(F.col("doc_id"), _DECON_SEED) < _DECON_TRAIN
+    eval_hashes = win.filter(~is_train).select("h").distinct()
+    train_win = win.filter(is_train)
+    dup = (
+        _ss_covered(train_win, eval_hashes)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("contam_tokens"))
+    )
+    out = (
+        base.filter(is_train)
+        .select("doc_id", "n_tokens")
+        .join(dup, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("contam_tokens", F.lit(0)).cast("long").alias("contam_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("coalesce(contam_tokens, 0) * 1048576L div n_tokens"),
+        ).otherwise(F.lit(0)).cast("long").alias("contam_frac_fp"),
+    )

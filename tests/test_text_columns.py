@@ -481,3 +481,42 @@ def test_substring_clean_consistent_with_spans(spark, tmp_path):
     want_md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
     assert clean[0]["cleaned_md5"] == want_md5
     assert clean[3]["n_kept"] == 30 and spans[3]["dup_tokens"] == 0
+
+
+def test_decontaminate_train_spans_planted(spark, tmp_path):
+    """Plant an eval doc whose 10-token run also appears in one train
+    doc: that train doc (and only it) reports contaminated tokens, and
+    contamination NEVER comes from train-train overlap (that is the
+    spans op's job, not decontamination's)."""
+    import hashlib
+
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.functions.dedup_queries import _DECON_SEED, _DECON_TRAIN
+    from scip_spark.queries import REGISTRY
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"{_DECON_SEED}|{doc_id}".encode()).hexdigest()[:12]
+        return int(h, 16) % 10000
+
+    train_ids = [i for i in range(200) if bucket(i) < _DECON_TRAIN][:3]
+    eval_ids = [i for i in range(200) if bucket(i) >= _DECON_TRAIN][:1]
+    assert len(train_ids) == 3 and len(eval_ids) == 1
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (train_ids[0], "lead in " + leak + " tail words here", "en", "s", 0),
+        (train_ids[1], " ".join(f"t{i}" for i in range(30)), "en", "s", 0),
+        # train-train duplication only — NOT contamination
+        (train_ids[2], " ".join(f"t{i}" for i in range(30)), "en", "s", 0),
+        (eval_ids[0], "bench prompt " + leak + " bench answer", "en", "s", 0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: r["contam_tokens"]
+        for r in REGISTRY["decontaminate_train_spans"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(train_ids)         # eval docs not reported
+    assert got[train_ids[0]] >= 10            # the leaked run is covered
+    assert got[train_ids[1]] == 0 and got[train_ids[2]] == 0
