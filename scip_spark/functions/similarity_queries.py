@@ -1476,7 +1476,12 @@ def mmr_diversified_topk(spark, sf_dir):
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    seed = emb.orderBy("vec_id").limit(1).collect()
+    if not seed:  # empty corpus: no query, no picks
+        return spark.createDataFrame(
+            [], "sel_order long, vec_id long, rel_fp long, mmr_fp long"
+        )
+    qrow = seed[0]
     qlit = F.array(*[F.lit(float(x)) for x in qrow["emb"]])
 
     def fp_sim(col, lit):
@@ -1507,7 +1512,12 @@ def mmr_diversified_topk(spark, sf_dir):
             "rel_fp",
             (7 * F.col("rel_fp") - 3 * pen).cast("long").alias("mmr_fp"),
         )
-        top = cand.orderBy(F.col("mmr_fp").desc(), F.col("vec_id").asc()).limit(1).collect()[0]
+        picked = cand.orderBy(
+            F.col("mmr_fp").desc(), F.col("vec_id").asc()
+        ).limit(1).collect()
+        if not picked:  # fewer than k candidates: stop early
+            break
+        top = picked[0]
         chosen.append((step, int(top["vec_id"]), int(top["rel_fp"]),
                        int(top["mmr_fp"]), list(top["emb"])))
     return spark.createDataFrame(

@@ -295,3 +295,48 @@ def test_empty_inputs_round12_ops(spark, tmp_path):
     ]
     for name in empty_ok:
         assert REGISTRY[name].fn(spark, sf).count() == 0, name
+
+
+def test_empty_inputs_round13_ops(spark, tmp_path):
+    """Round-13 registry entries on EMPTY source tables: the substring
+    family, decontamination, the embedding graph/keep/MMR ops and the
+    governance audits all return empty (or a defined zero/expected-only
+    summary) instead of raising."""
+    import scip_spark.entry_queries  # noqa: F401
+    from scip_spark.queries import REGISTRY
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate date",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [], "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+    ).write.parquet(f"{sf}/customer.parquet")
+
+    empty_ok = [
+        "dedup_substring_spans",
+        "dedup_substring_spans_stream",
+        "dedup_substring_clean",
+        "decontaminate_train_spans",
+        "knn_graph_mutual",
+        "embedding_semantic_keep",
+        "mmr_diversified_topk",
+        "dp_randomized_response",
+        "pii_luhn_audit",
+    ]
+    for name in empty_ok:
+        assert REGISTRY[name].fn(spark, sf).count() == 0, name
+    # Benford: an empty table still reports the 9 expected-digit rows,
+    # all zero
+    rows = REGISTRY["benford_first_digit_audit"].fn(spark, sf).collect()
+    assert len(rows) == 9
+    assert all(r["n_obs"] == 0 and r["exp_cnt_fp"] == 0 for r in rows)
