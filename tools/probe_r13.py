@@ -27,18 +27,21 @@ from scale_probe import replicate  # noqa: E402
 from scip_spark.session import get_spark  # noqa: E402
 
 OPS = [
-    # first batch (recorded in SCALE_PROBE.md round-13 table):
-    # dedup_substring_spans r100=16.2, quality_repetition_rules r100=3.9
-    "dedup_substring_clean",
-    "dp_randomized_response",
+    # first batches (recorded in SCALE_PROBE.md round-13 tables):
+    # dedup_substring_spans r100=16.2, quality_repetition_rules r100=3.9,
+    # dedup_substring_clean r100=5.1, dp_randomized_response r100=1.6
+    "decontaminate_train_spans",
+    "mmr_diversified_topk",
+    "pii_luhn_audit",
+    "benford_first_digit_audit",
 ]
 #: verbatim embedding replicas pair every copy with every copy in the
 #: LSH candidate join (quadratic OUTPUT by data — the documented
 #: exact-join caveat), so the embedding-pair ops probe at a reduced
 #: factor like the setsim family
-REDUCED_OPS = [
-    "knn_graph_mutual",
-    "embedding_semantic_keep",
+REDUCED_OPS: list = [
+    # knn_graph_mutual r10=19.4 / embedding_semantic_keep r10=1.5
+    # (recorded; see the embedding-replica caveat in SCALE_PROBE.md)
 ]
 REDUCED_N = 10
 
