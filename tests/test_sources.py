@@ -407,3 +407,53 @@ def test_zarr_chunk_grid_roundtrip(tmp_path):
         p = str(tmp_path / f"a_{len(shape)}d_{np.dtype(dt).name}.zarr")
         write_array(p, arr, chunks=chunks)
         np.testing.assert_array_equal(read_array(p), arr)
+
+
+def test_tiff_codec_property_roundtrip(tmp_path):
+    """Property sweep of the baseline-TIFF codec: every supported
+    dtype x byte order x frame count x odd shapes round-trips
+    bit-exactly (reference test/loading reads real files; this pins
+    the codec across the whole supported matrix)."""
+    from scip_spark.sources.tiffio import read_tiff, write_tiff
+
+    rng = np.random.default_rng(42)
+    dtypes = [np.uint8, np.uint16, np.uint32, np.int16, np.int32,
+              np.float32, np.float64]
+    case = 0
+    for dt in dtypes:
+        for order in ("<", ">"):
+            for frames in (1, 3):
+                h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+                if np.dtype(dt).kind == "f":
+                    arr = rng.standard_normal((frames, h, w)).astype(dt)
+                else:
+                    info = np.iinfo(dt)
+                    arr = rng.integers(
+                        max(info.min, -1000), min(info.max, 1000) + 1,
+                        size=(frames, h, w),
+                    ).astype(dt)
+                if frames == 1:
+                    arr = arr[0]
+                p = str(tmp_path / f"c{case}.tiff")
+                case += 1
+                write_tiff(p, arr, byteorder=order)
+                got = read_tiff(p)
+                assert got.shape == arr.shape, (dt, order, frames)
+                assert got.dtype.kind == np.dtype(dt).kind
+                assert got.dtype.itemsize == np.dtype(dt).itemsize
+                np.testing.assert_array_equal(
+                    got.astype(np.float64), arr.astype(np.float64)
+                )
+
+
+def test_tiff_codec_rejects_unsupported(tmp_path):
+    """Non-TIFF bytes and unsupported features fail loudly (never a
+    silently-wrong decode)."""
+    import pytest as _pytest
+
+    from scip_spark.sources.tiffio import read_tiff
+
+    bad = tmp_path / "not_a.tiff"
+    bad.write_bytes(b"PK\x03\x04 definitely not a tiff")
+    with _pytest.raises(ValueError, match="byte-order"):
+        read_tiff(str(bad))
