@@ -121,18 +121,12 @@ def _sf_of(sf_dir: str) -> float:
 _last_caches = None
 
 
-@register(
-    "imaging_pipeline_e2e",
-    None,  # tensor-valued pipeline — rows-only driver check (see module doc)
-    doc="The reference's full main() workload (src/scip/main.py:198-260): "
-    "synthetic reader → illumination → watershed segmentation → "
-    "otsu+li mask fan-out → population filter → quantile normalization → "
-    "all five feature families → per-group rollup.",
-)
-def imaging_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _feature_rollup(spark: SparkSession, n: int) -> DataFrame:
+    """The full pipeline over ``n`` synthetic images, reduced to one
+    deterministic row per acquisition group (shared by the sf-scaled
+    bench entry and the fixed-n driver-checkable checksum entry)."""
     from scip_spark.plans.pipeline import BuildCaches, build
 
-    n = max(100, int(round(_sf_of(sf_dir) * IMAGES_PER_SF)))
     cfg = dict(PIPELINE_CONFIG)
     cfg["feature_extraction"] = {
         "nchannels": NCHANNELS,
@@ -178,3 +172,64 @@ def imaging_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col(c) * F.lit(float(2**20))).cast("long")).alias(f"sum_{c[5:]}")
         )
     return feats.groupBy("group").agg(*aggs)
+
+
+@register(
+    "imaging_pipeline_e2e",
+    None,  # tensor-valued pipeline — rows-only driver check (see module doc)
+    doc="The reference's full main() workload (src/scip/main.py:198-260): "
+    "synthetic reader → illumination → watershed segmentation → "
+    "otsu+li mask fan-out → population filter → quantile normalization → "
+    "all five feature families → per-group rollup.",
+)
+def imaging_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = max(100, int(round(_sf_of(sf_dir) * IMAGES_PER_SF)))
+    return _feature_rollup(spark, n)
+
+
+#: fixed corpus size of the checksum entry == the sf0.01 bench size, so
+#: the committed golden imaging_pipeline_e2e_sf0.01.json IS the oracle.
+CHECKSUM_N = 1000
+
+
+def _checksum_oracle_sql() -> str:
+    """DuckDB oracle for ``imaging_feature_checksum``: a literal VALUES
+    table built from the committed golden rollup (scip_spark/golden/
+    imaging_pipeline_e2e_sf0.01.json). The query runs at a FIXED
+    ``CHECKSUM_N`` independent of sf_dir — ``oracle_sql()`` strings
+    carry no scale parameter, so the only sound oracle is a constant —
+    and the golden file stays the single source of truth: regenerate it
+    and this SQL follows. Every numeric cell is a floor(x·2^20) BIGINT
+    (exact, summation-order-free), so the comparison is bit-exact, not
+    tolerance-based. This closes the driver's one perpetual no_oracle
+    cell (the tensor-valued e2e) with a real rows/schema/hash check of
+    the same code path: reference analogue is SCIP's own determinism
+    oracle over main() output (test/test_main.py:52)."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parents[1] / "golden" / "imaging_pipeline_e2e_sf0.01.json"
+    rows = json.loads(p.read_text())["rows"]
+    cols = list(rows[0].keys())
+    quoted = ", ".join(f'"{c}"' for c in cols)
+    lits = []
+    for r in rows:
+        cells = []
+        for c in cols:
+            v = r[c]
+            cells.append(f"'{v}'" if isinstance(v, str) else f"CAST({v} AS BIGINT)")
+        lits.append("(" + ", ".join(cells) + ")")
+    return f"SELECT * FROM (VALUES {', '.join(lits)}) AS t({quoted})"
+
+
+@register(
+    "imaging_feature_checksum",
+    _checksum_oracle_sql(),
+    doc="Driver-verifiable scalar companion of imaging_pipeline_e2e: the "
+    "identical load → illumination → watershed → otsu+li masks → filter → "
+    "normalize → 5-family feature path at a fixed 1000-image corpus, "
+    "rolled up to exact floor(x·2^20) BIGINTs and hash-compared against "
+    "the committed golden via a literal-VALUES DuckDB oracle.",
+)
+def imaging_feature_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feature_rollup(spark, CHECKSUM_N)

