@@ -650,9 +650,9 @@ def _record_features(
 DEFAULT_FAMILIES = ["bbox", "intensity", "raw", "shape", "texture"]
 
 
-def extract_features(df: DataFrame, nchannels: int, families: list[str] | None = None) -> DataFrame:
-    """Event records → flat wide feature frame (one row per record,
-    null features for soft-deleted records)."""
+def make_features_batch(nchannels: int, families: list[str] | None = None):
+    """Batch kernel behind :func:`extract_features` (factory form for
+    the fused multi-branch pipeline — see masking.make_mask_batch)."""
     families = families or DEFAULT_FAMILIES
     schema = feature_schema(nchannels, families)
     feat_cols = feature_columns(nchannels, families)
@@ -719,4 +719,15 @@ def extract_features(df: DataFrame, nchannels: int, families: list[str] | None =
                 )
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return map_events(df, batch, schema)
+    return batch
+
+
+def extract_features(df: DataFrame, nchannels: int, families: list[str] | None = None) -> DataFrame:
+    """Event records → flat wide feature frame (one row per record,
+    null features for soft-deleted records)."""
+    families = families or DEFAULT_FAMILIES
+    return map_events(
+        df,
+        make_features_batch(nchannels, families),
+        feature_schema(nchannels, families),
+    )

@@ -253,8 +253,11 @@ MASK_FRONTS = {
 }
 
 
-def get_mask(df: DataFrame, method: str = "otsu", **kwargs) -> DataFrame:
-    """Attach per-channel boolean ``mask`` + ``regions`` counts."""
+def make_mask_batch(method: str = "otsu", **kwargs) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """The per-Arrow-batch kernel behind :func:`get_mask`, exposed as a
+    factory so the fused multi-branch pipeline (plans/pipeline.py) can
+    run several mask methods inside ONE mapInPandas pass — same closure
+    either way, so fused and branch plans are bit-identical."""
     fn = MASK_METHODS[method]
     front = MASK_FRONTS.get(method)
 
@@ -313,7 +316,12 @@ def get_mask(df: DataFrame, method: str = "otsu", **kwargs) -> DataFrame:
         pdf["regions"] = pd.Series(regions, dtype=object).values
         return pdf
 
-    return map_events(df, batch)
+    return batch
+
+
+def get_mask(df: DataFrame, method: str = "otsu", **kwargs) -> DataFrame:
+    """Attach per-channel boolean ``mask`` + ``regions`` counts."""
+    return map_events(df, make_mask_batch(method, **kwargs))
 
 
 # ---------------------------------------------------------------------------
@@ -375,10 +383,11 @@ def remove_border_regions(df: DataFrame, main_channel: int = 0, max_fraction: fl
 # ---------------------------------------------------------------------------
 
 
-def apply_mask(df: DataFrame, combined_indices: list[int] | None = None) -> DataFrame:
-    """Derive ``combined_mask`` (union over selected channels),
-    per-channel ``background`` (mean of unmasked pixels),
-    ``combined_background`` and ``bbox`` (union of channel bboxes)."""
+def make_apply_mask_batch(
+    combined_indices: list[int] | None = None,
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Batch kernel behind :func:`apply_mask` (factory form for the
+    fused multi-branch pipeline — see :func:`make_mask_batch`)."""
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
@@ -430,4 +439,11 @@ def apply_mask(df: DataFrame, combined_indices: list[int] | None = None) -> Data
         pdf["bbox"] = pd.Series(bboxes, dtype=object).values
         return pdf
 
-    return map_events(df, batch)
+    return batch
+
+
+def apply_mask(df: DataFrame, combined_indices: list[int] | None = None) -> DataFrame:
+    """Derive ``combined_mask`` (union over selected channels),
+    per-channel ``background`` (mean of unmasked pixels),
+    ``combined_background`` and ``bbox`` (union of channel bboxes)."""
+    return map_events(df, make_apply_mask_batch(combined_indices))

@@ -57,29 +57,35 @@ def record_extents(df: DataFrame, key: str = "group") -> DataFrame:
     return map_events(df, batch, ext_schema)
 
 
-def group_extents(df: DataFrame, key: str = "group") -> DataFrame:
+def group_extents(
+    df: DataFrame,
+    key: str = "group",
+    cmin_col: str = "ch_min",
+    cmax_col: str = "ch_max",
+) -> DataFrame:
     """Two-level aggregation: record extents → group extents.
 
-    Fast path: when the frame carries precomputed ``ch_min``/``ch_max``
-    columns (emitted by ``threshold_filter.add_filter_sum(...,
-    with_extents=True)`` while the tensors were already decoded), the
-    record pass is pure Catalyst — posexplode + groupBy, no Python, no
-    tensor decode. Null array == record without pixels (explode drops
-    it), null element == channel whose mask selects nothing (filtered)
-    — exactly ``record_extents``'s skip semantics."""
-    if "ch_min" in df.columns and "ch_max" in df.columns:
+    Fast path: when the frame carries precomputed ``cmin_col``/
+    ``cmax_col`` columns (emitted by ``threshold_filter.add_filter_sum
+    (..., with_extents=True)`` while the tensors were already decoded —
+    the fused multi-branch pipeline stores one suffixed pair per mask
+    branch), the record pass is pure Catalyst — posexplode + groupBy,
+    no Python, no tensor decode. Null array == record without pixels
+    (explode drops it), null element == channel whose mask selects
+    nothing (filtered) — exactly ``record_extents``'s skip semantics."""
+    if cmin_col in df.columns and cmax_col in df.columns:
         rec = (
             df.select(
                 key,
-                F.posexplode(F.arrays_zip("ch_min", "ch_max")).alias(
+                F.posexplode(F.arrays_zip(cmin_col, cmax_col)).alias(
                     "channel", "mm"
                 ),
             )
             .select(
                 key,
                 "channel",
-                F.col("mm.ch_min").alias("cmin"),
-                F.col("mm.ch_max").alias("cmax"),
+                F.col(f"mm.{cmin_col}").alias("cmin"),
+                F.col(f"mm.{cmax_col}").alias("cmax"),
             )
             .where(F.col("cmin").isNotNull())
         )
@@ -90,14 +96,13 @@ def group_extents(df: DataFrame, key: str = "group") -> DataFrame:
     )
 
 
-def quantile_normalization(df: DataFrame, key: str = "group") -> DataFrame:
-    """Rescale pixels to [0,1] using broadcast per-group extents."""
-    extents = group_extents(df, key).collect()
-    lut: dict[tuple, tuple[float, float]] = {
-        (r[key], r["channel"]): (r["gmin"], r["gmax"]) for r in extents
-    }
-
-    drop_cols = [c for c in ("ch_min", "ch_max") if c in df.columns]
+def make_rescale_batch(
+    lut: dict[tuple, tuple[float, float]],
+    key: str = "group",
+    drop_cols: tuple[str, ...] = (),
+):
+    """Batch kernel behind :func:`quantile_normalization`'s rescale map
+    (factory form for the fused multi-branch pipeline)."""
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
@@ -119,7 +124,20 @@ def quantile_normalization(df: DataFrame, key: str = "group") -> DataFrame:
         # precomputed extents describe PRE-normalization pixels; drop
         # them here (not via .drop(), which would break stage fusion
         # with a projection between this map and the next)
-        return pdf.drop(columns=drop_cols) if drop_cols else pdf
+        return pdf.drop(columns=list(drop_cols)) if drop_cols else pdf
+
+    return batch
+
+
+def quantile_normalization(df: DataFrame, key: str = "group") -> DataFrame:
+    """Rescale pixels to [0,1] using broadcast per-group extents."""
+    extents = group_extents(df, key).collect()
+    lut: dict[tuple, tuple[float, float]] = {
+        (r[key], r["channel"]): (r["gmin"], r["gmax"]) for r in extents
+    }
+
+    drop_cols = tuple(c for c in ("ch_min", "ch_max") if c in df.columns)
+    batch = make_rescale_batch(lut, key, drop_cols)
 
     if drop_cols:
         out_schema = T.StructType(

@@ -31,17 +31,9 @@ from scip_spark.queries import PHI_95
 from scip_spark.schema import decode_series
 
 
-def add_filter_sum(
-    df: DataFrame, channel: int = 0, with_extents: bool = False
-) -> DataFrame:
-    """Adds ``filter_sum``; with ``with_extents`` also emits per-record
-    per-channel masked min/max (``ch_min``/``ch_max`` array<double>,
-    null element = channel whose mask selects nothing, null array =
-    record without pixels). The extents are byte-identical to what
-    ``normalization.record_extents`` would compute, but piggyback on a
-    pass that already has the tensors decoded — so a downstream
-    ``group_extents`` becomes a pure-JVM aggregation instead of another
-    full decode pass over the persisted tensor relation."""
+def make_filter_sum_batch(channel: int = 0, with_extents: bool = False):
+    """Batch kernel behind :func:`add_filter_sum` (factory form for the
+    fused multi-branch pipeline — see masking.make_mask_batch)."""
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pixels = decode_series(pdf["pixels"], pdf["pixels_shape"])
@@ -74,6 +66,22 @@ def add_filter_sum(
             pdf["ch_min"] = pd.Series(mins, dtype=object).values
             pdf["ch_max"] = pd.Series(maxs, dtype=object).values
         return pdf
+
+    return batch
+
+
+def add_filter_sum(
+    df: DataFrame, channel: int = 0, with_extents: bool = False
+) -> DataFrame:
+    """Adds ``filter_sum``; with ``with_extents`` also emits per-record
+    per-channel masked min/max (``ch_min``/``ch_max`` array<double>,
+    null element = channel whose mask selects nothing, null array =
+    record without pixels). The extents are byte-identical to what
+    ``normalization.record_extents`` would compute, but piggyback on a
+    pass that already has the tensors decoded — so a downstream
+    ``group_extents`` becomes a pure-JVM aggregation instead of another
+    full decode pass over the persisted tensor relation."""
+    batch = make_filter_sum_batch(channel, with_extents)
 
     if not with_extents:
         return map_events(df, batch)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -65,6 +66,183 @@ class BuildCaches:
                 pass
 
 
+#: branch-dependent event columns the fused pass stores once per mask
+#: method (suffixed ``<col>__<method>``); everything else — notably the
+#: pixel tensor, 25 KB/event — is stored ONCE instead of once per branch.
+_BRANCH_COLS = [
+    "mask",
+    "mask_shape",
+    "regions",
+    "combined_mask",
+    "background",
+    "combined_background",
+    "bbox",
+]
+
+
+def _build_fused(
+    df: DataFrame,
+    cfg: dict[str, Any],
+    caches: BuildCaches | None,
+    methods: list[str],
+    mask_cfg: dict[str, Any],
+) -> DataFrame:
+    """Single-pass multi-branch pipeline (SURVEY §2.3 J6's own 'better
+    plan'): ALL mask methods, mask application and the filter/extent
+    scalars are computed in ONE mapInPandas over the event stream, and
+    all branches' features are emitted side by side from a second single
+    pass — eliminating, versus the branch-per-method plan, the upstream
+    fan-out cache, one persisted tensor relation and one stats action
+    per extra branch, and the J1-replacement keyed join of wide feature
+    frames entirely. Reference contrast: SCIP pays the dual branch
+    graphs plus a positional concat (src/scip/masking/__init__.py:33-72,
+    main.py:268).
+
+    Bit-identity with the branch plan is by construction: every stage
+    runs the SAME batch closures (make_mask_batch/make_apply_mask_batch/
+    make_filter_sum_batch/make_rescale_batch/make_features_batch), the
+    population statistic aggregates the same filter_sum values over the
+    same partitioning, and group extents fold the same per-record
+    extents (goldens at 3 SFs unchanged; tests/test_pipeline_builder.py
+    pins fused == legacy column-for-column)."""
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    from scip_spark.operators import map_events
+    from scip_spark.operators.features import (
+        feature_columns,
+        feature_schema,
+        make_features_batch,
+    )
+    from scip_spark.operators.masking import make_apply_mask_batch, make_mask_batch
+    from scip_spark.operators.normalization import group_extents, make_rescale_batch
+    from scip_spark.operators.threshold_filter import make_filter_sum_batch
+    from scip_spark.queries import PHI_95
+
+    want_filter = "filter" in cfg
+    want_norm = "normalization" in cfg
+    fe = cfg["feature_extraction"]
+    nchannels = fe["nchannels"]
+    families = fe.get("families")
+
+    mask_batches = [
+        (m, make_mask_batch(m, **mask_cfg.get("kwargs", {}))) for m in methods
+    ]
+    apply_batch = make_apply_mask_batch()
+    fs_batch = (
+        make_filter_sum_batch(
+            cfg.get("filter", {}).get("channel", 0), with_extents=want_norm
+        )
+        if (want_filter or want_norm)
+        else None
+    )
+    ext_cols = ["ch_min", "ch_max"] if want_norm else []
+
+    # ---- stage A: every branch's masks + scalars, one pass ----------
+    def stage_a(pdf):
+        out = pdf.copy()
+        last = None
+        for m, mb in mask_batches:
+            b = mb(pdf)
+            b = apply_batch(b)
+            if fs_batch is not None:
+                b = fs_batch(b)
+            for c in _BRANCH_COLS + ext_cols:
+                out[f"{c}__{m}"] = b[c].values
+            last = b
+        if want_filter:
+            # filter_sum is a function of the (shared) pixels only —
+            # identical across branches, stored once
+            out["filter_sum"] = last["filter_sum"].values
+        return out
+
+    by_name = {f.name: f for f in df.schema.fields}
+    fields = list(df.schema.fields)
+    for m in methods:
+        for c in _BRANCH_COLS:
+            fields.append(T.StructField(f"{c}__{m}", by_name[c].dataType, True))
+        for c in ext_cols:
+            fields.append(
+                T.StructField(f"{c}__{m}", T.ArrayType(T.DoubleType()), True)
+            )
+    fused = map_events(df, stage_a, T.StructType(fields))
+
+    # one spillable materialization serves the stats action, the extent
+    # aggregations and the feature pass (vs. cache + N persists before)
+    fused = fused.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.add(fused)
+
+    # ---- population filter: ONE stats action (filter_sum is shared) --
+    if want_filter:
+        row = fused.agg(
+            F.avg("filter_sum").alias("mu"),
+            F.stddev_pop("filter_sum").alias("sigma"),
+        ).collect()[0]
+        mu, sigma = row["mu"], row["sigma"]
+        if mu is not None:
+            keep = F.col("filter_sum") > F.lit(mu - PHI_95 * (sigma or 0.0))
+            soft = ["pixels", "pixels_shape"] + [
+                f"{c}__{m}"
+                for m in methods
+                for c in ("mask", "mask_shape", *ext_cols)
+            ]
+            for c in soft:
+                fused = fused.withColumn(c, F.when(keep, F.col(c)))
+
+    # ---- per-branch group extents: pure-JVM aggs over one relation --
+    luts: dict[str, dict] = {}
+    if want_norm:
+        key = cfg["normalization"].get("key", "group")
+        for m in methods:
+            rows = group_extents(
+                fused, key, cmin_col=f"ch_min__{m}", cmax_col=f"ch_max__{m}"
+            ).collect()
+            luts[m] = {
+                (r[key], r["channel"]): (r["gmin"], r["gmax"]) for r in rows
+            }
+        rescales = {
+            m: make_rescale_batch(luts[m], key=key) for m in methods
+        }
+
+    # ---- stage B: normalize + extract EVERY branch's features, one pass
+    feats_batch = make_features_batch(nchannels, families)
+    fam = families or None
+    from scip_spark.operators.features import DEFAULT_FAMILIES
+
+    flat_cols = feature_columns(nchannels, fam or DEFAULT_FAMILIES)
+    meta_cols = ["path", "group", "id", "object_number", "regions"]
+    view_cols = _BRANCH_COLS + ext_cols
+
+    def stage_b(pdf):
+        pieces = []
+        for i, m in enumerate(methods):
+            view = pdf.copy()
+            for c in view_cols:
+                view[c] = pdf[f"{c}__{m}"]
+            if want_norm:
+                view = rescales[m](view)
+            fdf = feats_batch(view).reset_index(drop=True)
+            if i == 0:
+                pieces.append(fdf[meta_cols])
+            renamed = fdf[flat_cols].rename(
+                columns={c: f"feat_{m}_{c[5:]}" for c in flat_cols}
+            )
+            pieces.append(renamed)
+        return pd.concat(pieces, axis=1)
+
+    meta_fields = [
+        f for f in feature_schema(nchannels, fam or DEFAULT_FAMILIES).fields
+        if f.name in meta_cols
+    ]
+    out_fields = list(meta_fields)
+    for m in methods:
+        out_fields += [
+            T.StructField(f"feat_{m}_{c[5:]}", T.DoubleType()) for c in flat_cols
+        ]
+    return map_events(fused, stage_b, T.StructType(out_fields))
+
+
 def build(
     df: DataFrame, config: dict[str, Any], caches: BuildCaches | None = None
 ) -> DataFrame | dict[str, DataFrame]:
@@ -104,6 +282,15 @@ def build(
 
     mask_cfg = cfg.get("mask", {"methods": []})
     methods = mask_cfg.get("methods", [])
+    if (
+        len(methods) > 1
+        and "feature_extraction" in cfg
+        and mask_cfg.get("fuse", True)
+    ):
+        # default multi-branch plan: single-pass fusion (no fan-out
+        # cache, no per-branch persist, no feature join). Set
+        # mask.fuse=False for the legacy branch-and-join plan.
+        return _build_fused(df, cfg, caches, methods, mask_cfg)
     if not methods:
         branches = {"raw": df}
     else:

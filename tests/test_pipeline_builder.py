@@ -73,15 +73,61 @@ def test_build_caches_handle_releases_persisted_relations(spark, full_events_df)
         },
         caches=caches,
     )
-    # fan-out cache + one summed relation per mask branch
-    assert len(caches.frames) == 3
+    # fused multi-branch plan: ONE persisted relation serves the stats
+    # action, the extent aggs and the feature pass (r13 verdict #2 —
+    # versus fan-out cache + one summed relation per branch before)
+    assert len(caches.frames) == 1
     assert len(out.toPandas()) == 10  # terminal action consumes the caches
 
-    # ≥3 = ours (strays can only add here, and can only SHRINK below)
-    assert n_cached_blocks() >= 3
+    assert n_cached_blocks() >= 1
     caches.unpersist(blocking=True)
     assert n_cached_blocks() <= baseline
     assert caches.frames == []
+
+    # legacy branch-and-join plan (mask.fuse=False): fan-out cache +
+    # one summed relation per mask branch
+    caches = BuildCaches()
+    out = build(
+        full_events_df,
+        {
+            "mask": {"methods": ["circle", "otsu"], "fuse": False},
+            "filter": {"channel": 0},
+            "feature_extraction": {"nchannels": 3, "families": ["intensity"]},
+        },
+        caches=caches,
+    )
+    assert len(caches.frames) == 3
+    assert len(out.toPandas()) == 10
+    caches.unpersist(blocking=True)
+
+
+def test_fused_equals_legacy_branch_plan(full_events_df):
+    """The fused single-pass multi-branch plan (r13 verdict #2) is
+    bit-identical to the legacy branch-and-join plan on the full config
+    (filter + normalization + all five families): same batch closures,
+    same population statistic, same group extents."""
+    import numpy as np
+
+    cfg = {
+        "mask": {"methods": ["circle", "otsu"]},
+        "filter": {"channel": 0},
+        "normalization": {"key": "group"},
+        "feature_extraction": {"nchannels": 3, "families": None},
+    }
+    legacy_cfg = dict(cfg)
+    legacy_cfg["mask"] = dict(cfg["mask"], fuse=False)
+    a = build(full_events_df, cfg).toPandas()
+    b = build(full_events_df, legacy_cfg).toPandas()
+    a = a.sort_values("object_number").reset_index(drop=True)
+    b = b.sort_values("object_number").reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    feat = [c for c in a.columns if c.startswith("feat_")]
+    np.testing.assert_array_equal(
+        a[feat].to_numpy(float), b[feat].to_numpy(float)
+    )
+    for m in a.regions, b.regions:
+        assert m.notna().all()
+    assert [list(x) for x in a.regions] == [list(x) for x in b.regions]
 
 
 def test_duplicate_branch_determinism_via_builder(full_events_df):
