@@ -1451,7 +1451,8 @@ def _ss_tail(base, win, shared):
 
 @register(
     "dedup_substring_spans_stream",
-    None,  # shares the batch oracle (spliced below)
+    None,
+    share_sql_with="dedup_substring_spans",  # value-identical twin (ADVICE r13)
     doc="dedup_substring_spans with the corpus-wide window-hash counts "
     "built by STRUCTURED STREAMING (14th driver-hash-checked streaming "
     "entry): the document stream's windows feed a STATEFUL streaming "
@@ -1522,11 +1523,6 @@ def dedup_substring_spans_stream(spark, sf_dir):
         tbl(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return _ss_tail(base, win, shared)
-
-
-from scip_spark.queries import REGISTRY as _QREG  # noqa: E402
-
-_QREG["dedup_substring_spans_stream"].sql = _QREG["dedup_substring_spans"].sql
 
 
 @register(

@@ -79,7 +79,22 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, sql: Optional[str], doc: str = ""):
+def register(
+    name: str,
+    sql: Optional[str],
+    doc: str = "",
+    share_sql_with: Optional[str] = None,
+):
+    """Register a query. ``share_sql_with`` resolves the oracle SQL from
+    an already-registered entry AT decoration time (for batch/stream
+    twins that must stay value-identical) — so any tool that snapshots
+    specs at register time sees the real SQL, never a post-hoc splice
+    (ADVICE r13)."""
+    if share_sql_with is not None:
+        if sql is not None:
+            raise ValueError(f"{name}: pass sql=None with share_sql_with")
+        sql = REGISTRY[share_sql_with].sql
+
     def deco(fn):
         REGISTRY[name] = QuerySpec(fn=fn, sql=sql, doc=doc)
         return fn

@@ -100,9 +100,16 @@ def read_tiff(path: str) -> np.ndarray:
             raise ValueError(f"unsupported sample format {fmt}/{bits}: {path}")
         dtype = np.dtype(f"{en}{kind}{bits // 8}")
         offsets = tags[_STRIP_OFFSETS]
-        counts = tags.get(
-            _STRIP_BYTE_COUNTS, [height * width * dtype.itemsize]
-        )
+        counts = tags.get(_STRIP_BYTE_COUNTS)
+        if counts is None:
+            # defaulting is only sound for a single full-frame strip; a
+            # multi-strip file without byte counts would silently decode
+            # from the first strip only (ADVICE r13) — fail loudly
+            if len(offsets) > 1:
+                raise ValueError(
+                    f"multi-strip TIFF missing StripByteCounts: {path}"
+                )
+            counts = [height * width * dtype.itemsize]
         raw = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
         frame = np.frombuffer(raw, dtype=dtype, count=height * width)
         frames.append(frame.reshape(height, width))

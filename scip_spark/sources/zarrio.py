@@ -9,12 +9,22 @@ With ``compressor: null`` a chunk file is exactly the C-order bytes of
 that chunk block — which is all the reference's ragged-cell stores use
 (reference zarr.py:89-104 reads shapes from attrs, then fetches cells).
 
-`group_member_shapes` + `fetch_member` implement the ragged layout the
-engine's S6 path expects: a group whose members "0", "1", … are
-per-record arrays (possibly different shapes — ragged), driven through
-`zarr_meta` / `zarr_attach_pixels` as REAL bytes. The writer exists so
-tests can build stores without the zarr package; production stores
-written by zarr itself (compressor null) read identically.
+`group_member_shapes` + `fetch_member` accept BOTH ragged layouts
+(ADVICE r13):
+
+- the engine's group layout: a group whose members "0", "1", … are
+  per-record arrays plus a ``.zattrs`` key ``shapes`` (plural);
+- the REFERENCE's layout (src/scip/loading/zarr.py:52-61,89-104): ONE
+  array whose first axis indexes records, with ``.zattrs`` keys
+  ``shape`` (singular — list of per-record shapes) and
+  ``object_number``; record ``idx`` is ``z[idx]`` reshaped to
+  ``attrs["shape"][idx]``.
+
+Both are driven through `zarr_meta` / `zarr_attach_pixels` as REAL
+bytes. The writers exist so tests can build stores without the zarr
+package; production stores written by zarr itself read identically
+when uncompressed — compressed stores still need an injected
+zarr-based fetch (documented fail-fast).
 """
 
 from __future__ import annotations
@@ -100,15 +110,83 @@ def write_group(path: str, arrays: list[np.ndarray], chunks=None) -> None:
         write_array(os.path.join(path, str(i)), a, chunks=chunks)
 
 
+def write_ragged_array(
+    path: str,
+    arrays: list[np.ndarray],
+    chunks: tuple[int, ...] | None = None,
+) -> None:
+    """Reference-layout ragged store (src/scip/loading/zarr.py:52-61):
+    ONE 2-D array, row ``i`` = record ``i`` flattened (zero-padded to
+    the widest record), with ``.zattrs`` ``shape`` (singular, the
+    per-record shapes) and ``object_number``."""
+    flats = [np.asarray(a).ravel() for a in arrays]
+    width = max((f.size for f in flats), default=0)
+    mat = np.zeros((len(flats), width), dtype=flats[0].dtype if flats else np.float32)
+    for i, f in enumerate(flats):
+        mat[i, : f.size] = f
+    write_array(path, mat, chunks=chunks)
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(
+            {
+                "shape": [list(np.asarray(a).shape) for a in arrays],
+                "object_number": list(range(len(arrays))),
+            },
+            f,
+        )
+
+
 def group_member_shapes(path: str) -> list[list[int]]:
-    """The per-record shapes of a ragged group store, from .zattrs —
-    the driver-side metadata read feeding zarr_meta (S6)."""
+    """The per-record shapes of a ragged store, from .zattrs — the
+    driver-side metadata read feeding zarr_meta (S6). Accepts the
+    engine group layout (``shapes``) and the reference single-array
+    layout (``shape`` — reference zarr.py:89-104)."""
     with open(os.path.join(path, ".zattrs")) as f:
-        return json.load(f)["shapes"]
+        attrs = json.load(f)
+    if "shapes" in attrs:
+        return attrs["shapes"]
+    if "shape" in attrs:
+        return attrs["shape"]
+    raise ValueError(f"no 'shapes'/'shape' attribute in {path}/.zattrs")
+
+
+def _read_array_row(path: str, idx: int) -> np.ndarray:
+    """Row ``idx`` of a C-order array store, reading ONLY the chunk
+    files that intersect that row (first-axis chunk pruned)."""
+    with open(os.path.join(path, ".zarray")) as f:
+        meta = json.load(f)
+    if meta.get("compressor") is not None or meta.get("filters"):
+        raise ValueError(f"compressed zarr store needs the zarr package: {path}")
+    shape, chunks = tuple(meta["shape"]), tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    out = np.full(shape[1:], meta.get("fill_value") or 0, dtype=dtype)
+    c0 = chunks[0]
+    i0, off = idx // c0, idx % c0
+    grid = [range((s + c - 1) // c) for s, c in zip(shape[1:], chunks[1:])]
+    for rest in itertools.product(*grid):
+        cf = os.path.join(path, ".".join(map(str, (i0, *rest))))
+        if not os.path.exists(cf):
+            continue
+        block = np.frombuffer(open(cf, "rb").read(), dtype=dtype).reshape(chunks)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(rest, chunks[1:], shape[1:])
+        )
+        out[sel] = block[off][tuple(slice(0, s.stop - s.start) for s in sel)]
+    return out
 
 
 def fetch_member(path: str, idx: int) -> np.ndarray:
     """``fetch(path, idx) -> flat ndarray`` with the exact signature
-    zarr_attach_pixels expects — reads record ``idx``'s member array
-    from real chunk bytes."""
-    return read_array(os.path.join(path, str(idx))).ravel()
+    zarr_attach_pixels expects — reads record ``idx`` from real chunk
+    bytes under either ragged layout. For the reference single-array
+    layout the row is truncated to the record's true element count
+    (rows are padded to the widest record), mirroring
+    ``z[idx].reshape(attrs['shape'][idx])``."""
+    member = os.path.join(path, str(idx))
+    if os.path.isdir(member):
+        return read_array(member).ravel()
+    if os.path.exists(os.path.join(path, ".zarray")):
+        row = _read_array_row(path, idx).ravel()
+        n = int(np.prod(group_member_shapes(path)[idx]))
+        return row[:n]
+    raise ValueError(f"{path} is neither a ragged group nor an array store")

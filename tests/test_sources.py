@@ -392,6 +392,43 @@ def test_zarr_real_bytes_ragged_store(spark, tmp_path):
         np.testing.assert_array_equal(got, cells[i][[1]])
 
 
+def test_zarr_reference_single_array_layout(spark, tmp_path):
+    """ADVICE r13: the REFERENCE's actual ragged layout (reference
+    src/scip/loading/zarr.py:52-61,89-104) — one array whose rows are
+    flattened records, attrs['shape'] (singular) + object_number —
+    loads through the same group_member_shapes/fetch_member pair, with
+    first-axis chunk pruning (only row idx's chunk files are read)."""
+    from scip_spark.sources.zarrio import (
+        fetch_member,
+        group_member_shapes,
+        write_ragged_array,
+    )
+
+    rng = np.random.default_rng(23)
+    cells = [
+        (rng.random((2, 6, 7)) * 100).astype(np.float32),
+        (rng.random((2, 4, 9)) * 100).astype(np.float32),
+        (rng.random((2, 5, 5)) * 100).astype(np.float32),
+    ]
+    store = str(tmp_path / "ref_cells.zarr")
+    # chunks: 2 rows per chunk x 40-wide blocks — multi-chunk each axis
+    write_ragged_array(store, cells, chunks=(2, 40))
+    shapes = group_member_shapes(store)
+    assert shapes == [[2, 6, 7], [2, 4, 9], [2, 5, 5]]
+    # direct fetch: padded row truncated to the record's element count
+    for i, c in enumerate(cells):
+        np.testing.assert_array_equal(
+            fetch_member(store, i).reshape(c.shape), c
+        )
+    # and through the S6 Spark path with channel selection
+    meta = zarr_meta(spark, shapes, store, regex=r"^.*/(?P<name>\w+)\.zarr$")
+    out = zarr_attach_pixels(meta, fetch_member, channels=[0]).toPandas()
+    assert len(out) == 3
+    for i, row in out.sort_values("zarr_idx").reset_index(drop=True).iterrows():
+        got = np.array(row["pixels"], dtype=np.float32).reshape(row["pixels_shape"])
+        np.testing.assert_array_equal(got, cells[i][[0]])
+
+
 def test_zarr_chunk_grid_roundtrip(tmp_path):
     """Codec-level: edge chunks (padded to full chunk shape per spec),
     int and float dtypes, 1-D through 3-D."""
@@ -456,4 +493,48 @@ def test_tiff_codec_rejects_unsupported(tmp_path):
     bad = tmp_path / "not_a.tiff"
     bad.write_bytes(b"PK\x03\x04 definitely not a tiff")
     with _pytest.raises(ValueError, match="byte-order"):
+        read_tiff(str(bad))
+
+
+def _tiny_tiff_no_byte_counts(n_strips: int) -> bytes:
+    """Hand-built little-endian 4x4 uint8 TIFF with ``n_strips`` strip
+    offsets and NO StripByteCounts tag (non-conformant but seen in the
+    wild for the 1-strip case)."""
+    import struct
+
+    data = bytes(range(16))  # 4x4 uint8, strips split row-pairs
+    ifd_off = 8 + 16
+    ents = []
+    ents.append(struct.pack("<HHI4s", 256, 3, 1, struct.pack("<HH", 4, 0)))  # width
+    ents.append(struct.pack("<HHI4s", 257, 3, 1, struct.pack("<HH", 4, 0)))  # length
+    ents.append(struct.pack("<HHI4s", 258, 3, 1, struct.pack("<HH", 8, 0)))  # bits
+    ents.append(struct.pack("<HHI4s", 259, 3, 1, struct.pack("<HH", 1, 0)))  # compr
+    if n_strips == 1:
+        ents.append(struct.pack("<HHII", 273, 4, 1, 8))
+    else:
+        # 2 LONG offsets don't fit inline: point past the IFD
+        ptr = ifd_off + 2 + 12 * 5 + 4
+        ents.append(struct.pack("<HHII", 273, 4, 2, ptr))
+    ifd = struct.pack("<H", len(ents)) + b"".join(ents) + struct.pack("<I", 0)
+    tail = struct.pack("<II", 8, 16) if n_strips == 2 else b""
+    return b"II" + struct.pack("<HI", 42, ifd_off) + data + ifd + tail
+
+
+def test_tiff_multi_strip_without_byte_counts_fails_loudly(tmp_path):
+    """ADVICE r13: a multi-strip file missing StripByteCounts must
+    raise (the old full-frame default zip-truncated to the FIRST strip
+    — silently wrong pixels); the 1-strip default stays accepted."""
+    import pytest as _pytest
+
+    from scip_spark.sources.tiffio import read_tiff
+
+    ok = tmp_path / "one_strip.tiff"
+    ok.write_bytes(_tiny_tiff_no_byte_counts(1))
+    np.testing.assert_array_equal(
+        read_tiff(str(ok)), np.arange(16, dtype=np.uint8).reshape(4, 4)
+    )
+
+    bad = tmp_path / "two_strips.tiff"
+    bad.write_bytes(_tiny_tiff_no_byte_counts(2))
+    with _pytest.raises(ValueError, match="StripByteCounts"):
         read_tiff(str(bad))
