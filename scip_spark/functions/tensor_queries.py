@@ -71,3 +71,77 @@ def masked_extent_by_group(spark, sf_dir):
         F.coalesce(F.max(masked), F.max("v")).alias("masked_max"),
         F.count("*").alias("n_values"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 loader-schema synthesis over a committed real-bytes zarr fixture
+# ---------------------------------------------------------------------------
+
+
+def _zarr_fixture_sql() -> str:
+    """Literal-VALUES DuckDB oracle generated from the committed
+    expected-row JSON (scip_spark/fixtures/zarr_expected.json — written
+    by tools/make_zarr_fixture.py together with the stores themselves,
+    so fixture bytes and oracle share one generator). The pixel
+    checksum is the order-free integer grid sum(floor(x*2^20)), exact
+    in numpy, Spark and DuckDB alike."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parents[1] / "fixtures" / "zarr_expected.json"
+    rows = json.loads(p.read_text())["rows"]
+    cols = list(rows[0].keys())
+    casts = {"plate": None, "well": None, "zarr_idx": "INTEGER",
+             "object_number": "INTEGER", "c": "INTEGER", "h": "INTEGER",
+             "w": "INTEGER", "px_sum_fp": "BIGINT"}
+    lits = []
+    for r in rows:
+        cells = []
+        for c in cols:
+            v = r[c]
+            cells.append(f"'{v}'" if casts[c] is None else f"CAST({v} AS {casts[c]})")
+        lits.append("(" + ", ".join(cells) + ")")
+    quoted = ", ".join(f'"{c}"' for c in cols)
+    return f"SELECT * FROM (VALUES {', '.join(lits)}) AS t({quoted})"
+
+
+@register(
+    "zarr_schema_synthesis",
+    _zarr_fixture_sql(),
+    doc="S6 zarr named-group loader-schema synthesis (VERDICT r13 #6), "
+    "driver-verifiable over REAL committed chunk bytes: plate/well "
+    "metadata columns synthesized from the path regex exactly as the "
+    "reference derives loader schema from named groups (reference "
+    "src/scip/loading/zarr.py:73-86), shapes from .zattrs, pixels "
+    "fetched per record from raw zarr v2 chunks under BOTH ragged "
+    "layouts (engine group store and the reference's single-array + "
+    "attrs['shape'] store), checksummed on the exact integer grid.",
+)
+def zarr_schema_synthesis(spark, sf_dir):
+    import glob as _glob
+    from pathlib import Path
+
+    from scip_spark.sources.filescan import zarr_attach_pixels, zarr_meta
+    from scip_spark.sources.zarrio import fetch_member, group_member_shapes
+
+    root = Path(__file__).resolve().parents[1] / "fixtures" / "zarr"
+    stores = sorted(_glob.glob(str(root / "plate_*" / "*.zarr")))
+    regex = r"^.*/plate_(?P<plate>\w+)/(?P<well>\w+)\.zarr$"
+    df = None
+    for s in stores:  # 4 stores: driver-side listing, like the
+        # reference's meta_from_directory delayed per store
+        m = zarr_meta(spark, group_member_shapes(s), s, regex=regex)
+        df = m if df is None else df.unionByName(m)
+    px = zarr_attach_pixels(df, fetch_member)
+    return px.select(
+        "plate",
+        "well",
+        "zarr_idx",
+        "object_number",
+        F.element_at("pixels_shape", 1).alias("c"),
+        F.element_at("pixels_shape", 2).alias("h"),
+        F.element_at("pixels_shape", 3).alias("w"),
+        F.expr(
+            "aggregate(pixels, 0L, (acc, x) -> acc + bigint(floor(double(x) * 1048576D)))"
+        ).alias("px_sum_fp"),
+    )
