@@ -1420,7 +1420,8 @@ def _ss_shared(win):
 
 def _ss_covered(win, shared):
     """(doc_id, t) distinct token positions covered by a shared
-    window — the span union every family member prices."""
+    window — the materialized-position form the EXCISION path needs
+    (dedup_substring_clean rebuilds text from the kept positions)."""
     return (
         win.join(shared, "h")
         .select(
@@ -1431,12 +1432,37 @@ def _ss_covered(win, shared):
     )
 
 
+def _ss_covered_counts(win, shared, alias="dup_tokens"):
+    """|union of covered token positions| per doc, WITHOUT materializing
+    positions: shared windows fold as sorted intervals ([pos, pos+W)),
+    new coverage per window = max(0, (p+W) − max(p, running_end)).
+    Bit-identical count to ``_ss_covered(...).groupBy(doc).count()``
+    (integer arithmetic, pinned in tests), but the exchange carries ONE
+    row per shared window instead of W position rows + a distinct —
+    r14 probe: the duplicate-saturated 10× corpus dropped from 469 MB
+    to ~97 MB total shuffle (the ×8 explode + distinct were 80% of
+    bytes). This is the span family's scale path: shuffle stays
+    proportional to DUPLICATED windows, never to W× positions."""
+    w = _SSW
+    fold = F.expr(
+        "aggregate(ps, named_struct('cov', 0L, 'e', 0L), "
+        f"(a, p) -> named_struct("
+        f"'cov', a.cov + greatest(0L, p + {w}L - greatest(p, a.e)), "
+        f"'e', greatest(a.e, p + {w}L)), "
+        "a -> a.cov)"
+    )
+    return (
+        win.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .select("doc_id", fold.cast("long").alias(alias))
+    )
+
+
 def _ss_tail(base, win, shared):
     """Coverage pricing shared by the batch op and its streaming twin:
     union of token positions covered by a shared window, per doc."""
-    dup = _ss_covered(win, shared).groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("dup_tokens")
-    )
+    dup = _ss_covered_counts(win, shared, alias="dup_tokens")
     out = base.select("doc_id", "n_tokens").join(dup, "doc_id", "left")
     return out.select(
         "doc_id",
@@ -1677,11 +1703,7 @@ def decontaminate_train_spans(spark, sf_dir):
     is_train = hash_bucket(F.col("doc_id"), _DECON_SEED) < _DECON_TRAIN
     eval_hashes = win.filter(~is_train).select("h").distinct()
     train_win = win.filter(is_train)
-    dup = (
-        _ss_covered(train_win, eval_hashes)
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("contam_tokens"))
-    )
+    dup = _ss_covered_counts(train_win, eval_hashes, alias="contam_tokens")
     out = (
         base.filter(is_train)
         .select("doc_id", "n_tokens")

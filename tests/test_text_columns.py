@@ -434,6 +434,43 @@ def test_substring_spans_match_pure_python(spark, tmp_path):
     assert want[3][1] == 0 and want[4][1] == 0
 
 
+def test_covered_counts_fold_equals_explode_distinct(spark):
+    """The interval-union fold (_ss_covered_counts — r14 scale path: no
+    ×8 position explode, no distinct) is bit-identical to counting the
+    materialized positions, across overlap chains, adjacency, disjoint
+    spans and within-doc repetition."""
+    from scip_spark.functions.dedup_queries import (
+        _ss_covered,
+        _ss_covered_counts,
+        _ss_shared,
+        _ss_windows,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    shared_run = "a b c d e f g h i j k l"          # 12-token shared run
+    rows.append((0, "x1 x2 " + shared_run + " y1 y2"))
+    rows.append((1, shared_run + " z1 z2 z3 " + shared_run))  # two spans, one doc
+    rows.append((2, ("rep tok one two three four five six " * 4).strip()))
+    rows.append((3, " ".join(f"u{i}" for i in range(40))))     # clean
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base, win = _ss_windows(docs)
+    shared = _ss_shared(win)
+    a = {
+        r["doc_id"]: r["n"]
+        for r in _ss_covered(win, shared)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    b = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in _ss_covered_counts(win, shared).collect()
+    }
+    assert a == b and a  # non-empty and identical
+    assert 3 not in a    # clean doc contributes nothing
+
+
 def test_substring_clean_consistent_with_spans(spark, tmp_path):
     """The apply step must excise exactly the spans the report op
     counts (n_tokens - n_kept == dup_tokens per doc), and the cleaned
