@@ -176,6 +176,10 @@ _ANN_PINNED: dict[str, dict[int, int]] = {
         -1609633136864: 50, 1190061827648: 50, 1683148066696: 50},
     "ann_ivfsq8_topk": {
         -1609633136864: 46, 1190061827648: 46, 1683148066696: 40},
+    # graph ANN (r14): ≥ the IVF-PQ pins (46/48/39) on every corpus at
+    # the same per-query candidate budget — the VERDICT r13 #8 gate
+    "ann_graph_topk": {
+        -1609633136864: 47, 1190061827648: 49, 1683148066696: 40},
 }
 
 #: the 2^40 fixed-point grid of the corpus fingerprint (floor + power-
@@ -619,6 +623,29 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
 
     emb = tbl(spark, sf_dir, "embeddings")
     return lsh_multiprobe_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "ann_graph_topk",
+    _recall_sql("ann_graph_topk"),
+    doc="graph ANN (VERDICT r13 #8 — the HNSW/NSW family): a bounded-"
+    "degree navigable neighbor graph built from the banded sign-LSH "
+    "candidate join (degree-capped per node, never all-pairs), searched "
+    "by greedy beam expansion from fixed smallest-id entry points — "
+    "~n_entry + hops*beam*degree = 264 exact distances per query, the "
+    "same candidate budget as the IVF-PQ entry's rerank shortlist. "
+    "Deterministic end to end (md5 planes, id tie-breaks), verified "
+    "via the EXACT-recall pin (see ann_ivf_topk) with the 0.6 floor as "
+    "the unknown-corpus fallback.",
+)
+def ann_graph_topk(spark, sf_dir):
+    from scip_spark.functions.similarity import graph_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = graph_topk(q, emb, k=5).select("q_id", "c_id")
+    exact = brute_force_topk(q, emb, k=5).select("q_id", "c_id")
+    return _recall_agg(exact, approx, emb, 0.6, "ann_graph_topk")
 
 
 _FXP = 2**40  # fixed-point grid: double*2^40 floor'd — exact in any engine

@@ -450,7 +450,8 @@ def test_ann_recall_pinned_exactly_per_corpus(spark):
     are exercised by the driver / check_oracle runs) and fails on any
     silent assignment regression that a >= floor check would pass.
     Measured 2026-08-15 (tools/pin_ann_recall.py): ivf 46/50,
-    pq 50/50, ivfpq 46/50, residual 47/50, opq 50/50, ivfsq8 46/50."""
+    pq 50/50, ivfpq 46/50, residual 47/50, opq 50/50, ivfsq8 46/50;
+    graph (r14) 47/50."""
     import scip_spark.entry_queries  # noqa: F401
     import scip_spark.functions.similarity_queries as sq
     from scip_spark.queries import REGISTRY
@@ -466,6 +467,29 @@ def test_ann_recall_pinned_exactly_per_corpus(spark):
             assert row["recall_ok"], name
     finally:
         sq._ANN_PIN_MEASURE = old
+
+
+def test_graph_ann_recall_and_degree_bound(spark):
+    """VERDICT r13 #8 gate: the graph-ANN entry's pinned recall beats
+    the IVF-PQ pins on EVERY corpus fingerprint, and the navigable
+    graph respects its degree bound (n_sim + n_rand out-edges max)."""
+    import scip_spark.functions.similarity_queries as sq
+    from scip_spark.functions.similarity import neighbor_graph
+
+    ivfpq = sq._ANN_PINNED["ann_ivfpq_topk"]
+    graph = sq._ANN_PINNED["ann_graph_topk"]
+    assert set(graph) == set(ivfpq)
+    for fp, hits in graph.items():
+        assert hits >= ivfpq[fp], (fp, hits, ivfpq[fp])
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    g = neighbor_graph(emb, n_sim=10, n_rand=6)
+    deg = g.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert deg <= 16
+    # deterministic rebuild: identical edge set
+    e1 = {(r.src, r.dst) for r in g.collect()}
+    e2 = {(r.src, r.dst) for r in neighbor_graph(emb, n_sim=10, n_rand=6).collect()}
+    assert e1 == e2
 
 
 def test_kcenter_coreset_matches_numpy_reference(spark):

@@ -27,6 +27,7 @@ ENTRIES = [
     "ann_ivfpq_residual_topk",
     "ann_opq_topk",
     "ann_ivfsq8_topk",
+    "ann_graph_topk",
 ]
 
 DEFAULT_SFS = [
