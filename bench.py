@@ -89,6 +89,9 @@ HEADLINE = [
     # r13 addition: the round's heaviest new operator at the 1x probe
     # (dedup_substring_spans 2.7 s)
     "dedup_substring_spans",
+    # r14 addition: the round's heaviest new operator (graph build +
+    # kcenter entries + iterative beam = ~30 small jobs; 12.3 s at sf0.1)
+    "ann_graph_topk",
 ]
 
 #: headline-list changes by round — totals across a change are not
@@ -97,7 +100,7 @@ HEADLINE = [
 #: in r13 — they add fixed wall to the process and pre-warm JVM/codegen
 #: relative to r12-and-earlier "passes" arrays; compare first-pass
 #: values across that boundary with this in mind.
-HEADLINE_CHANGES = "r13: +dedup_substring_spans, +pre-loop probes (JVM pre-warm); r14: imaging_pipeline_e2e fused plan"
+HEADLINE_CHANGES = "r13: +dedup_substring_spans, +pre-loop probes (JVM pre-warm); r14: imaging_pipeline_e2e fused plan, +ann_graph_topk"
 
 # heavyweight end-to-end pipelines: one timed pass only (their runtime
 # dwarfs the box's noise band, and a second 100-s pass would double the

@@ -1301,12 +1301,18 @@ def graph_topk(
             .select("q_id", "q_emb", "c_id", "sim", "exp")
         )
 
+    # each hop references `state` twice (frontier + carried beam), so an
+    # unchecked lineage re-derives the whole graph build 2^hops times;
+    # the state is (n_queries·beam) rows — checkpointing it per hop is
+    # bytes, not work, and the checkpoint is value-invariant (the search
+    # is deterministic). The graph relation is reused every hop: persist.
+    graph = graph.persist()
     state = top(
         score(entries.select("c_id").crossJoin(F.broadcast(q))).withColumn(
             "exp", F.lit(False)
         ),
         beam,
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(hops):
         frontier = state.filter(~F.col("exp"))
         expand = (
@@ -1319,10 +1325,13 @@ def graph_topk(
                 score(expand).withColumn("exp", F.lit(False))
             ),
             beam,
-        )
-    return (
+        ).localCheckpoint(eager=True)
+    out = (
         state.filter(F.col("c_id") != F.col("q_id"))
         .withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "sim")
+        .localCheckpoint(eager=True)
     )
+    graph.unpersist()
+    return out
