@@ -69,22 +69,20 @@ _DRIVER_CHECKED = {
     "corpus_training_order", "corpus_weighted_sample",
     "correlated_scalar_subquery", "correlation_pricing", "cosine_topk",
     "cube_returnflag_linestatus", "cusum_revenue_shift",
-    "datetime_functions", "decontaminate_train_spans",
-    "dedup_cluster_sizes", "dedup_connected_components",
-    "dedup_containment_pairs", "dedup_editdistance_pairs",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_incremental",
-    "dedup_keep_best_quality", "dedup_lsh_pairs", "dedup_lsh_pairs_skew",
-    "dedup_method_agreement", "dedup_minhash_signatures",
-    "dedup_ngram_jaccard", "dedup_rate_by_source", "dedup_semantic_keep",
-    "dedup_setsim_join", "dedup_simhash", "dedup_substring_clean",
-    "dedup_substring_spans", "dedup_substring_spans_stream",
-    "dedup_triangle_count", "distinct_groups", "doc_fingerprint",
-    "dp_randomized_response", "dsir_importance_weights",
-    "dsir_importance_weights_stream", "dyadic_hist_price_quantiles",
-    "dyadic_stream_price_quantiles", "embedding_centroid_drift",
-    "embedding_covariance_fp", "embedding_doc_consistency",
-    "embedding_jl_projection", "embedding_semantic_keep",
-    "embedding_sq8_checksum", "embedding_stats",
+    "datetime_functions", "dedup_cluster_sizes",
+    "dedup_connected_components", "dedup_containment_pairs",
+    "dedup_editdistance_pairs", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_incremental", "dedup_keep_best_quality", "dedup_lsh_pairs",
+    "dedup_lsh_pairs_skew", "dedup_method_agreement",
+    "dedup_minhash_signatures", "dedup_ngram_jaccard",
+    "dedup_rate_by_source", "dedup_semantic_keep", "dedup_setsim_join",
+    "dedup_simhash", "dedup_substring_clean", "dedup_triangle_count",
+    "distinct_groups", "doc_fingerprint", "dp_randomized_response",
+    "dsir_importance_weights", "dsir_importance_weights_stream",
+    "dyadic_hist_price_quantiles", "dyadic_stream_price_quantiles",
+    "embedding_centroid_drift", "embedding_covariance_fp",
+    "embedding_doc_consistency", "embedding_jl_projection",
+    "embedding_semantic_keep", "embedding_sq8_checksum", "embedding_stats",
     "entity_resolution_customers", "event_transition_matrix",
     "ewma_anomaly_days", "ewma_anomaly_days_stream", "explode_tokens",
     "feature_hash_docs", "fk_integrity_audit", "frequent_item_pairs",
@@ -92,10 +90,9 @@ _DRIVER_CHECKED = {
     "gapfill_monthly_revenue", "global_stats", "group_minmax_normalize",
     "grouping_sets_revenue", "heavy_hitter_tokens",
     "higher_moments_by_flag", "hilbert_key_lineitem", "hll_distinct_users",
-    "hybrid_search_rrf", "imaging_pipeline_e2e", "interval_overlap_orders",
-    "join_size_estimate", "json_extract_events", "key_skew_profile",
-    "keyed_branch_concat", "kll_quantile_prices",
-    "kll_quantiles_by_priority", "kmeans_embeddings",
+    "hybrid_search_rrf", "interval_overlap_orders", "join_size_estimate",
+    "json_extract_events", "key_skew_profile", "keyed_branch_concat",
+    "kll_quantile_prices", "kll_quantiles_by_priority", "kmeans_embeddings",
     "kmv_difference_estimate", "kmv_distinct_by_priority",
     "kmv_intersection_estimate", "kmv_stream_distinct_by_priority",
     "kmv_union_estimate", "kn_surprisal_scores",
@@ -173,52 +170,51 @@ _LAST_GREEN_ROUND = {
     "corpus_weighted_sample": 9, "correlated_scalar_subquery": 11,
     "correlation_pricing": 11, "cosine_topk": 12,
     "cube_returnflag_linestatus": 9, "cusum_revenue_shift": 11,
-    "datetime_functions": 11, "decontaminate_train_spans": 13,
-    "dedup_cluster_sizes": 9, "dedup_connected_components": 12,
-    "dedup_containment_pairs": 9, "dedup_editdistance_pairs": 12,
-    "dedup_embedding_cosine": 12, "dedup_exact": 12, "dedup_incremental": 9,
-    "dedup_keep_best_quality": 12, "dedup_lsh_pairs": 12,
-    "dedup_lsh_pairs_skew": 12, "dedup_method_agreement": 11,
-    "dedup_minhash_signatures": 13, "dedup_ngram_jaccard": 13,
-    "dedup_rate_by_source": 12, "dedup_semantic_keep": 9,
-    "dedup_setsim_join": 9, "dedup_simhash": 13, "dedup_substring_clean":
-    13, "dedup_substring_spans": 13, "dedup_substring_spans_stream": 13,
-    "dedup_triangle_count": 9, "distinct_groups": 9, "doc_fingerprint": 13,
-    "dp_randomized_response": 13, "dsir_importance_weights": 11,
-    "dsir_importance_weights_stream": 11, "dyadic_hist_price_quantiles": 9,
-    "dyadic_stream_price_quantiles": 9, "embedding_centroid_drift": 9,
-    "embedding_covariance_fp": 12, "embedding_doc_consistency": 9,
-    "embedding_jl_projection": 12, "embedding_semantic_keep": 13,
-    "embedding_sq8_checksum": 10, "embedding_stats": 13,
-    "entity_resolution_customers": 9, "event_transition_matrix": 9,
-    "ewma_anomaly_days": 12, "ewma_anomaly_days_stream": 12,
-    "explode_tokens": 9, "feature_hash_docs": 10, "fk_integrity_audit": 9,
-    "frequent_item_pairs": 11, "full_outer_join_balance": 11,
-    "funnel_conversion": 10, "gapfill_monthly_revenue": 11, "global_stats":
-    10, "group_minmax_normalize": 10, "grouping_sets_revenue": 10,
+    "datetime_functions": 11, "dedup_cluster_sizes": 9,
+    "dedup_connected_components": 12, "dedup_containment_pairs": 9,
+    "dedup_editdistance_pairs": 12, "dedup_embedding_cosine": 12,
+    "dedup_exact": 12, "dedup_incremental": 9, "dedup_keep_best_quality":
+    12, "dedup_lsh_pairs": 12, "dedup_lsh_pairs_skew": 12,
+    "dedup_method_agreement": 11, "dedup_minhash_signatures": 13,
+    "dedup_ngram_jaccard": 13, "dedup_rate_by_source": 12,
+    "dedup_semantic_keep": 9, "dedup_setsim_join": 9, "dedup_simhash": 13,
+    "dedup_substring_clean": 13, "dedup_triangle_count": 9,
+    "distinct_groups": 9, "doc_fingerprint": 13, "dp_randomized_response":
+    13, "dsir_importance_weights": 11, "dsir_importance_weights_stream": 11,
+    "dyadic_hist_price_quantiles": 9, "dyadic_stream_price_quantiles": 9,
+    "embedding_centroid_drift": 9, "embedding_covariance_fp": 12,
+    "embedding_doc_consistency": 9, "embedding_jl_projection": 12,
+    "embedding_semantic_keep": 13, "embedding_sq8_checksum": 10,
+    "embedding_stats": 13, "entity_resolution_customers": 9,
+    "event_transition_matrix": 9, "ewma_anomaly_days": 12,
+    "ewma_anomaly_days_stream": 12, "explode_tokens": 9,
+    "feature_hash_docs": 10, "fk_integrity_audit": 9, "frequent_item_pairs":
+    11, "full_outer_join_balance": 11, "funnel_conversion": 10,
+    "gapfill_monthly_revenue": 11, "global_stats": 10,
+    "group_minmax_normalize": 10, "grouping_sets_revenue": 10,
     "heavy_hitter_tokens": 13, "higher_moments_by_flag": 11,
     "hilbert_key_lineitem": 11, "hll_distinct_users": 13,
-    "hybrid_search_rrf": 10, "imaging_pipeline_e2e": 13,
-    "interval_overlap_orders": 11, "join_size_estimate": 9,
-    "json_extract_events": 10, "key_skew_profile": 9, "keyed_branch_concat":
-    10, "kll_quantile_prices": 9, "kll_quantiles_by_priority": 9,
-    "kmeans_embeddings": 13, "kmv_difference_estimate": 13,
-    "kmv_distinct_by_priority": 13, "kmv_intersection_estimate": 13,
-    "kmv_stream_distinct_by_priority": 9, "kmv_union_estimate": 13,
-    "kn_surprisal_scores": 11, "kn_surprisal_scores_stream": 11,
-    "knn_graph_mutual": 13, "l_diversity_audit": 11, "lang_id_heuristic":
-    13, "lateral_topk_orders": 11, "lsh_scurve_design": 9, "mad_by_flag":
-    11, "map_explode_props": 11, "masked_extent_by_group": 13,
-    "math_functions": 11, "mean_tensor_by_group": 13,
-    "median_price_by_flag": 10, "merge_upsert_emulation": 10,
-    "mmr_diversified_topk": 13, "model_quality_scores": 10,
-    "monthly_order_rollup": 10, "moving_median_revenue": 11,
-    "multimodal_meta": 10, "numeric_profile_lineitem": 9,
-    "order_gaps_ntile": 10, "order_seasonality": 11, "pagerank_suppliers":
-    13, "phrase_search_docs": 10, "pii_luhn_audit": 13,
-    "pii_scrub_customers": 11, "pit_join_lineitem_scd2": 11,
-    "pivot_channels": 10, "pseudonymize_events": 11, "q10_returned_items":
-    11, "q11_important_stock": 13, "q12_priority_shipping": 11,
+    "hybrid_search_rrf": 10, "interval_overlap_orders": 11,
+    "join_size_estimate": 9, "json_extract_events": 10, "key_skew_profile":
+    9, "keyed_branch_concat": 10, "kll_quantile_prices": 9,
+    "kll_quantiles_by_priority": 9, "kmeans_embeddings": 13,
+    "kmv_difference_estimate": 13, "kmv_distinct_by_priority": 13,
+    "kmv_intersection_estimate": 13, "kmv_stream_distinct_by_priority": 9,
+    "kmv_union_estimate": 13, "kn_surprisal_scores": 11,
+    "kn_surprisal_scores_stream": 11, "knn_graph_mutual": 13,
+    "l_diversity_audit": 11, "lang_id_heuristic": 13, "lateral_topk_orders":
+    11, "lsh_scurve_design": 9, "mad_by_flag": 11, "map_explode_props": 11,
+    "masked_extent_by_group": 13, "math_functions": 11,
+    "mean_tensor_by_group": 13, "median_price_by_flag": 10,
+    "merge_upsert_emulation": 10, "mmr_diversified_topk": 13,
+    "model_quality_scores": 10, "monthly_order_rollup": 10,
+    "moving_median_revenue": 11, "multimodal_meta": 10,
+    "numeric_profile_lineitem": 9, "order_gaps_ntile": 10,
+    "order_seasonality": 11, "pagerank_suppliers": 13, "phrase_search_docs":
+    10, "pii_luhn_audit": 13, "pii_scrub_customers": 11,
+    "pit_join_lineitem_scd2": 11, "pivot_channels": 10,
+    "pseudonymize_events": 11, "q10_returned_items": 11,
+    "q11_important_stock": 13, "q12_priority_shipping": 11,
     "q13_customer_distribution": 11, "q14_promo_effect": 11,
     "q15_top_supplier": 11, "q16_parts_supplier": 11,
     "q17_small_quantity_avg": 11, "q18_large_volume_customer": 11,

@@ -356,6 +356,14 @@ def main() -> None:
     if len(line) > 1900:
         compact.pop("headline_changes", None)
         line = json.dumps(compact, separators=(",", ":"))
+    # terminal guard (r14 review): headline growth must never silently
+    # reintroduce the tail truncation — drop the FASTEST queries (the
+    # slowest carry the perf signal) until the line fits, and say so
+    while len(line) > 1900 and compact["queries"]:
+        keep = sorted(compact["queries"], key=compact["queries"].get)[1:]
+        compact["queries"] = {n: compact["queries"][n] for n in keep}
+        compact["queries_omitted"] = len(timings) - len(keep)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -629,14 +629,16 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
     "ann_graph_topk",
     _recall_sql("ann_graph_topk"),
     doc="graph ANN (VERDICT r13 #8 — the HNSW/NSW family): a bounded-"
-    "degree navigable neighbor graph built from the banded sign-LSH "
-    "candidate join (degree-capped per node, never all-pairs), searched "
-    "by greedy beam expansion from fixed smallest-id entry points — "
-    "~n_entry + hops*beam*degree = 264 exact distances per query, the "
-    "same candidate budget as the IVF-PQ entry's rerank shortlist. "
-    "Deterministic end to end (md5 planes, id tie-breaks), verified "
-    "via the EXACT-recall pin (see ann_ivf_topk) with the 0.6 floor as "
-    "the unknown-corpus fallback.",
+    "degree navigable small-world graph (10 best LSH-candidate edges + "
+    "6 md5-ordered long links per node, never all-pairs), searched by "
+    "frontier beam expansion from deterministic k-center entry points — "
+    "n_entry + hops*beam*(n_sim+n_rand) = 8 + 4*10*16 = 648 exact "
+    "distances per query, the same order as the IVF-PQ entry's total "
+    "per-query work (rerank=200 exact + ADC over ~a quarter of the "
+    "corpus), and corpus-size-independent. Pinned recall 47/49/40 vs "
+    "IVF-PQ's 46/48/39. Deterministic end to end (md5 planes and "
+    "links, id tie-breaks), verified via the EXACT-recall pin (see "
+    "ann_ivf_topk) with the 0.6 floor as the unknown-corpus fallback.",
 )
 def ann_graph_topk(spark, sf_dir):
     from scip_spark.functions.similarity import graph_topk

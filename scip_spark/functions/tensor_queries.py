@@ -88,21 +88,16 @@ def _zarr_fixture_sql() -> str:
     import json
     from pathlib import Path
 
+    from scip_spark.queries import literal_values_sql
+
     p = Path(__file__).resolve().parents[1] / "fixtures" / "zarr_expected.json"
     rows = json.loads(p.read_text())["rows"]
-    cols = list(rows[0].keys())
-    casts = {"plate": None, "well": None, "zarr_idx": "INTEGER",
-             "object_number": "INTEGER", "c": "INTEGER", "h": "INTEGER",
-             "w": "INTEGER", "px_sum_fp": "BIGINT"}
-    lits = []
-    for r in rows:
-        cells = []
-        for c in cols:
-            v = r[c]
-            cells.append(f"'{v}'" if casts[c] is None else f"CAST({v} AS {casts[c]})")
-        lits.append("(" + ", ".join(cells) + ")")
-    quoted = ", ".join(f'"{c}"' for c in cols)
-    return f"SELECT * FROM (VALUES {', '.join(lits)}) AS t({quoted})"
+    return literal_values_sql(
+        rows,
+        {"plate": None, "well": None, "zarr_idx": "INTEGER",
+         "object_number": "INTEGER", "c": "INTEGER", "h": "INTEGER",
+         "w": "INTEGER", "px_sum_fp": "BIGINT"},
+    )
 
 
 @register(

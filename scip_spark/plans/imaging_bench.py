@@ -208,18 +208,12 @@ def _checksum_oracle_sql() -> str:
     import json
     from pathlib import Path
 
+    from scip_spark.queries import literal_values_sql
+
     p = Path(__file__).resolve().parents[1] / "golden" / "imaging_pipeline_e2e_sf0.01.json"
     rows = json.loads(p.read_text())["rows"]
-    cols = list(rows[0].keys())
-    quoted = ", ".join(f'"{c}"' for c in cols)
-    lits = []
-    for r in rows:
-        cells = []
-        for c in cols:
-            v = r[c]
-            cells.append(f"'{v}'" if isinstance(v, str) else f"CAST({v} AS BIGINT)")
-        lits.append("(" + ", ".join(cells) + ")")
-    return f"SELECT * FROM (VALUES {', '.join(lits)}) AS t({quoted})"
+    casts = {c: (None if c == "group" else "BIGINT") for c in rows[0]}
+    return literal_values_sql(rows, casts)
 
 
 @register(

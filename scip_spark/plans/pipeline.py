@@ -281,7 +281,10 @@ def build(
         df = df.orderBy(F.rand(seed)).limit(n)
 
     mask_cfg = cfg.get("mask", {"methods": []})
-    methods = mask_cfg.get("methods", [])
+    # duplicate method names collapse (the legacy branches dict did this
+    # implicitly; the fused schema would otherwise carry duplicate
+    # suffixed columns and fail with AMBIGUOUS_REFERENCE)
+    methods = list(dict.fromkeys(mask_cfg.get("methods", [])))
     if (
         len(methods) > 1
         and "feature_extraction" in cfg

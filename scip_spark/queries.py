@@ -107,6 +107,27 @@ def dsum(col, dectype=DEC):
     return F.sum(F.col(col).cast(dectype) if isinstance(col, str) else col.cast(dectype))
 
 
+def literal_values_sql(rows: list[dict], casts: dict[str, Optional[str]]) -> str:
+    """DuckDB oracle for a fixture-pinned query: a literal VALUES table
+    from committed expected rows. ``casts`` maps every column to a SQL
+    type (``None`` = string literal) — one quoting/casting policy for
+    every fixture oracle (imaging checksum, zarr fixture), so the rules
+    cannot drift between copies."""
+    cols = list(rows[0].keys())
+    missing = [c for c in cols if c not in casts]
+    if missing:
+        raise ValueError(f"no cast policy for columns: {missing}")
+    lits = []
+    for r in rows:
+        cells = []
+        for c in cols:
+            v, t = r[c], casts[c]
+            cells.append(f"'{v}'" if t is None else f"CAST({v} AS {t})")
+        lits.append("(" + ", ".join(cells) + ")")
+    quoted = ", ".join(f'"{c}"' for c in cols)
+    return f"SELECT * FROM (VALUES {', '.join(lits)}) AS t({quoted})"
+
+
 # ---------------------------------------------------------------------------
 # A1/A2-style keyed partial+final aggregation — TPC-H Q1 shape.
 # Mirrors the reference's foldby partial/combine aggregation

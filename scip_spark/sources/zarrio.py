@@ -29,11 +29,24 @@ zarr-based fetch (documented fail-fast).
 
 from __future__ import annotations
 
+import functools
 import itertools
 import json
 import os
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _store_json(path: str) -> dict:
+    """Parsed .zattrs/.zarray, cached per worker process: the reference
+    single-array layout fetches every record through the SAME store, and
+    an uncached read would re-parse the R-element shapes attribute per
+    record — O(R²) metadata work per store (r14 review). Stores are
+    immutable inputs; writers in this module do not rewrite existing
+    metadata files in place."""
+    with open(path) as f:
+        return json.load(f)
 
 
 def write_array(path: str, arr: np.ndarray, chunks: tuple[int, ...] | None = None) -> None:
@@ -74,8 +87,7 @@ def write_array(path: str, arr: np.ndarray, chunks: tuple[int, ...] | None = Non
 
 def read_array(path: str) -> np.ndarray:
     """Read an uncompressed zarr v2 array directory back as ndarray."""
-    with open(os.path.join(path, ".zarray")) as f:
-        meta = json.load(f)
+    meta = _store_json(os.path.join(path, ".zarray"))
     if meta.get("compressor") is not None or meta.get("filters"):
         raise ValueError(f"compressed zarr store needs the zarr package: {path}")
     if meta.get("order", "C") != "C":
@@ -140,8 +152,7 @@ def group_member_shapes(path: str) -> list[list[int]]:
     driver-side metadata read feeding zarr_meta (S6). Accepts the
     engine group layout (``shapes``) and the reference single-array
     layout (``shape`` — reference zarr.py:89-104)."""
-    with open(os.path.join(path, ".zattrs")) as f:
-        attrs = json.load(f)
+    attrs = _store_json(os.path.join(path, ".zattrs"))
     if "shapes" in attrs:
         return attrs["shapes"]
     if "shape" in attrs:
@@ -152,8 +163,7 @@ def group_member_shapes(path: str) -> list[list[int]]:
 def _read_array_row(path: str, idx: int) -> np.ndarray:
     """Row ``idx`` of a C-order array store, reading ONLY the chunk
     files that intersect that row (first-axis chunk pruned)."""
-    with open(os.path.join(path, ".zarray")) as f:
-        meta = json.load(f)
+    meta = _store_json(os.path.join(path, ".zarray"))
     if meta.get("compressor") is not None or meta.get("filters"):
         raise ValueError(f"compressed zarr store needs the zarr package: {path}")
     shape, chunks = tuple(meta["shape"]), tuple(meta["chunks"])

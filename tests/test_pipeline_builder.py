@@ -101,6 +101,24 @@ def test_build_caches_handle_releases_persisted_relations(spark, full_events_df)
     caches.unpersist(blocking=True)
 
 
+def test_duplicate_mask_methods_collapse(full_events_df):
+    """r14 review: duplicate method names must collapse (the legacy
+    branches dict did this implicitly; the fused schema would otherwise
+    carry duplicate suffixed columns and fail AMBIGUOUS_REFERENCE)."""
+    out = build(
+        full_events_df,
+        {
+            "mask": {"methods": ["circle", "circle", "otsu"]},
+            "filter": {"channel": 0},
+            "feature_extraction": {"nchannels": 3, "families": ["bbox"]},
+        },
+    ).toPandas()
+    assert len(out) == 10
+    assert any(c.startswith("feat_circle_") for c in out.columns)
+    assert any(c.startswith("feat_otsu_") for c in out.columns)
+    assert len(set(out.columns)) == len(out.columns)
+
+
 def test_fused_equals_legacy_branch_plan(full_events_df):
     """The fused single-pass multi-branch plan (r13 verdict #2) is
     bit-identical to the legacy branch-and-join plan on the full config

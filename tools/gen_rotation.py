@@ -22,6 +22,22 @@ import textwrap
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENTRY = os.path.join(REPO, "__spark_entry__.py")
 
+#: queries whose IMPLEMENTATION was materially rewritten (r14 review):
+#: a green stamp earned by the OLD code must not push the rewritten
+#: path to the back of the verification queue. Maps name -> the round
+#: the rewrite landed in; a green stamp from an EARLIER round is
+#: discarded (the entry then sorts with the never-verified, first), and
+#: the override expires automatically once the driver re-greens the
+#: new code at or after the rewrite round.
+REWRITTEN: dict[str, int] = {
+    # r14 rewrites: fused multi-branch imaging plan; interval-union
+    # span coverage fold (shared by the whole substring-span family)
+    "imaging_pipeline_e2e": 14,
+    "dedup_substring_spans": 14,
+    "dedup_substring_spans_stream": 14,
+    "decontaminate_train_spans": 14,
+}
+
 
 def green_rounds() -> dict[str, int]:
     last: dict[str, int] = {}
@@ -85,6 +101,12 @@ def render(last: dict[str, int]) -> str:
 
 def main() -> None:
     last = green_rounds()
+    dropped = [
+        n for n, rewrite_rnd in REWRITTEN.items()
+        if last.get(n, 0) < rewrite_rnd and last.pop(n, None) is not None
+    ]
+    if dropped:
+        print(f"forcing re-verification (rewritten): {sorted(dropped)}")
     src = open(ENTRY).read()
     begin, end = "# --- GEN:rotation begin ---", "# --- GEN:rotation end ---"
     block = f"{begin}\n{render(last)}\n{end}"
