@@ -117,7 +117,17 @@ def main() -> None:
         drop = [c for c in b.columns if c in a.columns and c not in keys]
         return a.join(b.drop(*drop), on=keys, how="inner")
 
-    run("full 2-branch + join", both)
+    run("full 2-branch + join (legacy)", both)
+
+    def fused(caches):
+        from scip_spark.plans.imaging_bench import PIPELINE_CONFIG
+        from scip_spark.plans.pipeline import build
+
+        cfg = dict(PIPELINE_CONFIG)
+        cfg["feature_extraction"] = {"nchannels": NCHANNELS, "families": families}
+        return build(synthetic_images(spark, n), cfg, caches=caches)
+
+    run("full 2-branch FUSED (r14 default)", fused)
 
 
 if __name__ == "__main__":
