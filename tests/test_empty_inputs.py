@@ -340,3 +340,26 @@ def test_empty_inputs_round13_ops(spark, tmp_path):
     rows = REGISTRY["benford_first_digit_audit"].fn(spark, sf).collect()
     assert len(rows) == 9
     assert all(r["n_obs"] == 0 and r["exp_cnt_fp"] == 0 for r in rows)
+
+
+def test_empty_inputs_round14_ops(spark):
+    """r14 ops: the graph-ANN build/search and the FUSED multi-branch
+    pipeline must survive relations a filter emptied (kcenter finds no
+    seed -> no entry points -> empty beam; the fused stats agg sees
+    mu=None and skips the soft delete)."""
+    from scip_spark.functions.similarity import graph_topk, neighbor_graph
+    from scip_spark.plans.imaging_bench import (
+        NCHANNELS,
+        PIPELINE_CONFIG,
+        synthetic_images,
+    )
+    from scip_spark.plans.pipeline import build
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert neighbor_graph(emb).count() == 0
+    assert graph_topk(emb, emb, k=5).count() == 0
+
+    cfg = dict(PIPELINE_CONFIG)
+    cfg["feature_extraction"] = {"nchannels": NCHANNELS, "families": ["bbox"]}
+    src = synthetic_images(spark, 100).filter(F.lit(False))
+    assert build(src, cfg).count() == 0
