@@ -4,21 +4,29 @@ The container has no tifffile/aicsimageio, so until r13 the S4/S5 pixel
 paths (reference test/loading/test_tiff.py:6-21 reads actual files)
 only ever ran against injected fakes — a byte-order or frame-seek bug
 in a real deployment would have passed every test. This module is a
-REAL decoder for the uncompressed single-sample subset of TIFF 6.0
+REAL decoder for the single-sample subset of TIFF 6.0
 (both byte orders, uint8/16/32 + int8/16/32 + float32/64, multi-strip,
-multi-frame IFD chains), small enough to audit, used as the default
-`reader=` for `attach_pixels` when tifffile is absent. Production
-deployments with exotic TIFFs (compression, tiles, RGB) inject
-`tifffile.imread` exactly as before.
+multi-frame IFD chains, and — since r14 — strip compression: Deflate
+(codes 8/32946, via stdlib zlib — the externally-validated codec),
+PackBits (32773, pinned to the canonical Apple TN1023 vector) and TIFF
+LZW (5: MSB-first variable 9→12-bit codes with the spec's early-change
+rule; decode pinned to a hand-derived bit-level vector, encode/decode
+round-trip property-swept) plus the horizontal-differencing predictor
+(tag 317 = 2) for integer samples. Small enough to audit, used as the
+default `reader=` for `attach_pixels` when tifffile is absent.
+Production deployments with still-exotic TIFFs (tiled, JPEG, RGB)
+inject `tifffile.imread` exactly as before.
 
 The encoder exists so tests can round-trip REAL bytes through the
-decode path; it writes one strip per frame, which every TIFF reader
-(including this one) accepts.
+decode path; it writes strip-per-rows_per_strip frames with optional
+compression/predictor, which every TIFF reader (including this one)
+accepts.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -37,9 +45,195 @@ _SAMPLE_FORMAT = 339
 #: TIFF field type -> (struct code, byte size); the subset we emit/read
 _FIELD_TYPES = {3: ("H", 2), 4: ("I", 4)}  # SHORT, LONG
 
+_PREDICTOR = 317
+
 _SAMPLE_FMT_UINT = 1
 _SAMPLE_FMT_INT = 2
 _SAMPLE_FMT_FLOAT = 3
+
+#: compression codes this codec implements (TIFF 6.0 §7 + TTN2 deflate)
+_COMP_NONE = 1
+_COMP_LZW = 5
+_COMP_DEFLATE_ADOBE = 8
+_COMP_PACKBITS = 32773
+_COMP_DEFLATE_OLD = 32946
+_COMPRESSORS = {
+    "none": _COMP_NONE,
+    "lzw": _COMP_LZW,
+    "deflate": _COMP_DEFLATE_ADOBE,
+    "packbits": _COMP_PACKBITS,
+}
+
+
+# ---------------------------------------------------------------------------
+# strip codecs
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9 / TN1023): n in [0,127] = n+1
+    literal bytes follow; n in [-127,-1] = repeat next byte 1-n times;
+    -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if h >= 0:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h != -128:
+            out += data[i : i + 1] * (1 - h)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits encoder: runs of ≥3 become repeats, the rest
+    literal blocks (≤128 either way)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit0 = i
+        while i < n and i - lit0 < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit0 - 1]) + data[lit0:i]
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, codes
+    grow 9→12 bits with the EARLY-CHANGE rule (width bumps when the
+    table reaches 2^width − 1), ClearCode 256 / EOI 257."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    acc = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # stream ended without EOI: tolerate
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt LZW stream (first code >= 256)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder, the exact mirror of :func:`_lzw_decode`
+    (early change on the same table-size boundary; Clear emitted at the
+    spec's 4094-entry limit)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1  # keep exactly the undrained bits
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # pairs the decoder's early-change rule: the decoder's table is
+        # one entry BEHIND the encoder's when it reads each code, so it
+        # bumps at len(table) == 2^width - 1 exactly when the encoder's
+        # table has reached 2^width
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # spec limit: clear and restart
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _decompress_strip(chunk: bytes, comp: int, path: str) -> bytes:
+    if comp == _COMP_NONE:
+        return chunk
+    if comp in (_COMP_DEFLATE_ADOBE, _COMP_DEFLATE_OLD):
+        return zlib.decompress(chunk)
+    if comp == _COMP_PACKBITS:
+        return _packbits_decode(chunk)
+    if comp == _COMP_LZW:
+        return _lzw_decode(chunk)
+    raise ValueError(f"unsupported TIFF compression {comp}: {path}")
+
+
+def _compress_strip(raw: bytes, comp: int) -> bytes:
+    if comp == _COMP_NONE:
+        return raw
+    if comp == _COMP_DEFLATE_ADOBE:
+        return zlib.compress(raw)
+    if comp == _COMP_PACKBITS:
+        return _packbits_encode(raw)
+    if comp == _COMP_LZW:
+        return _lzw_encode(raw)
+    raise ValueError(f"unsupported compression code {comp}")
 
 _FMT_TO_KIND = {_SAMPLE_FMT_UINT: "u", _SAMPLE_FMT_INT: "i", _SAMPLE_FMT_FLOAT: "f"}
 _KIND_TO_FMT = {v: k for k, v in _FMT_TO_KIND.items()}
@@ -67,10 +261,11 @@ def _read_ifd(buf: bytes, off: int, en: str) -> tuple[dict[int, list[int]], int]
 
 
 def read_tiff(path: str) -> np.ndarray:
-    """Decode an uncompressed single-sample TIFF. Returns a 2-D array
-    for single-frame files, a (frames, H, W) stack for multi-frame
-    (frame = IFD, the layout multiframe_tiff_meta expects — reference
-    tiff.py loads frames as channels)."""
+    """Decode a single-sample TIFF (strip compression none/deflate/
+    packbits/lzw; predictor 1/2). Returns a 2-D array for single-frame
+    files, a (frames, H, W) stack for multi-frame (frame = IFD, the
+    layout multiframe_tiff_meta expects — reference tiff.py loads
+    frames as channels)."""
     with open(path, "rb") as f:
         buf = f.read()
     order = buf[:2]
@@ -87,8 +282,14 @@ def read_tiff(path: str) -> np.ndarray:
     frames = []
     while ifd_off:
         tags, ifd_off = _read_ifd(buf, ifd_off, en)
-        if tags.get(_COMPRESSION, [1])[0] != 1:
-            raise ValueError(f"compressed TIFF needs an injected reader: {path}")
+        comp = tags.get(_COMPRESSION, [1])[0]
+        if comp not in (
+            _COMP_NONE, _COMP_LZW, _COMP_DEFLATE_ADOBE,
+            _COMP_DEFLATE_OLD, _COMP_PACKBITS,
+        ):
+            raise ValueError(
+                f"TIFF compression {comp} needs an injected reader: {path}"
+            )
         if tags.get(_SAMPLES_PER_PIXEL, [1])[0] != 1:
             raise ValueError(f"multi-sample TIFF needs an injected reader: {path}")
         width = tags[_IMAGE_WIDTH][0]
@@ -110,17 +311,48 @@ def read_tiff(path: str) -> np.ndarray:
                     f"multi-strip TIFF missing StripByteCounts: {path}"
                 )
             counts = [height * width * dtype.itemsize]
-        raw = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+        rps = tags.get(_ROWS_PER_STRIP, [height])[0]
+        row_bytes = width * dtype.itemsize
+        parts = []
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            chunk = _decompress_strip(buf[o : o + c], comp, path)
+            nrows = min(rps, height - i * rps)
+            # compressed strips may decode with trailing pad; exact or
+            # longer is fine, shorter fails the frombuffer count below
+            parts.append(chunk[: nrows * row_bytes])
+        raw = b"".join(parts)
         frame = np.frombuffer(raw, dtype=dtype, count=height * width)
-        frames.append(frame.reshape(height, width))
+        frame = frame.reshape(height, width)
+        pred = tags.get(_PREDICTOR, [1])[0]
+        if pred == 2:
+            if dtype.kind == "f":
+                raise ValueError(f"predictor 2 on float samples: {path}")
+            # horizontal differencing: rows accumulate left-to-right;
+            # int64 cumsum then cast back = exact modular wraparound
+            frame = np.cumsum(frame.astype(np.int64), axis=1).astype(dtype)
+        elif pred != 1:
+            raise ValueError(f"unsupported TIFF predictor {pred}: {path}")
+        frames.append(frame)
     if not frames:
         raise ValueError(f"TIFF has no IFDs: {path}")
     return frames[0] if len(frames) == 1 else np.stack(frames)
 
 
-def write_tiff(path: str, array: np.ndarray, byteorder: str = "<") -> None:
+def write_tiff(
+    path: str,
+    array: np.ndarray,
+    byteorder: str = "<",
+    compression: str = "none",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> None:
     """Encode a 2-D array (or a (frames, H, W) stack as a multi-frame
-    IFD chain) as an uncompressed single-strip-per-frame TIFF."""
+    IFD chain) as a single-sample TIFF. ``compression`` ∈ {"none",
+    "deflate", "packbits", "lzw"}; ``predictor=2`` applies horizontal
+    differencing (integer dtypes only); ``rows_per_strip`` splits each
+    frame into independently-compressed strips (default: one strip per
+    frame). Layout: header | strip data | IFDs | overflow arrays (strip
+    offset/count lists that don't fit a 4-byte inline value)."""
     arr = np.asarray(array)
     if arr.ndim == 2:
         arr = arr[None]
@@ -128,41 +360,93 @@ def write_tiff(path: str, array: np.ndarray, byteorder: str = "<") -> None:
         raise ValueError(f"need 2-D or 3-D (frames,H,W), got {arr.shape}")
     if arr.dtype.kind not in _KIND_TO_FMT:
         raise ValueError(f"unsupported dtype {arr.dtype}")
+    comp = _COMPRESSORS[compression]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if predictor == 2 and arr.dtype.kind == "f":
+        raise ValueError("predictor 2 requires integer samples")
     en = byteorder
     n_frames, height, width = arr.shape
     dtype = arr.dtype.newbyteorder(en)
-    entries = 10  # tags per IFD, fixed below
+    rps = height if rows_per_strip is None else max(1, int(rows_per_strip))
+
+    frame_strips: list[list[bytes]] = []
+    for i in range(n_frames):
+        a = np.ascontiguousarray(arr[i], dtype=dtype)
+        if predictor == 2:
+            d = a.astype(np.int64)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            a = d.astype(dtype)
+        strips = [
+            _compress_strip(
+                np.ascontiguousarray(a[r0 : r0 + rps]).tobytes(), comp
+            )
+            for r0 in range(0, height, rps)
+        ]
+        frame_strips.append(strips)
+
+    entries = 10 + (1 if predictor == 2 else 0)
     ifd_size = 2 + 12 * entries + 4
     header = 8
-    strip_size = height * width * dtype.itemsize
-    # layout: header | frame strips | IFDs
-    strips_off = [header + i * strip_size for i in range(n_frames)]
-    ifds_off = [header + n_frames * strip_size + i * ifd_size for i in range(n_frames)]
+    data_size = sum(len(s) for strips in frame_strips for s in strips)
+    ifd0 = header + data_size
+    ifds_off = [ifd0 + i * ifd_size for i in range(n_frames)]
+    overflow_off = ifd0 + n_frames * ifd_size
+
+    # strip offsets, frame-major, packed back to back after the header
+    strip_offs: list[list[int]] = []
+    pos = header
+    for strips in frame_strips:
+        offs = []
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        strip_offs.append(offs)
 
     def entry(tag: int, ftype: int, count: int, value: int) -> bytes:
-        code, size = _FIELD_TYPES[ftype]
+        code, _ = _FIELD_TYPES[ftype]
         inline = struct.pack(en + code, value)
         return struct.pack(en + "HHI", tag, ftype, count) + inline.ljust(4, b"\0")
 
+    overflow = bytearray()
+
+    def array_entry(tag: int, values: list[int]) -> bytes:
+        if len(values) == 1:
+            return entry(tag, 4, 1, values[0])
+        ptr = overflow_off + len(overflow)
+        overflow.extend(struct.pack(en + "I" * len(values), *values))
+        return entry(tag, 4, len(values), ptr)  # inline cell = pointer
+
     out = [struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, ifds_off[0])]
+    for strips in frame_strips:
+        out.extend(strips)
+    ifd_blocks = []
     for i in range(n_frames):
-        out.append(np.ascontiguousarray(arr[i], dtype=dtype).tobytes())
-    for i in range(n_frames):
-        tags = b"".join(
-            [
-                entry(_IMAGE_WIDTH, 4, 1, width),
-                entry(_IMAGE_LENGTH, 4, 1, height),
-                entry(_BITS_PER_SAMPLE, 3, 1, dtype.itemsize * 8),
-                entry(_COMPRESSION, 3, 1, 1),
-                entry(_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
-                entry(_STRIP_OFFSETS, 4, 1, strips_off[i]),
-                entry(_SAMPLES_PER_PIXEL, 3, 1, 1),
-                entry(_ROWS_PER_STRIP, 4, 1, height),
-                entry(_STRIP_BYTE_COUNTS, 4, 1, strip_size),
-                entry(_SAMPLE_FORMAT, 3, 1, _KIND_TO_FMT[dtype.kind]),
-            ]
-        )
+        tag_list = [
+            entry(_IMAGE_WIDTH, 4, 1, width),
+            entry(_IMAGE_LENGTH, 4, 1, height),
+            entry(_BITS_PER_SAMPLE, 3, 1, dtype.itemsize * 8),
+            entry(_COMPRESSION, 3, 1, comp),
+            entry(_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
+            array_entry(_STRIP_OFFSETS, strip_offs[i]),
+            entry(_SAMPLES_PER_PIXEL, 3, 1, 1),
+            entry(_ROWS_PER_STRIP, 4, 1, rps),
+            array_entry(
+                _STRIP_BYTE_COUNTS, [len(s) for s in frame_strips[i]]
+            ),
+            entry(_SAMPLE_FORMAT, 3, 1, _KIND_TO_FMT[dtype.kind]),
+        ]
+        if predictor == 2:
+            tag_list.append(entry(_PREDICTOR, 3, 1, 2))
+        # TIFF requires ascending tag order within an IFD
+        tag_list.sort(key=lambda b: struct.unpack_from(en + "H", b)[0])
         nxt = ifds_off[i + 1] if i + 1 < n_frames else 0
-        out.append(struct.pack(en + "H", entries) + tags + struct.pack(en + "I", nxt))
+        ifd_blocks.append(
+            struct.pack(en + "H", entries)
+            + b"".join(tag_list)
+            + struct.pack(en + "I", nxt)
+        )
+    out.extend(ifd_blocks)
+    out.append(bytes(overflow))
     with open(path, "wb") as f:
         f.write(b"".join(out))
