@@ -46,6 +46,10 @@ _SAMPLE_FORMAT = 339
 _FIELD_TYPES = {3: ("H", 2), 4: ("I", 4)}  # SHORT, LONG
 
 _PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
 
 _SAMPLE_FMT_UINT = 1
 _SAMPLE_FMT_INT = 2
@@ -300,6 +304,42 @@ def read_tiff(path: str) -> np.ndarray:
         if kind is None or bits % 8:
             raise ValueError(f"unsupported sample format {fmt}/{bits}: {path}")
         dtype = np.dtype(f"{en}{kind}{bits // 8}")
+        pred = tags.get(_PREDICTOR, [1])[0]
+        if pred not in (1, 2):
+            raise ValueError(f"unsupported TIFF predictor {pred}: {path}")
+        if pred == 2 and kind == "f":
+            raise ValueError(f"predictor 2 on float samples: {path}")
+
+        if _TILE_OFFSETS in tags:
+            # tiled layout (TIFF 6.0 §15): row-major grid of
+            # independently-compressed tw×th blocks, edge tiles padded
+            # to full tile size; the predictor restarts at every tile's
+            # left edge (tiles compress as independent blocks)
+            tw = tags[_TILE_WIDTH][0]
+            th = tags[_TILE_LENGTH][0]
+            t_offs = tags[_TILE_OFFSETS]
+            t_cnts = tags[_TILE_BYTE_COUNTS]
+            across = (width + tw - 1) // tw
+            down = (height + th - 1) // th
+            if len(t_offs) != across * down:
+                raise ValueError(
+                    f"tile count {len(t_offs)} != grid {across}x{down}: {path}"
+                )
+            frame = np.zeros((height, width), dtype=dtype)
+            for ti, (o, c) in enumerate(zip(t_offs, t_cnts)):
+                chunk = _decompress_strip(buf[o : o + c], comp, path)
+                tile = np.frombuffer(chunk, dtype=dtype, count=tw * th)
+                tile = tile.reshape(th, tw)
+                if pred == 2:
+                    tile = np.cumsum(tile.astype(np.int64), axis=1).astype(dtype)
+                r0 = (ti // across) * th
+                c0 = (ti % across) * tw
+                h_eff = min(th, height - r0)
+                w_eff = min(tw, width - c0)
+                frame[r0 : r0 + h_eff, c0 : c0 + w_eff] = tile[:h_eff, :w_eff]
+            frames.append(frame)
+            continue
+
         offsets = tags[_STRIP_OFFSETS]
         counts = tags.get(_STRIP_BYTE_COUNTS)
         if counts is None:
@@ -323,19 +363,23 @@ def read_tiff(path: str) -> np.ndarray:
         raw = b"".join(parts)
         frame = np.frombuffer(raw, dtype=dtype, count=height * width)
         frame = frame.reshape(height, width)
-        pred = tags.get(_PREDICTOR, [1])[0]
         if pred == 2:
-            if dtype.kind == "f":
-                raise ValueError(f"predictor 2 on float samples: {path}")
-            # horizontal differencing: rows accumulate left-to-right;
-            # int64 cumsum then cast back = exact modular wraparound
+            # horizontal differencing: rows accumulate left-to-right
+            # (strip rows are full-width, so frame-level cumsum is the
+            # per-strip result); int64 cumsum then cast back = exact
+            # modular wraparound
             frame = np.cumsum(frame.astype(np.int64), axis=1).astype(dtype)
-        elif pred != 1:
-            raise ValueError(f"unsupported TIFF predictor {pred}: {path}")
         frames.append(frame)
     if not frames:
         raise ValueError(f"TIFF has no IFDs: {path}")
     return frames[0] if len(frames) == 1 else np.stack(frames)
+
+
+def _hdiff(a: np.ndarray, dtype) -> np.ndarray:
+    """Horizontal differencing (predictor 2) with exact modular wrap."""
+    d = a.astype(np.int64)
+    d[:, 1:] = d[:, 1:] - d[:, :-1]
+    return d.astype(dtype)
 
 
 def write_tiff(
@@ -345,14 +389,17 @@ def write_tiff(
     compression: str = "none",
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> None:
     """Encode a 2-D array (or a (frames, H, W) stack as a multi-frame
     IFD chain) as a single-sample TIFF. ``compression`` ∈ {"none",
     "deflate", "packbits", "lzw"}; ``predictor=2`` applies horizontal
     differencing (integer dtypes only); ``rows_per_strip`` splits each
     frame into independently-compressed strips (default: one strip per
-    frame). Layout: header | strip data | IFDs | overflow arrays (strip
-    offset/count lists that don't fit a 4-byte inline value)."""
+    frame); ``tile=(th, tw)`` emits the TILED layout instead (TIFF 6.0
+    §15: row-major grid, edge tiles zero-padded to full tile size, the
+    predictor restarting per tile). Layout: header | block data | IFDs
+    | overflow arrays (offset/count lists that don't fit inline)."""
     arr = np.asarray(array)
     if arr.ndim == 2:
         arr = arr[None]
@@ -365,6 +412,8 @@ def write_tiff(
         raise ValueError(f"unsupported predictor {predictor}")
     if predictor == 2 and arr.dtype.kind == "f":
         raise ValueError("predictor 2 requires integer samples")
+    if tile is not None and rows_per_strip is not None:
+        raise ValueError("tile and rows_per_strip are mutually exclusive")
     en = byteorder
     n_frames, height, width = arr.shape
     dtype = arr.dtype.newbyteorder(en)
@@ -373,10 +422,25 @@ def write_tiff(
     frame_strips: list[list[bytes]] = []
     for i in range(n_frames):
         a = np.ascontiguousarray(arr[i], dtype=dtype)
+        if tile is not None:
+            th, tw = int(tile[0]), int(tile[1])
+            down = (height + th - 1) // th
+            across = (width + tw - 1) // tw
+            padded = np.zeros((down * th, across * tw), dtype=dtype)
+            padded[:height, :width] = a
+            blocks = []
+            for tr in range(down):
+                for tc in range(across):
+                    blk = padded[tr * th : (tr + 1) * th, tc * tw : (tc + 1) * tw]
+                    if predictor == 2:
+                        blk = _hdiff(blk, dtype)
+                    blocks.append(
+                        _compress_strip(np.ascontiguousarray(blk).tobytes(), comp)
+                    )
+            frame_strips.append(blocks)
+            continue
         if predictor == 2:
-            d = a.astype(np.int64)
-            d[:, 1:] = d[:, 1:] - d[:, :-1]
-            a = d.astype(dtype)
+            a = _hdiff(a, dtype)
         strips = [
             _compress_strip(
                 np.ascontiguousarray(a[r0 : r0 + rps]).tobytes(), comp
@@ -385,7 +449,7 @@ def write_tiff(
         ]
         frame_strips.append(strips)
 
-    entries = 10 + (1 if predictor == 2 else 0)
+    entries = (11 if tile is not None else 10) + (1 if predictor == 2 else 0)
     ifd_size = 2 + 12 * entries + 4
     header = 8
     data_size = sum(len(s) for strips in frame_strips for s in strips)
@@ -428,14 +492,26 @@ def write_tiff(
             entry(_BITS_PER_SAMPLE, 3, 1, dtype.itemsize * 8),
             entry(_COMPRESSION, 3, 1, comp),
             entry(_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
-            array_entry(_STRIP_OFFSETS, strip_offs[i]),
             entry(_SAMPLES_PER_PIXEL, 3, 1, 1),
-            entry(_ROWS_PER_STRIP, 4, 1, rps),
-            array_entry(
-                _STRIP_BYTE_COUNTS, [len(s) for s in frame_strips[i]]
-            ),
             entry(_SAMPLE_FORMAT, 3, 1, _KIND_TO_FMT[dtype.kind]),
         ]
+        if tile is not None:
+            tag_list += [
+                entry(_TILE_WIDTH, 4, 1, int(tile[1])),
+                entry(_TILE_LENGTH, 4, 1, int(tile[0])),
+                array_entry(_TILE_OFFSETS, strip_offs[i]),
+                array_entry(
+                    _TILE_BYTE_COUNTS, [len(s) for s in frame_strips[i]]
+                ),
+            ]
+        else:
+            tag_list += [
+                array_entry(_STRIP_OFFSETS, strip_offs[i]),
+                entry(_ROWS_PER_STRIP, 4, 1, rps),
+                array_entry(
+                    _STRIP_BYTE_COUNTS, [len(s) for s in frame_strips[i]]
+                ),
+            ]
         if predictor == 2:
             tag_list.append(entry(_PREDICTOR, 3, 1, 2))
         # TIFF requires ascending tag order within an IFD

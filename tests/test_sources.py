@@ -604,3 +604,31 @@ def test_tiff_compressed_roundtrip_matrix(tmp_path):
         np.testing.assert_array_equal(read_tiff(p).astype(dt), a)
         n += 1
     assert n == 112
+
+
+def test_tiff_tiled_roundtrip_matrix(tmp_path):
+    """r14: TILED TIFF layout (TIFF 6.0 §15) — row-major grid of
+    independently-compressed blocks, edge tiles zero-padded to full
+    size, predictor restarting per tile. 10×13 frames with non-dividing
+    tile grids exercise both edge directions."""
+    import itertools
+
+    from scip_spark.sources.tiffio import read_tiff, write_tiff
+
+    rng = np.random.default_rng(9)
+    n = 0
+    for en, comp, pred, dt, tl in itertools.product(
+        ["<", ">"],
+        ["none", "deflate", "packbits", "lzw"],
+        [1, 2],
+        [np.uint8, np.uint16, np.float32],
+        [(4, 4), (3, 5), (16, 16)],
+    ):
+        if pred == 2 and np.dtype(dt).kind == "f":
+            continue
+        a = (rng.random((2, 10, 13)) * 200).astype(dt)
+        p = str(tmp_path / f"tile{n}.tiff")
+        write_tiff(p, a, byteorder=en, compression=comp, predictor=pred, tile=tl)
+        np.testing.assert_array_equal(read_tiff(p).astype(dt), a)
+        n += 1
+    assert n == 120
