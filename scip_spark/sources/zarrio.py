@@ -23,8 +23,9 @@ that chunk block — which is all the reference's ragged-cell stores use
 Both are driven through `zarr_meta` / `zarr_attach_pixels` as REAL
 bytes. The writers exist so tests can build stores without the zarr
 package; production stores written by zarr itself read identically
-when uncompressed — compressed stores still need an injected
-zarr-based fetch (documented fail-fast).
+when uncompressed or numcodecs-zlib/gzip-compressed (stdlib decode,
+r14) — blosc/lz4/zstd stores still need an injected zarr-based fetch
+(documented fail-fast).
 """
 
 from __future__ import annotations
@@ -35,6 +36,24 @@ import json
 import os
 
 import numpy as np
+
+
+def _decode_chunk(raw: bytes, meta: dict, path: str) -> bytes:
+    """Chunk bytes → C-order block bytes per the store's compressor.
+    ``null`` = raw; numcodecs ``zlib``/``gzip`` decode with stdlib zlib
+    (wbits=47 auto-detects both framings); anything else (blosc, lz4,
+    zstd…) still needs the zarr package — fail loudly."""
+    comp = meta.get("compressor")
+    if comp is None:
+        return raw
+    cid = comp.get("id") if isinstance(comp, dict) else None
+    if cid in ("zlib", "gzip"):
+        import zlib
+
+        return zlib.decompress(raw, 47)
+    raise ValueError(
+        f"zarr compressor {cid!r} needs the zarr package: {path}"
+    )
 
 
 @functools.lru_cache(maxsize=256)
@@ -49,19 +68,27 @@ def _store_json(path: str) -> dict:
         return json.load(f)
 
 
-def write_array(path: str, arr: np.ndarray, chunks: tuple[int, ...] | None = None) -> None:
-    """Write ``arr`` as an uncompressed zarr v2 array directory."""
+def write_array(
+    path: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    compressor: str | None = None,
+) -> None:
+    """Write ``arr`` as a zarr v2 array directory (``compressor=None``
+    for raw chunks, ``"zlib"`` for numcodecs-zlib-compatible chunks)."""
     arr = np.asarray(arr)
     chunks = tuple(chunks) if chunks else arr.shape
     if len(chunks) != arr.ndim:
         raise ValueError(f"chunks rank {len(chunks)} != array rank {arr.ndim}")
+    if compressor not in (None, "zlib"):
+        raise ValueError(f"unsupported compressor {compressor!r}")
     os.makedirs(path, exist_ok=True)
     meta = {
         "zarr_format": 2,
         "shape": list(arr.shape),
         "chunks": list(chunks),
         "dtype": arr.dtype.str,
-        "compressor": None,
+        "compressor": {"id": "zlib", "level": 6} if compressor else None,
         "fill_value": 0,
         "order": "C",
         "filters": None,
@@ -81,15 +108,20 @@ def write_array(path: str, arr: np.ndarray, chunks: tuple[int, ...] | None = Non
             full = np.full(chunks, meta["fill_value"], dtype=arr.dtype)
             full[tuple(slice(0, b) for b in block.shape)] = block
             block = full
+        payload = np.ascontiguousarray(block).tobytes()
+        if compressor:
+            import zlib
+
+            payload = zlib.compress(payload, 6)
         with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
-            f.write(np.ascontiguousarray(block).tobytes())
+            f.write(payload)
 
 
 def read_array(path: str) -> np.ndarray:
     """Read an uncompressed zarr v2 array directory back as ndarray."""
     meta = _store_json(os.path.join(path, ".zarray"))
-    if meta.get("compressor") is not None or meta.get("filters"):
-        raise ValueError(f"compressed zarr store needs the zarr package: {path}")
+    if meta.get("filters"):
+        raise ValueError(f"zarr filters need the zarr package: {path}")
     if meta.get("order", "C") != "C":
         raise ValueError(f"only C-order stores supported: {path}")
     shape = tuple(meta["shape"])
@@ -101,7 +133,8 @@ def read_array(path: str) -> np.ndarray:
         cf = os.path.join(path, ".".join(map(str, idx)))
         if not os.path.exists(cf):
             continue  # absent chunk = all fill_value
-        block = np.frombuffer(open(cf, "rb").read(), dtype=dtype).reshape(chunks)
+        raw = _decode_chunk(open(cf, "rb").read(), meta, path)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
         sel = tuple(
             slice(i * c, min((i + 1) * c, s))
             for i, c, s in zip(idx, chunks, shape)
@@ -164,8 +197,8 @@ def _read_array_row(path: str, idx: int) -> np.ndarray:
     """Row ``idx`` of a C-order array store, reading ONLY the chunk
     files that intersect that row (first-axis chunk pruned)."""
     meta = _store_json(os.path.join(path, ".zarray"))
-    if meta.get("compressor") is not None or meta.get("filters"):
-        raise ValueError(f"compressed zarr store needs the zarr package: {path}")
+    if meta.get("filters"):
+        raise ValueError(f"zarr filters need the zarr package: {path}")
     shape, chunks = tuple(meta["shape"]), tuple(meta["chunks"])
     dtype = np.dtype(meta["dtype"])
     out = np.full(shape[1:], meta.get("fill_value") or 0, dtype=dtype)
@@ -176,7 +209,8 @@ def _read_array_row(path: str, idx: int) -> np.ndarray:
         cf = os.path.join(path, ".".join(map(str, (i0, *rest))))
         if not os.path.exists(cf):
             continue
-        block = np.frombuffer(open(cf, "rb").read(), dtype=dtype).reshape(chunks)
+        raw = _decode_chunk(open(cf, "rb").read(), meta, path)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
         sel = tuple(
             slice(i * c, min((i + 1) * c, s))
             for i, c, s in zip(rest, chunks[1:], shape[1:])

@@ -632,3 +632,60 @@ def test_tiff_tiled_roundtrip_matrix(tmp_path):
         np.testing.assert_array_equal(read_tiff(p).astype(dt), a)
         n += 1
     assert n == 120
+
+
+def test_zarr_zlib_compressed_store(spark, tmp_path):
+    """r14: numcodecs-zlib/gzip-compressed zarr stores decode with the
+    stdlib (wbits auto-detect) through BOTH the whole-array reader and
+    the chunk-pruned reference-layout row fetch; blosc-style ids still
+    fail loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from scip_spark.sources.zarrio import (
+        fetch_member,
+        group_member_shapes,
+        read_array,
+        write_array,
+        write_ragged_array,
+    )
+
+    rng = np.random.default_rng(31)
+    a = (rng.random((5, 8)) * 100).astype(np.float32)
+    store = str(tmp_path / "z.zarr")
+    write_array(store, a, chunks=(2, 3), compressor="zlib")
+    np.testing.assert_array_equal(read_array(store), a)
+
+    cells = [
+        (rng.random((2, 4, 5)) * 100).astype(np.float32),
+        (rng.random((2, 3, 7)) * 100).astype(np.float32),
+    ]
+    ref = str(tmp_path / "ref.zarr")
+    write_ragged_array(ref, cells, chunks=(1, 24))
+    # recompress the member chunks as zlib by rewriting the store
+    import shutil
+
+    shutil.rmtree(ref)
+    flats = [c.ravel() for c in cells]
+    w = max(f.size for f in flats)
+    mat = np.zeros((2, w), dtype=np.float32)
+    for i, f in enumerate(flats):
+        mat[i, : f.size] = f
+    write_array(ref, mat, chunks=(1, 24), compressor="zlib")
+    with open(f"{ref}/.zattrs", "w") as f:
+        json.dump({"shape": [list(c.shape) for c in cells],
+                   "object_number": [0, 1]}, f)
+    assert group_member_shapes(ref) == [[2, 4, 5], [2, 3, 7]]
+    for i, c in enumerate(cells):
+        np.testing.assert_array_equal(fetch_member(ref, i).reshape(c.shape), c)
+
+    # unsupported compressor id fails loudly, not wrongly
+    bad = str(tmp_path / "bad.zarr")
+    write_array(bad, a, chunks=(5, 8))
+    meta = json.load(open(f"{bad}/.zarray"))
+    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    with open(f"{bad}/.zarray", "w") as f:
+        json.dump(meta, f)
+    with _pytest.raises(ValueError, match="blosc"):
+        read_array(bad)
