@@ -140,3 +140,56 @@ def zarr_schema_synthesis(spark, sf_dir):
             "aggregate(pixels, 0L, (acc, x) -> acc + bigint(floor(double(x) * 1048576D)))"
         ).alias("px_sum_fp"),
     )
+
+
+def _tiff_fixture_sql() -> str:
+    """Literal-VALUES oracle from the committed expected rows (written
+    by tools/make_tiff_fixture.py with the fixture bytes)."""
+    import json
+    from pathlib import Path
+
+    from scip_spark.queries import literal_values_sql
+
+    p = Path(__file__).resolve().parents[1] / "fixtures" / "tiff_expected.json"
+    rows = json.loads(p.read_text())["rows"]
+    return literal_values_sql(
+        rows,
+        {"rec": None, "c": "INTEGER", "h": "INTEGER", "w": "INTEGER",
+         "px_sum_fp": "BIGINT"},
+    )
+
+
+@register(
+    "tiff_codec_checksum",
+    _tiff_fixture_sql(),
+    doc="S3+S4 end-to-end from REAL committed TIFF bytes, driver-"
+    "verifiable: file-per-channel listing -> regex pivot (reference "
+    "src/scip/loading/tiff.py:126-158) -> per-channel decode through "
+    "the pure-Python baseline codec -> CxHxW stack, checksummed on the "
+    "exact integer grid. The eight fixture files each use a different "
+    "codec/layout (deflate/packbits/lzw, predictor 2, multi-strip, "
+    "tiled, both byte orders, u8/u16/f32), so a regression in ANY r14 "
+    "codec path is a hash mismatch, not a test-only failure.",
+)
+def tiff_codec_checksum(spark, sf_dir):
+    from pathlib import Path
+
+    from scip_spark.sources.filescan import (
+        attach_pixels,
+        default_tiff_reader,
+        tiff_meta,
+    )
+
+    root = Path(__file__).resolve().parents[1] / "fixtures" / "tiff"
+    regex = r"^.*/(?P<rec>[a-z])_(?P<channel>[0-9])\.tiff$"
+    meta = tiff_meta(spark, str(root), regex, channels=["0", "1"])
+    px = attach_pixels(meta, ["0", "1"], default_tiff_reader())
+    return px.select(
+        "rec",
+        F.element_at("pixels_shape", 1).alias("c"),
+        F.element_at("pixels_shape", 2).alias("h"),
+        F.element_at("pixels_shape", 3).alias("w"),
+        F.expr(
+            "aggregate(pixels, 0L, (acc, x) -> acc + bigint(floor(double(x) * 1048576D)))"
+        ).alias("px_sum_fp"),
+    )
