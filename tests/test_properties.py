@@ -398,3 +398,22 @@ def test_erode_footprint_batch_matches_single(stack, r):
     got = K.erode_footprint_batch(stack, K.disk(r))
     for i in range(stack.shape[0]):
         assert np.array_equal(got[i], K.erode_footprint(stack[i], K.disk(r)))
+
+
+@given(st.binary(min_size=0, max_size=5000))
+@settings(max_examples=200, deadline=None)
+def test_tiff_lzw_roundtrip_any_bytes(data):
+    """TIFF-LZW encode/decode are exact inverses on ARBITRARY byte
+    strings (hypothesis sweeps empty input, long runs, high entropy —
+    the width-ladder and KwKwK cases fixed seeds can miss)."""
+    from scip_spark.sources.tiffio import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@given(st.binary(min_size=0, max_size=5000))
+@settings(max_examples=200, deadline=None)
+def test_tiff_packbits_roundtrip_any_bytes(data):
+    from scip_spark.sources.tiffio import _packbits_decode, _packbits_encode
+
+    assert _packbits_decode(_packbits_encode(data)) == data
