@@ -193,3 +193,65 @@ def tiff_codec_checksum(spark, sf_dir):
             "aggregate(pixels, 0L, (acc, x) -> acc + bigint(floor(double(x) * 1048576D)))"
         ).alias("px_sum_fp"),
     )
+
+
+def _qc_fixture_sql() -> str:
+    """Literal-VALUES oracle from rows computed in PURE NUMPY over the
+    deterministic synthetic corpus (tools/make_qc_expected.py) — an
+    independent evaluation of the same QC predicates the Spark query
+    runs through compute_filters' mapInPandas."""
+    import json
+    from pathlib import Path
+
+    from scip_spark.queries import literal_values_sql
+
+    p = Path(__file__).resolve().parents[1] / "fixtures" / "qc_expected.json"
+    rows = json.loads(p.read_text())["rows"]
+    return literal_values_sql(
+        rows,
+        {"method": None, "group": None, "n_kept": "BIGINT",
+         "flags_sum": "BIGINT"},
+    )
+
+
+@register(
+    "qc_filter_checksum",
+    _qc_fixture_sql(),
+    doc="P3-P6 QC filters driver-verifiable end to end (reference "
+    "src/scip/masking/__init__.py:75-95 + filters/*.py): std, "
+    "value_range and the scipy-free normaltest predicates over a fixed "
+    "200-image deterministic corpus, per-(method, group) kept-record "
+    "and per-channel pass counts hash-matched against an INDEPENDENT "
+    "pure-numpy evaluation (thresholds split the corpus ~50/50, so "
+    "predicate drift in either direction flips counts). Exercises the "
+    "soft-delete contract too: n_kept counts records whose pixels "
+    "survive the main-channel nulling.",
+)
+def qc_filter_checksum(spark, sf_dir):
+    from scip_spark.operators.masking import compute_filters
+    from scip_spark.plans.imaging_bench import synthetic_images
+    from scip_spark.schema import ensure_event_columns
+
+    src = ensure_event_columns(synthetic_images(spark, 200)).localCheckpoint(
+        eager=False
+    )
+    outs = []
+    for method, thr in [("std", 24.0), ("value_range", 140.0), ("normaltest", 0.05)]:
+        f = compute_filters(src, method, threshold=thr)
+        outs.append(
+            f.select(
+                F.lit(method).alias("method"),
+                "group",
+                F.col("pixels").isNotNull().cast("long").alias("kept"),
+                F.expr(
+                    "aggregate(transform(mask_filter, b -> if(b, 1L, 0L)),"
+                    " 0L, (acc, x) -> acc + x)"
+                ).alias("fl"),
+            )
+        )
+    un = outs[0]
+    for o in outs[1:]:
+        un = un.unionByName(o)
+    return un.groupBy("method", "group").agg(
+        F.sum("kept").alias("n_kept"), F.sum("fl").alias("flags_sum")
+    )
