@@ -3,6 +3,8 @@ aggregations (SURVEY §2.4) over the embeddings table."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -292,3 +294,49 @@ def datasource_image_checksum(spark, sf_dir):
             "aggregate(pixels, 0L, (acc, x) -> acc + bigint(floor(double(x) * 1048576D)))"
         ).alias("px_sum_fp"),
     )
+
+
+@register(
+    "parquet_sink_roundtrip",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+           CAST(SUM(CAST(doc_id AS BIGINT) * 31 % 1048576) AS BIGINT)
+             AS id_mix
+    FROM documents
+    GROUP BY source
+    """,
+    doc="S10 parquet sink, driver-verifiable as a ROUND TRIP (reference "
+    "src/scip/main.py export stage): the documents table is written "
+    "through export_parquet (partitioned by lang - multi-directory "
+    "layout), read back from the sink files, and aggregated; the oracle "
+    "computes the same aggregate from the ORIGINAL table, so any "
+    "write/rescan corruption (lost rows, partition-column round-trip "
+    "drift, type mangling) is a hash mismatch. The sink result is "
+    "checkpointed before the temp dir is removed.",
+)
+def parquet_sink_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from scip_spark.sources.export import export_parquet
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="scip_sink_") + "/docs"
+    try:
+        export_parquet(docs, out, partition_by=["lang"])
+        back = spark.read.parquet(out)
+        agg = back.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum(
+                F.col("doc_id").cast("long") * F.lit(31) % F.lit(1048576)
+            ).cast("long").alias("id_mix"),
+        )
+        # pin the (tiny) result before the sink dir disappears
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
