@@ -340,3 +340,56 @@ def parquet_sink_roundtrip(spark, sf_dir):
         return agg.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "boundaries_csv_roundtrip",
+    f"""
+    WITH x AS (
+      SELECT label, u.i AS channel, emb[u.i] AS v
+      FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings) e,
+           UNNEST(generate_series(1, len(emb))) AS u(i)
+      WHERE u.i <= 4
+    )
+    SELECT label, CAST(channel AS INT) AS channel,
+           CAST(floor(MIN(v) * 1099511627776) AS BIGINT) AS gmin_fp,
+           CAST(floor(MAX(v) * 1099511627776) AS BIGINT) AS gmax_fp
+    FROM x GROUP BY label, channel
+    """,
+    doc="S13 boundaries-CSV sink, driver-verifiable as a ROUND TRIP "
+    "(reference src/scip/main.py:49-60 writes channel_boundaries.csv): "
+    "per-(label, channel) extents on the exact 2^40 integer grid are "
+    "written through export_channel_boundaries and read BACK from the "
+    "CSV text; the oracle computes the same extents from the original "
+    "table, so any to_csv/read-back drift (row loss, header mangling, "
+    "numeric text truncation) is a hash mismatch. Extents ride as "
+    "BIGINTs so the text round trip is exact by construction.",
+)
+def boundaries_csv_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from scip_spark.sources.export import export_channel_boundaries
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    x = emb.select(
+        "label", F.posexplode(F.slice(e, 1, 4)).alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).cast("int").alias("channel"), "v")
+    fp = F.lit(1099511627776)  # 2^40: floor + power-of-two scaling exact
+    ext = x.groupBy("label", "channel").agg(
+        F.floor(F.min("v") * fp).cast("long").alias("gmin_fp"),
+        F.floor(F.max("v") * fp).cast("long").alias("gmax_fp"),
+    )
+    out = tempfile.mkdtemp(prefix="scip_bounds_")
+    try:
+        csv_path = export_channel_boundaries(ext, out)
+        back = spark.read.csv(csv_path, header=True, inferSchema=True)
+        return back.select(
+            F.col("label").cast("string").alias("label"),
+            F.col("channel").cast("int").alias("channel"),
+            F.col("gmin_fp").cast("long").alias("gmin_fp"),
+            F.col("gmax_fp").cast("long").alias("gmax_fp"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
