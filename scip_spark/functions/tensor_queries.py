@@ -393,3 +393,63 @@ def boundaries_csv_roundtrip(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _px_checksum_cols():
+    return [
+        F.element_at("pixels_shape", 1).alias("c"),
+        F.element_at("pixels_shape", 2).alias("h"),
+        F.element_at("pixels_shape", 3).alias("w"),
+        F.expr(
+            "aggregate(pixels, 0L, (acc, x) -> acc + bigint(floor(double(x) * 1048576D)))"
+        ).alias("px_sum_fp"),
+    ]
+
+
+@register(
+    "datasource_image_stream_checksum",
+    _tiff_fixture_sql(),
+    doc="S2b STREAMING twin (15th driver-hash-checked streaming entry): "
+    "the scip_images micro-batch reader streams the committed TIFF "
+    "fixture (offset = complete-record count), each micro-batch decodes "
+    "real bytes through the baseline codec and lands its integer-grid "
+    "checksums in a foreachBatch parquet sink; the drained sink "
+    "hash-matches the same literal oracle as the batch path, so "
+    "streaming == batch on the tensor source, bit for bit.",
+)
+def datasource_image_stream_checksum(spark, sf_dir):
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from scip_spark.sources.datasource import register_image_source
+
+    if not register_image_source(spark):
+        raise RuntimeError("Python DataSource API unavailable (Spark < 4)")
+    root = Path(__file__).resolve().parents[1] / "fixtures" / "tiff"
+    sink = tempfile.mkdtemp(prefix="scip_imgstream_")
+    out_dir, ckpt = f"{sink}/out", f"{sink}/ckpt"
+
+    def fold(batch_df, epoch_id):
+        batch_df.select("rec", *_px_checksum_cols()).write.mode("append").parquet(
+            out_dir
+        )
+
+    try:
+        q = (
+            spark.readStream.format("scip_images")
+            .option("path", str(root))
+            .option("reader", "scip_spark.sources.tiffio:read_tiff")
+            .option("recordsPerPartition", "2")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("image stream did not finish in 600s")
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
