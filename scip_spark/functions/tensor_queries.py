@@ -453,3 +453,72 @@ def datasource_image_stream_checksum(spark, sf_dir):
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(sink, ignore_errors=True)
+
+
+@register(
+    "correction_pickle_roundtrip",
+    f"""
+    WITH x AS (
+      SELECT label, u.i AS dim,
+             CAST(floor(emb[u.i] * 1099511627776) AS BIGINT) AS fx
+      FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings) e,
+           UNNEST(generate_series(1, len(emb))) AS u(i)
+      WHERE u.i <= 8
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(fx) AS BIGINT) AS sum_fp,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY label, dim
+    """,
+    doc="S14 correction-image pickle sink, driver-verifiable as a ROUND "
+    "TRIP (reference src/scip/main.py dumps the illumination mu dict; "
+    "utils/util.py reloads it): per-label fixed-point tensor sums are "
+    "aggregated relationally, shipped through save_correction_images / "
+    "load_correction_images as numpy arrays, and re-emitted from the "
+    "LOADED dict; the oracle recomputes the sums from the original "
+    "table, so pickle/ndarray round-trip corruption hash-mismatches.",
+)
+def correction_pickle_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from scip_spark.sources.export import (
+        load_correction_images,
+        save_correction_images,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    fp = F.lit(1099511627776)  # 2^40
+    agg = (
+        emb.select("label", F.posexplode(F.slice(e, 1, 8)).alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).cast("int").alias("dim"), "v")
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.floor(F.col("v") * fp).cast("long")).alias("sum_fp"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    rows = agg.collect()  # bounded: labels x 8 dims
+    mu: dict[str, np.ndarray] = {}
+    cnt: dict[str, np.ndarray] = {}
+    for lbl in sorted({r["label"] for r in rows}):
+        sub = sorted((r for r in rows if r["label"] == lbl), key=lambda r: r["dim"])
+        mu[lbl] = np.array([r["sum_fp"] for r in sub], dtype=np.int64)
+        cnt[lbl] = np.array([r["n"] for r in sub], dtype=np.int64)
+    out = tempfile.mkdtemp(prefix="scip_corr_")
+    try:
+        p = save_correction_images({"mu": mu, "n": cnt}, out)
+        back = load_correction_images(p)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    data = [
+        (lbl, d + 1, int(back["mu"][lbl][d]), int(back["n"][lbl][d]))
+        for lbl in back["mu"]
+        for d in range(len(back["mu"][lbl]))
+    ]
+    return spark.createDataFrame(
+        data, "label string, dim int, sum_fp long, n long"
+    )
