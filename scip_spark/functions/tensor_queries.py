@@ -186,15 +186,7 @@ def tiff_codec_checksum(spark, sf_dir):
     regex = r"^.*/(?P<rec>[a-z])_(?P<channel>[0-9])\.tiff$"
     meta = tiff_meta(spark, str(root), regex, channels=["0", "1"])
     px = attach_pixels(meta, ["0", "1"], default_tiff_reader())
-    return px.select(
-        "rec",
-        F.element_at("pixels_shape", 1).alias("c"),
-        F.element_at("pixels_shape", 2).alias("h"),
-        F.element_at("pixels_shape", 3).alias("w"),
-        F.expr(
-            "aggregate(pixels, 0L, (acc, x) -> acc + bigint(floor(double(x) * 1048576D)))"
-        ).alias("px_sum_fp"),
-    )
+    return px.select("rec", *_px_checksum_cols())
 
 
 def _qc_fixture_sql() -> str:
@@ -285,15 +277,7 @@ def datasource_image_checksum(spark, sf_dir):
         .option("recordsPerPartition", "2")
         .load()
     )
-    return df.select(
-        "rec",
-        F.element_at("pixels_shape", 1).alias("c"),
-        F.element_at("pixels_shape", 2).alias("h"),
-        F.element_at("pixels_shape", 3).alias("w"),
-        F.expr(
-            "aggregate(pixels, 0L, (acc, x) -> acc + bigint(floor(double(x) * 1048576D)))"
-        ).alias("px_sum_fp"),
-    )
+    return df.select("rec", *_px_checksum_cols())
 
 
 @register(

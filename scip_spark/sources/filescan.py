@@ -115,9 +115,9 @@ def default_tiff_reader() -> Callable[[str], np.ndarray]:
     """The best available real decoder: tifffile when installed, else
     the built-in pure-Python baseline codec (sources/tiffio.py — real
     bytes, both byte orders, multi-frame; none/deflate/packbits/lzw
-    strip compression + horizontal-differencing predictor since r14).
-    The stub only fires for files the baseline codec rejects (tiled,
-    JPEG, multi-sample)."""
+    compression, horizontal-differencing predictor, strip AND tiled
+    layouts since r14). The stub only fires for files the baseline
+    codec rejects (JPEG, multi-sample)."""
     try:  # pragma: no cover - tifffile absent in this container
         from tifffile import imread
 

@@ -13,9 +13,10 @@ LZW (5: MSB-first variable 9→12-bit codes with the spec's early-change
 rule; decode pinned to a hand-derived bit-level vector, encode/decode
 round-trip property-swept) plus the horizontal-differencing predictor
 (tag 317 = 2) for integer samples. Small enough to audit, used as the
-default `reader=` for `attach_pixels` when tifffile is absent.
-Production deployments with still-exotic TIFFs (tiled, JPEG, RGB)
-inject `tifffile.imread` exactly as before.
+default `reader=` for `attach_pixels` when tifffile is absent. The
+TILED layout (TIFF 6.0 §15, per-tile predictor restart) decodes too;
+production deployments with still-exotic TIFFs (JPEG, multi-sample
+RGB) inject `tifffile.imread` exactly as before.
 
 The encoder exists so tests can round-trip REAL bytes through the
 decode path; it writes strip-per-rows_per_strip frames with optional
@@ -186,8 +187,22 @@ def _lzw_encode(data: bytes) -> bytes:
         acc &= (1 << nbits) - 1  # keep exactly the undrained bits
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
-    next_code, width = 258, 9
+    next_code, width, n_codes = 258, 9, 0
     emit(CLEAR, width)
+
+    def bump_if_decoder_widened() -> None:
+        # mirror the decoder exactly: it appends one table entry for
+        # every data code AFTER the first since the last Clear, so its
+        # size after the n-th code is 258 + max(0, n-1); it widens when
+        # that hits 2^width - 1 — and that widening applies to the NEXT
+        # code it reads, INCLUDING EOI (the r14 review's confirmed bug:
+        # the final flushed code can trigger the widening even though
+        # the encoder adds no entry for it, so EOI emitted at the stale
+        # width desynchronized strict decoders)
+        nonlocal width
+        if 258 + max(0, n_codes - 1) == (1 << width) - 1 and width < 12:
+            width += 1
+
     w = b""
     for byte in data:
         wc = w + bytes([byte])
@@ -195,21 +210,19 @@ def _lzw_encode(data: bytes) -> bytes:
             w = wc
             continue
         emit(table[w], width)
+        n_codes += 1
         table[wc] = next_code
         next_code += 1
-        # pairs the decoder's early-change rule: the decoder's table is
-        # one entry BEHIND the encoder's when it reads each code, so it
-        # bumps at len(table) == 2^width - 1 exactly when the encoder's
-        # table has reached 2^width
-        if next_code == (1 << width) and width < 12:
-            width += 1
+        bump_if_decoder_widened()
         if next_code == 4094:  # spec limit: clear and restart
             emit(CLEAR, width)
             table = {bytes([i]): i for i in range(256)}
-            next_code, width = 258, 9
+            next_code, width, n_codes = 258, 9, 0
         w = bytes([byte])
     if w:
         emit(table[w], width)
+        n_codes += 1
+        bump_if_decoder_widened()
     emit(EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -315,15 +328,22 @@ def read_tiff(path: str) -> np.ndarray:
             # independently-compressed tw×th blocks, edge tiles padded
             # to full tile size; the predictor restarts at every tile's
             # left edge (tiles compress as independent blocks)
+            if _TILE_WIDTH not in tags or _TILE_LENGTH not in tags:
+                raise ValueError(f"tiled TIFF missing TileWidth/TileLength: {path}")
+            if _TILE_BYTE_COUNTS not in tags:
+                raise ValueError(f"tiled TIFF missing TileByteCounts: {path}")
             tw = tags[_TILE_WIDTH][0]
             th = tags[_TILE_LENGTH][0]
             t_offs = tags[_TILE_OFFSETS]
             t_cnts = tags[_TILE_BYTE_COUNTS]
             across = (width + tw - 1) // tw
             down = (height + th - 1) // th
-            if len(t_offs) != across * down:
+            if len(t_offs) != across * down or len(t_cnts) != len(t_offs):
+                # a zip() over mismatched lists would silently leave
+                # missing tiles as zeros — fail loudly instead
                 raise ValueError(
-                    f"tile count {len(t_offs)} != grid {across}x{down}: {path}"
+                    f"tile offsets/counts {len(t_offs)}/{len(t_cnts)} != "
+                    f"grid {across}x{down}: {path}"
                 )
             frame = np.zeros((height, width), dtype=dtype)
             for ti, (o, c) in enumerate(zip(t_offs, t_cnts)):
@@ -351,15 +371,21 @@ def read_tiff(path: str) -> np.ndarray:
                     f"multi-strip TIFF missing StripByteCounts: {path}"
                 )
             counts = [height * width * dtype.itemsize]
-        rps = tags.get(_ROWS_PER_STRIP, [height])[0]
+        rps_tag = tags.get(_ROWS_PER_STRIP)
         row_bytes = width * dtype.itemsize
         parts = []
         for i, (o, c) in enumerate(zip(offsets, counts)):
             chunk = _decompress_strip(buf[o : o + c], comp, path)
-            nrows = min(rps, height - i * rps)
-            # compressed strips may decode with trailing pad; exact or
-            # longer is fine, shorter fails the frombuffer count below
-            parts.append(chunk[: nrows * row_bytes])
+            if rps_tag is not None:
+                # compressed strips may decode with trailing pad; exact
+                # or longer is fine, shorter fails the frombuffer count
+                nrows = min(rps_tag[0], height - i * rps_tag[0])
+                chunk = chunk[: nrows * row_bytes]
+            # no RowsPerStrip tag: trust the byte counts and concatenate
+            # (the pre-r14 behavior — a multi-strip file without the tag
+            # decoded fine and must keep doing so; the frombuffer count
+            # still enforces the total)
+            parts.append(chunk)
         raw = b"".join(parts)
         frame = np.frombuffer(raw, dtype=dtype, count=height * width)
         frame = frame.reshape(height, width)
@@ -452,19 +478,22 @@ def write_tiff(
     entries = (11 if tile is not None else 10) + (1 if predictor == 2 else 0)
     ifd_size = 2 + 12 * entries + 4
     header = 8
-    data_size = sum(len(s) for strips in frame_strips for s in strips)
+    # TIFF 6.0 requires word-aligned value offsets: pad every block to
+    # even length (byte COUNTS keep the true lengths) so strip starts,
+    # the IFD chain and the overflow arrays all land on even offsets
+    data_size = sum(len(s) + (len(s) & 1) for strips in frame_strips for s in strips)
     ifd0 = header + data_size
     ifds_off = [ifd0 + i * ifd_size for i in range(n_frames)]
     overflow_off = ifd0 + n_frames * ifd_size
 
-    # strip offsets, frame-major, packed back to back after the header
+    # strip offsets, frame-major, packed (even-padded) after the header
     strip_offs: list[list[int]] = []
     pos = header
     for strips in frame_strips:
         offs = []
         for s in strips:
             offs.append(pos)
-            pos += len(s)
+            pos += len(s) + (len(s) & 1)
         strip_offs.append(offs)
 
     def entry(tag: int, ftype: int, count: int, value: int) -> bytes:
@@ -483,7 +512,10 @@ def write_tiff(
 
     out = [struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, ifds_off[0])]
     for strips in frame_strips:
-        out.extend(strips)
+        for s in strips:
+            out.append(s)
+            if len(s) & 1:
+                out.append(b"\0")  # word-alignment pad (not counted)
     ifd_blocks = []
     for i in range(n_frames):
         tag_list = [

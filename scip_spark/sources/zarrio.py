@@ -118,7 +118,8 @@ def write_array(
 
 
 def read_array(path: str) -> np.ndarray:
-    """Read an uncompressed zarr v2 array directory back as ndarray."""
+    """Read a zarr v2 array directory back as ndarray (raw or
+    numcodecs-zlib/gzip chunks)."""
     meta = _store_json(os.path.join(path, ".zarray"))
     if meta.get("filters"):
         raise ValueError(f"zarr filters need the zarr package: {path}")

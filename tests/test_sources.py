@@ -689,3 +689,72 @@ def test_zarr_zlib_compressed_store(spark, tmp_path):
         json.dump(meta, f)
     with _pytest.raises(ValueError, match="blosc"):
         read_array(bad)
+
+
+def test_tiff_lzw_eoi_width_boundary():
+    """r14 review (confirmed bug): when the FINAL data code lands
+    exactly on the decoder's early-change boundary, the decoder widens
+    before reading EOI — the encoder must emit EOI at the widened
+    width or strict decoders read garbage. Sweep payload lengths that
+    land the last code around the 511/1023 boundaries."""
+    from scip_spark.sources.tiffio import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(101)
+    for n in list(range(240, 280)) + list(range(740, 800)):
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data)) == data, n
+
+
+def test_tiff_multi_strip_without_rows_per_strip(tmp_path):
+    """r14 review: a multi-strip file WITH byte counts but WITHOUT a
+    RowsPerStrip tag must keep decoding (pre-r14 behavior: concatenate
+    strips and trust the counts)."""
+    import struct
+
+    from scip_spark.sources.tiffio import read_tiff
+
+    data = bytes(range(16))  # 4x4 uint8 in two 8-byte strips
+    ifd_off = 8 + 16
+    ents = [
+        struct.pack("<HHI4s", 256, 3, 1, struct.pack("<HH", 4, 0)),
+        struct.pack("<HHI4s", 257, 3, 1, struct.pack("<HH", 4, 0)),
+        struct.pack("<HHI4s", 258, 3, 1, struct.pack("<HH", 8, 0)),
+        struct.pack("<HHI4s", 259, 3, 1, struct.pack("<HH", 1, 0)),
+        struct.pack("<HHII", 273, 4, 2, ifd_off + 2 + 12 * 6 + 4),      # offsets ptr
+        struct.pack("<HHII", 279, 4, 2, ifd_off + 2 + 12 * 6 + 4 + 8),  # counts ptr
+    ]
+    ifd = struct.pack("<H", len(ents)) + b"".join(ents) + struct.pack("<I", 0)
+    tail = struct.pack("<IIII", 8, 16, 8, 8)  # offsets 8,16; counts 8,8
+    p = tmp_path / "nostrip_rps.tiff"
+    p.write_bytes(b"II" + struct.pack("<HI", 42, ifd_off) + data + ifd + tail)
+    np.testing.assert_array_equal(
+        read_tiff(str(p)), np.arange(16, dtype=np.uint8).reshape(4, 4)
+    )
+
+
+def test_tiff_writer_word_alignment(tmp_path):
+    """r14 review: compressed strip lengths are arbitrary, so the
+    writer must pad blocks to even length — every IFD and overflow
+    offset in the produced file is word-aligned (TIFF 6.0 rule)."""
+    import struct
+
+    from scip_spark.sources.tiffio import read_tiff, write_tiff
+
+    rng = np.random.default_rng(7)
+    a = (rng.random((3, 9, 11)) * 200).astype(np.uint8)
+    p = str(tmp_path / "align.tiff")
+    write_tiff(p, a, compression="packbits", rows_per_strip=2)
+    buf = open(p, "rb").read()
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    while ifd_off:
+        assert ifd_off % 2 == 0
+        (n,) = struct.unpack_from("<H", buf, ifd_off)
+        for i in range(n):
+            base = ifd_off + 2 + 12 * i
+            tag, ftype, count = struct.unpack_from("<HHI", buf, base)
+            size = {3: 2, 4: 4}[ftype] * count
+            if size > 4:  # pointer cell: the pointed-to offset is even
+                (ptr,) = struct.unpack_from("<I", buf, base + 8)
+                assert ptr % 2 == 0, (tag, ptr)
+        (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
+    np.testing.assert_array_equal(read_tiff(p), a)

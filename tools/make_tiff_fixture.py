@@ -39,8 +39,8 @@ LAYOUTS = {
     ("b", 0): (np.uint8, {"compression": "lzw"}),
     ("b", 1): (np.uint16, {"compression": "lzw", "predictor": 2, "byteorder": ">"}),
     ("c", 0): (np.uint8, {"compression": "packbits", "rows_per_strip": 3}),
-    ("c", 1): (np.uint16, {"compression": "deflate", "tile": (4, 5)}),
-    ("d", 0): (np.uint8, {"compression": "lzw", "predictor": 2, "tile": (3, 4)}),
+    ("c", 1): (np.uint16, {"compression": "deflate", "tile": (16, 16)}),
+    ("d", 0): (np.uint8, {"compression": "lzw", "predictor": 2, "tile": (16, 16)}),
     ("d", 1): (np.float32, {"byteorder": ">"}),
 }
 
