@@ -1258,7 +1258,8 @@ def _cal_tail(b, hist):
 
 @register(
     "quality_score_calibration_stream",
-    None,  # shares the batch oracle (spliced below)
+    None,
+    share_sql_with="quality_score_calibration",  # value-identical twin
     doc="quality_score_calibration with its per-source histogram built "
     "by STRUCTURED STREAMING (13th driver-hash-checked streaming "
     "entry): each micro-batch contributes (source, bkt, c) cell-count "
@@ -1296,13 +1297,6 @@ def quality_score_calibration_stream(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _cal_tail(_cal_bucketed(tbl(spark, sf_dir, "documents")), hist)
-
-
-from scip_spark.queries import REGISTRY as _QREG  # noqa: E402
-
-_QREG["quality_score_calibration_stream"].sql = _QREG[
-    "quality_score_calibration"
-].sql
 
 
 def _run_char_stats(arr):
