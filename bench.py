@@ -116,13 +116,27 @@ SINGLE_PASS = {
     "dedup_containment_pairs",
 }
 
-# queries whose plan persists relations that outlive their own action
-# (the imaging pipeline's mask fan-out cache + per-branch population
-# filter relation): drop those blocks right after the query so they
-# don't occupy executor memory during every subsequent timed query
+# queries that persist multi-GB tensor relations during their run. As
+# of r15 the imaging entry releases its own caches with a BLOCKING
+# unpersist before returning (plans/imaging_bench.py), so nothing
+# outlives the query — but the JVM old-gen it inflated does, and the
+# r14 driver bench showed the NEXT query (rfm_segmentation) doubling
+# on a box where the post-imaging full-GC pause landed inside its
+# timing (local repro: rfm was flat on this box, so the residue is
+# box-dependent GC state, not cached blocks — clearCache() already ran
+# in r14). Hygiene here is therefore clearCache (now a no-op safety
+# net) + an explicit full GC, both OUTSIDE any query's timed window.
 CACHE_LEAKY = {
     "imaging_pipeline_e2e",
 }
+
+
+def _post_leaky_hygiene(spark) -> None:
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — never let hygiene kill the bench
+        pass
 
 # queries that showed >10% round-over-round drift with unchanged code
 # (BENCH_r04 vs r02), plus the five heaviest headline queries (r5 wall
@@ -263,7 +277,7 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
             if name in CACHE_LEAKY:
-                spark.catalog.clearCache()
+                _post_leaky_hygiene(spark)
 
     # min-of-N: the box hosting local[32] is shared, and a single GC or
     # neighbour burst can triple one query's wall time. Every query gets
@@ -294,7 +308,7 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
             passes.setdefault(name, []).append(dt)
             if name in CACHE_LEAKY:
-                spark.catalog.clearCache()
+                _post_leaky_hygiene(spark)
 
     probes_post = _overhead_probes(spark, sf_dir)
 

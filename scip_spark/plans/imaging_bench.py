@@ -117,14 +117,20 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1).rstrip(".")) if m else 0.001
 
 
-#: previous invocation's persisted relations, released on the next call
-_last_caches = None
-
-
 def _feature_rollup(spark: SparkSession, n: int) -> DataFrame:
     """The full pipeline over ``n`` synthetic images, reduced to one
     deterministic row per acquisition group (shared by the sf-scaled
-    bench entry and the fixed-n driver-checkable checksum entry)."""
+    bench entry and the fixed-n driver-checkable checksum entry).
+
+    Cache lifetime: the fused plan persists the widest tensor relation
+    of the whole bench (pixels + every branch's masks). Because the
+    rollup is tiny (one row per group), we run the terminal action HERE,
+    release every persisted relation with a blocking unpersist, and hand
+    the caller a local re-created DataFrame — so no tensor cache
+    outlives this query into the next bench entry. (Round-14 driver
+    bench showed the lazily-released cache doubling the wall of the
+    query scheduled right after this one.) Reference analogue: SCIP
+    releases via explicit compute boundaries, src/scip/main.py:275."""
     from scip_spark.plans.pipeline import BuildCaches, build
 
     cfg = dict(PIPELINE_CONFIG)
@@ -132,15 +138,8 @@ def _feature_rollup(spark: SparkSession, n: int) -> DataFrame:
         "nchannels": NCHANNELS,
         "families": ["bbox", "intensity", "raw", "shape", "texture"],
     }
-    # this run's persisted relations (fan-out cache + per-branch filter
-    # relation) are consumed by the CALLER's action, so they can't be
-    # released here — but the previous invocation's can. Bounds repeated
-    # invocations to one run's cache footprint instead of accumulating.
-    global _last_caches
-    if _last_caches is not None:
-        _last_caches.unpersist()
-    _last_caches = BuildCaches()
-    feats = build(synthetic_images(spark, n), cfg, caches=_last_caches)
+    caches = BuildCaches()
+    feats = build(synthetic_images(spark, n), cfg, caches=caches)
 
     # roll the wide two-branch feature frame up to one row per group:
     # object counts + grid-quantized feature sums (floor(x·2^20) is exact
@@ -171,7 +170,11 @@ def _feature_rollup(spark: SparkSession, n: int) -> DataFrame:
         aggs.append(
             F.sum(F.floor(F.col(c) * F.lit(float(2**20))).cast("long")).alias(f"sum_{c[5:]}")
         )
-    return feats.groupBy("group").agg(*aggs)
+    rollup = feats.groupBy("group").agg(*aggs)
+    rows = rollup.collect()  # bounded: one row per acquisition group
+    schema = rollup.schema
+    caches.unpersist(blocking=True)
+    return spark.createDataFrame(rows, schema=schema)
 
 
 @register(
