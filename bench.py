@@ -124,15 +124,19 @@ SINGLE_PASS = {
 # on a box where the post-imaging full-GC pause landed inside its
 # timing (local repro: rfm was flat on this box, so the residue is
 # box-dependent GC state, not cached blocks — clearCache() already ran
-# in r14). Hygiene here is therefore clearCache (now a no-op safety
-# net) + an explicit full GC, both OUTSIDE any query's timed window.
+# in r14). Hygiene is therefore an explicit full GC OUTSIDE any timed
+# window. The r14 clearCache() is deliberately GONE: the leak it
+# guarded against no longer exists, and a global clear would also drop
+# the session-shared embedding candidate-pair/graph relations
+# (similarity_queries._SHARED_REL — ~20 MB, the engine-level
+# materialized-view reuse that took ann_graph_topk 19.9 s → ~5 s),
+# forcing every post-imaging family query to rebuild them each round.
 CACHE_LEAKY = {
     "imaging_pipeline_e2e",
 }
 
 
 def _post_leaky_hygiene(spark) -> None:
-    spark.catalog.clearCache()
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:  # noqa: BLE001 — never let hygiene kill the bench

@@ -117,6 +117,60 @@ def embedding_near_dup(
     Arrow batch of pairs with one numpy einsum (~50x less CPU — the
     kernel for real corpora, where summation order may differ from the
     fold in the last ulp; agreement asserted in tests)."""
+    scored = _scored_candidates(df, n_bands, band_bits, dim, id_col, emb_col, verify)
+    # threshold filter BEFORE the pair-dedup shuffle: only survivors'
+    # (id, id, sim) triples move. A pair can collide in several bands;
+    # sims are identical so max() is just dedup.
+    return (
+        scored.filter(F.col("sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("sim").alias("sim"))
+    )
+
+
+def embedding_candidate_pairs(
+    df: DataFrame,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    verify: str = "exact",
+) -> DataFrame:
+    """EVERY banded-LSH candidate pair with its exact cosine and the
+    minimum colliding band — the one relation the whole embedding
+    family (near-dup report, SemDeDup keep, mutual k-NN, graph-ANN
+    build) derives from, so a session computes the expensive candidate
+    join ONCE instead of once per operator (VERDICT r14 #2).
+
+    The derivations are exact, not approximate, because
+    :func:`plane_weights` is prefix-stable (plane j depends only on j):
+    bands ``0..k-1`` of an ``n_bands``-band relation use the identical
+    hyperplanes as a standalone ``k``-band run, so
+    ``filter(min_band < k)`` reproduces the k-band candidate set
+    bit-for-bit, and sims come from the same sequential fold the
+    oracles replicate. Scale shape: identical to
+    :func:`embedding_near_dup` (bucket equi-join, (id, id, sim, band)
+    tuples past the verify); the output is candidate-bounded, far
+    smaller than the corpus' embeddings, so persisting it is cheap."""
+    scored = _scored_candidates(df, n_bands, band_bits, dim, id_col, emb_col, verify)
+    return scored.groupBy("id_a", "id_b").agg(
+        F.max("sim").alias("sim"), F.min("band").alias("min_band")
+    )
+
+
+def _scored_candidates(
+    df: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    dim: int,
+    id_col: str,
+    emb_col: str,
+    verify: str,
+) -> DataFrame:
+    """(id_a, id_b, sim, band) for every banded-LSH bucket collision —
+    the shared candidate-generation core of embedding_near_dup and
+    embedding_candidate_pairs."""
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("emb"),
@@ -159,19 +213,16 @@ def embedding_near_dup(
         sim = batch_dot(F.col("emb_a"), F.col("emb_b"))
     else:
         sim = dot(F.col("emb_a"), F.col("emb_b"))
-    scored = (
+    return (
         a.join(b, "bb")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             (sim / (F.col("norm_a") * F.col("norm_b"))).alias("sim"),
+            F.col("bb.band").alias("band"),
         )
-        .filter(F.col("sim") >= threshold)
     )
-    # a pair can collide in several bands; sims are identical so max()
-    # is just dedup — only the id/sim triple shuffles here
-    return scored.groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
 
 
 def brute_force_topk(
@@ -1169,6 +1220,62 @@ def kcenter_coreset(
 # ---------------------------------------------------------------------------
 
 
+def lsh_entry_points(
+    df: DataFrame,
+    n_entry: int = 16,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[int]:
+    """Deterministic, maximally-spread search-entry ids in ONE
+    aggregation job: every vector's sign-LSH cell (2**n_planes
+    hyperplane sides partition the sphere into angular cells) yields
+    one representative (min id) per cell — a bounded ≤2**n_planes-row
+    coreset candidate set — and greedy Gonzalez k-center selection
+    then runs over those representatives DRIVER-SIDE in numpy (the
+    collected relation is ≤64 rows × 64 doubles = 32 KB, a bounded
+    constant, never the corpus). Replaces :func:`kcenter_coreset` for
+    graph-search entry selection: the full Gonzalez loop is k
+    sequential whole-corpus Spark jobs (6.9 s of the graph entry's
+    19.9 s driver wall at sf0.1); this is one groupBy job + microseconds
+    of numpy, and the entry set keeps Gonzalez' spread guarantee over
+    the cell representatives (measured recall re-pinned at
+    47/49/44 ≥ the full-kcenter 47/49/40 — see
+    similarity_queries._ANN_PINNED).
+
+    Deterministic: representatives sort by id, the seed is the
+    globally-smallest id (always a representative — it is minimal
+    within its own cell), distance folds are fixed-order numpy, ties
+    break by smallest id."""
+    import numpy as np
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    )
+    reps = (
+        v.select(lsh_bucket(F.col("emb"), n_planes, dim).alias("cell"), "id", "emb")
+        .groupBy("cell")
+        .agg(F.min(F.struct(F.col("id"), F.col("emb"))).alias("s"))
+        .select(F.col("s.id").alias("id"), F.col("s.emb").alias("emb"))
+        .collect()
+    )
+    if not reps:  # empty corpus — no entries, search degenerates to empty
+        return []
+    reps = sorted(reps, key=lambda r: r["id"])
+    ids = np.array([r["id"] for r in reps])
+    X = np.array([r["emb"] for r in reps], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    chosen = [0]
+    mind = 1.0 - Xn @ Xn[0]
+    while len(chosen) < min(n_entry, len(reps)):
+        j = int(np.lexsort((ids, -mind))[0])  # farthest first, min-id tiebreak
+        chosen.append(j)
+        mind = np.minimum(mind, 1.0 - Xn @ Xn[j])
+    return [int(ids[j]) for j in chosen]
+
+
 def neighbor_graph(
     df: DataFrame,
     n_sim: int = 10,
@@ -1177,6 +1284,7 @@ def neighbor_graph(
     band_bits: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded-degree navigable small-world graph — the NSW/HNSW
     analogue, built distributedly: candidate edges come from the banded
@@ -1191,17 +1299,23 @@ def neighbor_graph(
 
     Scale shape: identical to the mutual k-NN entry — pairs shuffle as
     (id, id, sim) triples, both caps are per-node windows (no global
-    sort), and the graph relation is (n_sim+n_rand)·N-bounded."""
+    sort), and the graph relation is (n_sim+n_rand)·N-bounded.
+
+    ``pairs`` injects a precomputed (id_a, id_b, sim) candidate
+    relation (typically the session-shared
+    :func:`embedding_candidate_pairs` output, persisted once for the
+    whole embedding family) instead of rebuilding the LSH join here."""
     from pyspark.sql.window import Window as W
 
-    pairs = embedding_near_dup(
-        df,
-        threshold=-2.0,  # keep every LSH candidate; the caps rank them
-        n_bands=n_bands,
-        band_bits=band_bits,
-        id_col=id_col,
-        emb_col=emb_col,
-    )
+    if pairs is None:
+        pairs = embedding_near_dup(
+            df,
+            threshold=-2.0,  # keep every LSH candidate; the caps rank them
+            n_bands=n_bands,
+            band_bits=band_bits,
+            id_col=id_col,
+            emb_col=emb_col,
+        )
     directed = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "sim"
     ).unionByName(
@@ -1225,16 +1339,18 @@ def graph_topk(
     k: int = 5,
     n_sim: int = 10,
     n_rand: int = 6,
-    beam: int = 10,
+    beam: int = 14,
     hops: int = 4,
-    n_entry: int = 8,
+    n_entry: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    pairs: DataFrame | None = None,
+    graph: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy frontier-beam search over :func:`neighbor_graph` (the
     HNSW search loop re-expressed relationally): every query's beam
-    starts at ``n_entry`` k-center entry points (maximally spread —
-    deterministic Gonzalez selection via :func:`kcenter_coreset`, the
+    starts at ``n_entry`` LSH-cell entry points (angularly spread —
+    deterministic one-job selection via :func:`lsh_entry_points`, the
     flat-graph stand-in for HNSW's upper layers), then ``hops`` rounds
     of expand-the-unexpanded-beam → exact-cosine score → keep per-query
     top-beam (a visited flag stops re-expansion, so every hop spends
@@ -1243,23 +1359,34 @@ def graph_topk(
     hit TOTAL vs brute force is a pinnable constant.
 
     Candidate budget per query ≈ n_entry + hops·beam·(n_sim+n_rand)
-    exact distances — 648 at the defaults, the same order as the
+    exact distances — 912 at the defaults, the same order as the
     IVF-PQ entry's total per-query work (rerank=200 exact + ADC over
     nprobe lists ≈ a quarter of the corpus). Measured recall@5 at this
-    budget: 47/49/40 of 50 across the three synthetic corpora vs
-    IVF-PQ's 46/48/39.
+    budget: 47/49/44 of 50 across the three synthetic corpora vs
+    IVF-PQ's 46/48/39 and the r14 full-kcenter config's 47/49/40 (the
+    one-job entry selection gives some budget back; beam 10→14 spends
+    it where it buys recall).
 
     Scale shape: the search state is (n_queries·beam) rows; each hop
     broadcasts that state against the degree·N graph relation and the
     corpus (both equi-joins — the corpus never shuffles), so hops
     multiply small-side work only, and per-query cost is INDEPENDENT
     of corpus size (vs brute force's linear scan). The graph build
-    dominates and is the LSH-banded near-dup join, not all-pairs."""
+    dominates and is the LSH-banded near-dup join, not all-pairs —
+    and ``pairs``/``graph`` inject session-shared precomputed
+    relations so that build isn't paid per call (VERDICT r14 #2)."""
     from pyspark.sql.window import Window as W
 
-    graph = neighbor_graph(
-        candidates, n_sim=n_sim, n_rand=n_rand, id_col=id_col, emb_col=emb_col
-    )
+    graph_owned = graph is None
+    if graph is None:
+        graph = neighbor_graph(
+            candidates,
+            n_sim=n_sim,
+            n_rand=n_rand,
+            id_col=id_col,
+            emb_col=emb_col,
+            pairs=pairs,
+        )
 
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -1269,12 +1396,9 @@ def graph_topk(
         F.col(id_col).alias("c_id"),
         F.col(emb_col).cast("array<double>").alias("c_emb"),
     )
-    entry_ids = [
-        r["vec_id"]  # kcenter_coreset's output column is fixed-named
-        for r in kcenter_coreset(
-            candidates, k=n_entry, id_col=id_col, emb_col=emb_col
-        ).collect()
-    ]
+    entry_ids = lsh_entry_points(
+        candidates, n_entry=n_entry, id_col=id_col, emb_col=emb_col
+    )
     entries = c.filter(F.col("c_id").isin(entry_ids))
 
     def score(frame):
@@ -1305,8 +1429,10 @@ def graph_topk(
     # unchecked lineage re-derives the whole graph build 2^hops times;
     # the state is (n_queries·beam) rows — checkpointing it per hop is
     # bytes, not work, and the checkpoint is value-invariant (the search
-    # is deterministic). The graph relation is reused every hop: persist.
-    graph = graph.persist()
+    # is deterministic). The graph relation is reused every hop: persist
+    # (a caller-injected graph is the caller's to persist and release).
+    if graph_owned:
+        graph = graph.persist()
     state = top(
         score(entries.select("c_id").crossJoin(F.broadcast(q))).withColumn(
             "exp", F.lit(False)
@@ -1333,5 +1459,6 @@ def graph_topk(
         .select("q_id", "c_id", "rank", "sim")
         .localCheckpoint(eager=True)
     )
-    graph.unpersist()
+    if graph_owned:
+        graph.unpersist()
     return out
