@@ -1434,28 +1434,42 @@ def _ss_covered(win, shared):
 
 def _ss_covered_counts(win, shared, alias="dup_tokens"):
     """|union of covered token positions| per doc, WITHOUT materializing
-    positions: shared windows fold as sorted intervals ([pos, pos+W)),
-    new coverage per window = max(0, (p+W) − max(p, running_end)).
+    positions: every interval has the SAME width W, so the union of
+    sorted intervals [p, p+W) is ``Σ least(W, next_pos − pos)`` (last
+    window contributes W) — a doc-partitioned window + one JVM sum,
+    no collect_list, no array sort, no interpreted HOF fold.
     Bit-identical count to ``_ss_covered(...).groupBy(doc).count()``
     (integer arithmetic, pinned in tests), but the exchange carries ONE
     row per shared window instead of W position rows + a distinct —
     r14 probe: the duplicate-saturated 10× corpus dropped from 469 MB
     to ~97 MB total shuffle (the ×8 explode + distinct were 80% of
-    bytes). This is the span family's scale path: shuffle stays
-    proportional to DUPLICATED windows, never to W× positions."""
+    bytes). r15: the r14 fold's collect_list + sort_array + aggregate()
+    HOF was the driver-bench CPU cost (2.60→4.13 s on unchanged
+    shuffle); this window form keeps the identical exchange shape
+    (positions are unique per doc, so lead() sees exactly the fold's
+    sorted stream) and measured 5.4→2.8 s cold at sf0.1, values
+    pinned identical. Shuffle stays proportional to DUPLICATED
+    windows, never to W× positions; the window is doc-partitioned
+    (never partition-less) and the groupBy reuses its exchange."""
+    from pyspark.sql.window import Window as W
+
     w = _SSW
-    fold = F.expr(
-        "aggregate(ps, named_struct('cov', 0L, 'e', 0L), "
-        f"(a, p) -> named_struct("
-        f"'cov', a.cov + greatest(0L, p + {w}L - greatest(p, a.e)), "
-        f"'e', greatest(a.e, p + {w}L)), "
-        "a -> a.cov)"
-    )
+    wspec = W.partitionBy("doc_id").orderBy("pos")
     return (
         win.join(shared, "h")
+        .select("doc_id", "pos")
+        .withColumn("nxt", F.lead("pos").over(wspec))
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
-        .select("doc_id", fold.cast("long").alias(alias))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.least(F.lit(w), F.col("nxt") - F.col("pos")),
+                ).otherwise(F.lit(w))
+            )
+            .cast("long")
+            .alias(alias)
+        )
     )
 
 
