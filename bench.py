@@ -109,12 +109,11 @@ HEADLINE_CHANGES = "r13: +dedup_substring_spans, +pre-loop probes (JVM pre-warm)
 # now runs ~40% faster than when the single-pass budget was set, so a
 # second (min-taken) pass is budget-neutral and de-noises the bench's
 # single largest row
-SINGLE_PASS = {
-    # exact joins: ~14 s each at sf0.1 (candidate-dense corpus) — one
-    # pass keeps the bench under budget while still tracking them
-    "dedup_setsim_join",
-    "dedup_containment_pairs",
-}
+# r15: the exact joins left this set — the session-shared tokenized
+# relation (dedup_queries._shared_doc_tokens) makes their warm pass
+# ~3 s, so a second (min-taken) pass costs little and reports the
+# plan's actual cost instead of cold-session scan/codegen noise.
+SINGLE_PASS: set = set()
 
 # queries that persist multi-GB tensor relations during their run. As
 # of r15 the imaging entry releases its own caches with a BLOCKING

@@ -646,6 +646,7 @@ def setsim_prefix_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     bitmask_cap: int = BITMASK_VOCAB_CAP,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering (the
     AllPairs/PPJoin family) — the deterministic complement to the
@@ -691,11 +692,15 @@ def setsim_prefix_join(
     fully codegen — instead of the exploded candidate × token join.
     Candidate generation (the part whose completeness proof matters)
     is byte-identical in both paths. ``bitmask_cap=0`` disables.
+    ``tok`` injects a precomputed distinct (sid, token) relation
+    (typically session-shared and persisted) so repeated joins skip
+    re-tokenizing the corpus.
     """
     eps = 1e-9
-    tok = docs.select(
-        F.col(id_col).alias("sid"), F.explode(tokens(text_col)).alias("token")
-    ).distinct()
+    if tok is None:
+        tok = docs.select(
+            F.col(id_col).alias("sid"), F.explode(tokens(text_col)).alias("token")
+        ).distinct()
     vocab = _small_vocab(tok, bitmask_cap)
     if vocab is not None:
         return _setsim_bitmask(docs.sparkSession, tok, vocab, threshold, eps)
@@ -1048,6 +1053,7 @@ def containment_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     bitmask_cap: int = BITMASK_VOCAB_CAP,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC set-containment self-join: directed pairs (a, b),
     a != b, with |A∩B| / |A| >= threshold — the copy-paste-inclusion
@@ -1068,11 +1074,14 @@ def containment_join(
 
     Same vocabulary-keyed bitmask dispatch as
     :func:`setsim_prefix_join` (see there); ``bitmask_cap=0``
-    disables."""
+    disables. ``tok`` injects a precomputed distinct (sid, token)
+    relation (typically session-shared and persisted) so repeated
+    joins skip re-tokenizing the corpus."""
     eps = 1e-9
-    tok = docs.select(
-        F.col(id_col).alias("sid"), F.explode(tokens(text_col)).alias("token")
-    ).distinct()
+    if tok is None:
+        tok = docs.select(
+            F.col(id_col).alias("sid"), F.explode(tokens(text_col)).alias("token")
+        ).distinct()
     vocab = _small_vocab(tok, bitmask_cap)
     if vocab is not None:
         return _containment_bitmask(docs.sparkSession, tok, vocab, threshold, eps)

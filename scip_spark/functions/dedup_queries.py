@@ -16,9 +16,62 @@ from scip_spark.functions.dedup import (
     lsh_candidate_pairs,
     minhash_table,
 )
-from scip_spark.queries import register, tbl
+from scip_spark.queries import register, session_rel, tbl
 
 _ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def _shared_lsh_pairs(spark, sf_dir: str):
+    """Session-shared MinHash-LSH candidate pairs over the documents
+    table — eight registered operators (pair report, CC, cluster
+    sizes/splits, triangle count, method agreement, leakage audit,
+    keep-best) derive from this one relation; persisting the (id_a,
+    id_b) output amortizes the signature pipeline + bucket shuffle
+    across the whole session (same materialized-view reuse as the
+    embedding family's shared candidate relation)."""
+    return session_rel(
+        spark,
+        sf_dir,
+        "doc_lsh_pairs",
+        lambda: lsh_candidate_pairs(tbl(spark, sf_dir, "documents")),
+    )
+
+
+def _shared_doc_tokens(spark, sf_dir: str):
+    """Session-shared distinct (sid, token) relation over documents —
+    the input both exact set-similarity joins (setsim, containment)
+    re-derive per call; ~116k tiny rows at sf0.1, and sharing it also
+    makes the vocabulary-size dispatch probe (a limit-collect over the
+    token document frequencies) a cached-scan job."""
+    from scip_spark.functions.text import tokens as _tokens
+
+    def build():
+        return (
+            tbl(spark, sf_dir, "documents")
+            .select(
+                F.col("doc_id").alias("sid"),
+                F.explode(_tokens("text")).alias("token"),
+            )
+            .distinct()
+        )
+
+    return session_rel(spark, sf_dir, "doc_tok", build)
+
+
+def _shared_components(spark, sf_dir: str):
+    """Session-shared connected components over the shared LSH pairs:
+    the iterative label propagation is O(diameter) Spark jobs — paying
+    it once per session instead of once per consumer is the difference
+    between 5 CC runs and 1 in a full registry sweep."""
+    from scip_spark.functions.dedup import connected_components
+
+    return session_rel(
+        spark,
+        sf_dir,
+        "doc_lsh_cc",
+        lambda: connected_components(_shared_lsh_pairs(spark, sf_dir)),
+    )
+
 
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
@@ -121,7 +174,7 @@ def _lsh_pairs_sql(source: str = "documents") -> str:
     doc="MinHash-LSH candidate pairs via band-digest equi-join",
 )
 def dedup_lsh_pairs(spark, sf_dir):
-    return lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+    return _shared_lsh_pairs(spark, sf_dir)
 
 
 _SKEW_N = 2000
@@ -357,10 +410,7 @@ def _cc_sql() -> str:
     "(iterative DataFrame label propagation; oracle = recursive CTE)",
 )
 def dedup_connected_components(spark, sf_dir):
-    from scip_spark.functions.dedup import connected_components
-
-    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
-    return connected_components(pairs)
+    return _shared_components(spark, sf_dir)
 
 
 def _cluster_split_sql() -> str:
@@ -419,8 +469,7 @@ def corpus_cluster_safe_split(spark, sf_dir):
     from scip_spark.functions.dedup import connected_components
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
-    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
-    comp = connected_components(pairs)
+    comp = _shared_components(spark, sf_dir)
     roots = docs.join(
         comp, docs.doc_id == comp.node_id, "left"
     ).select(
@@ -509,10 +558,7 @@ def boilerplate_chunk_scrub(spark, sf_dir):
     "construction",
 )
 def dedup_cluster_sizes(spark, sf_dir):
-    from scip_spark.functions.dedup import connected_components
-
-    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
-    comp = connected_components(pairs)
+    comp = _shared_components(spark, sf_dir)
     return (
         comp.groupBy("component")
         .agg(F.count("*").cast("long").alias("csize"))
@@ -539,7 +585,7 @@ def dedup_cluster_sizes(spark, sf_dir):
     "LSH candidate set, and the two equi-joins shuffle only id pairs",
 )
 def dedup_triangle_count(spark, sf_dir):
-    pairs = lsh_candidate_pairs(tbl(spark, sf_dir, "documents"))
+    pairs = _shared_lsh_pairs(spark, sf_dir)
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -637,7 +683,9 @@ def dedup_incremental(spark, sf_dir):
 )
 def dedup_setsim_join(spark, sf_dir):
     return dedup.setsim_prefix_join(
-        tbl(spark, sf_dir, "documents"), threshold=0.95
+        tbl(spark, sf_dir, "documents"),
+        threshold=0.95,
+        tok=_shared_doc_tokens(spark, sf_dir),
     )
 
 
@@ -732,7 +780,7 @@ def dedup_method_agreement(spark, sf_dir):
     truth = dedup.setsim_prefix_join(docs_sh, threshold=0.95).select(
         "id_a", "id_b"
     )
-    cand = lsh_candidate_pairs(docs).select("id_a", "id_b")
+    cand = _shared_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     nh = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
         F.count("*").cast("long").alias("nh")
     )
@@ -786,7 +834,9 @@ def dedup_method_agreement(spark, sf_dir):
 )
 def dedup_containment_pairs(spark, sf_dir):
     return dedup.containment_join(
-        tbl(spark, sf_dir, "documents"), threshold=1.0
+        tbl(spark, sf_dir, "documents"),
+        threshold=1.0,
+        tok=_shared_doc_tokens(spark, sf_dir),
     )
 
 
@@ -974,7 +1024,7 @@ def contrastive_negatives(spark, sf_dir):
     valid = probes.join(
         docs.select(F.col("doc_id").alias("cand")), "cand"
     )
-    pairs = dedup.lsh_candidate_pairs(docs).select(
+    pairs = _shared_lsh_pairs(spark, sf_dir).select(
         F.col("id_a").alias("p_a"), F.col("id_b").alias("p_b")
     )
     survivors = (
@@ -1038,7 +1088,7 @@ def split_leakage_pairs(spark, sf_dir):
     from scip_spark.functions.corpus import split_assign
 
     docs = tbl(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
+    pairs = _shared_lsh_pairs(spark, sf_dir)
     splits = split_assign(docs).select("doc_id", "split")
     sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
@@ -1140,7 +1190,7 @@ def dedup_keep_best_quality(spark, sf_dir):
     from scip_spark.functions.text import token_count
 
     docs = tbl(spark, sf_dir, "documents")
-    comp = connected_components(lsh_candidate_pairs(docs))
+    comp = _shared_components(spark, sf_dir)
     scored = (
         docs.select("doc_id", token_count("text").alias("score"))
         .join(comp, docs["doc_id"] == comp["node_id"], "left")

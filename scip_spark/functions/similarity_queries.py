@@ -33,29 +33,8 @@ from scip_spark.queries import register, tbl
 # ---------------------------------------------------------------------------
 
 _GRAPH_BANDS = 8
-_SHARED_REL: dict = {}
 
-
-def _session_rel(spark, sf_dir: str, kind: str, build):
-    """Session-scoped persisted relation: built once per (session,
-    sf_dir, kind), re-persisted if something external (clearCache)
-    dropped the blocks — the values are deterministic, so a silent
-    recompute is correct, just slower."""
-    from pyspark.storagelevel import StorageLevel
-
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
-    hit = _SHARED_REL.get(key)
-    if hit is not None:
-        if hit.storageLevel == StorageLevel.NONE:
-            hit.persist(StorageLevel.MEMORY_AND_DISK)
-        return hit
-    # entries from dead sessions are unreferencable — drop them
-    for k in list(_SHARED_REL):
-        if k[0] != key[0]:
-            _SHARED_REL.pop(k)
-    df = build().persist(StorageLevel.MEMORY_AND_DISK)
-    _SHARED_REL[key] = df
-    return df
+from scip_spark.queries import session_rel as _session_rel  # noqa: E402
 
 
 def _shared_pairs(spark, sf_dir: str):

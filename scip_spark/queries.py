@@ -67,6 +67,38 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+#: session-shared persisted relations (engine-level materialized-view
+#: reuse): several registered operators derive from the SAME expensive
+#: intermediate (the banded embedding candidate join, the document
+#: MinHash-LSH pair set, its connected components, the tokenized doc
+#: relation). Keyed by (applicationId, sf_dir, kind) so nothing leaks
+#: across sessions or scale factors; every stored relation is
+#: candidate/label-bounded (id pairs, labels, tokens — never tensors
+#: or text), tens of MB at most.
+_SHARED_REL: dict = {}
+
+
+def session_rel(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    """Build-once-per-session persisted relation. Re-persists if
+    something external (clearCache) dropped the blocks — values are
+    deterministic, so a silent recompute is correct, just slower."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    hit = _SHARED_REL.get(key)
+    if hit is not None:
+        if hit.storageLevel == StorageLevel.NONE:
+            hit.persist(StorageLevel.MEMORY_AND_DISK)
+        return hit
+    # entries from dead sessions are unreferencable — drop them
+    for k in list(_SHARED_REL):
+        if k[0] != key[0]:
+            _SHARED_REL.pop(k)
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _SHARED_REL[key] = df
+    return df
+
+
 @dataclass
 class QuerySpec:
     """A Spark query plus (optionally) its DuckDB oracle SQL."""
