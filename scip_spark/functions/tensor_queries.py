@@ -368,13 +368,15 @@ def boundaries_csv_roundtrip(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="scip_bounds_")
     try:
         csv_path = export_channel_boundaries(ext, out)
-        back = spark.read.csv(csv_path, header=True, inferSchema=True)
-        return back.select(
-            F.col("label").cast("string").alias("label"),
-            F.col("channel").cast("int").alias("channel"),
-            F.col("gmin_fp").cast("long").alias("gmin_fp"),
-            F.col("gmax_fp").cast("long").alias("gmax_fp"),
-        ).localCheckpoint(eager=True)
+        # explicit schema (ADVICE r14): inferSchema would coerce a
+        # numeric-looking label like '007' to 7 and report a value
+        # drift that is read-back inference, not sink corruption
+        back = spark.read.csv(
+            csv_path,
+            header=True,
+            schema="label STRING, channel INT, gmin_fp LONG, gmax_fp LONG",
+        )
+        return back.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -506,3 +508,203 @@ def correction_pickle_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         data, "label string, dim int, sum_fp long, n long"
     )
+
+
+# ---------------------------------------------------------------------------
+# S11/S12 sink roundtrips (VERDICT r14 #5): the last two side-effect
+# sinks become driver-verifiable. Neither payload format's library
+# exists in this container (anndata/h5py), so the anndata roundtrip
+# injects the same kind of fake module the S11 tests use — but the
+# DISTRIBUTED machinery under test (mapInPandas executor-side writes,
+# feat_/meta column split, per-partition file naming, the binaryFile
+# distributed read-back) is the real sink path end to end.
+# ---------------------------------------------------------------------------
+
+_FP40 = 1099511627776  # 2^40 fixed-point grid (floor + pow2 exact cross-engine)
+
+
+class _NpzAnnData:
+    """Minimal AnnData stand-in: holds (X, obs) and writes both to the
+    target path as a numpy .npz archive (written through an open file
+    handle so numpy cannot append its own extension — the sink names
+    files ``<name>.<pid>.h5ad`` and the read-back globs on that)."""
+
+    def __init__(self, X, obs):
+        self.X = X
+        self.obs = obs
+
+    def write(self, path):
+        import numpy as np
+
+        with open(path, "wb") as f:
+            np.savez(
+                f,
+                X=np.asarray(self.X, dtype=np.float64),
+                **{
+                    f"obs_{c}": self.obs[c].to_numpy()
+                    for c in self.obs.columns
+                },
+            )
+
+
+class _NpzAnnDataModule:
+    AnnData = _NpzAnnData
+
+
+def _npz_anndata_factory():
+    return _NpzAnnDataModule
+
+
+@register(
+    "anndata_sink_roundtrip",
+    f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(emb[1] * {_FP40}) AS BIGINT)) AS BIGINT) AS d1_sum,
+           CAST(SUM(CAST(floor(emb[2] * {_FP40}) AS BIGINT)) AS BIGINT) AS d2_sum,
+           CAST(SUM(CAST(floor(emb[3] * {_FP40}) AS BIGINT)) AS BIGINT) AS d3_sum,
+           CAST(SUM(CAST(floor(emb[4] * {_FP40}) AS BIGINT)) AS BIGINT) AS d4_sum
+    FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings)
+    GROUP BY label
+    """,
+    doc="S11 anndata sink, driver-verifiable as a ROUND TRIP (reference "
+    "src/scip/export/anndata.py:12-60 splits feat_/meta columns into "
+    "one .h5ad per partition): four feature columns + a meta label go "
+    "through export_anndata's executor-side mapInPandas write (the "
+    "injected module serializes (X, obs) as .npz since anndata/h5py "
+    "are absent here — the reference ships it as an optional extra), "
+    "then the files are read BACK distributed via Spark's binaryFile "
+    "source (no driver listing, one task per file) and rolled up per "
+    "label on the 2^40 integer grid. The oracle computes the same "
+    "rollup from the original table, so row loss, column misrouting "
+    "(a feat_ column landing in obs), X column-order drift or float "
+    "corruption in the sink all hash-mismatch. Scale shape: writes "
+    "and reads are both one-task-per-file mapInPandas/binaryFile — "
+    "the corpus never moves through the driver.",
+)
+def anndata_sink_roundtrip(spark, sf_dir):
+    import io
+    import shutil
+    import tempfile
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from scip_spark.sources.export import export_anndata
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    df = emb.select(
+        F.col("label").cast("long").alias("label"),
+        *[F.element_at(e, i + 1).alias(f"feat_d{i + 1}") for i in range(4)],
+    )
+    out = tempfile.mkdtemp(prefix="scip_anndata_")
+    try:
+        export_anndata(df, out, anndata_factory=_npz_anndata_factory)
+        files = spark.read.format("binaryFile").load(f"{out}/*.h5ad")
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    z = np.load(io.BytesIO(bytes(r["content"])))
+                    X = z["X"]
+                    lab = z["obs_label"].astype(np.int64)
+                    fp = np.floor(X * float(_FP40)).astype(np.int64)
+                    yield pd.DataFrame(
+                        {
+                            "label": lab,
+                            **{f"d{i + 1}": fp[:, i] for i in range(4)},
+                        }
+                    )
+
+        rows = files.select("content").mapInPandas(
+            decode, schema="label long, d1 long, d2 long, d3 long, d4 long"
+        )
+        agg = rows.groupBy("label").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            *[
+                F.sum(f"d{i + 1}").cast("long").alias(f"d{i + 1}_sum")
+                for i in range(4)
+            ],
+        )
+        return agg.localCheckpoint(eager=True)  # pin before the dir goes
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "labeled_mask_sink_roundtrip",
+    """
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           CAST(SUM(len(list_filter(embedding::DOUBLE[], v -> v > 0.5)))
+                AS BIGINT) AS npix_sum
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="S12 labeled-mask sink, driver-verifiable as a ROUND TRIP "
+    "(reference src/scip/segmentation/__init__.py:56-67 writes one "
+    ".npy mask per object named by its group keys): a deterministic "
+    "boolean mask per embedding (dim value > 0.5, shaped 1x8x8) goes "
+    "through export_labeled_masks' executor-side per-record np.save, "
+    "then every file is read BACK distributed via binaryFile (one "
+    "task per file, keys re-parsed from the sink's own file names) "
+    "and rolled up per label: file count, id mix, true-pixel sum. "
+    "Row loss, name collisions, dtype/shape corruption or bit flips "
+    "in the stored masks all hash-mismatch against the oracle "
+    "computed from the original table.",
+)
+def labeled_mask_sink_roundtrip(spark, sf_dir):
+    import io
+    import os as _os
+    import shutil
+    import tempfile
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from scip_spark.sources.export import export_labeled_masks
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    df = emb.select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.transform(e, lambda x: x > 0.5).alias("mask"),
+        F.array(F.lit(1), F.lit(8), F.lit(8)).alias("mask_shape"),
+    )
+    out = tempfile.mkdtemp(prefix="scip_masks_")
+    try:
+        export_labeled_masks(df, out, group_keys=["label", "vec_id"])
+        files = spark.read.format("binaryFile").load(f"{out}/*.npy")
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                recs = []
+                for _, r in pdf.iterrows():
+                    stem = _os.path.basename(r["path"])[: -len(".npy")]
+                    label_s, vec_s = stem.rsplit("_", 1)
+                    arr = np.load(io.BytesIO(bytes(r["content"])))
+                    assert arr.shape == (1, 8, 8) and arr.dtype == bool
+                    recs.append(
+                        (int(label_s), int(vec_s), int(arr.sum()))
+                    )
+                if recs:
+                    yield pd.DataFrame(
+                        recs, columns=["label", "vec_id", "npix"]
+                    )
+
+        rows = files.select("path", "content").mapInPandas(
+            decode, schema="label long, vec_id long, npix long"
+        )
+        agg = rows.groupBy("label").agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("vec_id").cast("long").alias("id_sum"),
+            F.sum("npix").cast("long").alias("npix_sum"),
+        )
+        return agg.localCheckpoint(eager=True)  # pin before the dir goes
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

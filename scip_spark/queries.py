@@ -154,7 +154,18 @@ def literal_values_sql(rows: list[dict], casts: dict[str, Optional[str]]) -> str
         cells = []
         for c in cols:
             v, t = r[c], casts[c]
-            cells.append(f"'{v}'" if t is None else f"CAST({v} AS {t})")
+            if v is None:
+                # a NULL fixture cell is a fixture bug, not a value to
+                # silently quote as the string 'None'
+                raise ValueError(f"fixture row has NULL in column {c!r}")
+            if t is None:
+                # '' -> '' doubling is SQL-standard escaping (ADVICE
+                # r14: an apostrophe in a fixture value must not break
+                # the generated oracle)
+                escaped = str(v).replace("'", "''")
+                cells.append(f"'{escaped}'")
+            else:
+                cells.append(f"CAST({v} AS {t})")
         lits.append("(" + ", ".join(cells) + ")")
     quoted = ", ".join(f'"{c}"' for c in cols)
     return f"SELECT * FROM (VALUES {', '.join(lits)}) AS t({quoted})"

@@ -61,9 +61,10 @@ def _store_json(path: str) -> dict:
     """Parsed .zattrs/.zarray, cached per worker process: the reference
     single-array layout fetches every record through the SAME store, and
     an uncached read would re-parse the R-element shapes attribute per
-    record — O(R²) metadata work per store (r14 review). Stores are
-    immutable inputs; writers in this module do not rewrite existing
-    metadata files in place."""
+    record — O(R²) metadata work per store (r14 review). Writers in
+    this module invalidate this cache after (re)writing metadata, so a
+    same-process write-after-read never serves stale shape/compressor
+    attributes (ADVICE r14)."""
     with open(path) as f:
         return json.load(f)
 
@@ -95,6 +96,9 @@ def write_array(
     }
     with open(os.path.join(path, ".zarray"), "w") as f:
         json.dump(meta, f)
+    # a same-process read may have cached this path's old metadata
+    # (fixture regeneration, tests reusing a directory) — invalidate
+    _store_json.cache_clear()
     grid = [range((s + c - 1) // c) for s, c in zip(arr.shape, chunks)]
     for idx in itertools.product(*grid):
         sel = tuple(
@@ -170,7 +174,7 @@ def write_ragged_array(
     mat = np.zeros((len(flats), width), dtype=flats[0].dtype if flats else np.float32)
     for i, f in enumerate(flats):
         mat[i, : f.size] = f
-    write_array(path, mat, chunks=chunks)
+    write_array(path, mat, chunks=chunks)  # clears the metadata cache
     with open(os.path.join(path, ".zattrs"), "w") as f:
         json.dump(
             {
@@ -179,6 +183,7 @@ def write_ragged_array(
             },
             f,
         )
+    _store_json.cache_clear()  # .zattrs may also have been cached stale
 
 
 def group_member_shapes(path: str) -> list[list[int]]:
@@ -200,6 +205,9 @@ def _read_array_row(path: str, idx: int) -> np.ndarray:
     meta = _store_json(os.path.join(path, ".zarray"))
     if meta.get("filters"):
         raise ValueError(f"zarr filters need the zarr package: {path}")
+    if meta.get("order", "C") != "C":  # same guard as read_array — a
+        # Fortran-order store would silently decode wrong pixel values
+        raise ValueError(f"only C-order stores supported: {path}")
     shape, chunks = tuple(meta["shape"]), tuple(meta["chunks"])
     dtype = np.dtype(meta["dtype"])
     out = np.full(shape[1:], meta.get("fill_value") or 0, dtype=dtype)
