@@ -100,7 +100,7 @@ HEADLINE = [
 #: in r13 — they add fixed wall to the process and pre-warm JVM/codegen
 #: relative to r12-and-earlier "passes" arrays; compare first-pass
 #: values across that boundary with this in mind.
-HEADLINE_CHANGES = "r13: +dedup_substring_spans, +pre-loop probes (JVM pre-warm); r14: imaging_pipeline_e2e fused plan, +ann_graph_topk"
+HEADLINE_CHANGES = ("r14: imaging fused plan, +ann_graph_topk; r15: session-shared pair/tok/CC relations (first family query pays the build), imaging releases caches in-query, setsim/containment left SINGLE_PASS (min-of-2 now), graph ANN re-pinned 47/49/44")
 
 # heavyweight end-to-end pipelines: one timed pass only (their runtime
 # dwarfs the box's noise band, and a second 100-s pass would double the
@@ -362,6 +362,14 @@ def main() -> None:
         "sf": sf,
         "calib_sec": out["calib_sec"],
         "cpu32_fold": probes_pre.get("cpu32_fold"),
+        # scheduling/job-launch probe next to the CPU fold (VERDICT r14
+        # #8): most headline walls are scheduling/JVM-bound, so
+        # normalize each query against the probe family that actually
+        # correlates with it — the CPU fold is NOT a linear proxy for
+        # short scheduler-bound queries (r14: calib moved 40% while
+        # walls sat flat).
+        "sched_256": probes_pre.get("sched_256tasks"),
+        "noop_write": probes_pre.get("noop_write"),
         "headline_changes": HEADLINE_CHANGES,
     }
     if errors:
