@@ -466,7 +466,6 @@ def _cluster_split_sql() -> str:
 )
 def corpus_cluster_safe_split(spark, sf_dir):
     from scip_spark.functions.corpus import split_assign
-    from scip_spark.functions.dedup import connected_components
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
     comp = _shared_components(spark, sf_dir)
@@ -1186,7 +1185,6 @@ def _keep_best_sql() -> str:
 def dedup_keep_best_quality(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
-    from scip_spark.functions.dedup import connected_components
     from scip_spark.functions.text import token_count
 
     docs = tbl(spark, sf_dir, "documents")

@@ -370,7 +370,14 @@ def boundaries_csv_roundtrip(spark, sf_dir):
         csv_path = export_channel_boundaries(ext, out)
         # explicit schema (ADVICE r14): inferSchema would coerce a
         # numeric-looking label like '007' to 7 and report a value
-        # drift that is read-back inference, not sink corruption
+        # drift that is read-back inference, not sink corruption. The
+        # schema binds POSITIONALLY (header skipped under default
+        # enforceSchema), so assert the header first — a reordered
+        # writer column must fail loudly, not misroute values
+        with open(csv_path) as fh:
+            header = fh.readline().strip()
+        if header != "label,channel,gmin_fp,gmax_fp":
+            raise ValueError(f"boundaries CSV header drifted: {header!r}")
         back = spark.read.csv(
             csv_path,
             header=True,

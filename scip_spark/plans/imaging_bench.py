@@ -171,9 +171,14 @@ def _feature_rollup(spark: SparkSession, n: int) -> DataFrame:
             F.sum(F.floor(F.col(c) * F.lit(float(2**20))).cast("long")).alias(f"sum_{c[5:]}")
         )
     rollup = feats.groupBy("group").agg(*aggs)
-    rows = rollup.collect()  # bounded: one row per acquisition group
-    schema = rollup.schema
-    caches.unpersist(blocking=True)
+    try:
+        rows = rollup.collect()  # bounded: one row per acquisition group
+        schema = rollup.schema
+    finally:
+        # release even when the action fails (a mid-bench task failure
+        # must not leave the widest tensor relation of the session
+        # resident for every subsequent query — review r15 #1)
+        caches.unpersist(blocking=True)
     return spark.createDataFrame(rows, schema=schema)
 
 

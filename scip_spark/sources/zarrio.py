@@ -56,17 +56,29 @@ def _decode_chunk(raw: bytes, meta: dict, path: str) -> bytes:
     )
 
 
-@functools.lru_cache(maxsize=256)
 def _store_json(path: str) -> dict:
-    """Parsed .zattrs/.zarray, cached per worker process: the reference
-    single-array layout fetches every record through the SAME store, and
-    an uncached read would re-parse the R-element shapes attribute per
-    record — O(R²) metadata work per store (r14 review). Writers in
-    this module invalidate this cache after (re)writing metadata, so a
-    same-process write-after-read never serves stale shape/compressor
-    attributes (ADVICE r14)."""
+    """Parsed .zattrs/.zarray, cached per process KEYED ON MTIME: the
+    reference single-array layout fetches every record through the SAME
+    store, and an uncached read would re-parse the R-element shapes
+    attribute per record — O(R²) metadata work per store (r14 review).
+    The mtime key means a rewritten store invalidates naturally in
+    EVERY process — including reused executor Python workers the
+    driver-side cache_clear() in the writers cannot reach (ADVICE r14
+    + review r15 #2); the stat() per call is noise next to the chunk
+    reads that follow."""
+    st = os.stat(path)
+    return _store_json_at(path, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=256)
+def _store_json_at(path: str, mtime_ns: int, size: int) -> dict:
     with open(path) as f:
         return json.load(f)
+
+
+#: writer-side belt-and-braces (same-process, same-mtime-resolution
+#: rewrites): the mtime key is the real invalidation mechanism.
+_store_json.cache_clear = _store_json_at.cache_clear  # type: ignore[attr-defined]
 
 
 def write_array(
