@@ -1780,3 +1780,87 @@ def decontaminate_train_spans(spark, sf_dir):
             F.expr("coalesce(contam_tokens, 0) * 1048576L div n_tokens"),
         ).otherwise(F.lit(0)).cast("long").alias("contam_frac_fp"),
     )
+
+
+@register(
+    "dedup_exact_stream",
+    None,
+    share_sql_with="dedup_exact",  # value-identical twin
+    doc="dedup_exact as a STRUCTURED STREAMING ingest ledger (16th "
+    "driver-hash-checked streaming entry, closing the one family — "
+    "exact dedup — that had a streaming module but no oracle-checked "
+    "twin): the document stream feeds a stateful update-mode "
+    "groupBy(fingerprint) with BOTH folds arrival-order-free — "
+    "min(doc_id) is the canonical-keep rule (never 'first seen', "
+    "which would tie the answer to micro-batch arrival order) and "
+    "count grows monotonically — drained through a foreachBatch "
+    "parquet sink; min/max over the drained epochs is the final "
+    "ledger, bit-identical to the batch groupBy, sharing its oracle "
+    "SQL verbatim. This is the EXACTLY-ONCE admission ledger of a "
+    "streaming corpus-ingest pipeline; the bounded-state production "
+    "variant (watermark-evicted dropDuplicatesWithinWatermark, for "
+    "unbounded 100 TB/day ingest where late re-crawls fall to the "
+    "batch sweep) is streaming/dedup.py::exact_dedup_stream, "
+    "semantics pinned in tests/test_streaming.py.",
+)
+def dedup_exact_stream(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from scip_spark.functions.sketch_queries import _split_to_tmp
+    from scip_spark.functions.text import fingerprint
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _split_to_tmp(docs, key="doc_id")
+    sink = tempfile.mkdtemp(prefix="exact_dedup_sink_")
+    try:
+        sdocs = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        ledger = (
+            sdocs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("canonical_id"),
+                F.count("*").alias("n_dups"),
+            )
+        )
+
+        def sink_epoch(batch_df, epoch_id):
+            # idempotent per-epoch path: a retried epoch overwrites
+            # its own directory instead of double-appending
+            batch_df.write.mode("overwrite").parquet(f"{sink}/e{epoch_id}")
+
+        q = (
+            ledger.writeStream.outputMode("update")
+            .foreachBatch(sink_epoch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("exact-dedup stream did not finish in 600s")
+        epochs = [f"{sink}/{d}" for d in os.listdir(sink) if d.startswith("e")]
+        if not epochs:  # empty source: no groups
+            return spark.createDataFrame(
+                [], "fp string, canonical_id bigint, n_dups bigint"
+            )
+        # update mode re-emits a group's row on every epoch that changes
+        # it; the running min only decreases and the count only grows,
+        # so min/max over emissions IS the final state. Pin the (group-
+        # bounded) ledger so the sink dir can go.
+        return (
+            spark.read.parquet(*epochs)
+            .groupBy("fp")
+            .agg(
+                F.min("canonical_id").alias("canonical_id"),
+                F.max("n_dups").alias("n_dups"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
