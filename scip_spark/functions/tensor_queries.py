@@ -110,9 +110,13 @@ def _zarr_fixture_sql() -> str:
     "metadata columns synthesized from the path regex exactly as the "
     "reference derives loader schema from named groups (reference "
     "src/scip/loading/zarr.py:73-86), shapes from .zattrs, pixels "
-    "fetched per record from raw zarr v2 chunks under BOTH ragged "
-    "layouts (engine group store and the reference's single-array + "
-    "attrs['shape'] store), checksummed on the exact integer grid.",
+    "fetched per record from real zarr v2 chunk bytes under BOTH "
+    "ragged layouts (engine group store and the reference's "
+    "single-array + attrs['shape'] store) and, since r15, under "
+    "zarr's DEFAULT compressor family — committed blosc-lz4 and "
+    "numcodecs-lz4 compressed stores decode through the pure-Python "
+    "spec codecs (sources/bloscio.py, lz4block.py) — checksummed on "
+    "the exact integer grid.",
 )
 def zarr_schema_synthesis(spark, sf_dir):
     import glob as _glob

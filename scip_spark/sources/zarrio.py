@@ -23,9 +23,12 @@ that chunk block — which is all the reference's ragged-cell stores use
 Both are driven through `zarr_meta` / `zarr_attach_pixels` as REAL
 bytes. The writers exist so tests can build stores without the zarr
 package; production stores written by zarr itself read identically
-when uncompressed or numcodecs-zlib/gzip-compressed (stdlib decode,
-r14) — blosc/lz4/zstd stores still need an injected zarr-based fetch
-(documented fail-fast).
+when uncompressed, numcodecs-zlib/gzip-compressed (stdlib decode,
+r14), or — since r15 — compressed with zarr's DEFAULT compressor
+family: Blosc frames with lz4/zlib inner codecs and numcodecs lz4,
+decoded by the pure-Python spec codecs in sources/bloscio.py /
+lz4block.py. blosclz/snappy/zstd payloads and bit-shuffle remain the
+injected-fetch surface (documented fail-fast).
 """
 
 from __future__ import annotations
@@ -41,8 +44,13 @@ import numpy as np
 def _decode_chunk(raw: bytes, meta: dict, path: str) -> bytes:
     """Chunk bytes → C-order block bytes per the store's compressor.
     ``null`` = raw; numcodecs ``zlib``/``gzip`` decode with stdlib zlib
-    (wbits=47 auto-detects both framings); anything else (blosc, lz4,
-    zstd…) still needs the zarr package — fail loudly."""
+    (wbits=47 auto-detects both framings); ``blosc`` frames with
+    lz4/zlib inner codecs and numcodecs ``lz4`` (int32-LE size prefix +
+    one LZ4 block) decode through the pure-Python r15 codecs
+    (sources/bloscio.py, lz4block.py — zarr's DEFAULT compressor is
+    Blosc(cname='lz4'), so real-world stores stopped needing the zarr
+    package); blosclz/snappy/zstd payloads and bit-shuffled frames
+    still fail loudly."""
     comp = meta.get("compressor")
     if comp is None:
         return raw
@@ -51,6 +59,17 @@ def _decode_chunk(raw: bytes, meta: dict, path: str) -> bytes:
         import zlib
 
         return zlib.decompress(raw, 47)
+    if cid == "blosc":
+        from scip_spark.sources import bloscio
+
+        return bloscio.decompress(raw)
+    if cid == "lz4":
+        import struct
+
+        from scip_spark.sources import lz4block
+
+        (dst_size,) = struct.unpack_from("<i", raw, 0)
+        return lz4block.decompress(raw[4:], dst_size)
     raise ValueError(
         f"zarr compressor {cid!r} needs the zarr package: {path}"
     )
@@ -87,13 +106,26 @@ def write_array(
     chunks: tuple[int, ...] | None = None,
     compressor: str | None = None,
 ) -> None:
-    """Write ``arr`` as a zarr v2 array directory (``compressor=None``
-    for raw chunks, ``"zlib"`` for numcodecs-zlib-compatible chunks)."""
+    """Write ``arr`` as a zarr v2 array directory. ``compressor``:
+    ``None`` (raw chunks), ``"zlib"``, ``"blosc-lz4"`` /
+    ``"blosc-zlib"`` (Blosc-1 frames, byte-shuffled) or ``"lz4"``
+    (numcodecs size-prefixed block)."""
     arr = np.asarray(arr)
     chunks = tuple(chunks) if chunks else arr.shape
     if len(chunks) != arr.ndim:
         raise ValueError(f"chunks rank {len(chunks)} != array rank {arr.ndim}")
-    if compressor not in (None, "zlib"):
+    comp_meta = {
+        None: None,
+        "zlib": {"id": "zlib", "level": 6},
+        # numcodecs-style Blosc metadata (zarr's default compressor
+        # family); shuffle=1 is byte-shuffle, numcodecs' default
+        "blosc-lz4": {"id": "blosc", "cname": "lz4", "clevel": 5,
+                      "shuffle": 1, "blocksize": 0},
+        "blosc-zlib": {"id": "blosc", "cname": "zlib", "clevel": 5,
+                       "shuffle": 1, "blocksize": 0},
+        "lz4": {"id": "lz4", "acceleration": 1},
+    }
+    if compressor not in comp_meta:
         raise ValueError(f"unsupported compressor {compressor!r}")
     os.makedirs(path, exist_ok=True)
     meta = {
@@ -101,7 +133,7 @@ def write_array(
         "shape": list(arr.shape),
         "chunks": list(chunks),
         "dtype": arr.dtype.str,
-        "compressor": {"id": "zlib", "level": 6} if compressor else None,
+        "compressor": comp_meta[compressor],
         "fill_value": 0,
         "order": "C",
         "filters": None,
@@ -125,10 +157,25 @@ def write_array(
             full[tuple(slice(0, b) for b in block.shape)] = block
             block = full
         payload = np.ascontiguousarray(block).tobytes()
-        if compressor:
+        if compressor == "zlib":
             import zlib
 
             payload = zlib.compress(payload, 6)
+        elif compressor in ("blosc-lz4", "blosc-zlib"):
+            from scip_spark.sources import bloscio
+
+            payload = bloscio.compress(
+                payload, arr.dtype.itemsize,
+                cname=compressor.split("-")[1], shuffle=True,
+            )
+        elif compressor == "lz4":
+            import struct
+
+            from scip_spark.sources import lz4block
+
+            payload = struct.pack("<i", len(payload)) + lz4block.compress(
+                payload
+            )
         with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
             f.write(payload)
 
@@ -160,7 +207,8 @@ def read_array(path: str) -> np.ndarray:
     return out
 
 
-def write_group(path: str, arrays: list[np.ndarray], chunks=None) -> None:
+def write_group(path: str, arrays: list[np.ndarray], chunks=None,
+                compressor: str | None = None) -> None:
     """Ragged store: a zarr v2 group with one member array per record
     ("0", "1", …) plus a shapes attribute (what zarr_meta consumes)."""
     os.makedirs(path, exist_ok=True)
@@ -169,13 +217,15 @@ def write_group(path: str, arrays: list[np.ndarray], chunks=None) -> None:
     with open(os.path.join(path, ".zattrs"), "w") as f:
         json.dump({"shapes": [list(a.shape) for a in arrays]}, f)
     for i, a in enumerate(arrays):
-        write_array(os.path.join(path, str(i)), a, chunks=chunks)
+        write_array(os.path.join(path, str(i)), a, chunks=chunks,
+                    compressor=compressor)
 
 
 def write_ragged_array(
     path: str,
     arrays: list[np.ndarray],
     chunks: tuple[int, ...] | None = None,
+    compressor: str | None = None,
 ) -> None:
     """Reference-layout ragged store (src/scip/loading/zarr.py:52-61):
     ONE 2-D array, row ``i`` = record ``i`` flattened (zero-padded to
@@ -186,7 +236,7 @@ def write_ragged_array(
     mat = np.zeros((len(flats), width), dtype=flats[0].dtype if flats else np.float32)
     for i, f in enumerate(flats):
         mat[i, : f.size] = f
-    write_array(path, mat, chunks=chunks)  # clears the metadata cache
+    write_array(path, mat, chunks=chunks, compressor=compressor)  # clears the metadata cache
     with open(os.path.join(path, ".zattrs"), "w") as f:
         json.dump(
             {

@@ -122,3 +122,154 @@ def test_ndarray_encode_avoids_per_element_objects():
 
     assert t_nd * 3 < t_list, (t_nd, t_list)
     assert t_bin * 3 < t_list, (t_bin, t_list)
+
+
+# ---------------------------------------------------------------------------
+# r15: pure-Python LZ4-block + Blosc-1 frame codecs (zarr's DEFAULT
+# compressor family). Decode is the load-bearing half: the LZ4 decoder
+# is pinned to a hand-derived spec vector, blosc to its documented
+# 16-byte header + bstarts + split-stream layout; compressors exist so
+# the matrices exercise decode with real compressed bytes.
+# ---------------------------------------------------------------------------
+
+
+class TestLz4Block:
+    def test_hand_derived_spec_vector(self):
+        """token 0x48 = 4 literals / matchlen 8+4; offset 4 replicates
+        'abcd' three more times; final literals-only token 0x50."""
+        from scip_spark.sources import lz4block
+
+        vec = (bytes([0x48]) + b"abcd" + bytes([0x04, 0x00])
+               + bytes([0x50]) + b"XYZVW")
+        assert lz4block.decompress(vec, 21) == b"abcd" * 4 + b"XYZVW"
+
+    def test_overlapping_match_replicates(self):
+        from scip_spark.sources import lz4block
+
+        # offset 1, matchlen 15: RLE of a single byte
+        vec = bytes([0x1B]) + b"Q" + bytes([0x01, 0x00]) + bytes([0x50]) + b"ABCDE"
+        assert lz4block.decompress(vec, 21) == b"Q" * 16 + b"ABCDE"
+
+    def test_roundtrip_sweep(self):
+        import random
+
+        from scip_spark.sources import lz4block
+
+        rng = random.Random(7)
+        for _ in range(60):
+            n = rng.randrange(0, 3000)
+            parts = []
+            while sum(map(len, parts)) < n:
+                if rng.random() < 0.5:
+                    parts.append(bytes(rng.randrange(256)
+                                       for _ in range(rng.randrange(1, 20))))
+                else:
+                    parts.append(bytes([rng.randrange(256)]) * rng.randrange(1, 60))
+            data = b"".join(parts)[:n]
+            assert lz4block.decompress(lz4block.compress(data), n) == data
+
+    def test_truncated_and_bad_offset_fail_loudly(self):
+        import pytest
+
+        from scip_spark.sources import lz4block
+
+        with pytest.raises(ValueError, match="truncated"):
+            lz4block.decompress(bytes([0x48]) + b"ab", 20)
+        # offset beyond what's decoded so far
+        with pytest.raises(ValueError, match="invalid offset"):
+            lz4block.decompress(
+                bytes([0x14]) + b"a" + bytes([0x09, 0x00]) + bytes([0x10]) + b"z", 7
+            )
+
+
+class TestBloscFrame:
+    def test_roundtrip_matrix(self):
+        import numpy as np
+
+        from scip_spark.sources import bloscio
+
+        rng = np.random.default_rng(3)
+        for dtype in ["uint8", "uint16", "int32", "float32", "float64"]:
+            for n in [0, 7, 100, 5000]:
+                for cname in ["lz4", "zlib"]:
+                    for shuffle in [True, False]:
+                        arr = (rng.random(n) * 100).astype(dtype)
+                        data = arr.tobytes()
+                        frame = bloscio.compress(
+                            data, arr.dtype.itemsize, cname=cname, shuffle=shuffle
+                        )
+                        assert bloscio.decompress(frame) == data, (
+                            dtype, n, cname, shuffle,
+                        )
+
+    def test_split_mode_engages_and_helps(self):
+        """A large shuffled float32 buffer must split into typesize
+        streams (the c-blosc FORWARD_COMPAT rule) and compress well."""
+        import numpy as np
+
+        from scip_spark.sources import bloscio
+
+        data = np.arange(32768, dtype=np.float32).tobytes()
+        frame = bloscio.compress(data, 4)
+        assert bloscio.decompress(frame) == data
+        assert len(frame) < len(data) // 4  # shuffle+split actually bites
+
+    def test_memcpy_frame_for_incompressible(self):
+        import os
+
+        from scip_spark.sources import bloscio
+
+        data = os.urandom(4096)
+        frame = bloscio.compress(data, 1)
+        assert frame[2] & 0x2  # memcpy flag
+        assert bloscio.decompress(frame) == data
+
+    def test_unsupported_surfaces_fail_loudly(self):
+        import struct
+
+        import pytest
+
+        from scip_spark.sources import bloscio
+
+        zstd_frame = struct.pack("<BBBBiii", 2, 1, 4 << 5, 1, 4, 4, 16)
+        with pytest.raises(ValueError, match="needs the blosc package"):
+            bloscio.decompress(zstd_frame)
+        bitshuf = struct.pack("<BBBBiii", 2, 1, (1 << 5) | 0x4, 1, 4, 4, 16)
+        with pytest.raises(ValueError, match="bit-shuffle"):
+            bloscio.decompress(bitshuf)
+        with pytest.raises(ValueError, match="cbytes"):
+            bloscio.decompress(struct.pack("<BBBBiii", 2, 1, 1 << 5, 1, 4, 4, 99))
+
+
+class TestZarrCompressedStores:
+    def test_compressor_matrix_full_and_row_reads(self, tmp_path):
+        import numpy as np
+
+        from scip_spark.sources import zarrio
+
+        arr = (np.arange(3 * 50 * 40) % 251).astype("float32").reshape(3, 50, 40)
+        for comp in [None, "zlib", "blosc-lz4", "blosc-zlib", "lz4"]:
+            store = str(tmp_path / f"s_{comp}.zarr")
+            zarrio.write_array(store, arr, chunks=(1, 32, 32), compressor=comp)
+            assert np.array_equal(zarrio.read_array(store), arr)
+            assert np.array_equal(zarrio._read_array_row(store, 2), arr[2])
+
+    def test_fixture_contains_compressed_stores(self):
+        """The committed driver-verified fixture must keep exercising
+        the blosc-lz4 and lz4 decode paths (a regeneration that drops
+        them would silently shrink codec coverage)."""
+        import json
+        import os
+
+        import scip_spark
+
+        root = os.path.join(os.path.dirname(scip_spark.__file__), "fixtures")
+        meta = json.load(
+            open(os.path.join(root, "zarr", "plate_P3", "C05.zarr", "0", ".zarray"))
+        )
+        assert meta["compressor"]["id"] == "blosc"
+        assert meta["compressor"]["cname"] == "lz4"
+        meta2 = json.load(
+            open(os.path.join(root, "zarr", "plate_P3", "C09.zarr", ".zarray"))
+        )
+        assert meta2["compressor"]["id"] == "lz4"

@@ -35,10 +35,14 @@ from scip_spark.sources.zarrio import write_group, write_ragged_array  # noqa: E
 FIXDIR = os.path.join(os.path.dirname(__file__), "..", "scip_spark", "fixtures", "zarr")
 
 STORES = [
-    ("P1", "A01", "group", 3),
-    ("P1", "A02", "group", 2),
-    ("P2", "B03", "reference", 3),
-    ("P2", "B07", "reference", 2),
+    ("P1", "A01", "group", 3, None),
+    ("P1", "A02", "group", 2, None),
+    ("P2", "B03", "reference", 3, None),
+    ("P2", "B07", "reference", 2, None),
+    # r15: zarr's DEFAULT compressor family through the pure-Python
+    # blosc/lz4 codecs — committed compressed bytes, driver-verified
+    ("P3", "C05", "group", 2, "blosc-lz4"),
+    ("P3", "C09", "reference", 2, "lz4"),
 ]
 
 
@@ -46,7 +50,7 @@ def main() -> None:
     root = os.path.abspath(FIXDIR)
     shutil.rmtree(root, ignore_errors=True)
     expected = []
-    for plate, well, layout, n in STORES:
+    for plate, well, layout, n, compressor in STORES:
         # seed must be stable across processes (hash() is salted):
         # derive it from the name bytes
         seed = int.from_bytes(f"{plate}/{well}".encode(), "little") % (2**32)
@@ -58,9 +62,10 @@ def main() -> None:
         store = os.path.join(root, f"plate_{plate}", f"{well}.zarr")
         os.makedirs(os.path.dirname(store), exist_ok=True)
         if layout == "group":
-            write_group(store, cells, chunks=None)
+            write_group(store, cells, chunks=None, compressor=compressor)
         else:
-            write_ragged_array(store, cells, chunks=(1, 32))
+            write_ragged_array(store, cells, chunks=(1, 32),
+                               compressor=compressor)
         for i, a in enumerate(cells):
             grid = np.floor(a.astype(np.float64) * float(2**20)).astype(np.int64)
             expected.append(
