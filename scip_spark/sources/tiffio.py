@@ -39,6 +39,7 @@ _COMPRESSION = 259
 _PHOTOMETRIC = 262
 _STRIP_OFFSETS = 273
 _SAMPLES_PER_PIXEL = 277
+_PLANAR_CONFIG = 284
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _SAMPLE_FORMAT = 339
@@ -278,11 +279,14 @@ def _read_ifd(buf: bytes, off: int, en: str) -> tuple[dict[int, list[int]], int]
 
 
 def read_tiff(path: str) -> np.ndarray:
-    """Decode a single-sample TIFF (strip compression none/deflate/
-    packbits/lzw; predictor 1/2). Returns a 2-D array for single-frame
-    files, a (frames, H, W) stack for multi-frame (frame = IFD, the
-    layout multiframe_tiff_meta expects — reference tiff.py loads
-    frames as channels)."""
+    """Decode a striped TIFF (compression none/deflate/packbits/lzw;
+    predictor 1/2; SamplesPerPixel ≥ 1 in chunky OR planar
+    configuration — r15). Returns, per tifffile convention, a 2-D
+    (H, W) array for single-sample single-frame files, (H, W, S) for
+    multi-sample, and a stacked first axis for multi-frame IFD chains
+    (frame = IFD, the layout multiframe_tiff_meta expects — reference
+    tiff.py loads frames as channels). Tiled multi-sample remains
+    injected-reader territory."""
     with open(path, "rb") as f:
         buf = f.read()
     order = buf[:2]
@@ -307,11 +311,19 @@ def read_tiff(path: str) -> np.ndarray:
             raise ValueError(
                 f"TIFF compression {comp} needs an injected reader: {path}"
             )
-        if tags.get(_SAMPLES_PER_PIXEL, [1])[0] != 1:
-            raise ValueError(f"multi-sample TIFF needs an injected reader: {path}")
+        nsamp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+        planar = tags.get(_PLANAR_CONFIG, [1])[0]
+        if nsamp < 1 or planar not in (1, 2):
+            raise ValueError(
+                f"bad SamplesPerPixel/PlanarConfiguration {nsamp}/{planar}: {path}"
+            )
         width = tags[_IMAGE_WIDTH][0]
         height = tags[_IMAGE_LENGTH][0]
-        bits = tags.get(_BITS_PER_SAMPLE, [8])[0]
+        bps = tags.get(_BITS_PER_SAMPLE, [8])
+        if len(set(bps)) != 1:
+            # heterogeneous per-sample bit depths (legal but exotic)
+            raise ValueError(f"mixed BitsPerSample {bps} needs an injected reader: {path}")
+        bits = bps[0]
         fmt = tags.get(_SAMPLE_FORMAT, [_SAMPLE_FMT_UINT])[0]
         kind = _FMT_TO_KIND.get(fmt)
         if kind is None or bits % 8:
@@ -324,6 +336,10 @@ def read_tiff(path: str) -> np.ndarray:
             raise ValueError(f"predictor 2 on float samples: {path}")
 
         if _TILE_OFFSETS in tags:
+            if nsamp != 1:
+                raise ValueError(
+                    f"tiled multi-sample TIFF needs an injected reader: {path}"
+                )
             # tiled layout (TIFF 6.0 §15): row-major grid of
             # independently-compressed tw×th blocks, edge tiles padded
             # to full tile size; the predictor restarts at every tile's
@@ -370,16 +386,29 @@ def read_tiff(path: str) -> np.ndarray:
                 raise ValueError(
                     f"multi-strip TIFF missing StripByteCounts: {path}"
                 )
-            counts = [height * width * dtype.itemsize]
+            counts = [height * width * nsamp * dtype.itemsize]
         rps_tag = tags.get(_ROWS_PER_STRIP)
-        row_bytes = width * dtype.itemsize
+        # chunky rows interleave all samples; planar strips carry ONE
+        # sample's rows (TIFF 6.0: with PlanarConfiguration 2 the strip
+        # list is plane-major — all of sample 0's strips, then sample 1)
+        row_bytes = width * dtype.itemsize * (nsamp if planar == 1 else 1)
+        strips_per_plane = len(offsets) // nsamp if planar == 2 else len(offsets)
+        if planar == 2 and (
+            nsamp * strips_per_plane != len(offsets)
+            or (rps_tag is None and strips_per_plane != 1)
+        ):
+            raise ValueError(
+                f"planar strip count {len(offsets)} not divisible into "
+                f"{nsamp} planes (or missing RowsPerStrip): {path}"
+            )
         parts = []
         for i, (o, c) in enumerate(zip(offsets, counts)):
             chunk = _decompress_strip(buf[o : o + c], comp, path)
             if rps_tag is not None:
                 # compressed strips may decode with trailing pad; exact
                 # or longer is fine, shorter fails the frombuffer count
-                nrows = min(rps_tag[0], height - i * rps_tag[0])
+                row_in_plane = (i % strips_per_plane) * rps_tag[0]
+                nrows = min(rps_tag[0], height - row_in_plane)
                 chunk = chunk[: nrows * row_bytes]
             # no RowsPerStrip tag: trust the byte counts and concatenate
             # (the pre-r14 behavior — a multi-strip file without the tag
@@ -387,14 +416,29 @@ def read_tiff(path: str) -> np.ndarray:
             # still enforces the total)
             parts.append(chunk)
         raw = b"".join(parts)
-        frame = np.frombuffer(raw, dtype=dtype, count=height * width)
-        frame = frame.reshape(height, width)
-        if pred == 2:
-            # horizontal differencing: rows accumulate left-to-right
-            # (strip rows are full-width, so frame-level cumsum is the
-            # per-strip result); int64 cumsum then cast back = exact
-            # modular wraparound
-            frame = np.cumsum(frame.astype(np.int64), axis=1).astype(dtype)
+        frame = np.frombuffer(raw, dtype=dtype, count=height * width * nsamp)
+        if nsamp == 1:
+            frame = frame.reshape(height, width)
+            if pred == 2:
+                # horizontal differencing: rows accumulate left-to-right
+                # (strip rows are full-width, so frame-level cumsum is
+                # the per-strip result); int64 cumsum then cast back =
+                # exact modular wraparound
+                frame = np.cumsum(frame.astype(np.int64), axis=1).astype(dtype)
+        elif planar == 1:
+            # chunky: RGBRGB… rows; predictor 2 differences each sample
+            # against the SAME sample of the previous pixel (TIFF 6.0
+            # §14), so accumulate along the pixel axis after deinterleave
+            frame = frame.reshape(height, width, nsamp)
+            if pred == 2:
+                frame = np.cumsum(frame.astype(np.int64), axis=1).astype(dtype)
+        else:
+            # planar: plane-major buffer → (S, H, W) → (H, W, S); the
+            # predictor runs within each plane's rows
+            frame = frame.reshape(nsamp, height, width)
+            if pred == 2:
+                frame = np.cumsum(frame.astype(np.int64), axis=2).astype(dtype)
+            frame = np.transpose(frame, (1, 2, 0))
         frames.append(frame)
     if not frames:
         raise ValueError(f"TIFF has no IFDs: {path}")
@@ -416,6 +460,8 @@ def write_tiff(
     predictor: int = 1,
     rows_per_strip: int | None = None,
     tile: tuple[int, int] | None = None,
+    multisample: bool = False,
+    planar: int = 1,
 ) -> None:
     """Encode a 2-D array (or a (frames, H, W) stack as a multi-frame
     IFD chain) as a single-sample TIFF. ``compression`` ∈ {"none",
@@ -425,12 +471,31 @@ def write_tiff(
     frame); ``tile=(th, tw)`` emits the TILED layout instead (TIFF 6.0
     §15: row-major grid, edge tiles zero-padded to full tile size, the
     predictor restarting per tile). Layout: header | block data | IFDs
-    | overflow arrays (offset/count lists that don't fit inline)."""
+    | overflow arrays (offset/count lists that don't fit inline).
+
+    ``multisample=True`` (r15) treats the LAST axis as samples —
+    (H, W, S) or (frames, H, W, S) — written chunky (``planar=1``,
+    RGBRGB rows) or planar (``planar=2``, plane-major strip list);
+    striped only (tile + multisample raises)."""
     arr = np.asarray(array)
-    if arr.ndim == 2:
-        arr = arr[None]
-    if arr.ndim != 3:
-        raise ValueError(f"need 2-D or 3-D (frames,H,W), got {arr.shape}")
+    nsamp = 1
+    if multisample:
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.ndim != 4:
+            raise ValueError(
+                f"multisample needs (H,W,S) or (frames,H,W,S), got {arr.shape}"
+            )
+        nsamp = arr.shape[-1]
+        if tile is not None:
+            raise ValueError("tile and multisample are mutually exclusive")
+        if planar not in (1, 2):
+            raise ValueError(f"planar must be 1 or 2, got {planar}")
+    else:
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.ndim != 3:
+            raise ValueError(f"need 2-D or 3-D (frames,H,W), got {arr.shape}")
     if arr.dtype.kind not in _KIND_TO_FMT:
         raise ValueError(f"unsupported dtype {arr.dtype}")
     comp = _COMPRESSORS[compression]
@@ -441,12 +506,42 @@ def write_tiff(
     if tile is not None and rows_per_strip is not None:
         raise ValueError("tile and rows_per_strip are mutually exclusive")
     en = byteorder
-    n_frames, height, width = arr.shape
+    n_frames, height, width = arr.shape[:3]
     dtype = arr.dtype.newbyteorder(en)
     rps = height if rows_per_strip is None else max(1, int(rows_per_strip))
 
     frame_strips: list[list[bytes]] = []
     for i in range(n_frames):
+        if nsamp > 1:
+            fr = np.ascontiguousarray(arr[i], dtype=dtype)  # (H, W, S)
+            if predictor == 2:
+                d = fr.astype(np.int64)
+                d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+                fr = d.astype(dtype)
+            if planar == 1:
+                # chunky: strips slice interleaved full-width rows
+                a2 = fr.reshape(height, width * nsamp)
+                strips = [
+                    _compress_strip(
+                        np.ascontiguousarray(a2[r0 : r0 + rps]).tobytes(), comp
+                    )
+                    for r0 in range(0, height, rps)
+                ]
+            else:
+                # planar: plane-major strip list (all of sample 0's
+                # strips, then sample 1's, …)
+                strips = []
+                for s in range(nsamp):
+                    plane = np.ascontiguousarray(fr[:, :, s])
+                    strips += [
+                        _compress_strip(
+                            np.ascontiguousarray(plane[r0 : r0 + rps]).tobytes(),
+                            comp,
+                        )
+                        for r0 in range(0, height, rps)
+                    ]
+            frame_strips.append(strips)
+            continue
         a = np.ascontiguousarray(arr[i], dtype=dtype)
         if tile is not None:
             th, tw = int(tile[0]), int(tile[1])
@@ -475,7 +570,11 @@ def write_tiff(
         ]
         frame_strips.append(strips)
 
-    entries = (11 if tile is not None else 10) + (1 if predictor == 2 else 0)
+    entries = (
+        (11 if tile is not None else 10)
+        + (1 if predictor == 2 else 0)
+        + (1 if nsamp > 1 else 0)  # PlanarConfiguration
+    )
     ifd_size = 2 + 12 * entries + 4
     header = 8
     # TIFF 6.0 requires word-aligned value offsets: pad every block to
@@ -510,6 +609,21 @@ def write_tiff(
         overflow.extend(struct.pack(en + "I" * len(values), *values))
         return entry(tag, 4, len(values), ptr)  # inline cell = pointer
 
+    def shorts_entry(tag: int, values: list[int]) -> bytes:
+        # SHORT array (e.g. per-sample BitsPerSample): ≤2 values fit
+        # inline, longer arrays go to the overflow area
+        if len(values) * 2 <= 4:
+            inline = struct.pack(en + "H" * len(values), *values)
+            return (
+                struct.pack(en + "HHI", tag, 3, len(values))
+                + inline.ljust(4, b"\0")
+            )
+        ptr = overflow_off + len(overflow)
+        overflow.extend(struct.pack(en + "H" * len(values), *values))
+        return struct.pack(en + "HHI", tag, 3, len(values)) + struct.pack(
+            en + "I", ptr
+        )
+
     out = [struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, ifds_off[0])]
     for strips in frame_strips:
         for s in strips:
@@ -521,12 +635,15 @@ def write_tiff(
         tag_list = [
             entry(_IMAGE_WIDTH, 4, 1, width),
             entry(_IMAGE_LENGTH, 4, 1, height),
-            entry(_BITS_PER_SAMPLE, 3, 1, dtype.itemsize * 8),
+            shorts_entry(_BITS_PER_SAMPLE, [dtype.itemsize * 8] * nsamp),
             entry(_COMPRESSION, 3, 1, comp),
-            entry(_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
-            entry(_SAMPLES_PER_PIXEL, 3, 1, 1),
+            # RGB photometric for 3 samples, BlackIsZero otherwise
+            entry(_PHOTOMETRIC, 3, 1, 2 if nsamp == 3 else 1),
+            entry(_SAMPLES_PER_PIXEL, 3, 1, nsamp),
             entry(_SAMPLE_FORMAT, 3, 1, _KIND_TO_FMT[dtype.kind]),
         ]
+        if nsamp > 1:
+            tag_list.append(entry(_PLANAR_CONFIG, 3, 1, planar))
         if tile is not None:
             tag_list += [
                 entry(_TILE_WIDTH, 4, 1, int(tile[1])),

@@ -273,3 +273,69 @@ class TestZarrCompressedStores:
             open(os.path.join(root, "zarr", "plate_P3", "C09.zarr", ".zarray"))
         )
         assert meta2["compressor"]["id"] == "lz4"
+
+
+class TestMultiSampleTiff:
+    def test_roundtrip_matrix_chunky_and_planar(self, tmp_path):
+        import numpy as np
+
+        from scip_spark.sources.tiffio import read_tiff, write_tiff
+
+        rng = np.random.default_rng(5)
+        i = 0
+        for dtype in ["uint8", "uint16", "int16"]:
+            for comp in ["none", "deflate", "packbits", "lzw"]:
+                for pred in [1, 2]:
+                    for planar in [1, 2]:
+                        arr = rng.integers(0, 200, size=(13, 17, 3)).astype(dtype)
+                        p = str(tmp_path / f"ms{i}.tiff")
+                        i += 1
+                        write_tiff(p, arr, compression=comp, predictor=pred,
+                                   rows_per_strip=5, multisample=True,
+                                   planar=planar)
+                        back = read_tiff(p)
+                        assert back.shape == (13, 17, 3)
+                        assert np.array_equal(back.astype(dtype), arr), (
+                            dtype, comp, pred, planar,
+                        )
+
+    def test_chunky_predictor_differences_per_sample(self, tmp_path):
+        """TIFF 6.0 §14: with SamplesPerPixel > 1 the horizontal
+        predictor differences each sample against the SAME sample of
+        the previous pixel — a naive byte-stream cumsum would smear
+        channels into each other."""
+        import numpy as np
+
+        from scip_spark.sources.tiffio import read_tiff, write_tiff
+
+        arr = np.zeros((1, 4, 3), dtype=np.uint8)
+        arr[0, :, 0] = [10, 20, 30, 40]   # R ramps
+        arr[0, :, 1] = [200, 200, 200, 200]  # G constant
+        arr[0, :, 2] = [5, 4, 3, 2]       # B descends (wraps under diff)
+        p = str(tmp_path / "pred.tiff")
+        write_tiff(p, arr, predictor=2, multisample=True)
+        assert np.array_equal(read_tiff(p), arr)
+
+    def test_multiframe_multisample_stacks(self, tmp_path):
+        import numpy as np
+
+        from scip_spark.sources.tiffio import read_tiff, write_tiff
+
+        rng = np.random.default_rng(9)
+        arr = rng.integers(0, 250, size=(4, 9, 11, 3)).astype("uint8")
+        p = str(tmp_path / "stack.tiff")
+        write_tiff(p, arr, multisample=True, compression="lzw", predictor=2)
+        back = read_tiff(p)
+        assert back.shape == (4, 9, 11, 3)
+        assert np.array_equal(back, arr)
+
+    def test_tiled_multisample_fails_loudly(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from scip_spark.sources.tiffio import write_tiff
+
+        arr = np.zeros((8, 8, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            write_tiff(str(tmp_path / "t.tiff"), arr, tile=(4, 4),
+                       multisample=True)
