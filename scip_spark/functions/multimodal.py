@@ -34,9 +34,18 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def decoder_stub(payload: bytes) -> np.ndarray:
+    """Default media decoder: REAL pure-Python baseline-JPEG decode for
+    JPEG payloads (sources/jpegio.py, r15 — the one raster format this
+    container can decode from actual bytes); every other format still
+    needs Pillow/ffmpeg and fails fast so the injection seam stays
+    honest."""
+    if payload[:2] == b"\xff\xd8":
+        from scip_spark.sources import jpegio
+
+        return jpegio.decode(payload)
     raise NotImplementedError(
-        "media decoding requires Pillow/ffmpeg (not installed); inject "
-        "decode=... — the Spark plumbing around it is real."
+        "non-JPEG media decoding requires Pillow/ffmpeg (not installed); "
+        "inject decode=... — the Spark plumbing around it is real."
     )
 
 

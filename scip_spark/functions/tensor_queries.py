@@ -172,10 +172,12 @@ def _tiff_fixture_sql() -> str:
     "verifiable: file-per-channel listing -> regex pivot (reference "
     "src/scip/loading/tiff.py:126-158) -> per-channel decode through "
     "the pure-Python baseline codec -> CxHxW stack, checksummed on the "
-    "exact integer grid. The eight fixture files each use a different "
+    "exact integer grid. The ten fixture files each use a different "
     "codec/layout (deflate/packbits/lzw, predictor 2, multi-strip, "
-    "tiled, both byte orders, u8/u16/f32), so a regression in ANY r14 "
-    "codec path is a hash mismatch, not a test-only failure.",
+    "tiled, both byte orders, u8/u16/f32, and — r15 — baseline-JPEG "
+    "strips, whose lossy-but-deterministic decode pins exact values "
+    "via the decode-back expected rows), so a regression in ANY codec "
+    "path is a hash mismatch, not a test-only failure.",
 )
 def tiff_codec_checksum(spark, sf_dir):
     from pathlib import Path

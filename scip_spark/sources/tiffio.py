@@ -40,6 +40,7 @@ _PHOTOMETRIC = 262
 _STRIP_OFFSETS = 273
 _SAMPLES_PER_PIXEL = 277
 _PLANAR_CONFIG = 284
+_JPEG_TABLES = 347
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _SAMPLE_FORMAT = 339
@@ -60,6 +61,7 @@ _SAMPLE_FMT_FLOAT = 3
 #: compression codes this codec implements (TIFF 6.0 §7 + TTN2 deflate)
 _COMP_NONE = 1
 _COMP_LZW = 5
+_COMP_JPEG = 7
 _COMP_DEFLATE_ADOBE = 8
 _COMP_PACKBITS = 32773
 _COMP_DEFLATE_OLD = 32946
@@ -278,6 +280,48 @@ def _read_ifd(buf: bytes, off: int, en: str) -> tuple[dict[int, list[int]], int]
     return tags, nxt
 
 
+def _decode_jpeg_frame(buf: bytes, tags: dict, path: str) -> np.ndarray:
+    """New-style TIFF JPEG (compression 7): every strip is a complete
+    baseline JPEG stream; abbreviated streams carry their quant/huffman
+    tables in the JPEGTables tag (347) — spliced between the strip's
+    SOI and its first segment, the standard TIFF/EP merge. Decoded by
+    the pure-Python baseline codec (sources/jpegio.py); strips stack
+    vertically and crop to the declared frame size. Tiled JPEG stays
+    injected-reader territory."""
+    from scip_spark.sources import jpegio
+
+    if _TILE_OFFSETS in tags:
+        raise ValueError(f"tiled JPEG TIFF needs an injected reader: {path}")
+    height = tags[_IMAGE_LENGTH][0]
+    width = tags[_IMAGE_WIDTH][0]
+    offsets = tags[_STRIP_OFFSETS]
+    counts = tags.get(_STRIP_BYTE_COUNTS)
+    if counts is None:
+        raise ValueError(f"JPEG TIFF missing StripByteCounts: {path}")
+    jtables = tags.get(_JPEG_TABLES)
+    prefix = b""
+    if jtables:
+        tb = bytes(jtables)
+        if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+            raise ValueError(f"malformed JPEGTables: {path}")
+        prefix = tb[2:-2]  # tables between SOI and EOI
+    parts = []
+    for o, c in zip(offsets, counts):
+        stream = bytes(buf[o : o + c])
+        if stream[:2] != b"\xff\xd8":
+            raise ValueError(f"JPEG strip missing SOI: {path}")
+        if prefix:
+            stream = stream[:2] + prefix + stream[2:]
+        parts.append(jpegio.decode(stream))
+    frame = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    if frame.shape[0] < height or frame.shape[1] < width:
+        raise ValueError(
+            f"JPEG strips decode to {frame.shape}, smaller than "
+            f"{height}x{width}: {path}"
+        )
+    return frame[:height, :width]
+
+
 def read_tiff(path: str) -> np.ndarray:
     """Decode a striped TIFF (compression none/deflate/packbits/lzw;
     predictor 1/2; SamplesPerPixel ≥ 1 in chunky OR planar
@@ -306,11 +350,14 @@ def read_tiff(path: str) -> np.ndarray:
         comp = tags.get(_COMPRESSION, [1])[0]
         if comp not in (
             _COMP_NONE, _COMP_LZW, _COMP_DEFLATE_ADOBE,
-            _COMP_DEFLATE_OLD, _COMP_PACKBITS,
+            _COMP_DEFLATE_OLD, _COMP_PACKBITS, _COMP_JPEG,
         ):
             raise ValueError(
                 f"TIFF compression {comp} needs an injected reader: {path}"
             )
+        if comp == _COMP_JPEG:
+            frames.append(_decode_jpeg_frame(buf, tags, path))
+            continue
         nsamp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
         planar = tags.get(_PLANAR_CONFIG, [1])[0]
         if nsamp < 1 or planar not in (1, 2):
@@ -462,6 +509,7 @@ def write_tiff(
     tile: tuple[int, int] | None = None,
     multisample: bool = False,
     planar: int = 1,
+    jpeg_quality: int = 95,
 ) -> None:
     """Encode a 2-D array (or a (frames, H, W) stack as a multi-frame
     IFD chain) as a single-sample TIFF. ``compression`` ∈ {"none",
@@ -478,6 +526,11 @@ def write_tiff(
     RGBRGB rows) or planar (``planar=2``, plane-major strip list);
     striped only (tile + multisample raises)."""
     arr = np.asarray(array)
+    if compression == "jpeg":
+        return _write_jpeg_tiff(
+            path, arr, byteorder, predictor, rows_per_strip, tile,
+            multisample, jpeg_quality,
+        )
     nsamp = 1
     if multisample:
         if arr.ndim == 3:
@@ -664,6 +717,123 @@ def write_tiff(
         if predictor == 2:
             tag_list.append(entry(_PREDICTOR, 3, 1, 2))
         # TIFF requires ascending tag order within an IFD
+        tag_list.sort(key=lambda b: struct.unpack_from(en + "H", b)[0])
+        nxt = ifds_off[i + 1] if i + 1 < n_frames else 0
+        ifd_blocks.append(
+            struct.pack(en + "H", entries)
+            + b"".join(tag_list)
+            + struct.pack(en + "I", nxt)
+        )
+    out.extend(ifd_blocks)
+    out.append(bytes(overflow))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+def _write_jpeg_tiff(path, arr, byteorder, predictor, rows_per_strip, tile,
+                     multisample, quality):
+    """New-style JPEG (compression 7) writer: every strip is a complete
+    baseline JFIF stream from sources/jpegio.py (no JPEGTables tag —
+    self-contained strips are the simplest legal form, and the reader
+    accepts both). uint8 only, chunky only, LOSSY (quality-scaled
+    Annex-K tables) — the round-trip tests use flat/q-high content
+    where the codec is exact."""
+    if predictor != 1:
+        raise ValueError("JPEG compression and predictor 2 are exclusive")
+    if tile is not None:
+        raise ValueError("tiled JPEG writing unsupported (strips only)")
+    if multisample:
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.ndim != 4 or arr.shape[-1] != 3:
+            raise ValueError(f"JPEG multisample needs (…,H,W,3), got {arr.shape}")
+        nsamp = 3
+    else:
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.ndim != 3:
+            raise ValueError(f"need 2-D or 3-D (frames,H,W), got {arr.shape}")
+        nsamp = 1
+    if arr.dtype != np.uint8:
+        raise ValueError("JPEG strips are 8-bit: pass uint8")
+    from scip_spark.sources import jpegio
+
+    en = byteorder
+    n_frames, height, width = arr.shape[:3]
+    rps = height if rows_per_strip is None else max(1, int(rows_per_strip))
+    frame_strips = []
+    for i in range(n_frames):
+        strips = [
+            jpegio.encode(np.ascontiguousarray(arr[i, r0 : r0 + rps]),
+                          quality=quality)
+            for r0 in range(0, height, rps)
+        ]
+        frame_strips.append(strips)
+
+    entries = 10 + (1 if nsamp > 1 else 0)
+    ifd_size = 2 + 12 * entries + 4
+    header = 8
+    data_size = sum(len(s) + (len(s) & 1) for strips in frame_strips for s in strips)
+    ifd0 = header + data_size
+    ifds_off = [ifd0 + i * ifd_size for i in range(n_frames)]
+    overflow_off = ifd0 + n_frames * ifd_size
+    strip_offs = []
+    pos = header
+    for strips in frame_strips:
+        offs = []
+        for s in strips:
+            offs.append(pos)
+            pos += len(s) + (len(s) & 1)
+        strip_offs.append(offs)
+
+    overflow = bytearray()
+
+    def entry(tag, ftype, count, value):
+        code, _ = _FIELD_TYPES[ftype]
+        inline = struct.pack(en + code, value)
+        return struct.pack(en + "HHI", tag, ftype, count) + inline.ljust(4, b"\0")
+
+    def array_entry(tag, values):
+        if len(values) == 1:
+            return entry(tag, 4, 1, values[0])
+        ptr = overflow_off + len(overflow)
+        overflow.extend(struct.pack(en + "I" * len(values), *values))
+        return entry(tag, 4, len(values), ptr)
+
+    def shorts_entry(tag, values):
+        if len(values) * 2 <= 4:
+            inline = struct.pack(en + "H" * len(values), *values)
+            return (struct.pack(en + "HHI", tag, 3, len(values))
+                    + inline.ljust(4, b"\0"))
+        ptr = overflow_off + len(overflow)
+        overflow.extend(struct.pack(en + "H" * len(values), *values))
+        return struct.pack(en + "HHI", tag, 3, len(values)) + struct.pack(
+            en + "I", ptr)
+
+    out = [struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, ifds_off[0])]
+    for strips in frame_strips:
+        for s in strips:
+            out.append(s)
+            if len(s) & 1:
+                out.append(b"\0")
+    ifd_blocks = []
+    for i in range(n_frames):
+        tag_list = [
+            entry(_IMAGE_WIDTH, 4, 1, width),
+            entry(_IMAGE_LENGTH, 4, 1, height),
+            shorts_entry(_BITS_PER_SAMPLE, [8] * nsamp),
+            entry(_COMPRESSION, 3, 1, _COMP_JPEG),
+            # 6 = YCbCr (what the JPEG stream actually carries) for
+            # color; BlackIsZero for grayscale
+            entry(_PHOTOMETRIC, 3, 1, 6 if nsamp == 3 else 1),
+            entry(_SAMPLES_PER_PIXEL, 3, 1, nsamp),
+            entry(_SAMPLE_FORMAT, 3, 1, _SAMPLE_FMT_UINT),
+            array_entry(_STRIP_OFFSETS, strip_offs[i]),
+            entry(_ROWS_PER_STRIP, 4, 1, rps),
+            array_entry(_STRIP_BYTE_COUNTS, [len(s) for s in frame_strips[i]]),
+        ]
+        if nsamp > 1:
+            tag_list.append(entry(_PLANAR_CONFIG, 3, 1, 1))
         tag_list.sort(key=lambda b: struct.unpack_from(en + "H", b)[0])
         nxt = ifds_off[i + 1] if i + 1 < n_frames else 0
         ifd_blocks.append(

@@ -26,7 +26,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from scip_spark.sources.tiffio import write_tiff  # noqa: E402
+from scip_spark.sources.tiffio import read_tiff, write_tiff  # noqa: E402
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "..", "scip_spark", "fixtures", "tiff")
 
@@ -42,6 +42,12 @@ LAYOUTS = {
     ("c", 1): (np.uint16, {"compression": "deflate", "tile": (16, 16)}),
     ("d", 0): (np.uint8, {"compression": "lzw", "predictor": 2, "tile": (16, 16)}),
     ("d", 1): (np.float32, {"byteorder": ">"}),
+    # r15: baseline-JPEG strips (compression 7) through the pure-Python
+    # codec — lossy but DETERMINISTIC, so the committed bytes decode to
+    # fixed values and the integer-grid checksum is exact (expected
+    # rows are computed from the decode-back for every record)
+    ("e", 0): (np.uint8, {"compression": "jpeg", "jpeg_quality": 95}),
+    ("e", 1): (np.uint8, {"compression": "jpeg", "rows_per_strip": 4}),
 }
 
 
@@ -50,15 +56,19 @@ def main() -> None:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
     expected = []
-    for rec in "abcd":
+    for rec in "abcde":
         planes = []
         for ch in (0, 1):
             dt, kw = LAYOUTS[(rec, ch)]
             seed = int.from_bytes(f"{rec}/{ch}".encode(), "little") % (2**32)
             rng = np.random.default_rng(seed)
             a = (rng.random((H, W)) * 200).astype(dt)
-            write_tiff(os.path.join(root, f"{rec}_{ch}.tiff"), a, **kw)
-            planes.append(a.astype(np.float32))
+            fp = os.path.join(root, f"{rec}_{ch}.tiff")
+            write_tiff(fp, a, **kw)
+            # expected values come from the DECODE-BACK, so lossy-but-
+            # deterministic codecs (JPEG) pin exactly what the engine
+            # will compute; identical to `a` for the lossless codecs
+            planes.append(read_tiff(fp).astype(np.float32))
         stack = np.stack(planes)
         grid = np.floor(stack.astype(np.float64) * float(2**20)).astype(np.int64)
         expected.append(
