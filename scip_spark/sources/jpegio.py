@@ -220,7 +220,25 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 def decode(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> uint8 array, (H, W) for grayscale or
-    (H, W, 3) RGB (JFIF YCbCr -> RGB conversion)."""
+    (H, W, 3) RGB (JFIF YCbCr -> RGB conversion). Multi-scan baseline
+    files (one scan per component) and non-interleaved scans decode
+    per T.81 A.2.2. Raises ValueError on any malformed/truncated/
+    unsupported stream (the codec family's fail-loudly contract)."""
+    try:
+        return _decode(data)
+    except _MarkerHit as e:
+        raise ValueError(
+            f"jpeg: unexpected marker 0x{e.marker:04x} inside entropy data"
+        ) from e
+    except KeyError as e:
+        # an abbreviated stream references quant/huffman tables it never
+        # defined (they live in an external JPEGTables blob)
+        raise ValueError(f"jpeg: stream references undefined table {e}") from e
+    except (IndexError, struct.error) as e:
+        raise ValueError("jpeg: truncated or corrupt stream") from e
+
+
+def _decode(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -229,13 +247,18 @@ def decode(data: bytes) -> np.ndarray:
     comps = None  # list of (cid, h, v, tq)
     height = width = 0
     restart_interval = 0
+    planes: dict[int, np.ndarray] = {}
+    decoded: set[int] = set()
     while True:
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while data[pos] == 0xFF and data[pos + 1] == 0xFF:
+            pos += 1
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("jpeg: EOI before SOS")
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         (seglen,) = struct.unpack_from(">H", data, pos)
@@ -278,95 +301,140 @@ def decode(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tda >> 4, tda & 0xF))
-            pos += seglen
-            return _decode_scan(
-                data, pos, comps, scan, qtables, htables,
-                height, width, restart_interval,
+            pos = _decode_scan(
+                data, pos + seglen, comps, scan, qtables, htables,
+                height, width, restart_interval, planes,
             )
-        # APPn/COM/others: skip
+            decoded.update(cs for cs, _, _ in scan)
+            continue
+        # APPn/COM/DNL/others: skip
         pos += seglen
+    if comps is None or not planes:
+        raise ValueError("jpeg: no image scan found")
+    missing = [c[0] for c in comps if c[0] not in decoded]
+    if missing:
+        raise ValueError(f"jpeg: components {missing} never scanned")
+    return _assemble(comps, planes, height, width)
 
 
-def _decode_scan(data, pos, comps, scan, qtables, htables, height, width,
-                 restart_interval):
-    if comps is None:
-        raise ValueError("jpeg: SOS before SOF")
+def _comp_geometry(comps, height, width):
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _decode_scan(data, pos, comps, scan, qtables, htables, height, width,
+                 restart_interval, planes):
+    """One entropy-coded scan. ``Ns > 1`` decodes MCU-interleaved;
+    ``Ns == 1`` decodes the component's data units in raster order per
+    T.81 A.2.2 (sampling factors addressed only via the plane size) —
+    so grayscale files that declare 2x2 sampling, and per-component
+    scans of multi-scan baseline files, both land in the right place.
+    Returns the stream position of the next marker."""
+    hmax, vmax, mcux, mcuy = _comp_geometry(comps, height, width)
     by_id = {c[0]: c for c in comps}
     order = [by_id[cs] for cs, _, _ in scan]
     dcsel = {cs: td for cs, td, _ in scan}
     acsel = {cs: ta for cs, _, ta in scan}
-
-    planes = {
-        cid: np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
-        for cid, h, v, _ in comps
-    }
+    for cid, h, v, _ in comps:
+        if cid not in planes:
+            planes[cid] = np.zeros(
+                (mcuy * v * 8, mcux * h * 8), dtype=np.float64
+            )
     pred = {cid: 0 for cid, *_ in comps}
     reader = _BitReader(data, pos)
-    mcu_count = 0
-    next_rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # byte-align and consume the RSTn marker
-                reader.align()
-                p = reader.pos
-                while data[p] == 0xFF and data[p + 1] == 0xFF:
-                    p += 1
-                if data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
-                    raise ValueError("jpeg: expected restart marker")
-                if data[p + 1] != 0xD0 + next_rst:
-                    raise ValueError("jpeg: restart marker out of sequence")
-                next_rst = (next_rst + 1) % 8
-                reader.pos = p + 2
-                pred = {cid: 0 for cid, *_ in comps}
-            mcu_count += 1
-            for cid, h, v, tq in order:
-                q = qtables[tq]
-                dlut = htables[(0, dcsel[cid])]
-                alut = htables[(1, acsel[cid])]
-                for bv in range(v):
-                    for bh in range(h):
-                        coeffs = np.zeros(64, dtype=np.float64)
-                        t = reader.huff(dlut)
-                        diff = _extend(reader.read(t), t) if t else 0
-                        pred[cid] += diff
-                        coeffs[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(alut)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC run overflow")
-                            coeffs[k] = _extend(reader.read(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = coeffs
-                        block = block.reshape(8, 8) * q
-                        px = _idct2(block) + 128.0
-                        y0 = (my * v + bv) * 8
-                        x0 = (mx * h + bh) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+    state = {"mcu": 0, "rst": 0}
+
+    def maybe_restart():
+        if (restart_interval and state["mcu"]
+                and state["mcu"] % restart_interval == 0):
+            reader.align()
+            p = reader.pos
+            while data[p] == 0xFF and data[p + 1] == 0xFF:
+                p += 1
+            if data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
+                raise ValueError("jpeg: expected restart marker")
+            if data[p + 1] != 0xD0 + state["rst"]:
+                raise ValueError("jpeg: restart marker out of sequence")
+            state["rst"] = (state["rst"] + 1) % 8
+            reader.pos = p + 2
+            for k in pred:
+                pred[k] = 0
+        state["mcu"] += 1
+
+    def one_block(cid, tq, y0, x0):
+        q = qtables[tq]
+        dlut = htables[(0, dcsel[cid])]
+        alut = htables[(1, acsel[cid])]
+        coeffs = np.zeros(64, dtype=np.float64)
+        t = reader.huff(dlut)
+        diff = _extend(reader.read(t), t) if t else 0
+        pred[cid] += diff
+        coeffs[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = reader.huff(alut)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("jpeg: AC run overflow")
+            coeffs[k] = _extend(reader.read(s), s)
+            k += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[ZIGZAG] = coeffs
+        block = block.reshape(8, 8) * q
+        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = _idct2(block) + 128.0
+
+    if len(scan) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for cid, h, v, tq in order:
+                    for bv in range(v):
+                        for bh in range(h):
+                            one_block(
+                                cid, tq, (my * v + bv) * 8, (mx * h + bh) * 8
+                            )
+    else:
+        cid, h, v, tq = order[0]
+        # non-interleaved: raster over the component's own block grid
+        comp_h = (height * v + vmax - 1) // vmax
+        comp_w = (width * h + hmax - 1) // hmax
+        by = (comp_h + 7) // 8
+        bx = (comp_w + 7) // 8
+        for yb in range(by):
+            for xb in range(bx):
+                maybe_restart()
+                one_block(cid, tq, yb * 8, xb * 8)
+    # past the scan: skip the (≤7) pad bits to the next marker
+    p = reader.pos
+    while not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _assemble(comps, planes, height, width):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out_planes = []
     for cid, h, v, _ in comps:
         plane = planes[cid]
-        # upsample to full resolution by pixel replication
         ry, rx = vmax // v, hmax // h
-        if ry > 1 or rx > 1:
+        if ry > 1 or rx > 1:  # upsample by pixel replication
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         out_planes.append(plane[:height, :width])
     if len(out_planes) == 1:
@@ -377,6 +445,28 @@ def _decode_scan(data, pos, comps, scan, qtables, htables, height, width,
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full interchange stream into (JPEGTables, abbreviated
+    stream) per TIFF/EP: tables = SOI + every DQT/DHT segment + EOI;
+    the abbreviated stream keeps everything else. The TIFF reader's
+    tag-347 splice reverses this exactly."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos < len(stream):
+        marker = stream[pos + 1]
+        if marker == 0xDA:
+            rest += stream[pos:]  # SOS + entropy data + EOI
+            return bytes(tables + b"\xff\xd9"), bytes(rest)
+        (ln,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + ln]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + ln
+    raise ValueError("jpeg: no SOS in stream")
 
 
 # --------------------------------------------------------------------------

@@ -71,10 +71,17 @@ def decompress(src: bytes, dst_size: int) -> bytes:
                 mlen += b
                 if b != 255:
                     break
-        # overlapping copy replicates — byte-at-a-time semantics
+        # match copy. Non-overlapping: one slice. Overlapping (offset <
+        # mlen) replicates the tail — double the copied region instead
+        # of a per-byte Python loop (zarr's zero-padded ragged rows are
+        # exactly long RLE matches; review r15 #6)
         start = len(out) - offset
-        for j in range(mlen):
-            out.append(out[start + j])
+        if offset >= mlen:
+            out += out[start : start + mlen]
+        else:
+            tail = bytes(out[start:])
+            reps = -(-mlen // len(tail))  # ceil division
+            out += (tail * reps)[:mlen]
     if len(out) != dst_size:
         raise ValueError(f"lz4: decoded {len(out)} bytes, expected {dst_size}")
     return bytes(out)

@@ -45,8 +45,11 @@ _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _SAMPLE_FORMAT = 339
 
-#: TIFF field type -> (struct code, byte size); the subset we emit/read
-_FIELD_TYPES = {3: ("H", 2), 4: ("I", 4)}  # SHORT, LONG
+#: TIFF field type -> (struct code, byte size); the subset we emit/read.
+#: BYTE(1)/UNDEFINED(7) matter on the READ side: libtiff writes
+#: JPEGTables (tag 347) as UNDEFINED, and dropping it silently killed
+#: the abbreviated-stream JPEG path (review r15 #1)
+_FIELD_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 7: ("B", 1)}
 
 _PREDICTOR = 317
 _TILE_WIDTH = 322
@@ -292,6 +295,14 @@ def _decode_jpeg_frame(buf: bytes, tags: dict, path: str) -> np.ndarray:
 
     if _TILE_OFFSETS in tags:
         raise ValueError(f"tiled JPEG TIFF needs an injected reader: {path}")
+    if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
+        # planar JPEG stores one stream per channel plane; concatenating
+        # them on axis 0 would silently return plane 0 only (review r15)
+        raise ValueError(f"planar JPEG TIFF needs an injected reader: {path}")
+    if tags.get(_PHOTOMETRIC, [6])[0] == 2:
+        # photometric RGB means the JPEG scan is raw RGB, not YCbCr —
+        # our decoder would apply a bogus color conversion
+        raise ValueError(f"RGB-in-JPEG TIFF needs an injected reader: {path}")
     height = tags[_IMAGE_LENGTH][0]
     width = tags[_IMAGE_WIDTH][0]
     offsets = tags[_STRIP_OFFSETS]
@@ -499,6 +510,59 @@ def _hdiff(a: np.ndarray, dtype) -> np.ndarray:
     return d.astype(dtype)
 
 
+class _IfdEntries:
+    """Shared IFD entry builders for BOTH TIFF writers (review r15 #7
+    — write_tiff and _write_jpeg_tiff previously carried identical
+    copies of the inline/overflow layout rules): values that fit in the
+    4-byte inline cell are packed there, longer arrays append to the
+    overflow area at absolute offset ``overflow_off + len(overflow)``."""
+
+    def __init__(self, en: str, overflow_off: int):
+        self.en = en
+        self.overflow = bytearray()
+        self.off = overflow_off
+
+    def entry(self, tag: int, ftype: int, count: int, value: int) -> bytes:
+        code, _ = _FIELD_TYPES[ftype]
+        inline = struct.pack(self.en + code, value)
+        return struct.pack(self.en + "HHI", tag, ftype, count) + inline.ljust(
+            4, b"\0"
+        )
+
+    def array(self, tag: int, values: list[int]) -> bytes:
+        if len(values) == 1:
+            return self.entry(tag, 4, 1, values[0])
+        ptr = self.off + len(self.overflow)
+        self.overflow.extend(struct.pack(self.en + "I" * len(values), *values))
+        return self.entry(tag, 4, len(values), ptr)  # inline cell = pointer
+
+    def shorts(self, tag: int, values: list[int]) -> bytes:
+        # SHORT array (e.g. per-sample BitsPerSample): ≤2 values fit
+        # inline, longer arrays go to the overflow area
+        if len(values) * 2 <= 4:
+            inline = struct.pack(self.en + "H" * len(values), *values)
+            return (
+                struct.pack(self.en + "HHI", tag, 3, len(values))
+                + inline.ljust(4, b"\0")
+            )
+        ptr = self.off + len(self.overflow)
+        self.overflow.extend(struct.pack(self.en + "H" * len(values), *values))
+        return struct.pack(self.en + "HHI", tag, 3, len(values)) + struct.pack(
+            self.en + "I", ptr
+        )
+
+    def undefined(self, tag: int, blob: bytes) -> bytes:
+        # type 7 (UNDEFINED) byte payload, overflow-stored; pad to keep
+        # offsets word-aligned
+        ptr = self.off + len(self.overflow)
+        self.overflow.extend(blob)
+        if len(blob) & 1:
+            self.overflow.append(0)
+        return struct.pack(self.en + "HHI", tag, 7, len(blob)) + struct.pack(
+            self.en + "I", ptr
+        )
+
+
 def write_tiff(
     path: str,
     array: np.ndarray,
@@ -510,6 +574,7 @@ def write_tiff(
     multisample: bool = False,
     planar: int = 1,
     jpeg_quality: int = 95,
+    jpeg_tables: bool = False,
 ) -> None:
     """Encode a 2-D array (or a (frames, H, W) stack as a multi-frame
     IFD chain) as a single-sample TIFF. ``compression`` ∈ {"none",
@@ -529,7 +594,7 @@ def write_tiff(
     if compression == "jpeg":
         return _write_jpeg_tiff(
             path, arr, byteorder, predictor, rows_per_strip, tile,
-            multisample, jpeg_quality,
+            multisample, jpeg_quality, jpeg_tables,
         )
     nsamp = 1
     if multisample:
@@ -648,34 +713,8 @@ def write_tiff(
             pos += len(s) + (len(s) & 1)
         strip_offs.append(offs)
 
-    def entry(tag: int, ftype: int, count: int, value: int) -> bytes:
-        code, _ = _FIELD_TYPES[ftype]
-        inline = struct.pack(en + code, value)
-        return struct.pack(en + "HHI", tag, ftype, count) + inline.ljust(4, b"\0")
-
-    overflow = bytearray()
-
-    def array_entry(tag: int, values: list[int]) -> bytes:
-        if len(values) == 1:
-            return entry(tag, 4, 1, values[0])
-        ptr = overflow_off + len(overflow)
-        overflow.extend(struct.pack(en + "I" * len(values), *values))
-        return entry(tag, 4, len(values), ptr)  # inline cell = pointer
-
-    def shorts_entry(tag: int, values: list[int]) -> bytes:
-        # SHORT array (e.g. per-sample BitsPerSample): ≤2 values fit
-        # inline, longer arrays go to the overflow area
-        if len(values) * 2 <= 4:
-            inline = struct.pack(en + "H" * len(values), *values)
-            return (
-                struct.pack(en + "HHI", tag, 3, len(values))
-                + inline.ljust(4, b"\0")
-            )
-        ptr = overflow_off + len(overflow)
-        overflow.extend(struct.pack(en + "H" * len(values), *values))
-        return struct.pack(en + "HHI", tag, 3, len(values)) + struct.pack(
-            en + "I", ptr
-        )
+    eb = _IfdEntries(en, overflow_off)
+    entry, array_entry, shorts_entry = eb.entry, eb.array, eb.shorts
 
     out = [struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, ifds_off[0])]
     for strips in frame_strips:
@@ -725,19 +764,21 @@ def write_tiff(
             + struct.pack(en + "I", nxt)
         )
     out.extend(ifd_blocks)
-    out.append(bytes(overflow))
+    out.append(bytes(eb.overflow))
     with open(path, "wb") as f:
         f.write(b"".join(out))
 
 
 def _write_jpeg_tiff(path, arr, byteorder, predictor, rows_per_strip, tile,
-                     multisample, quality):
-    """New-style JPEG (compression 7) writer: every strip is a complete
-    baseline JFIF stream from sources/jpegio.py (no JPEGTables tag —
-    self-contained strips are the simplest legal form, and the reader
-    accepts both). uint8 only, chunky only, LOSSY (quality-scaled
-    Annex-K tables) — the round-trip tests use flat/q-high content
-    where the codec is exact."""
+                     multisample, quality, jpeg_tables=False):
+    """New-style JPEG (compression 7) writer. ``jpeg_tables=False``
+    writes self-contained per-strip JFIF streams (the simplest legal
+    form); ``jpeg_tables=True`` writes ABBREVIATED strips with the
+    shared DQT/DHT segments hoisted into the JPEGTables tag (347,
+    UNDEFINED) — the libtiff convention, exercising the reader's
+    splice path. uint8 only, chunky only, LOSSY (quality-scaled
+    Annex-K tables) — round-trip tests use flat/q-high content where
+    the codec is exact."""
     if predictor != 1:
         raise ValueError("JPEG compression and predictor 2 are exclusive")
     if tile is not None:
@@ -762,15 +803,22 @@ def _write_jpeg_tiff(path, arr, byteorder, predictor, rows_per_strip, tile,
     n_frames, height, width = arr.shape[:3]
     rps = height if rows_per_strip is None else max(1, int(rows_per_strip))
     frame_strips = []
+    tables_blob = b""
     for i in range(n_frames):
         strips = [
             jpegio.encode(np.ascontiguousarray(arr[i, r0 : r0 + rps]),
                           quality=quality)
             for r0 in range(0, height, rps)
         ]
+        if jpeg_tables:
+            # identical tables in every strip (same quality/layout):
+            # hoist once, abbreviate all strips
+            split = [jpegio.split_tables(s) for s in strips]
+            tables_blob = split[0][0]
+            strips = [abbrev for _, abbrev in split]
         frame_strips.append(strips)
 
-    entries = 10 + (1 if nsamp > 1 else 0)
+    entries = 10 + (1 if nsamp > 1 else 0) + (1 if jpeg_tables else 0)
     ifd_size = 2 + 12 * entries + 4
     header = 8
     data_size = sum(len(s) + (len(s) & 1) for strips in frame_strips for s in strips)
@@ -786,29 +834,9 @@ def _write_jpeg_tiff(path, arr, byteorder, predictor, rows_per_strip, tile,
             pos += len(s) + (len(s) & 1)
         strip_offs.append(offs)
 
-    overflow = bytearray()
-
-    def entry(tag, ftype, count, value):
-        code, _ = _FIELD_TYPES[ftype]
-        inline = struct.pack(en + code, value)
-        return struct.pack(en + "HHI", tag, ftype, count) + inline.ljust(4, b"\0")
-
-    def array_entry(tag, values):
-        if len(values) == 1:
-            return entry(tag, 4, 1, values[0])
-        ptr = overflow_off + len(overflow)
-        overflow.extend(struct.pack(en + "I" * len(values), *values))
-        return entry(tag, 4, len(values), ptr)
-
-    def shorts_entry(tag, values):
-        if len(values) * 2 <= 4:
-            inline = struct.pack(en + "H" * len(values), *values)
-            return (struct.pack(en + "HHI", tag, 3, len(values))
-                    + inline.ljust(4, b"\0"))
-        ptr = overflow_off + len(overflow)
-        overflow.extend(struct.pack(en + "H" * len(values), *values))
-        return struct.pack(en + "HHI", tag, 3, len(values)) + struct.pack(
-            en + "I", ptr)
+    eb = _IfdEntries(en, overflow_off)
+    entry, array_entry = eb.entry, eb.array
+    shorts_entry, undefined_entry = eb.shorts, eb.undefined
 
     out = [struct.pack(en + "2sHI", b"II" if en == "<" else b"MM", 42, ifds_off[0])]
     for strips in frame_strips:
@@ -834,6 +862,8 @@ def _write_jpeg_tiff(path, arr, byteorder, predictor, rows_per_strip, tile,
         ]
         if nsamp > 1:
             tag_list.append(entry(_PLANAR_CONFIG, 3, 1, 1))
+        if jpeg_tables:
+            tag_list.append(undefined_entry(_JPEG_TABLES, tables_blob))
         tag_list.sort(key=lambda b: struct.unpack_from(en + "H", b)[0])
         nxt = ifds_off[i + 1] if i + 1 < n_frames else 0
         ifd_blocks.append(
@@ -842,6 +872,6 @@ def _write_jpeg_tiff(path, arr, byteorder, predictor, rows_per_strip, tile,
             + struct.pack(en + "I", nxt)
         )
     out.extend(ifd_blocks)
-    out.append(bytes(overflow))
+    out.append(bytes(eb.overflow))
     with open(path, "wb") as f:
         f.write(b"".join(out))
