@@ -721,3 +721,68 @@ def labeled_mask_sink_roundtrip(spark, sf_dir):
         return agg.localCheckpoint(eager=True)  # pin before the dir goes
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _czi_fixture_sql() -> str:
+    """Literal-VALUES oracle from the committed expected rows (written
+    by tools/make_czi_fixture.py with the fixture bytes)."""
+    import json
+    from pathlib import Path
+
+    from scip_spark.queries import literal_values_sql
+
+    p = Path(__file__).resolve().parents[1] / "fixtures" / "czi_expected.json"
+    rows = json.loads(p.read_text())["rows"]
+    return literal_values_sql(
+        rows,
+        {"scene": None, "tile": "INTEGER", "well": None, "pos": None,
+         "c": "INTEGER", "h": "INTEGER", "w": "INTEGER",
+         "px_sum_fp": "BIGINT"},
+    )
+
+
+@register(
+    "czi_schema_synthesis",
+    _czi_fixture_sql(),
+    doc="S8+S9 end-to-end from REAL committed ZISRAW (CZI) container "
+    "bytes (r15 — the last source format that only ever ran against "
+    "injected fakes): scene inventory parsed from the binary subblock "
+    "directory + metadata XML (sources/zisraw.py), scene-name regex "
+    "metadata synthesis exactly as the reference derives it from "
+    "named groups (src/scip/loading/czi.py:85-87), one record per "
+    "(scene, tile) via czi_meta's explode, pixels fetched per record "
+    "from uncompressed Gray8/Gray16/Gray32Float subblocks and "
+    "checksummed on the exact integer grid. Compressed subblocks "
+    "(JPEG-XR/zstd) still fail fast to the injected aicsimageio "
+    "reader.",
+)
+def czi_schema_synthesis(spark, sf_dir):
+    from pathlib import Path
+
+    from scip_spark.sources.filescan import (
+        czi_attach_pixels,
+        czi_meta,
+        czi_scene_meta,
+    )
+    from scip_spark.sources.zisraw import fetch_tile, scene_inventory
+
+    path = str(
+        Path(__file__).resolve().parents[1] / "fixtures" / "czi"
+        / "acquisition.czi"
+    )
+    scenes, tiles = scene_inventory(path)  # driver-side, like the ref
+    df = czi_meta(spark, path, scenes, tiles)
+    df = czi_scene_meta(df, r"well_(?P<well>\w+)_pos_(?P<pos>\d+)")
+    px = czi_attach_pixels(df, reader=fetch_tile)
+    return px.select(
+        "scene",
+        "tile",
+        "well",
+        "pos",
+        F.element_at("pixels_shape", 1).alias("c"),
+        F.element_at("pixels_shape", 2).alias("h"),
+        F.element_at("pixels_shape", 3).alias("w"),
+        F.expr(
+            "aggregate(pixels, 0L, (acc, x) -> acc + bigint(floor(double(x) * 1048576D)))"
+        ).alias("px_sum_fp"),
+    )

@@ -258,8 +258,31 @@ def czi_reader_stub(path: str, scene: str, tile: int) -> np.ndarray:
     raise NotImplementedError(
         "aicsimageio is not installed in this environment; inject a "
         "reader=... callable (AICSImage(path, reconstruct_mosaic=False)"
-        ".set_scene(scene); get_image_data('CZXY', T=0) in production)."
+        ".set_scene(scene); get_image_data('CZXY', T=0) in production), "
+        "or use default_czi_reader() for the pure-Python uncompressed-"
+        "subblock ZISRAW path (sources/zisraw.py, r15)."
     )
+
+
+def default_czi_reader():
+    """The reader czi_attach_pixels should get by default in a real
+    deployment: aicsimageio when installed (full format coverage),
+    else the pure-Python ZISRAW parser (sources/zisraw.py — real
+    container bytes, uncompressed Gray8/16/32F subblocks; compressed
+    subblocks fail fast with the injection hint)."""
+    try:  # pragma: no cover - env-dependent
+        from aicsimageio import AICSImage  # noqa: F401
+
+        def read(path: str, scene: str, tile: int) -> np.ndarray:
+            img = AICSImage(path, reconstruct_mosaic=False)
+            img.set_scene(scene)
+            return img.get_image_data("CZYX", T=0, M=tile)
+
+        return read
+    except ImportError:
+        from scip_spark.sources.zisraw import fetch_tile
+
+        return fetch_tile
 
 
 def czi_attach_pixels(

@@ -758,3 +758,94 @@ def test_tiff_writer_word_alignment(tmp_path):
                 assert ptr % 2 == 0, (tag, ptr)
         (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
     np.testing.assert_array_equal(read_tiff(p), a)
+
+
+class TestZisraw:
+    def test_roundtrip_matrix(self, tmp_path):
+        import numpy as np
+
+        from scip_spark.sources import zisraw
+
+        rng = np.random.default_rng(0)
+        scenes = {
+            "A1": [(rng.random((2, 6, 8)) * 200).astype(np.uint16)
+                   for _ in range(3)],
+            "B2": [(rng.random((3, 5, 7)) * 100).astype(np.float32)
+                   for _ in range(2)],
+            "C9": [(rng.random((1, 4, 4)) * 250).astype(np.uint8)],
+        }
+        p = str(tmp_path / "t.czi")
+        zisraw.write_czi(p, scenes)
+        names, tiles = zisraw.scene_inventory(p)
+        assert names == ["A1", "B2", "C9"]
+        assert tiles == {"A1": 3, "B2": 2, "C9": 1}
+        for name, tl in scenes.items():
+            for m, tile in enumerate(tl):
+                import numpy as np
+
+                assert np.array_equal(zisraw.fetch_tile(p, name, m), tile)
+
+    def test_segment_layout_spec_invariants(self, tmp_path):
+        """Byte-level assertions on the published layout: 32-byte
+        segment headers, 32-byte alignment, the directory/metadata
+        positions declared in the ZISRAWFILE header actually hold
+        those segments."""
+        import struct
+
+        import numpy as np
+
+        from scip_spark.sources import zisraw
+
+        p = str(tmp_path / "t.czi")
+        zisraw.write_czi(p, {"S0": [np.zeros((1, 4, 4), dtype=np.uint8)]})
+        buf = open(p, "rb").read()
+        assert buf[:10] == b"ZISRAWFILE"
+        dir_pos, meta_pos = struct.unpack_from("<qq", buf, 32 + 16 + 32 + 4)
+        assert dir_pos % 32 == 0 and meta_pos % 32 == 0
+        assert buf[meta_pos : meta_pos + 14] == b"ZISRAWMETADATA"
+        assert buf[dir_pos : dir_pos + 15] == b"ZISRAWDIRECTORY"
+
+    def test_compressed_subblock_fails_fast(self, tmp_path):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from scip_spark.sources import zisraw
+
+        p = str(tmp_path / "t.czi")
+        zisraw.write_czi(p, {"S0": [np.zeros((1, 4, 4), dtype=np.uint8)]})
+        buf = bytearray(open(p, "rb").read())
+        # flip the directory entry's Compression field to JPEG-XR (4):
+        # entry starts after count+spare in the directory segment
+        dir_pos, _ = struct.unpack_from("<qq", buf, 32 + 16 + 32 + 4)
+        entry = dir_pos + 32 + 4 + 124
+        assert bytes(buf[entry : entry + 2]) == b"DV"
+        struct.pack_into("<i", buf, entry + 2 + 4 + 8 + 4, 4)
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="injected aicsimageio"):
+            zisraw.fetch_tile(p, 0, 0)
+
+    def test_default_czi_reader_reads_real_bytes(self, tmp_path):
+        """Without aicsimageio, default_czi_reader() is the ZISRAW
+        parser — the S9 path runs on real container bytes by default."""
+        import numpy as np
+
+        from scip_spark.sources import zisraw
+        from scip_spark.sources.filescan import default_czi_reader
+
+        p = str(tmp_path / "t.czi")
+        tile = (np.arange(2 * 3 * 4) % 251).astype(np.uint8).reshape(2, 3, 4)
+        zisraw.write_czi(p, {"well_X": [tile]})
+        reader = default_czi_reader()
+        assert np.array_equal(reader(p, "well_X", 0), tile)
+
+    def test_non_czi_fails_loudly(self, tmp_path):
+        import pytest
+
+        from scip_spark.sources import zisraw
+
+        p = str(tmp_path / "junk.czi")
+        open(p, "wb").write(b"not a czi container at all" * 4)
+        with pytest.raises(ValueError, match="ZISRAWFILE"):
+            zisraw.scene_inventory(p)
