@@ -276,7 +276,10 @@ def default_czi_reader():
         def read(path: str, scene: str, tile: int) -> np.ndarray:
             img = AICSImage(path, reconstruct_mosaic=False)
             img.set_scene(scene)
-            return img.get_image_data("CZYX", T=0, M=tile)
+            # CYX: match the ZISRAW branch's (and czi_attach_pixels's
+            # documented) C×H×W contract — CZYX would silently change
+            # pixels_shape's meaning per environment (review r15)
+            return img.get_image_data("CYX", T=0, Z=0, M=tile)
 
         return read
     except ImportError:
@@ -287,7 +290,7 @@ def default_czi_reader():
 
 def czi_attach_pixels(
     df: DataFrame,
-    reader: Callable[[str, str, int], np.ndarray] = czi_reader_stub,
+    reader: Callable[[str, str, int], np.ndarray] | None = None,
     channels: list[int] | None = None,
 ) -> DataFrame:
     """S9 pixel read (reference czi.py:35-46 ``_load_block``): one
@@ -296,6 +299,8 @@ def czi_attach_pixels(
     ``get_image_data(..., C=channels)``. Arrow-batched IO: each task
     opens its own records' scenes, so tile reads parallelize across the
     cluster while the driver never touches pixel data."""
+    if reader is None:  # aicsimageio if present, else the ZISRAW parser
+        reader = default_czi_reader()
     out_fields = [f for f in df.schema.fields] + [
         T.StructField("pixels", T.ArrayType(T.FloatType())),
         T.StructField("pixels_shape", T.ArrayType(T.IntegerType())),

@@ -70,11 +70,20 @@ def _dir_entry(pixel_type: int, file_pos: int, dims: list[tuple[bytes, int, int]
     return out
 
 
-def write_czi(path: str, scenes: dict[str, list[np.ndarray]]) -> None:
+def write_czi(
+    path: str,
+    scenes: dict[str, list[np.ndarray]],
+    subblock_xml: str | None = None,
+) -> None:
     """Minimal spec-layout CZI: one uncompressed subblock per
     (scene, tile, channel) plane, dimensions S/M/C/Y/X; scene names in
     the metadata XML under the documented Scenes path. Every tile is a
-    C×H×W ndarray (uint8/uint16/float32)."""
+    C×H×W ndarray (uint8/uint16/float32). ``subblock_xml`` attaches
+    per-subblock metadata (as Zen does for acquisition timestamps), so
+    readers must honor the data-offset rule data = max(256, fixed) +
+    MetadataSize — the fixture pins that path. Byte-deterministic for
+    fixed inputs (the file GUID hashes the scene names, not the
+    path)."""
     scene_names = list(scenes)
     xml_scenes = "".join(
         f'<Scene Index="{i}" Name="{name}"/>' for i, name in enumerate(scene_names)
@@ -116,13 +125,17 @@ def write_czi(path: str, scenes: dict[str, list[np.ndarray]]) -> None:
                     (b"X", 0, w),
                 ]
                 entry = _dir_entry(ptype, pos, dims)
+                sb_meta = (subblock_xml or "").encode()
                 fixed = 16 + len(entry)  # Metadata/Attachment/DataSize + entry
-                data_off = max(256, fixed)  # MetadataSize = 0
+                # ZISRAW layout: metadata at max(256, fixed), DATA after it
+                meta_off = max(256, fixed)
+                data_off = meta_off + len(sb_meta)
                 used = data_off + len(data)
                 payload = (
-                    struct.pack("<iiq", 0, 0, len(data))
+                    struct.pack("<iiq", len(sb_meta), 0, len(data))
                     + entry
-                    + bytes(data_off - fixed)
+                    + bytes(meta_off - fixed)
+                    + sb_meta
                     + data
                 )
                 blocks.append((pos, payload))
@@ -138,7 +151,9 @@ def write_czi(path: str, scenes: dict[str, list[np.ndarray]]) -> None:
         # ZISRAWFILE header segment
         hdr = struct.pack(
             "<iiii", 1, 0, 0, 0
-        ) + uuid.uuid5(uuid.NAMESPACE_URL, path).bytes + bytes(16) + struct.pack(
+        ) + uuid.uuid5(
+            uuid.NAMESPACE_URL, "scip-spark:" + "|".join(scene_names)
+        ).bytes + bytes(16) + struct.pack(
             "<iqqiq", 0, dir_pos, meta_pos, 0, 0
         )
         assert len(hdr) == file_header_used
@@ -161,67 +176,88 @@ def _read_seg_header(buf: bytes, off: int) -> tuple[bytes, int, int]:
 
 
 def _parse_dir_entry(buf: bytes, off: int):
-    """-> (pixel_type, file_pos, compression, {dim: (start, size)}, end_off)"""
+    """-> (pixel_type, file_pos, compression, pyramid_type,
+    {dim: (start, size, stored)}, end_off)"""
     if buf[off : off + 2] != b"DV":
         raise ValueError(f"unsupported directory entry schema {buf[off:off+2]!r}")
     ptype, fpos, _fpart, comp = struct.unpack_from("<iqii", buf, off + 2)
+    pyramid = buf[off + 22]
     (ndims,) = struct.unpack_from("<i", buf, off + 28)
     dims = {}
     p = off + 32
     for _ in range(ndims):
         name = buf[p : p + 4].rstrip(b"\0").decode()
-        start, size, _coord, _stored = struct.unpack_from("<iifi", buf, p + 4)
-        dims[name] = (start, size)
+        start, size, _coord, stored = struct.unpack_from("<iifi", buf, p + 4)
+        dims[name] = (start, size, stored)
         p += 20
-    return ptype, fpos, comp, dims, p
+    return ptype, fpos, comp, pyramid, dims, p
 
 
-def _file_header(buf: bytes) -> tuple[int, int]:
-    seg_id, _, _ = _read_seg_header(buf, 0)
-    if seg_id != b"ZISRAWFILE":
+def _read_segment(f, pos: int, expect: bytes) -> bytes:
+    """Seek-read ONE segment's payload (bounded by its UsedSize) —
+    never the whole file (review r15: fetch_tile previously slurped
+    multi-GB containers per call)."""
+    f.seek(pos)
+    head = f.read(_SEG_HEADER)
+    if len(head) < _SEG_HEADER:
+        raise ValueError(f"truncated segment header at {pos}")
+    seg_id = head[:16].rstrip(b"\0")
+    _alloc, used = struct.unpack_from("<qq", head, 16)
+    if seg_id != expect:
+        raise ValueError(
+            f"expected {expect.decode()} segment at {pos}, found "
+            f"{seg_id.decode(errors='replace')!r}"
+        )
+    return f.read(used)
+
+
+def _file_positions(f) -> tuple[int, int]:
+    f.seek(0)
+    head = f.read(_SEG_HEADER + 80)
+    if head[:16].rstrip(b"\0") != b"ZISRAWFILE":
         raise ValueError("not a CZI file (missing ZISRAWFILE header)")
-    # Major, Minor, Res, Res, 2 GUIDs, FilePart, then the positions
-    dir_pos, meta_pos = struct.unpack_from("<qq", buf, _SEG_HEADER + 4 * 4 + 32 + 4)
+    dir_pos, meta_pos = struct.unpack_from("<qq", head, _SEG_HEADER + 4 * 4 + 32 + 4)
     return dir_pos, meta_pos
 
 
-def _directory(buf: bytes):
-    dir_pos, _ = _file_header(buf)
-    seg_id, _, _ = _read_seg_header(buf, dir_pos)
-    if seg_id != b"ZISRAWDIRECTORY":
-        raise ValueError("subblock directory not found at its declared offset")
-    (count,) = struct.unpack_from("<i", buf, dir_pos + _SEG_HEADER)
-    p = dir_pos + _SEG_HEADER + 4 + 124
+def _directory_from(f):
+    dir_pos, _ = _file_positions(f)
+    payload = _read_segment(f, dir_pos, b"ZISRAWDIRECTORY")
+    (count,) = struct.unpack_from("<i", payload, 0)
+    p = 4 + 124
     entries = []
     for _ in range(count):
-        ptype, fpos, comp, dims, p = _parse_dir_entry(buf, p)
-        entries.append((ptype, fpos, comp, dims))
+        ptype, fpos, comp, pyramid, dims, p = _parse_dir_entry(payload, p)
+        entries.append((ptype, fpos, comp, pyramid, dims))
     return entries
 
 
-def scene_inventory(path: str) -> tuple[list[str], dict[str, int]]:
-    """(scene names in S-index order, tiles per scene) — the driver-
-    side metadata read feeding czi_meta (S8). Names come from the
-    metadata XML's documented Scenes path; a file without them falls
-    back to 'S<i>'."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    _, meta_pos = _file_header(buf)
+def _scene_names_from(f) -> dict[int, str]:
+    _, meta_pos = _file_positions(f)
     names: dict[int, str] = {}
     if meta_pos:
-        seg_id, _, _ = _read_seg_header(buf, meta_pos)
-        if seg_id != b"ZISRAWMETADATA":
-            raise ValueError("metadata segment not at its declared offset")
-        (xml_size,) = struct.unpack_from("<i", buf, meta_pos + _SEG_HEADER)
-        xml = buf[meta_pos + _SEG_HEADER + 256 : meta_pos + _SEG_HEADER + 256 + xml_size]
-        root = ET.fromstring(xml.decode())
+        payload = _read_segment(f, meta_pos, b"ZISRAWMETADATA")
+        (xml_size,) = struct.unpack_from("<i", payload, 0)
+        root = ET.fromstring(payload[256 : 256 + xml_size].decode())
         for sc in root.iter("Scene"):
             names[int(sc.get("Index"))] = sc.get("Name")
-    tiles: dict[int, set[int]] = {}
-    for _ptype, _fpos, _comp, dims, in _iter_entries(buf):
-        s = dims.get("S", (0, 1))[0]
-        m = dims.get("M", (0, 1))[0]
-        tiles.setdefault(s, set()).add(m)
+    return names
+
+
+def scene_inventory(path: str) -> tuple[list[str], dict[str, int]]:
+    """(scene names in S-start order, tiles per scene) — the driver-
+    side metadata read feeding czi_meta (S8). Names come from the
+    metadata XML's documented Scenes path (Index = the S dimension
+    START, which need not begin at 0 — a single-scene export from a
+    multi-scene acquisition keeps its original index); a file without
+    names falls back to 'S<start>'."""
+    with open(path, "rb") as f:
+        names = _scene_names_from(f)
+        tiles: dict[int, set[int]] = {}
+        for _ptype, _fpos, _comp, _pyr, dims in _directory_from(f):
+            s = dims.get("S", (0, 1, 1))[0]
+            m = dims.get("M", (0, 1, 1))[0]
+            tiles.setdefault(s, set()).add(m)
     scene_names = [names.get(s, f"S{s}") for s in sorted(tiles)]
     tiles_per_scene = {
         names.get(s, f"S{s}"): len(ms) for s, ms in tiles.items()
@@ -229,55 +265,90 @@ def scene_inventory(path: str) -> tuple[list[str], dict[str, int]]:
     return scene_names, tiles_per_scene
 
 
-def _iter_entries(buf: bytes):
-    for ptype, fpos, comp, dims in _directory(buf):
-        yield ptype, fpos, comp, dims
-
-
 def fetch_tile(path: str, scene: str | int, tile: int) -> np.ndarray:
     """C×H×W ndarray for one (scene, tile) — channels stacked in C
     order from the matching uncompressed subblocks. ``scene`` may be a
-    name (resolved via the metadata XML) or an S index. This has the
-    exact reader signature czi_attach_pixels expects."""
+    name (resolved to its ACTUAL S start via the metadata XML) or an S
+    start value; ``tile`` is the ordinal into the scene's sorted M
+    starts (M need not begin at 0). One bounded seek+read per segment
+    — the container is never slurped. This has the exact reader
+    signature czi_attach_pixels expects."""
     with open(path, "rb") as f:
-        buf = f.read()
-    if isinstance(scene, str):
-        scene_names, _ = scene_inventory(path)
-        try:
-            s_idx = scene_names.index(scene)
-        except ValueError:
-            raise ValueError(f"scene {scene!r} not in {scene_names}") from None
-    else:
-        s_idx = int(scene)
-    planes = {}
-    for ptype, fpos, comp, dims in _directory(buf):
-        if dims.get("S", (0, 1))[0] != s_idx or dims.get("M", (0, 1))[0] != tile:
-            continue
-        if comp != _COMP_UNCOMPRESSED:
+        entries = _directory_from(f)
+        if isinstance(scene, str):
+            names = _scene_names_from(f)
+            s_starts = sorted({d.get("S", (0, 1, 1))[0] for *_x, d in entries})
+            by_name = {names.get(s, f"S{s}"): s for s in s_starts}
+            if scene not in by_name:
+                raise ValueError(f"scene {scene!r} not in {sorted(by_name)}")
+            s_idx = by_name[scene]
+        else:
+            s_idx = int(scene)
+        in_scene = [
+            e for e in entries if e[4].get("S", (0, 1, 1))[0] == s_idx
+        ]
+        if not in_scene:
+            raise ValueError(f"no subblocks for scene {scene!r}: {path}")
+        m_starts = sorted({e[4].get("M", (0, 1, 1))[0] for e in in_scene})
+        if not 0 <= tile < len(m_starts):
             raise ValueError(
-                f"compressed CZI subblock (compression {comp}) needs an "
-                f"injected aicsimageio reader: {path}"
+                f"tile {tile} out of range (scene has {len(m_starts)}): {path}"
             )
-        dtype = _PIXEL_DTYPES.get(ptype)
-        if dtype is None:
-            raise ValueError(f"unsupported CZI pixel type {ptype}: {path}")
-        # subblock segment: header + (MetadataSize, AttachmentSize,
-        # DataSize) + DirectoryEntry + [pad to data offset] + data
-        seg_id, _, _ = _read_seg_header(buf, fpos)
-        if seg_id != b"ZISRAWSUBBLOCK":
-            raise ValueError(f"directory points at non-subblock segment: {path}")
-        base = fpos + _SEG_HEADER
-        msize, _asize, dsize = struct.unpack_from("<iiq", buf, base)
-        _pt, _fp, _cmp, bdims, entry_end = _parse_dir_entry(buf, base + 16)
-        fixed = 16 + (entry_end - (base + 16))
-        data_off = max(256, fixed + msize)
-        data = buf[base + data_off : base + data_off + dsize]
-        h = bdims["Y"][1]
-        w = bdims["X"][1]
-        ch = bdims.get("C", (0, 1))[0]
-        planes[ch] = np.frombuffer(
-            data, dtype=np.dtype(dtype).newbyteorder("<")
-        ).reshape(h, w)
+        m_val = m_starts[tile]
+        planes = {}
+        for ptype, fpos, comp, pyramid, dims in in_scene:
+            if dims.get("M", (0, 1, 1))[0] != m_val:
+                continue
+            if pyramid != 0:
+                raise ValueError(
+                    f"pyramidal CZI subblock needs an injected aicsimageio "
+                    f"reader: {path}"
+                )
+            if comp != _COMP_UNCOMPRESSED:
+                raise ValueError(
+                    f"compressed CZI subblock (compression {comp}) needs an "
+                    f"injected aicsimageio reader: {path}"
+                )
+            dtype = _PIXEL_DTYPES.get(ptype)
+            if dtype is None:
+                raise ValueError(f"unsupported CZI pixel type {ptype}: {path}")
+            for axis in ("Y", "X"):
+                st, size, stored = dims[axis]
+                if stored != size:
+                    raise ValueError(
+                        f"subsampled CZI subblock ({axis} stored {stored} != "
+                        f"size {size}) needs an injected reader: {path}"
+                    )
+            extra = {
+                k: v for k, v in dims.items() if k not in ("S", "M", "C", "Y", "X")
+                and not (v[0] == 0 and v[1] == 1)
+            }
+            if extra:
+                raise ValueError(
+                    f"CZI dimensions {sorted(extra)} beyond S/M/C/Y/X need an "
+                    f"injected aicsimageio reader: {path}"
+                )
+            payload = _read_segment(f, fpos, b"ZISRAWSUBBLOCK")
+            msize, _asize, dsize = struct.unpack_from("<iiq", payload, 0)
+            _pt, _fp, _cmp, _pyr, bdims, entry_end = _parse_dir_entry(payload, 16)
+            fixed = entry_end  # Metadata/Attachment/DataSize fields + entry
+            # ZISRAW layout: subblock metadata at max(256, fixed), the
+            # pixel DATA after it (review r15 #1: adding msize inside
+            # the max() silently returned XML bytes as pixels for any
+            # Zen file with per-subblock metadata)
+            data_off = max(256, fixed) + msize
+            data = payload[data_off : data_off + dsize]
+            h = bdims["Y"][1]
+            w = bdims["X"][1]
+            ch = bdims.get("C", (0, 1, 1))[0]
+            if ch in planes:
+                raise ValueError(
+                    f"duplicate subblock for channel {ch} (Z/T stack?) needs "
+                    f"an injected aicsimageio reader: {path}"
+                )
+            planes[ch] = np.frombuffer(
+                data, dtype=np.dtype(dtype).newbyteorder("<")
+            ).reshape(h, w)
     if not planes:
         raise ValueError(f"no subblocks for scene {scene!r} tile {tile}: {path}")
     return np.stack([planes[c] for c in sorted(planes)])

@@ -849,3 +849,97 @@ class TestZisraw:
         open(p, "wb").write(b"not a czi container at all" * 4)
         with pytest.raises(ValueError, match="ZISRAWFILE"):
             zisraw.scene_inventory(p)
+
+    def test_subblock_metadata_offsets_data(self, tmp_path):
+        """Zen files carry per-subblock XML; pixels sit AFTER it at
+        max(256, fixed) + MetadataSize (review r15: folding msize into
+        the max() returned XML bytes as pixels, silently)."""
+        import numpy as np
+
+        from scip_spark.sources import zisraw
+
+        tile = (np.arange(2 * 5 * 6) % 199).astype(np.uint16).reshape(2, 5, 6)
+        p = str(tmp_path / "m.czi")
+        zisraw.write_czi(p, {"S0": [tile]},
+                         subblock_xml="<METADATA>" + "x" * 300 + "</METADATA>")
+        assert np.array_equal(zisraw.fetch_tile(p, "S0", 0), tile)
+
+    def test_noncontiguous_scene_and_tile_indices(self, tmp_path):
+        """A single-scene export keeps its original S start (and M
+        starts); name and ordinal-tile resolution must follow the
+        ACTUAL dimension starts, not positional assumptions."""
+        import struct
+
+        import numpy as np
+
+        from scip_spark.sources import zisraw
+
+        tiles = [
+            (np.arange(1 * 4 * 4) % 97).astype(np.uint8).reshape(1, 4, 4),
+            ((np.arange(1 * 4 * 4) + 7) % 97).astype(np.uint8).reshape(1, 4, 4),
+        ]
+        p = str(tmp_path / "nc.czi")
+        zisraw.write_czi(p, {"exported": tiles})
+        # rewrite every S start 0 -> 5 and M starts 0,1 -> 3,4 in BOTH
+        # the directory and the subblock-embedded entries
+        buf = bytearray(open(p, "rb").read())
+        i = 0
+        while True:
+            i = buf.find(b"S\x00\x00\x00", i)
+            if i < 0:
+                break
+            (s,) = struct.unpack_from("<i", buf, i + 4)
+            struct.pack_into("<i", buf, i + 4, s + 5)
+            i += 4
+        i = 0
+        while True:
+            i = buf.find(b"M\x00\x00\x00", i)
+            if i < 0:
+                break
+            (m,) = struct.unpack_from("<i", buf, i + 4)
+            struct.pack_into("<i", buf, i + 4, m + 3)
+            i += 4
+        # scene XML Index must track the S start too
+        data = bytes(buf).replace(b'Index="0"', b'Index="5"')
+        open(p, "wb").write(data)
+        names, ntiles = zisraw.scene_inventory(p)
+        assert names == ["exported"] and ntiles == {"exported": 2}
+        assert np.array_equal(zisraw.fetch_tile(p, "exported", 0), tiles[0])
+        assert np.array_equal(zisraw.fetch_tile(p, "exported", 1), tiles[1])
+
+    def test_pyramid_and_extra_dims_fail_fast(self, tmp_path):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from scip_spark.sources import zisraw
+
+        p = str(tmp_path / "pyr.czi")
+        zisraw.write_czi(p, {"S0": [np.zeros((1, 4, 4), dtype=np.uint8)]})
+        buf = bytearray(open(p, "rb").read())
+        dir_pos, _ = struct.unpack_from("<qq", buf, 32 + 16 + 32 + 4)
+        entry = dir_pos + 32 + 4 + 124
+        buf[entry + 22] = 1  # PyramidType = single-subblock pyramid
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="pyramidal"):
+            zisraw.fetch_tile(p, 0, 0)
+
+    def test_default_reader_is_wired_into_attach_pixels(self, spark, tmp_path):
+        """czi_attach_pixels with NO reader argument decodes real
+        container bytes (review r15: default_czi_reader existed but
+        was never the default)."""
+        import numpy as np
+
+        from scip_spark.sources import zisraw
+        from scip_spark.sources.filescan import czi_attach_pixels, czi_meta
+
+        tile = (np.arange(2 * 3 * 4) % 251).astype(np.uint8).reshape(2, 3, 4)
+        p = str(tmp_path / "wired.czi")
+        zisraw.write_czi(p, {"A": [tile]})
+        meta = czi_meta(spark, p, ["A"], {"A": 1})
+        out = czi_attach_pixels(meta).toPandas()
+        assert list(out.pixels_shape[0]) == [2, 3, 4]
+        assert np.allclose(
+            np.array(out.pixels[0]).reshape(2, 3, 4), tile
+        )

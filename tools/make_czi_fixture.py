@@ -46,7 +46,12 @@ def main() -> None:
     scenes = {}
     expected = []
     for name, (n_tiles, dt) in SCENES.items():
-        seed = int.from_bytes(name.encode(), "little") % (2**32)
+        # full-name hash (review r15: first-4-bytes seeding collided on
+        # the shared 'well' prefix, making every scene's tile 0
+        # identical — a scene-addressing mixup would have passed)
+        import hashlib
+
+        seed = int(hashlib.md5(name.encode()).hexdigest()[:8], 16)
         rng = np.random.default_rng(seed)
         tiles = []
         for m in range(n_tiles):
@@ -68,7 +73,9 @@ def main() -> None:
                     "px_sum_fp": int(grid.sum()),
                 }
             )
-    write_czi(path, scenes)
+    # per-subblock metadata pins the data-offset rule
+    # (data = max(256, fixed) + MetadataSize) with real nonzero msize
+    write_czi(path, scenes, subblock_xml="<METADATA><Tags/></METADATA>")
     out = os.path.join(root, "..", "czi_expected.json")
     with open(out, "w") as f:
         json.dump({"rows": expected}, f, indent=1)
