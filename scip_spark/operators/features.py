@@ -654,7 +654,6 @@ def make_features_batch(nchannels: int, families: list[str] | None = None):
     """Batch kernel behind :func:`extract_features` (factory form for
     the fused multi-branch pipeline — see masking.make_mask_batch)."""
     families = families or DEFAULT_FAMILIES
-    schema = feature_schema(nchannels, families)
     feat_cols = feature_columns(nchannels, families)
 
     def batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -677,18 +676,11 @@ def make_features_batch(nchannels: int, families: list[str] | None = None):
         # record — identical values (see _record_features docstring),
         # ~batch-size× fewer _stats11_batch dispatch rounds.
         jobs: list[np.ndarray] = []
-        pending: list[tuple[dict, list | None]] = []
+        token_rows: list[list | None] = []
         for i in range(len(pdf)):
-            meta = {
-                "path": paths[i],
-                "group": groups_[i],
-                "id": ids_[i],
-                "object_number": objnums[i],
-                "regions": regions_[i],
-            }
             a, m = pixels[i], masks[i]
             if a is None:
-                pending.append((meta, None))
+                token_rows.append(None)
                 continue
             cm_flat = cms[i]
             cm = (
@@ -696,28 +688,47 @@ def make_features_batch(nchannels: int, families: list[str] | None = None):
                 if cm_flat is not None
                 else None
             )
-            tokens = _record_features(
-                a,
-                m,
-                cm,
-                bgs[i],
-                cbgs[i],
-                bboxes[i],
-                families,
-                nchannels,
-                jobs=jobs,
-            )
-            pending.append((meta, tokens))
-        stats = _stats11_many(jobs)
-        rows = []
-        for meta, tokens in pending:
-            if tokens is None:
-                rows.append({**meta, **{c: None for c in feat_cols}})
-            else:
-                rows.append(
-                    {**meta, **dict(zip(feat_cols, _resolve_features(tokens, stats)))}
+            token_rows.append(
+                _record_features(
+                    a,
+                    m,
+                    cm,
+                    bgs[i],
+                    cbgs[i],
+                    bboxes[i],
+                    families,
+                    nchannels,
+                    jobs=jobs,
                 )
-        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            )
+        stats = _stats11_many(jobs)
+        # columnar assembly (guide §4.2): the feature block is one
+        # (n_records × n_feat_cols) float64 matrix instead of a list of
+        # ~650-key per-row dicts — pd.DataFrame(list-of-dicts) infers
+        # dtype cell-by-cell and dominated this stage's Python-worker
+        # CPU profile. None cells (soft-deleted records, shape
+        # empty-default rows) become NaN in the float64 block, which
+        # Arrow serializes as NULL exactly like the old object→float64
+        # column path did (pinned by the golden checksum tests).
+        mat = np.full((len(token_rows), len(feat_cols)), np.nan, dtype=np.float64)
+        for i, tokens in enumerate(token_rows):
+            if tokens is not None:
+                mat[i] = np.asarray(
+                    _resolve_features(tokens, stats), dtype=np.float64
+                )
+        meta_df = pd.DataFrame(
+            {
+                "path": paths,
+                "group": groups_,
+                "id": ids_,
+                "object_number": objnums,
+                "regions": regions_,
+            }
+        )
+        feat_df = pd.DataFrame(mat, columns=feat_cols, copy=False)
+        # feature_schema() is exactly these meta fields + feat_cols, in
+        # this order, so the concat already matches the declared schema
+        return pd.concat([meta_df, feat_df], axis=1)
 
     return batch
 

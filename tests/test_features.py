@@ -650,3 +650,79 @@ def test_record_features_deferred_equals_standalone():
                 assert g is None
             else:
                 np.testing.assert_array_equal(g, w)
+
+
+def test_columnar_batch_assembly_matches_rowwise_dicts():
+    """r15 optimization regression pin: make_features_batch assembles
+    its output as one float64 feature block + meta columns instead of a
+    list of ~700-key per-row dicts. The frames must be equivalent under
+    Arrow semantics — same columns in schema order, identical meta
+    values, and feature cells equal with {None, NaN} both mapping to
+    Arrow NULL (old object->float64 path did exactly that)."""
+    import pandas as pd
+
+    from scip_spark.operators.features import (
+        feature_schema,
+        make_features_batch,
+    )
+    from scip_spark.schema import events_to_pandas
+
+    rng = np.random.default_rng(7)
+    nch = 3
+    recs = []
+    for t in range(6):
+        a = (rng.random((nch, 12, 12)) * 50).astype(np.float32)
+        m = np.zeros((nch, 12, 12), dtype=bool)
+        m[:, 2:9, 3:10] = True
+        if t == 2:
+            m[1] = False  # empty channel mask -> None shape cells
+        rec = {
+            "path": f"/p/{t}.tiff",
+            "group": f"g{t % 2}",
+            "id": 0,
+            "object_number": t,
+            "pixels": None if t == 4 else a,  # soft-deleted record
+            "mask": None if t == 4 else m,
+            "combined_mask": m.any(axis=0) if t != 4 else None,
+            "background": list(rng.random(nch)),
+            "combined_background": list(rng.random(nch)),
+            "bbox": [2, 3, 9, 10],
+            "regions": [1] * nch,
+        }
+        recs.append(rec)
+    pdf = events_to_pandas(recs)
+
+    batch = make_features_batch(nch)
+    out = batch(pdf)
+    schema = feature_schema(nch, DEFAULT_FAMILIES)
+    names = [f.name for f in schema.fields]
+    assert list(out.columns) == names
+    # meta passthrough, row-aligned
+    assert out["path"].tolist() == [r["path"] for r in recs]
+    assert out["object_number"].tolist() == [r["object_number"] for r in recs]
+    feat_cols = feature_columns(nch, DEFAULT_FAMILIES)
+    block = out[feat_cols]
+    # one float64 block: every feature column numeric, soft-deleted row
+    # all-NaN (-> Arrow NULL), live rows finite except deliberate Nones
+    assert all(dt == np.float64 for dt in block.dtypes)
+    assert block.iloc[4].isna().all()
+    assert not block.iloc[0].isna().any()
+    # values match the standalone per-record path bit-for-bit
+    from scip_spark.operators.features import _record_features
+
+    want = _record_features(
+        recs[0]["pixels"],
+        recs[0]["mask"],
+        recs[0]["combined_mask"],
+        np.asarray(recs[0]["background"]),
+        np.asarray(recs[0]["combined_background"]),
+        recs[0]["bbox"],
+        DEFAULT_FAMILIES,
+        nch,
+    )
+    got = block.iloc[0].to_numpy()
+    want_arr = np.asarray(
+        [np.nan if v is None else v for v in want], dtype=np.float64
+    )
+    np.testing.assert_array_equal(got, want_arr)
+    assert isinstance(out, pd.DataFrame)
