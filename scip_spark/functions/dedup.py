@@ -476,6 +476,21 @@ def boilerplate_scrub(
 
 BITMASK_VOCAB_CAP = 4096  # <= 64 longs of mask per doc
 
+#: Broadcast budget for the bitmask paths' per-doc relations (masks /
+#: prefixes). A <=4096-token vocabulary caps the candidate join's key
+#: cardinality at |vocab|, so a shuffled join runs with at most |vocab|
+#: effective partitions, skewed by token df, and AQE cannot split them
+#: (the blow-up is join OUTPUT; the shuffled inputs are tiny). When the
+#: per-doc relations provably fit a broadcast we hint them and the
+#: fan-out streams through one codegen stage, partitioned by the
+#: DOC-side layout instead of the vocabulary. The bound is computed on
+#: the driver from data the vocab probe already collected (sum of
+#: token document frequencies >= doc count, since every doc contributes
+#: >= 1 distinct-token row), NOT from local core count — a 100-TB
+#: corpus with a tiny vocabulary fails the gate and keeps the shuffled
+#: plan.
+_BITMASK_BCAST_BYTES = 64 << 20
+
 
 def _small_vocab(tok: DataFrame, cap: int):
     """Collect the corpus vocabulary with document frequencies IFF it
@@ -508,18 +523,36 @@ def _small_vocab(tok: DataFrame, cap: int):
     a vocabulary."""
     if cap <= 0 or tok.isStreaming:
         return None
+    # Per-DataFrame memo (r15, guide §1): the probe is deterministic for
+    # a fixed token relation, yet it ran its two jobs (HLL estimate +
+    # bounded collect, ~0.9 s warm at sf0.1) on EVERY join call. The
+    # session-shared tok relation is a long-lived singleton object, so
+    # an instance attribute keyed by cap memoizes exactly per
+    # (relation object, cap) and dies with the DataFrame — ad-hoc tok
+    # relations get a fresh (empty) memo each call, never a stale one.
+    memo = getattr(tok, "_scip_vocab_memo", None)
+    if memo is not None and cap in memo:
+        return memo[cap]
+    result = None
     est = tok.agg(F.approx_count_distinct("token", 0.02)).first()[0]
-    if est > int(cap * 1.25):
-        return None
-    rows = (
-        tok.groupBy("token").agg(F.count("*").alias("df"))
-        .limit(cap + 1)
-        .collect()
-    )
-    if len(rows) > cap or not rows:  # empty: general path is already O(0)
-        return None
-    vocab = sorted((r["token"], r["df"]) for r in rows)
-    return [(t, d, i) for i, (t, d) in enumerate(vocab)]
+    if est <= int(cap * 1.25):
+        rows = (
+            tok.groupBy("token").agg(F.count("*").alias("df"))
+            .limit(cap + 1)
+            .collect()
+        )
+        # empty: general path is already O(0)
+        if len(rows) <= cap and rows:
+            vocab = sorted((r["token"], r["df"]) for r in rows)
+            result = [(t, d, i) for i, (t, d) in enumerate(vocab)]
+    try:
+        if memo is None:
+            memo = {}
+            tok._scip_vocab_memo = memo
+        memo[cap] = result
+    except Exception:  # noqa: BLE001 — memo is an optimization only
+        pass
+    return result
 
 
 def _mask_relation(tok_bits: DataFrame, n_words: int) -> DataFrame:
@@ -548,14 +581,159 @@ def _mask_relation(tok_bits: DataFrame, n_words: int) -> DataFrame:
     )
 
 
-def _mask_inter(a: Column, b: Column) -> Column:
-    """|A ∩ B| as sum of per-word popcounts of AND — exact, pure
-    whole-stage-codegen column algebra, no explode."""
+def _shared_mask_relation(tok: DataFrame, tok2: DataFrame,
+                          n_words: int, persist_ok: bool) -> DataFrame:
+    """Per-tok-object memo of the packed mask relation (r15): setsim
+    and containment each rebuilt the same two-groupBy mask relation
+    (~1 s warm at sf0.1) on every call against the session-shared
+    token relation. Same lifetime discipline as the vocab memo in
+    :func:`_small_vocab` — the memo lives on the tok DataFrame
+    instance, so ad-hoc relations get a fresh one and nothing leaks
+    across sessions. Persisted only under the broadcast gate
+    (``persist_ok``), which bounds the relation at
+    ``_BITMASK_BCAST_BYTES``; an external clearCache just triggers a
+    correct (deterministic) recompute, as with queries.session_rel."""
+    from pyspark.storagelevel import StorageLevel
+
+    memo = getattr(tok, "_scip_mask_memo", None)
+    hit = memo.get(n_words) if memo is not None else None
+    if hit is not None:
+        if persist_ok and hit.storageLevel == StorageLevel.NONE:
+            hit.persist(StorageLevel.MEMORY_AND_DISK)
+        return hit
+    m = _mask_relation(tok2.select("sid", "bit"), n_words)
+    if persist_ok:
+        m = m.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if memo is None:
+            memo = {}
+            tok._scip_mask_memo = memo
+        memo[n_words] = m
+    except Exception:  # noqa: BLE001 — memo is an optimization only
+        pass
+    return m
+
+
+def _mask_inter(a: Column, b: Column, n_words: int | None = None) -> Column:
+    """|A ∩ B| as sum of per-word popcounts of AND — exact, no explode.
+
+    When the word count is known at plan time (every bitmask-path
+    caller knows it), the fold is UNROLLED into a flat
+    ``bit_count(a[i] & b[i]) + ...`` expression chain: higher-order
+    ``aggregate``/``zip_with`` lambdas are evaluated interpreted
+    (outside whole-stage codegen), and on the candidate fan-out —
+    tens of millions of rows at sf0.1 — the lambda machinery cost
+    ~2.5 s where the unrolled form is pure codegen (r15 measured,
+    guide §4.1: prefer built-in expression trees over HOFs on hot
+    paths). ``n_words=None`` keeps the general fold for callers with
+    unknown width."""
+    if n_words is not None:
+        terms = [
+            F.bit_count(
+                F.element_at(a, i + 1).bitwiseAND(F.element_at(b, i + 1))
+            )
+            for i in range(n_words)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("long")
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _setsim_symdiff1(spark, tok: DataFrame, vocab, threshold: float,
+                     eps: float) -> DataFrame:
+    """High-threshold small-universe fast path for
+    :func:`setsim_prefix_join` (FastSS/SymSpell-style deletion
+    neighborhoods, Bocek et al. 2007, applied to token SETS).
+
+    Gate (checked by the caller, conservatively): per-doc distinct
+    token counts are bounded by the universe size ``V = len(vocab)``,
+    and Jaccard >= t forces the intersection I >= t/(1+t)·(n_a+n_b),
+    so the symmetric difference obeys
+
+        |AΔB| = n_a + n_b - 2I <= (n_a+n_b)(1-t)/(1+t)
+              <= 2V(1-t)/(1+t) < 2   whenever  V(1-t) < (1+t).
+
+    Every qualifying pair therefore has |AΔB| ∈ {0, 1}: the token sets
+    are IDENTICAL, or one set is the other plus exactly one token.
+    Candidates become two bounded equi-joins on packed masks — no
+    token-level fan-out, no positional filtering, no distinct:
+
+    1. identical sets: the mask relation self-joined on the mask
+       (one row per doc ⇒ each unordered pair emitted once);
+    2. one-extra-token: each doc's mask with one set bit cleared (its
+       deletion neighborhood, n_tok variants) equi-joined against the
+       full masks — a qualifying subset pair matches on exactly the
+       one differing bit, so pairs are again emitted exactly once,
+       and the two branches are disjoint (n_b = n_a vs n_b = n_a+1).
+
+    The verify is the SAME exact popcount + threshold filter as
+    :func:`_setsim_bitmask` (the branches only bound the candidate
+    set; near-misses like |AΔB| = 1 with small n fail the filter), and
+    the jaccard value is the same one double division of exact longs —
+    bit-identical to the general path and the oracle."""
+    n_words = (len(vocab) + 63) // 64
+    bcast = (
+        sum(d for _, d, _ in vocab) * (8 * n_words + 48)
+        <= _BITMASK_BCAST_BYTES
+    )
+
+    def _maybe_bcast(df):
+        return F.broadcast(df) if bcast else df
+
+    vmap = F.broadcast(
+        spark.createDataFrame(vocab, ["token", "df", "bit"])
+    )
+    tok2 = tok.join(vmap, "token").select("sid", "bit")
+    masks = _shared_mask_relation(tok, tok2, n_words, bcast)
+    ma = masks.select(
+        F.col("sid").alias("id_a"), F.col("n_tok").alias("n_a"),
+        F.col("mask").alias("mask_a"),
+    )
+    mb = masks.select(
+        F.col("sid").alias("id_b"), F.col("n_tok").alias("n_b"),
+        F.col("mask").alias("mask_b"),
+    )
+    n_inter = _mask_inter(F.col("mask_a"), F.col("mask_b"), n_words)
+    jac = n_inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - n_inter
+    )
+    eq_pairs = (
+        ma.join(_maybe_bcast(mb), F.col("mask_a") == F.col("mask_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # deletion neighborhood of the (would-be superset) B side: clear
+    # each set bit in turn; XOR removes it because tok2 only carries
+    # set bits
+    word_ix = (F.col("bit") / 64).cast("int")
+    bit_val = F.expr("shiftleft(CAST(1 AS BIGINT), bit % 64)")
+    variants = tok2.join(_maybe_bcast(masks), "sid").select(
+        F.col("sid").alias("id_b"), F.col("n_tok").alias("n_b"),
+        F.col("mask").alias("mask_b"),
+        F.transform(
+            "mask",
+            lambda w, i: F.when(i == word_ix, w.bitwiseXOR(bit_val))
+            .otherwise(w),
+        ).alias("vmask"),
+    )
+    sub_pairs = (
+        ma.join(_maybe_bcast(variants), F.col("mask_a") == F.col("vmask"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return eq_pairs.unionAll(sub_pairs)
 
 
 def _setsim_bitmask(spark, tok: DataFrame, vocab, threshold: float,
@@ -581,6 +759,17 @@ def _setsim_bitmask(spark, tok: DataFrame, vocab, threshold: float,
     from pyspark.sql.window import Window as W
 
     n_words = (len(vocab) + 63) // 64
+    # sum(df) bounds both the doc count and every per-doc relation's
+    # row count (prefix subset-of tok2; masks one row per doc) — known
+    # on the driver for free, see _BITMASK_BCAST_BYTES.
+    bcast = (
+        sum(d for _, d, _ in vocab) * (8 * n_words + 48)
+        <= _BITMASK_BCAST_BYTES
+    )
+
+    def _maybe_bcast(df):
+        return F.broadcast(df) if bcast else df
+
     vmap = F.broadcast(
         spark.createDataFrame(vocab, ["token", "df", "bit"])
     )
@@ -609,7 +798,7 @@ def _setsim_bitmask(spark, tok: DataFrame, vocab, threshold: float,
         F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
     )
     cand = (
-        a.join(b, "bit")
+        a.join(_maybe_bcast(b), "bit")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.least("n_a", "n_b")
@@ -619,7 +808,7 @@ def _setsim_bitmask(spark, tok: DataFrame, vocab, threshold: float,
         .select("id_a", "id_b")
         .distinct()
     )
-    masks = _mask_relation(tok2.select("sid", "bit"), n_words)
+    masks = _shared_mask_relation(tok, tok2, n_words, bcast)
     ma = masks.select(
         F.col("sid").alias("id_a"), F.col("n_tok").alias("n_a"),
         F.col("mask").alias("mask_a"),
@@ -628,13 +817,13 @@ def _setsim_bitmask(spark, tok: DataFrame, vocab, threshold: float,
         F.col("sid").alias("id_b"), F.col("n_tok").alias("n_b"),
         F.col("mask").alias("mask_b"),
     )
-    n_inter = _mask_inter(F.col("mask_a"), F.col("mask_b"))
+    n_inter = _mask_inter(F.col("mask_a"), F.col("mask_b"), n_words)
     jac = n_inter.cast("double") / (
         F.col("n_a") + F.col("n_b") - n_inter
     )
     return (
-        cand.join(ma, "id_a")
-        .join(mb, "id_b")
+        cand.join(_maybe_bcast(ma), "id_a")
+        .join(_maybe_bcast(mb), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -703,6 +892,13 @@ def setsim_prefix_join(
         ).distinct()
     vocab = _small_vocab(tok, bitmask_cap)
     if vocab is not None:
+        # strict margin so float rounding can only UNDER-fire the
+        # specialized path (falling back to the general bitmask plan,
+        # which is always correct)
+        if len(vocab) * (1.0 - threshold) < (1.0 + threshold) - 1e-9:
+            return _setsim_symdiff1(
+                docs.sparkSession, tok, vocab, threshold, eps
+            )
         return _setsim_bitmask(docs.sparkSession, tok, vocab, threshold, eps)
     sizes = tok.groupBy("sid").agg(F.count("*").alias("n_tok"))
     df_tok = tok.groupBy("token").agg(F.count("*").alias("df"))
@@ -792,6 +988,18 @@ def _containment_bitmask(spark, tok: DataFrame, vocab, threshold: float,
     from pyspark.sql.window import Window as W
 
     n_words = (len(vocab) + 63) // 64
+    # same driver-known bound + rationale as _setsim_bitmask: the bit
+    # key has <= |vocab| distinct values, so broadcast the A-prefix
+    # side (subset of the per-doc rows) when it provably fits and let
+    # the fan-out stream across the B postings' doc-keyed partitions.
+    bcast = (
+        sum(d for _, d, _ in vocab) * (8 * n_words + 48)
+        <= _BITMASK_BCAST_BYTES
+    )
+
+    def _maybe_bcast(df):
+        return F.broadcast(df) if bcast else df
+
     vmap = F.broadcast(
         spark.createDataFrame(vocab, ["token", "df", "bit"])
     )
@@ -803,8 +1011,8 @@ def _containment_bitmask(spark, tok: DataFrame, vocab, threshold: float,
         F.row_number().over(by_sid.orderBy("df", "token")).alias("rn"),
         F.count("*").over(by_sid).alias("n_tok"),
     )
-    masks = _mask_relation(tok2.select("sid", "bit"), n_words)
-    rm = ranked.join(masks.select("sid", "mask"), "sid")
+    masks = _shared_mask_relation(tok, tok2, n_words, bcast)
+    rm = ranked.join(_maybe_bcast(masks.select("sid", "mask")), "sid")
     a = rm.filter(
         F.col("rn")
         <= F.col("n_tok") - F.floor(F.lit(threshold) * F.col("n_tok")) + 1
@@ -816,10 +1024,10 @@ def _containment_bitmask(spark, tok: DataFrame, vocab, threshold: float,
         F.col("sid").alias("id_b"), "bit",
         F.col("n_tok").alias("n_b"), F.col("mask").alias("mask_b"),
     )
-    n_inter = _mask_inter(F.col("mask_a"), F.col("mask_b"))
+    n_inter = _mask_inter(F.col("mask_a"), F.col("mask_b"), n_words)
     cont = n_inter.cast("double") / F.col("n_a")
     out = (
-        a.join(b, "bit")
+        _maybe_bcast(a).join(b, "bit")
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(eps))
         .select("id_a", "id_b", cont.alias("containment"))

@@ -164,6 +164,54 @@ def test_setsim_bitmask_path_matches_general(spark):
         assert fast  # non-vacuous: the generator must produce pairs
 
 
+def test_setsim_symdiff1_path_matches_general(spark):
+    """r15 high-threshold small-universe fast path (deletion
+    neighborhoods): when V*(1-t) < (1+t), every qualifying pair has
+    token-set symmetric difference <= 1, and setsim dispatches to the
+    mask-equality + one-bit-deletion joins. Pins (a) exact pair/value
+    equality against the general exploded-verify path across the gate
+    boundary, (b) that exact-set duplicates (order/multiplicity
+    perturbed) and one-token add/drop near-dups are all found, and
+    (c) that near-misses (sym diff 1 on short docs) are correctly
+    rejected by the exact verify."""
+    import random
+
+    from scip_spark.functions.dedup import setsim_prefix_join
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(24)]  # gate: 24*(1-t) < 1+t for t>=0.93
+    rows = []
+    for i in range(70):
+        base = rng.sample(vocab, rng.randint(1, 22))
+        rows.append((i, " ".join(base)))
+        r = rng.random()
+        if r < 0.35:  # exact set dup: shuffled order + repeated tokens
+            dup = list(base)
+            rng.shuffle(dup)
+            dup += rng.sample(base, min(2, len(base)))
+            rows.append((1000 + i, " ".join(dup)))
+        elif r < 0.7:  # one-token add or drop
+            mut = list(base)
+            extras = [v for v in vocab if v not in mut]
+            if rng.random() < 0.5 and len(mut) > 1:
+                mut.pop(rng.randrange(len(mut)))
+            elif extras:
+                mut.append(rng.choice(extras))
+            rows.append((2000 + i, " ".join(mut)))
+    rows.append((9999, ""))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 0.9: gate OFF (24*0.1 > 1.9) — general bitmask path;
+    # 0.95/1.0: gate ON — symdiff1 path. All must agree with the
+    # exploded-verify ground truth bit-for-bit.
+    for t, gate in ((0.9, False), (0.95, True), (1.0, True)):
+        assert (len(vocab) * (1.0 - t) < (1.0 + t) - 1e-9) is gate
+        fast = sorted(map(tuple, setsim_prefix_join(docs, threshold=t).collect()))
+        slow = sorted(map(tuple, setsim_prefix_join(
+            docs, threshold=t, bitmask_cap=0).collect()))
+        assert fast == slow
+        assert fast  # non-vacuous
+
+
 def test_containment_bitmask_path_matches_general(spark):
     """Same dual-path equivalence for the asymmetric containment join,
     including sub-document inclusion pairs (short docs sampled from a
