@@ -368,18 +368,37 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text", id_
     )
 
 
-def _chunk_array(text_col: str, chunk: int) -> Column:
-    """Per-row array of non-overlapping ``chunk``-token windows — the
-    ONE chunking expression, shared by token_chunks (flag derivation)
-    and boilerplate_scrub's reassembly so the two can never diverge
-    (flags are applied positionally to these chunks)."""
-    ts = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(ts) / F.lit(float(chunk))).cast("int")
-    return F.when(F.size(ts) <= 0, F.array().cast("array<string>")).otherwise(
+def _chunk_array_of(toks: Column, chunk: int) -> Column:
+    """Non-overlapping ``chunk``-token windows from a token-array
+    column — the ONE chunking expression, shared by token_chunks (flag
+    derivation) and boilerplate_scrub's reassembly so the two can
+    never diverge (flags are applied positionally to these chunks).
+
+    ``toks`` MUST be a bound attribute (a staged projection's output),
+    never an inline ``tokens(text)`` expression: lambdas get no
+    common-subexpression elimination, so an inline tokenizer would be
+    re-evaluated once per chunk window — an O(chunks × doc_length)
+    per-row blow-up (the winnow_fingerprints lesson; r15 measured the
+    staged form at 0.42× the inlined one on the scrub query)."""
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk))).cast("int")
+    return F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(ts, i * chunk + 1, chunk), " "),
+            lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
         )
+    )
+
+
+def _chunked_docs(
+    docs: DataFrame, chunk: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __bp_chunks) with the tokenizer staged as its own
+    projection (see :func:`_chunk_array_of` for why the boundary is
+    load-bearing)."""
+    return docs.select(
+        F.col(id_col), tokens(text_col).alias("__bp_toks")
+    ).select(
+        id_col, _chunk_array_of(F.col("__bp_toks"), chunk).alias("__bp_chunks")
     )
 
 
@@ -393,12 +412,23 @@ def token_chunks(
     (tokenize → slice) — zero shuffle; only posexplode widens the
     relation. The analogue of line-splitting in a web-corpus pipeline
     (this corpus has no newlines, so the unit is a fixed token window).
-    """
+    posexplode_outer + null filter rather than plain posexplode: the
+    latter makes InferFiltersFromGenerate push a ``size(chunks) > 0``
+    filter below the projections, substituting (and re-evaluating) the
+    whole tokenize→chunk chain inside a scan-level Filter (same hazard
+    as winnow_fingerprints; the null row an empty array emits is
+    filtered on the Generate's OUTPUT, which cannot sink)."""
     from scip_spark.functions.sketches import kmv_hash
 
-    return docs.select(
-        F.col(id_col), F.posexplode(_chunk_array(text_col, chunk)).alias("idx", "chunk_text")
-    ).withColumn("h", kmv_hash("chunk_text"))
+    return (
+        _chunked_docs(docs, chunk, text_col, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode_outer("__bp_chunks").alias("idx", "chunk_text"),
+        )
+        .filter(F.col("idx").isNotNull())
+        .withColumn("h", kmv_hash("chunk_text"))
+    )
 
 
 def boilerplate_scrub(
@@ -454,14 +484,14 @@ def boilerplate_scrub(
             lambda x: x["is_boiler"],
         ).alias("boiler_by_idx"),
     )
-    # re-derive the chunk list from text (the SAME _chunk_array
+    # re-derive the chunk list from text (the SAME staged chunking
     # expression the flags were computed from) and keep chunks whose
     # flag is false, in order. LEFT join: a zero-token doc has no
     # exploded rows and therefore no flags row — it must still emit
     # (0 kept, 0 removed, md5('')) rather than vanish.
-    rejoined = docs.select(
-        id_col, _chunk_array(text_col, chunk).alias("__bp_chunks")
-    ).join(flags, id_col, "left")
+    rejoined = _chunked_docs(docs, chunk, text_col, id_col).join(
+        flags, id_col, "left"
+    )
     kept = F.filter(
         F.col("__bp_chunks"),
         lambda c, i: ~F.element_at(F.col("boiler_by_idx"), i + 1),
