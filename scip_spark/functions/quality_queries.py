@@ -144,8 +144,17 @@ def quality_repetition(spark, sf_dir):
     shuffles at any corpus size. Docs too short for bi/trigrams drop
     (inner-join semantics of the oracle)."""
     docs = ensure_parallelism(tbl(spark, sf_dir, "documents"))
+    # the bi/trigram non-emptiness filter expressed on the TOKEN count
+    # up front (n_bi > 0 & n_tri > 0 ⇔ size(toks) >= 3), not on the
+    # computed n_bi/n_tri columns after the projections: a filter on a
+    # computed column is pushdown-substituted below the projections,
+    # re-evaluating the whole tokenize→zip_with gram chain inside a
+    # scan-level Filter (~11 tokenizer copies in the optimized plan;
+    # r15 measured 1.63 → 1.20 s warm at sf0.1). The early form costs
+    # one extra tokenize per row and nothing else.
     s = (
-        docs.select("doc_id", tokens("text").alias("toks"))
+        docs.filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", "toks", _ngram_col(2).alias("bi"), _ngram_col(3).alias("tri"))
         .select(
             "doc_id",
@@ -157,7 +166,7 @@ def quality_repetition(spark, sf_dir):
             _run_stats(F.col("tri")).alias("t"),
         )
     )
-    return s.filter((F.col("n_bi") > 0) & (F.col("n_tri") > 0)).select(
+    return s.select(
         "doc_id",
         "n_tokens",
         (F.col("u.mx").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
@@ -210,13 +219,26 @@ def contamination_ngram(spark, sf_dir):
     g = docs.select(
         "doc_id", tokens("text").alias("toks")
     ).select("doc_id", F.array_distinct(_ngram_col(5)).alias("gs"))
+    # explode_outer + null filter, NOT plain explode: exploding the
+    # COMPUTED gram array triggers InferFiltersFromGenerate, which
+    # pushes a size(gs) > 0 filter below both projections and
+    # substitutes the whole tokenize→5-gram chain (with ~6 references
+    # to toks each expanding to the tokenizer) into a scan-level
+    # Filter — the winnow_fingerprints hazard. The null row an empty
+    # array emits is filtered on the Generate's OUTPUT, which cannot
+    # sink. r15 measured 2.10 → 1.68 s warm at sf0.1.
     bench = (
         g.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode("gs").alias("g"))
+        .select(F.explode_outer("gs").alias("g"))
+        .filter(F.col("g").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    cand = g.filter(F.col("doc_id") % 50 != 0).select("doc_id", F.explode("gs").alias("g"))
+    cand = (
+        g.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode_outer("gs").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
     return (
         cand.join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
@@ -1094,24 +1116,40 @@ def trigram_backoff_scores(spark, sf_dir):
         (F.col("doc_id") % 10 < 8).alias("is_train"),
     )
     train = docs.filter("is_train")
+
+    # explode_outer + null filter on every computed-array explode:
+    # plain explode triggers InferFiltersFromGenerate, substituting the
+    # tokenize→zip_with gram chain into scan-level Filters once per
+    # consumer (5 consumers here; 14 tokenizer copies in the optimized
+    # plan before, 8 after — r15). Wall at sf0.1 is unchanged (the
+    # query is bounded by its five scan branches' job/stage floor, not
+    # per-row CPU); the recompute removal is what matters on real
+    # documents, where one tokenize pass is not ~0.1 s but the scan's
+    # dominant cost. The null row an empty array emits is removed on
+    # the Generate's output, which cannot sink.
+    def _xpl(df, arr, name):
+        return df.select(F.explode_outer(arr).alias(name)).filter(
+            F.col(name).isNotNull()
+        )
+
     c3 = (
-        train.select(F.explode(_ngram_col(3)).alias("tg"))
+        _xpl(train, _ngram_col(3), "tg")
         .groupBy("tg").agg(F.count("*").cast("long").alias("c3"))
     )
     c12 = (
-        train.select(F.explode(_ngram_col(2)).alias("bg"))
+        _xpl(train, _ngram_col(2), "bg")
         .groupBy("bg").agg(F.count("*").cast("long").alias("c12"))
     )
     cu = (
-        train.select(F.explode("toks").alias("w"))
+        _xpl(train, F.col("toks"), "w")
         .groupBy("w").agg(F.count("*").cast("long").alias("cu"))
     )
-    nn = train.select(F.explode("toks").alias("w")).agg(
+    nn = _xpl(train, F.col("toks"), "w").agg(
         F.count("*").cast("long").alias("n")
     )
     ev = docs.filter(~F.col("is_train")).select(
-        "doc_id", F.explode(_ngram_col(3)).alias("tg")
-    )
+        "doc_id", F.explode_outer(_ngram_col(3)).alias("tg")
+    ).filter(F.col("tg").isNotNull())
     evd = ev.select("tg").distinct().select(
         "tg",
         F.concat_ws(
