@@ -619,12 +619,18 @@ def _shared_mask_relation(tok: DataFrame, tok2: DataFrame,
     token relation. Same lifetime discipline as the vocab memo in
     :func:`_small_vocab` — the memo lives on the tok DataFrame
     instance, so ad-hoc relations get a fresh one and nothing leaks
-    across sessions. Persisted only under the broadcast gate
-    (``persist_ok``), which bounds the relation at
-    ``_BITMASK_BCAST_BYTES``; an external clearCache just triggers a
-    correct (deterministic) recompute, as with queries.session_rel."""
+    across sessions. Persisted only when (a) the broadcast gate
+    (``persist_ok``) bounds the relation at ``_BITMASK_BCAST_BYTES``
+    AND (b) the tok relation is ITSELF persisted — i.e. it is one of
+    the session-managed shared relations whose lifetime someone owns;
+    an ad-hoc tok would otherwise pin its masks in the JVM
+    CacheManager long after the Python object dies (cached blocks
+    outlive the instance — review finding, this round). An external
+    clearCache just triggers a correct (deterministic) recompute, as
+    with queries.session_rel."""
     from pyspark.storagelevel import StorageLevel
 
+    persist_ok = persist_ok and tok.storageLevel != StorageLevel.NONE
     memo = getattr(tok, "_scip_mask_memo", None)
     hit = memo.get(n_words) if memo is not None else None
     if hit is not None:
@@ -675,8 +681,8 @@ def _mask_inter(a: Column, b: Column, n_words: int | None = None) -> Column:
     )
 
 
-def _setsim_symdiff1(spark, tok: DataFrame, vocab, threshold: float,
-                     eps: float) -> DataFrame:
+def _setsim_symdiff1(spark, tok: DataFrame, vocab,
+                     threshold: float) -> DataFrame:
     """High-threshold small-universe fast path for
     :func:`setsim_prefix_join` (FastSS/SymSpell-style deletion
     neighborhoods, Bocek et al. 2007, applied to token SETS).
@@ -708,8 +714,12 @@ def _setsim_symdiff1(spark, tok: DataFrame, vocab, threshold: float,
     the jaccard value is the same one double division of exact longs —
     bit-identical to the general path and the oracle."""
     n_words = (len(vocab) + 63) // 64
+    # 16·n_words, not 8: the deletion-variant relation carries TWO
+    # n_words-long mask arrays per row (mask_b + vmask), so its rows
+    # are ~twice the other per-doc relations' (review finding, this
+    # round — the gate must bound the WIDEST broadcast it hints).
     bcast = (
-        sum(d for _, d, _ in vocab) * (8 * n_words + 48)
+        sum(d for _, d, _ in vocab) * (16 * n_words + 56)
         <= _BITMASK_BCAST_BYTES
     )
 
@@ -926,9 +936,7 @@ def setsim_prefix_join(
         # specialized path (falling back to the general bitmask plan,
         # which is always correct)
         if len(vocab) * (1.0 - threshold) < (1.0 + threshold) - 1e-9:
-            return _setsim_symdiff1(
-                docs.sparkSession, tok, vocab, threshold, eps
-            )
+            return _setsim_symdiff1(docs.sparkSession, tok, vocab, threshold)
         return _setsim_bitmask(docs.sparkSession, tok, vocab, threshold, eps)
     sizes = tok.groupBy("sid").agg(F.count("*").alias("n_tok"))
     df_tok = tok.groupBy("token").agg(F.count("*").alias("df"))

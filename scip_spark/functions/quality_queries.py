@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from scip_spark.functions.scale import ensure_parallelism
-from scip_spark.functions.text import tokens
+from scip_spark.functions.text import explode_nonnull, tokens
 from scip_spark.queries import register, tbl
 
 _SQL_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -219,25 +219,19 @@ def contamination_ngram(spark, sf_dir):
     g = docs.select(
         "doc_id", tokens("text").alias("toks")
     ).select("doc_id", F.array_distinct(_ngram_col(5)).alias("gs"))
-    # explode_outer + null filter, NOT plain explode: exploding the
-    # COMPUTED gram array triggers InferFiltersFromGenerate, which
-    # pushes a size(gs) > 0 filter below both projections and
-    # substitutes the whole tokenize→5-gram chain (with ~6 references
-    # to toks each expanding to the tokenizer) into a scan-level
-    # Filter — the winnow_fingerprints hazard. The null row an empty
-    # array emits is filtered on the Generate's OUTPUT, which cannot
-    # sink. r15 measured 2.10 → 1.68 s warm at sf0.1.
+    # explode_nonnull, NOT plain explode: exploding the COMPUTED gram
+    # array triggers InferFiltersFromGenerate, which substitutes the
+    # whole tokenize→5-gram chain (with ~6 references to toks each
+    # expanding to the tokenizer) into a scan-level Filter — the
+    # winnow_fingerprints hazard (42 → 2 tokenizer copies in the
+    # optimized plan; r15 measured 2.10 → 1.68 s warm at sf0.1).
     bench = (
-        g.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode_outer("gs").alias("g"))
-        .filter(F.col("g").isNotNull())
+        explode_nonnull(g.filter(F.col("doc_id") % 50 == 0), "gs", "g")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    cand = (
-        g.filter(F.col("doc_id") % 50 != 0)
-        .select("doc_id", F.explode_outer("gs").alias("g"))
-        .filter(F.col("g").isNotNull())
+    cand = explode_nonnull(
+        g.filter(F.col("doc_id") % 50 != 0), "gs", "g", keep=("doc_id",)
     )
     return (
         cand.join(F.broadcast(bench), "g", "left")
@@ -1117,39 +1111,34 @@ def trigram_backoff_scores(spark, sf_dir):
     )
     train = docs.filter("is_train")
 
-    # explode_outer + null filter on every computed-array explode:
-    # plain explode triggers InferFiltersFromGenerate, substituting the
+    # explode_nonnull on every computed-array explode: plain explode
+    # triggers InferFiltersFromGenerate, substituting the
     # tokenize→zip_with gram chain into scan-level Filters once per
     # consumer (5 consumers here; 14 tokenizer copies in the optimized
     # plan before, 8 after — r15). Wall at sf0.1 is unchanged (the
     # query is bounded by its five scan branches' job/stage floor, not
     # per-row CPU); the recompute removal is what matters on real
     # documents, where one tokenize pass is not ~0.1 s but the scan's
-    # dominant cost. The null row an empty array emits is removed on
-    # the Generate's output, which cannot sink.
-    def _xpl(df, arr, name):
-        return df.select(F.explode_outer(arr).alias(name)).filter(
-            F.col(name).isNotNull()
-        )
-
+    # dominant cost.
     c3 = (
-        _xpl(train, _ngram_col(3), "tg")
+        explode_nonnull(train, _ngram_col(3), "tg")
         .groupBy("tg").agg(F.count("*").cast("long").alias("c3"))
     )
     c12 = (
-        _xpl(train, _ngram_col(2), "bg")
+        explode_nonnull(train, _ngram_col(2), "bg")
         .groupBy("bg").agg(F.count("*").cast("long").alias("c12"))
     )
     cu = (
-        _xpl(train, F.col("toks"), "w")
+        explode_nonnull(train, F.col("toks"), "w")
         .groupBy("w").agg(F.count("*").cast("long").alias("cu"))
     )
-    nn = _xpl(train, F.col("toks"), "w").agg(
+    nn = explode_nonnull(train, F.col("toks"), "w").agg(
         F.count("*").cast("long").alias("n")
     )
-    ev = docs.filter(~F.col("is_train")).select(
-        "doc_id", F.explode_outer(_ngram_col(3)).alias("tg")
-    ).filter(F.col("tg").isNotNull())
+    ev = explode_nonnull(
+        docs.filter(~F.col("is_train")), _ngram_col(3), "tg",
+        keep=("doc_id",),
+    )
     evd = ev.select("tg").distinct().select(
         "tg",
         F.concat_ws(

@@ -25,6 +25,20 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = LANG_MARKERS["en"]
 
 
+def explode_nonnull(df, arr: Column | str, name: str, keep=()):
+    """Explode a COMPUTED array without the InferFiltersFromGenerate
+    recompute: plain ``explode`` makes the optimizer infer a
+    ``size(arr) > 0`` filter and push it below the producing
+    projections, SUBSTITUTING the whole expression chain (tokenizers,
+    n-gram zip_withs) into a scan-level Filter — a per-row recompute
+    measured from 2× (boilerplate scrub) to ~20× plan-copies
+    (contamination) in r15. ``explode_outer`` infers nothing; the one
+    null row an empty array emits is removed on the Generate's OUTPUT,
+    which cannot sink. ``keep`` lists pass-through columns."""
+    out = df.select(*keep, F.explode_outer(arr).alias(name))
+    return out.filter(F.col(name).isNotNull())
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization with empty-token removal."""
     c = F.col(text) if isinstance(text, str) else text

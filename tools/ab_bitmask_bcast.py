@@ -2,8 +2,13 @@
 """Interleaved A/B of the bitmask broadcast gate (guide §1: same
 session, alternating arms) for setsim/containment at sf0.1.
 
-A = gate off (_BITMASK_BCAST_BYTES=0, the r14 shuffled plan)
+A = gate off (_BITMASK_BCAST_BYTES=0, the shuffled plan)
 B = gate on (default, broadcast hints)
+
+Both arms bypass the per-relation vocab/mask memos (monkeypatched to
+rebuild every call), so the printed ratio isolates the broadcast gate
+alone — with the memos live, the B arm's persisted mask relation would
+be served to the A arm too and contaminate it.
 """
 from __future__ import annotations
 
@@ -32,6 +37,19 @@ def main():
     tok = _shared_doc_tokens(spark, sf_dir)
     tok.count()
     default_gate = dedup._BITMASK_BCAST_BYTES
+
+    # neutralize the memo layers in BOTH arms (see module docstring)
+    dedup._shared_mask_relation = lambda tok, tok2, n_words, persist_ok: (
+        dedup._mask_relation(tok2.select("sid", "bit"), n_words)
+    )
+    orig_small_vocab = dedup._small_vocab
+
+    def _vocab_nomemo(t, cap):
+        if hasattr(t, "_scip_vocab_memo"):
+            del t._scip_vocab_memo
+        return orig_small_vocab(t, cap)
+
+    dedup._small_vocab = _vocab_nomemo
 
     def run(fn):
         t0 = time.time()

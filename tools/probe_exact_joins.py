@@ -79,7 +79,6 @@ def main() -> None:
                     print(
                         f"    stage {s['stageId']:>4} tasks={s['numCompleteTasks']:>4} "
                         f"runTime={s.get('executorRunTime', 0)/1000.0:8.2f}s "
-                        f"wall={(s.get('completionTime') is not None) and '' or ''}"
                         f"shufW={s.get('shuffleWriteBytes', 0)>>20}MB "
                         f"shufR={s.get('shuffleReadBytes', 0)>>20}MB "
                         f"out={s.get('outputBytes', 0)>>20}MB "
