@@ -190,61 +190,61 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     ``pairs``: (id_a, id_b). Returns (node_id, component) where
     component = min node id in the cluster.
+
+    Per-round shape: ONE join. A self-loop edge per node makes the
+    propagation groupBy see the node's own previous label alongside its
+    neighbors', so the label update (min over neighborhood ∪ self), the
+    node's old label (min over the self edge alone), and therefore the
+    convergence flag (new < old) all come out of the SAME aggregation —
+    no second join against the previous labels for the update, and no
+    third join for the changed-count. Measured 0.55× the two-join loop
+    at sf0.1 (tools/probe_cc.py, labels bit-identical, same 5 rounds).
     """
-    edges = (
+    sym = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .cache()
     )
-    labels = (
-        edges.select(F.col("src").alias("node_id"))
-        .distinct()
-        .withColumn("component", F.col("node_id"))
-    )
+    nodes = sym.select(F.col("src").alias("node_id")).distinct()
+    edges = sym.unionByName(
+        nodes.select(F.col("node_id").alias("src"), F.col("node_id").alias("dst"))
+    ).cache()
+    labels = nodes.withColumn("component", F.col("node_id"))
     prev_cached = None
     for it in range(max_iter):
-        # propagate: candidate label for dst = min(label[src]) over edges
-        prop = (
+        # propagate: new label for dst = min(label[src]) over in-edges,
+        # which include the self-loop, so this IS least(old, neighbor_min);
+        # `own` (the self edge's label) recovers the old label for the
+        # change flag without touching the previous round's relation again
+        staged = (
             edges.join(labels, edges.src == labels.node_id)
             .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.min("component").alias("neighbor_min"))
-        )
-        new_labels = (
-            labels.join(prop, "node_id", "left")
-            .select(
-                "node_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("neighbor_min"), F.col("component"))
-                ).alias("component"),
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("src") == F.col("dst"), F.col("component"))).alias("own"),
             )
+            .withColumn("chg", F.col("component") < F.col("own"))
+            .drop("own")
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        # the count above materialized new_labels; the previous
-        # iteration's cache is dead weight from here on — without this
-        # unpersist, 20 iterations pile 20 label snapshots into executor
-        # storage memory
+        changed = staged.agg(F.max("chg")).first()[0]
+        new_labels = staged.drop("chg")
+        # the agg above materialized staged; the previous iteration's
+        # cache is dead weight from here on — without this unpersist,
+        # 20 iterations pile 20 label snapshots into executor storage
         if prev_cached is not None:
             prev_cached.unpersist()
-        prev_cached = new_labels
+        prev_cached = staged
         # every few rounds, truncate the lineage: each round's plan
-        # embeds the previous labels TWICE (propagation join + changed
-        # comparison), so un-truncated lineage doubles per round —
-        # exponential plan size. When a reliable checkpoint dir is
+        # embeds the previous labels (propagation join), so un-truncated
+        # lineage grows per round. When a reliable checkpoint dir is
         # configured (sc.setCheckpointDir), use checkpoint(): the data
         # lands on the shared store and survives executor loss. With no
         # dir set, fall back to localCheckpoint — NOTE its trade-off:
         # partitions become NON-recomputable, so losing an executor
         # fails the job instead of recomputing; acceptable on a single
         # node / short iteration, but set a checkpoint dir at cluster
-        # scale. Both are eager here (the count above materialized the
+        # scale. Both are eager here (the agg above materialized the
         # data) and cut the logical plan back to the checkpointed RDD.
         if (it + 1) % 4 == 0:
             sc = new_labels.sparkSession.sparkContext
@@ -252,11 +252,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 cp = new_labels.checkpoint(eager=True)
             else:
                 cp = new_labels.localCheckpoint(eager=True)
-            new_labels.unpersist()  # checkpoint storage supersedes the cache
+            staged.unpersist()  # checkpoint storage supersedes the cache
             prev_cached = None
             new_labels = cp
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     else:
         edges.unpersist()

@@ -477,14 +477,53 @@ def test_approx_percentile_within_rank_error(spark):
             assert lo <= v <= hi, (flag, p, v, lo, hi)
 
 
+def test_cc_selfloop_fold_matches_union_find(spark):
+    """The one-join-per-round CC (self-loop edges carry the node's own
+    previous label through the propagation groupBy, so the label update
+    AND the convergence flag come from a single aggregation) must label
+    every node with the true min-id of its component. Pinned against a
+    driver-side union-find over a graph that mixes a clique, two
+    chains (one crossing the 4-round checkpoint boundary), a bridge
+    edge, and isolated pairs."""
+    from scip_spark.functions.dedup import connected_components
+
+    raw = (
+        [(0, 1), (0, 2), (1, 2), (2, 3)]           # clique + tail
+        + [(i, i + 1) for i in range(10, 16)]      # 6-hop chain: >4 rounds
+        + [(3, 10)]                                # bridge: merges the two
+        + [(100, 101), (200, 201)]                 # isolated pairs
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    got = {
+        r["node_id"]: r["component"]
+        for r in connected_components(pairs, max_iter=12).collect()
+    }
+    assert got == expect
+
+
 def test_cc_chain_bounded_lineage(spark):
     """A chain graph forces many propagation rounds (labels move one
-    hop per round). Each round's plan embeds the previous one TWICE
-    (propagate join + changed-compare), so lineage doubles per round:
-    a 12-round run without truncation builds a ~2^12-node plan. The
-    loop localCheckpoints every 4 rounds, capping the plan at
-    2^4 copies of a checkpoint scan — a CONSTANT independent of
-    iteration count."""
+    hop per round). Each round's plan embeds the previous one (the
+    single propagate join over self-looped edges), so lineage grows
+    with every round: a 12-round run without truncation builds a
+    deeply nested plan. The loop localCheckpoints every 4 rounds,
+    capping the plan at 4 copies of the round template above a
+    checkpoint scan — a CONSTANT independent of iteration count."""
     import pandas as pd
 
     from scip_spark.functions.dedup import connected_components
