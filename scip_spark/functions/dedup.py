@@ -31,14 +31,31 @@ N_BANDS = 4  # rows-per-band = N_MINHASH // N_BANDS = 2
 SIMHASH_BITS = 16
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as strings; empty array when too short."""
-    toks = tokens(text)
+def shingles_from(toks: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-materialized token ARRAY.
+
+    Pass a bound attribute (a projected ``tokens(text).alias(...)``
+    column), never an inline tokenizer expression: subexpressions
+    inside higher-order-function lambdas get no common-subexpression
+    elimination, so an embedded ``tokens(text)`` re-runs the full
+    split+filter once PER SHINGLE — O(doc_len) tokenizations per
+    document. Staging the token array first made the minhash signature
+    pipeline 3.7× faster at sf0.1 (values bit-identical)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     make = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when too short.
+
+    Inline form — the embedded tokenizer re-evaluates per shingle (no
+    CSE inside lambdas); hot paths must stage the token array in a
+    projection and use :func:`shingles_from` instead."""
+    return shingles_from(tokens(text), n)
 
 
 def minhash_signature(sh: Column, n_hashes: int = N_MINHASH) -> list[Column]:
@@ -93,12 +110,18 @@ def minhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     # predicate tests the TOKEN count, not the digest array: a filter
     # on the digs alias would be pushdown-substituted and re-evaluate
     # every md5 a second time inside the filter condition.
+    # stage the token array as its own projection so the shingle
+    # lambda slices a bound attribute — an inline tokens(text) inside
+    # the transform re-runs the tokenizer once per shingle (no CSE in
+    # lambda bodies); staged vs inline measured 3.7× at sf0.1,
+    # signatures bit-identical (tools/probe output in OPTIMIZATION_r15)
     digs = (
         ensure_parallelism(docs)
         .filter(F.size(tokens(text_col)) >= 3)
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
         .select(
             F.col(id_col),
-            F.transform(shingles(text_col), lambda s: F.md5(s)).alias("digs"),
+            F.transform(shingles_from("_toks"), lambda s: F.md5(s)).alias("digs"),
         )
     )
     sig = digs.select(

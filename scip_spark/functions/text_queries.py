@@ -673,11 +673,16 @@ def hybrid_search_rrf(spark, sf_dir):
     "(n desc, pair) top-k",
 )
 def bigram_merge_candidates(spark, sf_dir):
-    from scip_spark.functions.dedup import shingles
+    from scip_spark.functions.dedup import shingles_from
+    from scip_spark.functions.text import tokens
 
     docs = tbl(spark, sf_dir, "documents")
-    bi = docs.select(F.explode(shingles("text", 2)).alias("bg")).select(
-        F.split("bg", " ").alias("p")
+    # tokens staged as a bound attribute: an inline tokens() inside the
+    # shingle lambda re-runs the tokenizer per bigram (no CSE in lambdas)
+    bi = (
+        docs.select(tokens("text").alias("_toks"))
+        .select(F.explode(shingles_from("_toks", 2)).alias("bg"))
+        .select(F.split("bg", " ").alias("p"))
     )
     return (
         bi.select(

@@ -61,6 +61,27 @@ def test_minhash_signature_closed_form_matches_table(spark):
         assert (closed[f"mh_{j}"] == table[f"mh_{j}"]).all()
 
 
+def test_shingles_from_bound_tokens_matches_inline(spark):
+    """The staged form (token array materialized as a projection,
+    shingles built from the bound attribute — the no-CSE-in-lambdas
+    fix) must emit exactly the inline shingles(text) arrays, including
+    the empty array for too-short docs."""
+    from scip_spark.functions.dedup import shingles, shingles_from
+    from scip_spark.functions.text import tokens
+
+    docs = _docs(spark)
+    inline = docs.select("doc_id", shingles("text").alias("sh")).toPandas()
+    staged = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", shingles_from("_toks").alias("sh"))
+        .toPandas()
+    )
+    a = inline.set_index("doc_id")["sh"].map(list).sort_index()
+    b = staged.set_index("doc_id")["sh"].map(list).sort_index()
+    assert (a == b).all()
+    assert b.loc[3] == []  # "xy": too short for 3-shingles
+
+
 def test_simhash_closed_form_matches_table(spark):
     from scip_spark.functions.dedup import simhash, simhash_table
 
