@@ -31,7 +31,7 @@ N_BANDS = 4  # rows-per-band = N_MINHASH // N_BANDS = 2
 SIMHASH_BITS = 16
 
 
-def shingles_from(toks: Column | str, n: int = 3) -> Column:
+def shingles_from(toks: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingles from an already-materialized token ARRAY.
 
     Pass a bound attribute (a projected ``tokens(text).alias(...)``
@@ -44,7 +44,7 @@ def shingles_from(toks: Column | str, n: int = 3) -> Column:
     toks = F.col(toks) if isinstance(toks, str) else toks
     make = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n)),
     )
     return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
 

@@ -762,20 +762,21 @@ def _agreement_sql(threshold: float = 0.95) -> str:
     "over two result relations, each tiny relative to the corpus.",
 )
 def dedup_method_agreement(spark, sf_dir):
+    from scip_spark.functions.dedup import shingles_from
     from scip_spark.functions.text import tokens as _tokens
 
     docs = tbl(spark, sf_dir, "documents")
     # '_'-joined 3-gram shingles as whitespace tokens, so the exact
-    # setsim join measures the similarity the LSH actually indexes
-    toks = _tokens(F.col("text"))
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws("_", F.slice(toks, i + 1, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    docs_sh = docs.select("doc_id", F.array_join(sh, " ").alias("text"))
+    # setsim join measures the similarity the LSH actually indexes.
+    # Token array staged as a bound attribute — an inline tokens()
+    # inside the shingle lambda re-runs the tokenizer per shingle.
+    docs_sh = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.array_join(shingles_from("_toks", 3, sep="_"), " ").alias("text"),
+        )
+    )
     truth = dedup.setsim_prefix_join(docs_sh, threshold=0.95).select(
         "id_a", "id_b"
     )
