@@ -663,6 +663,25 @@ def test_covariance_fp_matches_numpy_and_supports_pca(spark):
     assert w.max() >= C.diagonal().max() - 1e-9
 
 
+def test_covariance_kernel_matches_explode_twin(spark):
+    """The numpy-batch partial kernel (registry path) must reproduce
+    the Catalyst struct-explode twin bit-for-bit: every column of every
+    (dim_i, dim_j) row, including the exact hi/lo co-moment split —
+    int64 X^T·X partials plus order-free integer SUMs are the same
+    arithmetic the explode path's hash aggregation performs."""
+    from scip_spark.functions.similarity_queries import _cov_agg_explode
+    from scip_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["embedding_covariance_fp"].fn(spark, sf)
+        .orderBy("dim_i", "dim_j")
+        .toPandas()
+    )
+    twin = _cov_agg_explode(spark, sf).orderBy("dim_i", "dim_j").toPandas()
+    assert got.equals(twin)
+
+
 def test_ann_jl_topk_recall_vs_pure_python_exact(spark):
     """ann_jl_topk must (a) return exactly the pure-Python pipeline's
     answer (shortlist in JL space, rerank in full space — all integer)
