@@ -223,12 +223,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     third join for the changed-count. Measured 0.55× the two-join loop
     at sf0.1 (tools/probe_cc.py, labels bit-identical, same 5 rounds).
     """
-    sym = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+    both = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    nodes = sym.select(F.col("src").alias("node_id")).distinct()
+    # nodes from the UNFILTERED pair set (a node appearing only in a
+    # reflexive pair must still get a label); the symmetric edge set
+    # drops reflexive rows — the self-loop union below re-adds exactly
+    # one (x, x) per node, so a reflexive input pair no longer leaves a
+    # duplicate (x, x) edge in the cached relation (ADVICE r15). Labels
+    # unchanged: min over neighborhood ∪ self ignores multiplicity.
+    nodes = both.select(F.col("src").alias("node_id")).distinct()
+    sym = both.filter(F.col("src") != F.col("dst")).distinct()
     edges = sym.unionByName(
         nodes.select(F.col("node_id").alias("src"), F.col("node_id").alias("dst"))
     ).cache()

@@ -1412,7 +1412,12 @@ def graph_topk(
         )
 
     wq = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    w_dedup = W.partitionBy("q_id").orderBy(F.col("c_id").asc(), F.col("exp").desc())
+    # sim desc as a tertiary key (ADVICE r15): free under the identical-
+    # duplicate invariant, and preserves max-sim selection if score()
+    # ever becomes approximate/nondeterministic
+    w_dedup = W.partitionBy("q_id").orderBy(
+        F.col("c_id").asc(), F.col("exp").desc(), F.col("sim").desc()
+    )
 
     def top(frame, n):
         # duplicate (q_id, c_id) rows carry IDENTICAL sim and q_emb

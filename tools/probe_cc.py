@@ -19,7 +19,7 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
 
-def cc_old(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def cc_old(pairs: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -72,7 +72,7 @@ def cc_old(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels, rounds
 
 
-def cc_new(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def cc_new(pairs: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -123,7 +123,7 @@ def cc_new(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels, rounds
 
 
-def cc_selfloop(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def cc_selfloop(pairs: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
     """One join per round: self-loop edges make the propagation groupBy
     emit BOTH the neighborhood minimum and the node's own previous label
     (min over the self edge), so the label update and the change flag
